@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's required configuration.
+
+The reference does all time math in UTC (/root/reference/internal/domain/
+transform.go:108-111,313), so the session timezone is pinned to UTC —
+required for HHMM expansion, hourly time buckets, and DuckDB-oracle parity.
+
+Scale posture: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), shuffle partitions sized for the local harness but overridable
+via env for cluster deploys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "storm_data_etl_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    UTC session timezone, AQE enabled, Arrow enabled for the few Pandas-UDF
+    paths, shuffle parallelism sized to cores (not the 200 default, which
+    over-parallelizes local runs and under-parallelizes 100 TB ones — on a
+    real cluster set SPARK_GRAFT_SHUFFLE_PARTITIONS ≈ 2-3× total cores).
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
