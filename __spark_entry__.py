@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query smoke check at sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data-pipeline extensions), (spark, sf_dir) → DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query (same column aliases; the
+                 driver hash-compares values order-insensitively). Queries
+                 whose semantics aren't SQL-expressible (xxhash64 sketches,
+                 approximate ANN) are intentionally absent → rows-only check.
+
+Query implementations live in storm_data_etl_spark/plans/ — this module is
+just the registry façade.
 """
 
 from __future__ import annotations
@@ -13,26 +18,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Importing the plans modules populates the registry.
+from storm_data_etl_spark.plans import queries as _q
+from storm_data_etl_spark.plans import enrich_queries as _eq  # noqa: F401
+from storm_data_etl_spark.plans import ml_queries as _mq  # noqa: F401
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the TPC-H-Q1-style pricing summary at sf0.001."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _q.REGISTRY["pricing_summary"].runner(spark, SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.runner for name, qd in _q.REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: qd.oracle for name, qd in _q.REGISTRY.items() if qd.oracle is not None
+    }

@@ -289,6 +289,21 @@ def time_bucket(event_time_col: ColumnOrName) -> Column:
     return F.date_trunc("hour", _c(event_time_col))
 
 
+def json_valid(value_col: ColumnOrName = "value") -> Column:
+    """Predicate: the envelope value parses as a RAW_SCHEMA JSON object.
+    Applied to the raw envelope it selects the poison-pill rows' complement
+    without materializing the parse twice (Catalyst dedups the from_json)."""
+    parse_schema = T.StructType(
+        [*RAW_SCHEMA.fields, T.StructField("_corrupt", T.StringType())]
+    )
+    parsed = F.from_json(
+        _c(value_col).cast("string"),
+        parse_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return parsed.isNotNull() & parsed["_corrupt"].isNull()
+
+
 def parse_raw_events(df: DataFrame, value_col: str = "value", ts_col: str = "timestamp") -> DataFrame:
     """ParseRawEvent (transform.go:26-48) over an envelope DataFrame.
 

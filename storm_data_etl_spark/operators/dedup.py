@@ -1,0 +1,311 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, ordered by cost:
+
+1. exact        — hash-groupBy on a content fingerprint (one shuffle)
+2. ngram-jaccard— exact set similarity via shingle inverted index (shuffle on
+                  shingle, then on pair) — exact but quadratic in bucket size
+3. MinHash+LSH  — signature → bands → bucket join; near-linear, probabilistic
+4. SimHash      — 64-bit sketch + banded Hamming candidates; cheapest sketch
+5. embedding    — cosine near-dup over vectors (see operators.similarity)
+
+All are built from DataFrame ops + higher-order functions — no Python UDFs.
+At 100 TB: every family shuffles on a derived key (fingerprint / shingle /
+band hash), which distributes uniformly by construction (hashes), so no skew
+salting is needed except for pathological repeated documents — exactly the
+rows dedup removes first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.functions import text as X
+
+# Deterministic MinHash parameters (fixed seed → reproducible signatures).
+# 31-bit hash space: a*x + b stays < 2^62, safe under ANSI-mode long
+# arithmetic (no overflow), while 2^31 slots are ample for shingle minima.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """(a, b) pairs for the universal hash family h(x) = (a*x + b) mod p.
+    Derived from a fixed LCG so signatures are stable across runs/engines."""
+    coeffs = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_MERSENNE_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _MERSENNE_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact near-whitespace dedup: fingerprint = md5(normalized text),
+    keep the lowest-id row per fingerprint (first-wins under a total order,
+    same D1 window pattern as the reference's by-ID dedup).
+
+    Returns the input columns + `fingerprint` + `dup_count` (group size).
+    One shuffle on the fingerprint; group sizes are tiny by construction.
+    """
+    fp = df.withColumn("fingerprint", X.fingerprint(text_col))
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via a shingle inverted index.
+
+    Plan shape: explode shingles → self-join on shingle (only pairs that
+    share ≥1 shingle are candidates) → count common shingles per pair →
+    jaccard = common / (|A| + |B| - common) → filter ≥ threshold.
+
+    Exact (no sketch error) but O(Σ bucket²) in the worst case — the scale
+    path for fuzzy dedup is `minhash_lsh_pairs`; this one doubles as its
+    verification oracle. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(X.shingles(text_col, k)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: for each of ``num_hashes`` universal hash
+    functions, the min over the document's shingle hashes.
+
+    Shingle base hash is xxhash64 (JVM built-in); the signature is computed
+    entirely with higher-order array functions — one narrow pass, no
+    shuffle, no UDF. Output: (id, signature array<long>).
+    """
+    coeffs = _minhash_coeffs(num_hashes, seed)
+    sh = df.select(F.col(id_col).alias("id"), X.shingles(text_col, k).alias("shingles"))
+    hashed = sh.withColumn(
+        "hashes",
+        F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))),
+    )
+    def perm(a: int, b: int):
+        # Closure (NOT lambda default args — those change the HOF arity).
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("hashes"), perm(a, b))) for (a, b) in coeffs]
+    )
+    return hashed.select("id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs with estimated Jaccard.
+
+    rows_per_band = num_hashes/bands; two docs land in the same bucket when
+    one band of their signatures agrees exactly — P(candidate) ≈
+    1-(1-j^r)^b, tuned so j≥threshold is caught w.h.p. Estimated Jaccard =
+    fraction of agreeing signature positions; pairs below threshold are
+    dropped after estimation.
+
+    Scale shape: explode to ``bands`` rows/doc, shuffle on (band, hash) —
+    uniform keys — then per-bucket pairing. Never compares documents that
+    share no band. Output: (id_a, id_b, est_jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
+    banded = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("signature"), i * r + 1, r), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop near-duplicates given a pair list: every id_b that appears with
+    some id_a < id_b is removed (min-id representative survives).
+
+    Single-pass approximation of connected components — exact for clusters
+    whose members all pair with the minimum element (the common case at high
+    thresholds); chained clusters keep one extra doc per missing edge, which
+    is the standard trade-off in one-pass large-scale dedup.
+    """
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash sketch: sign-sum of per-token xxhash64 bits → packed bigint.
+
+    For each bit position i: sum over tokens of (+1 if bit set else -1);
+    sketch bit i = (sum > 0). Near-identical token multisets differ in few
+    bits (small Hamming distance). All higher-order functions, one narrow
+    pass. Output: (id, simhash long).
+    """
+    tk = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            X.tokens(X.normalize_for_fingerprint(text_col)), lambda w: F.xxhash64(w)
+        ).alias("h"),
+    )
+
+    def bit_vote(i: int):
+        mask = -(1 << 63) if i == 63 else (1 << i)
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_sums = [F.aggregate(F.col("h"), F.lit(0), bit_vote(i)) for i in range(bits)]
+    packed = None
+    for i, s in enumerate(bit_sums):
+        # Two's complement: bit 63 contributes -2^63 (1<<63 overflows long).
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        term = F.when(s > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return tk.select("id", packed.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates via banded exact-match (pigeonhole: pairs
+    within ``max_hamming`` < bands share at least one identical 16-bit band).
+    Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    width = 64 // bands
+    sh = simhash(df, text_col, id_col)
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        # logical (unsigned) shift: sign-extension would
+                        # corrupt the top band's chunk for negative sketches
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,241 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis) over
+the driver's `documents` and `embeddings` tables, with DuckDB oracles where
+the semantics are SQL-expressible.
+
+MinHash / SimHash signatures depend on xxhash64 (JVM-only), so their queries
+have no SQL oracle (driver records rows-only checks) — but their *semantics*
+are cross-checked in pytest against the exact n-gram-Jaccard operator, which
+IS oracle-checked here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.functions import text as X
+from storm_data_etl_spark.functions import vectors as V
+from storm_data_etl_spark.operators import dedup as D
+from storm_data_etl_spark.operators import similarity as S
+from storm_data_etl_spark.plans.queries import register
+from storm_data_etl_spark.plans.tables import t
+
+# Shared normalization, duplicated in SQL: lower → non-alnum runs → ' ' → trim.
+_SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9À-ɏ一-鿿]+', ' ', 'g'))"
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH toks AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           sum(n_tokens) AS total_tokens
+    FROM toks GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting at corpus scale: per-language doc counts, average
+    token/char lengths, total token budget. One scan + tiny hash agg."""
+    docs = t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(X.token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.sum(X.token_count("text")).alias("total_tokens"),
+    )
+
+
+@register(
+    "doc_quality_filter",
+    f"""
+    WITH q AS (
+      SELECT doc_id, length(text) AS n_chars,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))::DOUBLE / length(text)
+             END AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(punct_ratio, 6) AS punct_ratio
+    FROM q WHERE n_chars >= 100 AND punct_ratio <= 0.1
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal filter: keep docs by length band + punctuation ratio.
+    (The composite quality_score is Spark-side; this query pins the shared
+    primitive signals against SQL.) Note \\w in Java covers [A-Za-z0-9_]."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.round(X.punct_ratio("text"), 6).alias("punct_ratio"),
+        )
+        .filter((F.col("n_chars") >= 100) & (F.col("punct_ratio") <= 0.1))
+    )
+
+
+@register(
+    "doc_fingerprint_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents
+    ),
+    grouped AS (
+      SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS dup_count
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT count(*) AS n_unique,
+           sum(dup_count) AS n_total,
+           sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+    FROM grouped
+    """,
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 content fingerprint: unique count, total, dup
+    groups. The keeper-selection window itself (first-wins) is exercised in
+    operators.dedup.exact_dedup; this aggregates its effect."""
+    docs = t(spark, sf_dir, "documents")
+    kept = D.exact_dedup(docs)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("dup_count").alias("n_total"),
+        F.count(F.when(F.col("dup_count") > 1, 1)).alias("n_dup_groups"),
+    )
+
+
+def _sql_shingles(k: int = 3) -> str:
+    """DuckDB word-k-gram shingle list over the normalized text (distinct).
+    Mirrors functions.text.shingles: short docs yield the whole text."""
+    return f"""
+      CASE WHEN len(words) >= {k}
+           THEN list_distinct(list_transform(range(1, len(words) - {k} + 2),
+                              i -> array_to_string(words[i:i+{k - 1}], ' ')))
+           ELSE [array_to_string(words, ' ')] END"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id AS id, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest({_sql_shingles(3)}) AS shingle FROM norm
+    ),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.2) via shingle
+    inverted index — the verification oracle for the MinHash scale path."""
+    docs = t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+
+
+@register("minhash_lsh_pairs", None)  # xxhash64 signatures: no SQL oracle
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup candidates, est. Jaccard ≥ 0.2.
+    Probabilistic scale path; pytest cross-validates against exact Jaccard."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.2)
+
+
+@register("simhash_candidates", None)  # xxhash64 sketch: no SQL oracle
+def simhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) banded near-dup candidates, Hamming ≤ 3."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_candidates(docs, max_hamming=3)
+
+
+@register(
+    "lang_id_distribution",
+    None,  # stopword-argmax heuristic is expressible but brittle in SQL; rows-only
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the table's labeled lang: confusion counts.
+    (Accuracy is not the contract — determinism and plan shape are.)"""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("labeled"), X.lang_id("text").alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS probe_vec
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      -- float32 list_cosine_similarity diverges from Spark's float64
+      -- zip_with/aggregate path in the 7th decimal; compute in DOUBLE.
+      SELECT p.probe_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], p.probe_vec) AS cos_raw
+      FROM embeddings e, probes p
+      WHERE e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 probe vectors — the exact ANN
+    baseline. Broadcast probes × full scan; per-probe top-k window."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    return S.brute_force_topk(emb, probes, k=10)
+
+
+@register("ann_lsh_topk", None)  # approximate by design: no exact oracle
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 for the same probes — the scale path.
+    pytest measures recall against brute force."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    return S.lsh_bucketed_topk(emb, probes, dim=64, k=10, n_planes=8)
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding, embedding))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math parity: per-label count + mean L2 norm through the
+    zip_with/aggregate expression path."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(V.norm("embedding")), 6).alias("avg_norm"),
+    )

@@ -1,0 +1,475 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 exposed as
+(spark_runner, duckdb_oracle_sql) pairs over the shared testdata tables.
+
+Conventions (the driver compares row-count + schema + order-insensitive
+value hash, with columns sorted by name):
+- every computed column is aliased IDENTICALLY in the Spark plan and the SQL;
+- floating aggregates are rounded the same on both sides (summation order
+  differs between engines — raw double sums never hash-match);
+- LIMIT queries carry deterministic tie-breakers.
+
+Each query cites the reference operator(s) it covers (SURVEY.md §2 / Go
+file:line) in its docstring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.operators import relational as R
+from storm_data_etl_spark.plans.tables import t
+
+Runner = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    runner: Runner
+    oracle: str | None  # None → non-SQL-expressible (driver does rows-only check)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Runner) -> Runner:
+        REGISTRY[name] = QueryDef(runner=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4 — cmd/genmock/main.go:194-354)
+# =====================================================================
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-style aggregate: the generalized form of genmock's
+    grouped-count + conditional-sum report (A1/A3, main.go:204-226).
+    One scan, map-side partial agg, tiny shuffle of partial states."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "group_count_single",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def group_count_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: single-key grouped count (genmock typeCounts, main.go:204-215)."""
+    return R.grouped_counts(t(spark, sf_dir, "events"), "event_type", count_name="n")
+
+
+@register(
+    "group_count_composite",
+    "SELECT c_nationkey, c_mktsegment, count(*) AS n "
+    "FROM customer GROUP BY c_nationkey, c_mktsegment",
+)
+def group_count_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: composite-key grouped count (state:county counts, main.go:216)."""
+    return R.grouped_counts(
+        t(spark, sf_dir, "customer"), "c_nationkey", "c_mktsegment", count_name="n"
+    )
+
+
+@register(
+    "conditional_counts",
+    """
+    SELECT count(CASE WHEN o_totalprice >= 100000 THEN 1 END) AS n_high_value,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+           count(*) AS n_total
+    FROM orders
+    """,
+)
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: conditional counts in one pass (withSeverity / mag175plus,
+    genmock main.go:217-223)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.when(F.col("o_totalprice") >= 100000, 1)).alias("n_high_value"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "global_max",
+    "SELECT round(max(l_extendedprice), 2) AS max_price FROM lineitem WHERE l_returnflag = 'R'",
+)
+def global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: filtered global max (max hail magnitude, genmock main.go:346-353)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return li.agg(F.round(F.max("l_extendedprice"), 2).alias("max_price"))
+
+
+@register(
+    "distinct_count",
+    "SELECT count(DISTINCT c_nationkey) AS n_nations FROM customer",
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact distinct count (len(stateCounts), genmock main.go:258).
+    Scale path: approx_count_distinct — see relational.approx_distinct_count."""
+    return R.distinct_count(t(spark, sf_dir, "customer"), "c_nationkey", name="n_nations")
+
+
+@register(
+    "top_groups",
+    """
+    SELECT c_nationkey, count(*) AS n FROM customer
+    GROUP BY c_nationkey ORDER BY n DESC, c_nationkey ASC LIMIT 5
+    """,
+)
+def top_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 groups by count desc (top states, genmock main.go:252-267).
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    Tie-break on key for determinism."""
+    counts = R.grouped_counts(t(spark, sf_dir, "customer"), "c_nationkey", count_name="n")
+    return R.top_n(counts, [F.desc("n"), F.asc("c_nationkey")], 5)
+
+
+@register(
+    "first_per_group",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders) WHERE rn = 1
+    """,
+)
+def first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: first row per group under explicit total order (first hail record
+    in file order, genmock main.go:324-344). Single shuffle on the partition
+    key; row_number window, never order-nondeterministic dropDuplicates."""
+    first = R.first_per_group(
+        t(spark, sf_dir, "orders"), ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    )
+    return first.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_orderdate"),
+    )
+
+
+# =====================================================================
+# Filters (SURVEY §2.3 — genmock main.go:283-322, validate main.go:475-537)
+# =====================================================================
+
+@register(
+    "filter_compound",
+    """
+    SELECT event_id, user_id, round(value, 2) AS value FROM events
+    WHERE event_type = 'purchase' AND value >= 100
+    """,
+)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: conjunctive filter (hail ∧ TX ∧ severe, genmock main.go:292-294).
+    Predicates push down to the parquet scan."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 100)
+    ).select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
+@register(
+    "filter_disjunctive",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE event_type IN ('signup', 'error')
+    """,
+)
+def filter_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: disjunctive membership filter (hail ∨ tornado, main.go:295-297)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("signup", "error")).select(
+        "event_id", "event_type"
+    )
+
+
+@register(
+    "bounding_box",
+    """
+    SELECT count(*) AS n FROM lineitem
+    WHERE abs(l_quantity - 25) <= 5 AND abs(l_discount - 0.05) <= 0.02
+    """,
+)
+def bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: two-dimensional range predicate (Fort Worth bounding box,
+    genmock main.go:304-322), generalized to any numeric pair."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.abs(F.col("l_quantity") - 25) <= 5) & (F.abs(F.col("l_discount") - 0.05) <= 0.02)
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "null_presence",
+    """
+    SELECT count(CASE WHEN props IS NULL OR props = '' THEN 1 END) AS n_null_props,
+           count(CASE WHEN props IS NOT NULL AND props <> '' THEN 1 END) AS n_props
+    FROM events
+    """,
+)
+def null_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: null/presence predicates (severity != nil, ID == '', zero-time;
+    validate main.go:497-537)."""
+    ev = t(spark, sf_dir, "events")
+    empty = F.col("props").isNull() | (F.col("props") == "")
+    return ev.agg(
+        F.count(F.when(empty, 1)).alias("n_null_props"),
+        F.count(F.when(~empty, 1)).alias("n_props"),
+    )
+
+
+@register(
+    "enum_membership",
+    """
+    SELECT count(CASE WHEN event_type NOT IN
+                 ('click','view','purchase','signup','error') THEN 1 END) AS n_violations,
+           count(CASE WHEN value >= 0 OR value IS NULL THEN NULL ELSE 1 END) AS n_negative
+    FROM events
+    """,
+)
+def enum_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: enum-membership + implication validation as count-of-violations==0
+    queries (validate main.go:475-515)."""
+    ev = t(spark, sf_dir, "events")
+    valid_types = ("click", "view", "purchase", "signup", "error")
+    return ev.agg(
+        F.count(F.when(~F.col("event_type").isin(*valid_types), 1)).alias("n_violations"),
+        F.count(F.when(~((F.col("value") >= 0) | F.col("value").isNull()), 1)).alias("n_negative"),
+    )
+
+
+# =====================================================================
+# Joins (SURVEY §2.5 — validate main.go:228-462)
+# =====================================================================
+
+@register(
+    "anti_join_missing",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: key-existence anti-join (every source key must exist downstream,
+    validate main.go:298-313). AQE broadcasts the small side."""
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    missing = R.missing_keys(c, t(spark, sf_dir, "orders"), ["o_custkey"])
+    return missing.select(F.col("o_custkey").alias("c_custkey"), "c_name")
+
+
+@register(
+    "semi_join",
+    """
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    """,
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 complement: existence semi-join."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register(
+    "join_field_compare",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F' AND c.c_acctbal > 0
+    """,
+)
+def join_field_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: equi-join by key with field projection (ID-join compare,
+    validate main.go:352-462). Dim side broadcast by AQE."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@register(
+    "count_parity",
+    """
+    WITH a AS (SELECT c_nationkey AS nationkey, count(*) AS count_a
+               FROM customer GROUP BY c_nationkey),
+         b AS (SELECT s_nationkey AS nationkey, count(*) AS count_b
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(a.nationkey, b.nationkey) AS nationkey,
+           coalesce(count_a, 0) AS count_a, coalesce(count_b, 0) AS count_b
+    FROM a FULL OUTER JOIN b ON a.nationkey = b.nationkey
+    WHERE coalesce(count_a, 0) <> coalesce(count_b, 0)
+    """,
+)
+def count_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-key count parity between two datasets (validate
+    main.go:268-285); returns mismatching keys."""
+    a = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    b = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    mism = R.count_parity(a, b, "nationkey")
+    return mism.select(
+        "nationkey",
+        F.coalesce("count_a", F.lit(0)).alias("count_a"),
+        F.coalesce("count_b", F.lit(0)).alias("count_b"),
+    )
+
+
+@register(
+    "join_multiway",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-table join: exercises Catalyst join reordering +
+    broadcast of the dim tables (region/nation/supplier)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "top_unshipped",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-03-15' AND l.l_shipdate > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style join + agg + deterministic top-10."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return R.top_n(agg, [F.desc("revenue"), F.asc("l_orderkey")], 10).select(
+        "l_orderkey", "revenue", "o_orderdate"
+    )
+
+
+# =====================================================================
+# Dedup / set ops (SURVEY §2.6 — validate main.go:357-391)
+# =====================================================================
+
+@register(
+    "dedup_first_wins",
+    """
+    SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1
+    """,
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: first-wins dedup with explicit order key (ON CONFLICT DO NOTHING
+    mirror, validate main.go:357-391; docs/Architecture.md:98-102)."""
+    first = R.first_wins_dedup(t(spark, sf_dir, "events"), ["user_id"], ["ts", "event_id"])
+    return first.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_event_type"),
+    )
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT event_id, event_type, kind FROM (
+      SELECT event_id, event_type, 'conversion' AS kind FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT event_id, event_type, 'funnel' AS kind FROM events WHERE event_type = 'signup'
+    )
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/S8: union-by-name with injected constant column (genmock's
+    per-type CSV concat, main.go:54-79)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", F.lit("conversion").alias("kind")
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "event_type", F.lit("funnel").alias("kind")
+    )
+    return R.union_all([a, b])
