@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
+
+Timing uses the noop sink (full materialization, no serialization cost) so
+numbers reflect compute+shuffle, not collect/driver transfer. A first warmup
+action absorbs JVM/codegen startup so per-query times are steady-state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.session import get_spark
+from storm_data_etl_spark.plans import queries as _q
+from storm_data_etl_spark.plans import enrich_queries as _eq  # noqa: F401
+from storm_data_etl_spark.plans import ml_queries as _mq  # noqa: F401
+from storm_data_etl_spark.plans.tables import t
+from storm_data_etl_spark.functions.enrich import enrich_envelope
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: Headline set: the scans/joins/windows that dominate real workloads, plus
+#: the engine's own enrichment hot path and the training-data operators.
+HEADLINE = [
+    "pricing_summary",
+    "join_multiway",
+    "top_unshipped",
+    "first_per_group",
+    "dedup_first_wins",
+    "group_count_single",
+    "doc_token_stats",
+    "doc_fingerprint_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_candidates",
+    "ann_cosine_topk",
+    "storm_enrich_golden",
+]
+
+
+def enrich_throughput(spark, sf_dir):
+    """Core ETL hot path at scale: synthesize raw storm-report JSON from the
+    events table (one JSON value per row), then run the full
+    parse→enrich pipeline (P1-P15). Measures rows/sec of the enrichment."""
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                F.date_format(F.col("ts_utc"), "HHmm").alias("Time"),
+                F.format_string("%.0f", F.col("value")).alias("Size"),
+                F.lit("").alias("F_Scale"),
+                F.lit("").alias("Speed"),
+                F.concat(F.lit("5 NW Site"), F.col("user_id")).alias("Location"),
+                F.lit("County").alias("County"),
+                F.lit("TX").alias("State"),
+                F.format_string("%.2f", F.col("value") / 3).alias("Lat"),
+                F.format_string("%.2f", -F.col("value") / 2).alias("Lon"),
+                F.concat(F.col("event_type"), F.lit(" observed. (OUN)")).alias("Comments"),
+                F.lit("hail").alias("EventType"),
+            )
+        ).cast("binary").alias("value"),
+        F.lit("2024-04-26 00:00:00").cast("timestamp").alias("timestamp"),
+    )
+    return enrich_envelope(raw)
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    runners = {name: _q.REGISTRY[name].runner for name in HEADLINE if name in _q.REGISTRY}
+    runners["enrich_throughput"] = enrich_throughput
+
+    # Warmup: absorb JVM + codegen startup.
+    t(spark, SF_DIR, "lineitem").agg(F.count(F.lit(1))).collect()
+
+    times: dict[str, float] = {}
+    for name, fn in runners.items():
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,25 @@ def read_storm_csv(
     """
     if mag_col is None:
         mag_col = CSV_SPECS[event_type]
-    df = spark.read.csv(path, header=True, mode="DROPMALFORMED")
+    # Spark's CSV reader nulls BOTH empty cells and missing trailing cells,
+    # so a null test can't tell them apart. An explicit schema + corrupt-
+    # record column flags exactly the wrong-arity rows, which we drop —
+    # superset of the reference's len(row) < len(header) skip (genmock
+    # main.go:122-124; Go's encoding/csv errors on any length mismatch).
+    header_cols = spark.read.csv(path, header=True).columns
+    schema = ", ".join(f"`{c}` string" for c in header_cols) + ", `_corrupt` string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path, header=True)
+    )
+    # Spark disallows plans that reference ONLY the corrupt column after
+    # pruning (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache() materializes the
+    # parse so the filter is legal. Fixture-scale cost; the 100 TB ingest
+    # path is parquet, not CSV.
+    df = df.cache()
+    df = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     cols = []
     for name in RAW_SCHEMA.fieldNames():
         if name == "EventType":
@@ -44,7 +62,7 @@ def read_storm_csv(
         elif name in ("Size", "F_Scale", "Speed"):
             target = {"hail": "Size", "tornado": "F_Scale", "wind": "Speed"}[event_type]
             if name == target and mag_col in df.columns:
-                cols.append(F.trim(F.col(mag_col)).alias(name))
+                cols.append(F.coalesce(F.trim(F.col(mag_col)), F.lit("")).alias(name))
             else:
                 cols.append(F.lit("").alias(name))
         elif name in df.columns:

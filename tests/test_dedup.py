@@ -1,0 +1,109 @@
+"""Tests for the dedup family: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The sketch operators are validated against the exact Jaccard operator on a
+corpus with planted near-duplicates — the same oracle strategy the driver
+uses for SQL-expressible queries.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from storm_data_etl_spark.operators import dedup as D
+
+WORDS = (
+    "storm hail wind tornado report severe warning radar echo county state "
+    "mile north south east west large small damage tree power line roof"
+).split()
+
+
+def _corpus(spark, n_base=20, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        text = " ".join(rng.choice(WORDS) for _ in range(60))
+        rows.append((i, text))
+        if i < 5:
+            # planted near-duplicate: perturb ~5% of tokens
+            toks = text.split()
+            for _ in range(3):
+                toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+            rows.append((100 + i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_first_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),  # same fingerprint after normalization
+            (3, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.exact_dedup(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 3]
+    assert out[0].dup_count == 2 and out[1].dup_count == 1
+
+
+def test_ngram_jaccard_finds_planted_dups(spark):
+    df = _corpus(spark)
+    pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(5):
+        assert (i, 100 + i) in found, f"planted near-dup {i} not found"
+    for r in pairs:
+        assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    df = _corpus(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, k=3, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_lsh_pairs(
+            df, num_hashes=64, bands=16, k=3, threshold=0.3
+        ).collect()
+    }
+    # every strongly-similar exact pair must be recalled by LSH
+    missed = [p for p in exact if p not in approx]
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    # estimates within sketch error of truth
+    for p, est in approx.items():
+        if p in exact:
+            assert abs(est - exact[p]) < 0.25
+
+
+def test_minhash_signature_deterministic(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    s1 = D.minhash_signatures(df, num_hashes=16).collect()[0].signature
+    s2 = D.minhash_signatures(df, num_hashes=16).collect()[0].signature
+    assert s1 == s2 and len(s1) == 16
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = " ".join(WORDS * 3)
+    toks = (WORDS * 3)[:]
+    toks[5] = "changedword"
+    near = " ".join(toks)
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "utterly unrelated content entirely elsewhere")],
+        "doc_id long, text string",
+    )
+    cands = D.simhash_candidates(df, max_hamming=16, bands=4).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in cands}
+    assert (1, 2) in got
+    assert got[(1, 2)] <= 16
+    assert (1, 3) not in got or got[(1, 3)] > got[(1, 2)]
+
+
+def test_dedup_by_pairs_keeps_min_representative(spark):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(5)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (1, 4)], "id_a long, id_b long")
+    out = sorted(r.doc_id for r in D.dedup_by_pairs(df, pairs).collect())
+    assert out == [0, 1, 2]

@@ -1,0 +1,73 @@
+"""Tests for similarity search: brute-force exactness (vs numpy) and LSH recall."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from storm_data_etl_spark.operators import similarity as S
+
+
+def _vectors(n=50, dim=16, seed=3):
+    rng = random.Random(seed)
+    return [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+
+
+def _cosine(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    data = _vectors()
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    probes = S.make_probes(df, [0, 1])
+    got = S.brute_force_topk(df, probes, k=5).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.rank, r.vec_id, r.cosine))
+
+    vecs = dict(data)
+    for pid in (0, 1):
+        expected = sorted(
+            ((i, _cosine(vecs[pid], v)) for i, v in data if i != pid),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        rows = sorted(by_probe[pid])
+        assert [vid for _, vid, _ in rows] == [i for i, _ in expected]
+        for (_, _, cg), (_, ce) in zip(rows, expected):
+            assert abs(cg - ce) < 1e-6
+
+
+def test_lsh_topk_recall(spark):
+    data = _vectors(n=100, dim=16)
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    probes = S.make_probes(df, [0, 1, 2])
+    exact = S.brute_force_topk(df, probes, k=5).collect()
+    approx = S.lsh_bucketed_topk(df, probes, dim=16, k=5, n_planes=4).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    approx_set = {(r.probe_id, r.vec_id) for r in approx}
+    # LSH with 4 planes keeps ~1/16 of candidates per bucket; recall over
+    # the true top-5 should still be substantial on random data.
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"implausibly low LSH recall: {recall}"
+    # approx results are a subset of legal pairs, correctly scored
+    vecs = dict(data)
+    for r in approx:
+        assert abs(r.cosine - _cosine(vecs[r.probe_id], vecs[r.vec_id])) < 1e-6
+
+
+def test_embedding_near_dup_pairs(spark):
+    base = [1.0, 0.5, -0.25, 2.0]
+    near = [x * 1.0001 for x in base]  # same direction → cosine ≈ 1
+    far = [-1.0, 2.0, 0.5, -0.25]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<double>"
+    )
+    pairs = S.embedding_near_dup_pairs(df, dim=4, threshold=0.99, n_planes=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].cosine > 0.999

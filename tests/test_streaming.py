@@ -1,0 +1,121 @@
+"""Streaming pipeline tests: micro-batch enrichment, poison-pill dead-letter,
+readiness listener — all through a file-source streaming query (no broker)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.schema import ENVELOPE_SCHEMA
+from storm_data_etl_spark.streaming.pipeline import (
+    ReadinessListener,
+    run_pipeline,
+    split_poison,
+)
+
+GOOD = {
+    "Time": "1510", "Size": "125", "F_Scale": "", "Speed": "",
+    "Location": "8 ESE Chappel", "County": "San Saba", "State": "TX",
+    "Lat": "31.02", "Lon": "-98.44", "Comments": "Hail. (SJT)", "EventType": "hail",
+}
+
+
+def _envelope_df(spark, values: list[bytes]):
+    rows = [
+        (None, v, None, "storm-reports-raw", 0, i, "2024-04-26T00:00:00Z")
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        [(k, v, h, t, p, o, None) for k, v, h, t, p, o, _ in rows], ENVELOPE_SCHEMA
+    )
+    return df.withColumn("timestamp", F.lit("2024-04-26 00:00:00").cast("timestamp"))
+
+
+def test_split_poison(spark):
+    df = _envelope_df(
+        spark, [json.dumps(GOOD).encode(), b"not-json{{{", json.dumps(GOOD).encode()]
+    )
+    good, dead = split_poison(df)
+    assert good.count() == 2
+    dead_rows = dead.collect()
+    assert len(dead_rows) == 1
+    assert bytes(dead_rows[0].value) == b"not-json{{{"  # original payload kept
+
+
+def test_streaming_pipeline_foreachbatch(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    dead_dir = str(tmp_path / "dead")
+
+    # Write envelope rows as JSON-lines for the file stream source.
+    with open(os.path.join(src_dir, "batch0.json"), "w") as f:
+        for i, payload in enumerate(
+            [json.dumps(GOOD), "not-json{{{", json.dumps({**GOOD, "EventType": "wind",
+                                                          "Speed": "65", "Size": ""})]
+        ):
+            f.write(
+                json.dumps(
+                    {
+                        "value": payload,
+                        "topic": "t",
+                        "partition": 0,
+                        "offset": i,
+                        "timestamp": "2024-04-26T00:00:00.000Z",
+                    }
+                )
+                + "\n"
+            )
+
+    stream_schema = (
+        "value string, topic string, partition int, offset long, timestamp timestamp"
+    )
+    envelope = spark.readStream.schema(stream_schema).json(src_dir)
+
+    collected: list = []
+
+    def sink(df, epoch_id):
+        collected.extend(df.collect())
+
+    listener = ReadinessListener()
+    spark.streams.addListener(listener)
+    try:
+        q = run_pipeline(
+            spark,
+            envelope,
+            checkpoint_dir=ckpt,
+            sink=sink,
+            processed_at="2024-04-27 06:00:00",
+            dead_letter_path=dead_dir,
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.streams.removeListener(listener)
+
+    # 2 good rows enriched, 1 poison row dead-lettered
+    assert len(collected) == 2
+    types = sorted(r.event_type for r in collected)
+    assert types == ["hail", "wind"]
+    hail = next(r for r in collected if r.event_type == "hail")
+    assert hail.measurement.magnitude == 1.25
+    assert hail.measurement.severity == "moderate"
+
+    dead = [
+        json.loads(line)
+        for fn in os.listdir(dead_dir)
+        if fn.endswith(".json")
+        for line in open(os.path.join(dead_dir, fn))
+    ]
+    assert len(dead) == 1 and dead[0]["raw_value"] == "not-json{{{"
+
+    # Readiness flipped after the first non-empty batch (ST6).
+    deadline = time.time() + 10
+    while not listener.ready and time.time() < deadline:
+        time.sleep(0.2)
+    assert listener.ready
+    assert listener.total_input_rows >= 3
