@@ -45,7 +45,6 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_candidates",
     "ann_cosine_topk",
-    "storm_enrich_golden",
 ]
 
 

@@ -18,6 +18,9 @@ rows dedup removes first.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -79,10 +82,18 @@ def ngram_jaccard_pairs(
     Exact (no sketch error) but O(Σ bucket²) in the worst case — the scale
     path for fuzzy dedup is `minhash_lsh_pairs`; this one doubles as its
     verification oracle. Output: (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan shape: shingling (regex + higher-order array ops, the expensive
+    narrow pass) is persisted so the self-join + the size aggregate read it
+    once instead of recomputing it 3×; the join key is xxhash64(shingle) —
+    8-byte comparisons and smaller shuffles than raw shingle strings, with
+    collision probability ~1e-19 per pair (no effect on counts).
     """
     sh = df.select(
-        F.col(id_col).alias("id"), F.explode(X.shingles(text_col, k)).alias("shingle")
-    )
+        F.col(id_col).alias("id"),
+        F.explode(X.shingles(text_col, k)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -116,24 +127,39 @@ def minhash_signatures(
     """MinHash signatures: for each of ``num_hashes`` universal hash
     functions, the min over the document's shingle hashes.
 
-    Shingle base hash is xxhash64 (JVM built-in); the signature is computed
-    entirely with higher-order array functions — one narrow pass, no
-    shuffle, no UDF. Output: (id, signature array<long>).
+    Shingle base hash is xxhash64 (JVM built-in, one narrow pass). The
+    num_hashes permutation minima run in a numpy Pandas UDF — the documented
+    exception to the zero-UDF rule: the pure higher-order-function
+    formulation (num_hashes array passes per document) evaluates
+    interpreted, ~num_hashes× slower than one vectorized
+    (a·H + b) mod p matrix op per Arrow batch. Signatures are bit-identical
+    between the two formulations (same integer arithmetic).
+    Output: (id, signature array<long>).
     """
     coeffs = _minhash_coeffs(num_hashes, seed)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
     sh = df.select(F.col(id_col).alias("id"), X.shingles(text_col, k).alias("shingles"))
     hashed = sh.withColumn(
         "hashes",
         F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))),
     )
-    def perm(a: int, b: int):
-        # Closure (NOT lambda default args — those change the HOF arity).
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("hashes"), perm(a, b))) for (a, b) in coeffs]
-    )
-    return hashed.select("id", sig.alias("signature"))
+    @F.pandas_udf("array<long>")
+    def _signature(batch: pd.Series) -> pd.Series:
+        out = []
+        for hs in batch:
+            # hs values < 2^31 and a < 2^31 → products < 2^62: no overflow.
+            h = np.asarray(hs, dtype=np.int64)
+            if h.size == 0:
+                out.append([int(_MERSENNE_P)] * num_hashes)
+                continue
+            mins = ((h[None, :] * a_vec + b_vec) % _MERSENNE_P).min(axis=1)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    return hashed.select("id", _signature(F.col("hashes")).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -161,7 +187,10 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, seed)
+    # Persist the signatures: computing them is the expensive narrow pass
+    # (shingling + num_hashes permutations); the banded self-join would
+    # otherwise recompute it for both sides.
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, seed).persist()
     banded = sig.select(
         "id",
         "signature",
@@ -266,7 +295,7 @@ def simhash_candidates(
     Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
     """
     width = 64 // bands
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col).persist()  # sketch once, join twice
     mask = (1 << width) - 1
     banded = sh.select(
         "id",

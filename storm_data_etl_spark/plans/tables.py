@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -16,6 +18,23 @@ TABLES = (
     "documents",
     "embeddings",
 )
+
+#: Fact/corpus tables worth splitting for CPU parallelism. The testdata
+#: files are single-row-group parquet, so Spark's byte-range splitting
+#: yields ONE scan partition per table — every downstream operator would run
+#: single-threaded without an explicit repartition. On a real cluster the
+#: scan has many files/row-groups and this path is a no-op (guarded by
+#: partition count, not table size).
+_SPLIT_TABLES = frozenset(
+    {"customer", "orders", "lineitem", "events", "documents", "embeddings", "part"}
+)
+
+
+def _target_partitions(spark: SparkSession) -> int:
+    env = os.environ.get("SPARK_GRAFT_INPUT_PARTITIONS")
+    if env:
+        return int(env)
+    return spark.sparkContext.defaultParallelism
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -32,4 +51,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name in _SPLIT_TABLES:
+        target = _target_partitions(spark)
+        if df.rdd.getNumPartitions() < max(2, target // 4):
+            df = df.repartition(target)
     return df
