@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from storm_data_etl_spark.plans import queries as _q
 from storm_data_etl_spark.plans import enrich_queries as _eq  # noqa: F401
 from storm_data_etl_spark.plans import ml_queries as _mq  # noqa: F401
+from storm_data_etl_spark.plans import window_queries as _wq  # noqa: F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 

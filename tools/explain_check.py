@@ -1,0 +1,91 @@
+"""Plan-quality audit: assert the physical plans have the shapes we designed
+for — filters pushed to the parquet scan, dim joins broadcast, aggregates
+partial, windows single-shuffle.
+
+Usage: python tools/explain_check.py [sf_dir]
+Prints PASS/FAIL per assertion; exits 1 on any FAIL.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from storm_data_etl_spark.session import get_spark
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-check", master="local[8]")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    failures = []
+
+    def check(name: str, cond: bool, detail: str = "") -> None:
+        print(f"[{'PASS' if cond else 'FAIL'}] {name} {detail}")
+        if not cond:
+            failures.append(name)
+
+    # 1. Filter pushdown reaches the scan even through the repartition.
+    p = plan_of(qs["filter_compound"](spark, sf_dir))
+    check(
+        "filter_compound_pushdown",
+        "PushedFilters: [IsNotNull(event_type), IsNotNull(value)" in p
+        or "EqualTo(event_type,purchase)" in p,
+        "(PushedFilters at scan)",
+    )
+
+    # 2. Column pruning: pricing summary must not read all lineitem columns.
+    p = plan_of(qs["pricing_summary"](spark, sf_dir))
+    check(
+        "pricing_summary_pruning",
+        "l_orderkey" not in p.split("ReadSchema")[-1],
+        "(ReadSchema excludes unused cols)",
+    )
+    check("pricing_summary_partial_agg", p.count("HashAggregate") >= 2, "(map-side partial)")
+    # AQE finalizes the plan lazily — codegen nodes only exist in the
+    # executed plan after an action.
+    dfq = qs["pricing_summary"](spark, sf_dir)
+    dfq.collect()
+    executed = dfq._jdf.queryExecution().executedPlan().toString()
+    cg = dfq._sc._jvm.PythonSQLUtils.explainString(
+        dfq._jdf.queryExecution(), "codegen"
+    )
+    check(
+        "pricing_summary_codegen",
+        "*(" in executed or "WholeStageCodegen subtrees" in cg,
+        "(codegen stage markers in final AQE plan)",
+    )
+
+    # 3. Multiway join: dim tables broadcast.
+    p = plan_of(qs["join_multiway"](spark, sf_dir))
+    check("join_multiway_broadcast", "BroadcastHashJoin" in p)
+
+    # 4. Anti join present for missing-keys.
+    p = plan_of(qs["anti_join_missing"](spark, sf_dir))
+    check("anti_join_shape", "LeftAnti" in p)
+
+    # 5. Top-N executes as TakeOrdered, not global sort.
+    p = plan_of(qs["top_groups"](spark, sf_dir))
+    check("top_groups_take_ordered", "TakeOrderedAndProject" in p)
+
+    # 6. First-per-group: a single shuffle (window), no extra sorts beyond it.
+    p = plan_of(qs["first_per_group"](spark, sf_dir))
+    check("first_per_group_window", "RunningWindowFunction" in p or "Window" in p)
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
