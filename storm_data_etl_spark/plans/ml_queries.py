@@ -239,3 +239,122 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(V.norm("embedding")), 6).alias("avg_norm"),
     )
+
+
+@register(
+    "embedding_near_dup_exact",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.38
+    """,
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-duplicates (cosine ≥ 0.38; the
+    testdata embeddings are near-orthogonal random vectors, so the
+    threshold sits at their upper tail to yield a non-trivial pair set) — the
+    correctness baseline for the LSH-bucketed variant below. O(N²·D):
+    test-scale only by design."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = V.cosine("va", "vb")
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.38)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@register("embedding_near_dup_lsh", None)  # recall<1 by design: rows-only
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs — the linear-time scale path for the
+    query above (pytest measures recall against the exact operator)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, dim=64, threshold=0.38, n_planes=4)
+
+
+_SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             length(text) AS n,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))::DOUBLE / length(text)
+             END AS p,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_SQL_TOKENS}) END AS n_tok,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter({_SQL_TOKENS},
+                       w -> list_contains(['the','and','of','to','a','in','is','that','for','with'], lower(w))))
+             END AS sw_hits,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE list_sum(list_transform({_SQL_TOKENS}, w -> length(w))) END AS tok_chars
+      FROM documents
+    ),
+    bands AS (
+      SELECT doc_id,
+             CASE WHEN n < 50 THEN 0.0 WHEN n < 200 THEN 0.5
+                  WHEN n <= 20000 THEN 1.0 ELSE 0.5 END AS len_band,
+             CASE WHEN p <= 0.2 THEN 1.0 WHEN p <= 0.4 THEN 0.5 ELSE 0.0 END AS punct_band,
+             CASE WHEN n_tok = 0 THEN 0.3
+                  WHEN sw_hits::DOUBLE / n_tok >= 0.05 AND sw_hits::DOUBLE / n_tok <= 0.6
+                  THEN 1.0 ELSE 0.3 END AS sw_band,
+             CASE WHEN n_tok = 0 THEN 0.2
+                  WHEN tok_chars::DOUBLE / n_tok >= 2.5 AND tok_chars::DOUBLE / n_tok <= 12
+                  THEN 1.0 ELSE 0.2 END AS mwl_band
+      FROM sig
+    )
+    SELECT doc_id,
+           round(0.3 * len_band + 0.2 * punct_band + 0.25 * sw_band + 0.25 * mwl_band, 4)
+             AS quality
+    FROM bands
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document — the full C4/Gopher-style
+    heuristic filter, independently re-derived in SQL for the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+@register(
+    "bpe_token_budget",
+    """
+    SELECT source,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')))
+             AS bpe_ish_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget estimate per source using the GPT-2-ish pre-token
+    regex (regexp_count, JVM-side)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(X.bpe_ish_token_count("text")).alias("bpe_ish_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register("approx_sketches", None)  # engine-specific sketches: rows-only
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB substitutes for exact distinct/percentile: HyperLogLog++
+    distinct count and t-digest percentiles in one pass over lineitem.
+    No oracle — sketch outputs are engine-specific by nature (the exact
+    twins distinct_count / exact_percentiles are oracle-checked)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+        .alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
