@@ -257,9 +257,15 @@ def simhash(
 
     For each bit position i: sum over tokens of (+1 if bit set else -1);
     sketch bit i = (sum > 0). Near-identical token multisets differ in few
-    bits (small Hamming distance). All higher-order functions, one narrow
-    pass. Output: (id, simhash long).
+    bits (small Hamming distance).
+
+    Token hashing stays JVM-side (xxhash64); the 64 bit-votes run in a
+    numpy Pandas UDF (same rationale and determinism argument as
+    minhash_signatures — 64 interpreted aggregate passes collapse into one
+    vectorized bit-matrix op). Output: (id, simhash long).
     """
+    if bits != 64:
+        raise ValueError("simhash is defined for 64-bit sketches")
     tk = df.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -267,20 +273,23 @@ def simhash(
         ).alias("h"),
     )
 
-    def bit_vote(i: int):
-        mask = -(1 << 63) if i == 63 else (1 << i)
-        return lambda acc, x: acc + F.when(
-            x.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
+    @F.pandas_udf("long")
+    def _pack(batch: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for hs in batch:
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                out.append(0)
+                continue
+            votes = (((h[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1).sum(axis=0)
+            packed = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                packed |= np.uint64(1) << np.uint64(i)
+            out.append(int(packed.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
 
-    bit_sums = [F.aggregate(F.col("h"), F.lit(0), bit_vote(i)) for i in range(bits)]
-    packed = None
-    for i, s in enumerate(bit_sums):
-        # Two's complement: bit 63 contributes -2^63 (1<<63 overflows long).
-        weight = -(1 << 63) if i == 63 else (1 << i)
-        term = F.when(s > 0, F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
-    return tk.select("id", packed.alias("simhash"))
+    return tk.select("id", _pack(F.col("h")).alias("simhash"))
 
 
 def simhash_candidates(

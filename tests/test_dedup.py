@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import random
 
-import pytest
-
 from storm_data_etl_spark.operators import dedup as D
 
 WORDS = (

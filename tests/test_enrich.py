@@ -9,10 +9,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
-from pyspark.sql import Row
-from pyspark.sql import functions as F
-
 from storm_data_etl_spark.functions import enrich as E
 
 BASE = dt.datetime(2024, 4, 26, 0, 0, 0)

@@ -96,3 +96,39 @@ def test_validate_phase1(spark):
     )
     checks = V.phase1_source_parity(a, b, ["rid"])
     assert not all(V.run_all(checks).values())
+
+
+def test_genmock_generate_fixtures(spark, tmp_path):
+    import json
+
+    from storm_data_etl_spark.plans.genmock import generate_fixtures, print_stats
+
+    hail = str(tmp_path / "hail.csv")
+    wind = str(tmp_path / "wind.csv")
+    open(hail, "w").write(
+        "Time,Size,Location,County,State,Lat,Lon,Comments\n"
+        "1510,125,8 ESE Chappel,San Saba,TX,31.02,-98.44,Hail. (SJT)\n"
+    )
+    open(wind, "w").write(
+        "Time,Speed,Location,County,State,Lat,Lon,Comments\n"
+        "1245,65,Tarrant spot,Tarrant,TX,32.75,-97.33,Gusts. (FWD)\n"
+    )
+    etl_out = str(tmp_path / "etl.json")
+    api_out = str(tmp_path / "api.json")
+    raw, enriched = generate_fixtures(
+        spark, {"hail": hail, "wind": wind}, etl_out, api_out
+    )
+
+    etl = json.load(open(etl_out))
+    api = json.load(open(api_out))
+    assert len(etl) == len(api) == 2
+    assert {r["EventType"] for r in etl} == {"hail", "wind"}
+    hail_rec = next(r for r in api if r["event_type"] == "hail")
+    assert hail_rec["measurement"]["magnitude"] == 1.25
+    assert hail_rec["measurement"]["severity"] == "moderate"
+    assert hail_rec["source_office"] == "SJT"
+    assert hail_rec["processed_at"].startswith("2024-04-27T06:00:00")
+
+    stats = print_stats(enriched)
+    assert stats["total"][0][0] == 2
+    assert stats["tarrant_county"][0][0] == 1

@@ -5,8 +5,6 @@ from __future__ import annotations
 import math
 import random
 
-import pytest
-
 from storm_data_etl_spark.operators import similarity as S
 
 

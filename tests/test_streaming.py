@@ -7,7 +7,6 @@ import json
 import os
 import time
 
-import pytest
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.schema import ENVELOPE_SCHEMA

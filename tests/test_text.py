@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from storm_data_etl_spark.functions import text as X
 
 
