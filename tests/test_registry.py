@@ -1,0 +1,49 @@
+"""Registry consistency checks (no Spark session needed — fast guards so a
+broken query/oracle never reaches the driver's gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from storm_data_etl_spark.plans.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_oracle_has_a_query():
+    qs = entry.queries()
+    for name in entry.oracle_sql():
+        assert name in qs, f"oracle without query: {name}"
+
+
+def test_runners_are_callable():
+    for name, fn in entry.queries().items():
+        assert callable(fn), name
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def test_oracle_sql_is_valid_duckdb(con):
+    """EXPLAIN every oracle against the real views — catches SQL syntax or
+    schema drift in milliseconds, without executing."""
+    for name, sql in entry.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"oracle SQL for '{name}' invalid: {e}")
+
+
+def test_registry_size_floor():
+    """The operator inventory must not silently shrink (SURVEY §2 coverage)."""
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert len(qs) >= 45, f"query registry shrank: {len(qs)}"
+    assert len(oracles) >= 39, f"oracle coverage shrank: {len(oracles)}"
