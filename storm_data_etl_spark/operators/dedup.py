@@ -142,19 +142,20 @@ def minhash_signatures(
 
     sh = df.select(F.col(id_col).alias("id"), X.shingles(text_col, k).alias("shingles"))
     hashed = sh.withColumn(
-        "hashes",
-        F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))),
+        "hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     )
 
     @F.pandas_udf("array<long>")
     def _signature(batch: pd.Series) -> pd.Series:
         out = []
         for hs in batch:
-            # hs values < 2^31 and a < 2^31 → products < 2^62: no overflow.
-            h = np.asarray(hs, dtype=np.int64)
-            if h.size == 0:
+            if len(hs) == 0:
                 out.append([int(_MERSENNE_P)] * num_hashes)
                 continue
+            # numpy % with a positive modulus matches Spark's pmod, so the
+            # 31-bit reduction of the raw xxhash64 folds into this op;
+            # reduced values < 2^31 and a < 2^31 → products < 2^62.
+            h = np.asarray(hs, dtype=np.int64) % _MERSENNE_P
             mins = ((h[None, :] * a_vec + b_vec) % _MERSENNE_P).min(axis=1)
             out.append(mins.tolist())
         return pd.Series(out)
