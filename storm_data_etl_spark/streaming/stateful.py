@@ -1,0 +1,76 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference delegates cross-batch dedup to its downstream DB
+(ON CONFLICT (id) DO NOTHING over deterministic IDs —
+docs/Architecture.md:98-102). `streaming_first_wins_dedup` moves that
+semantics into the stream itself: the first record per ID is emitted,
+replays/duplicates are swallowed, state expires after a TTL so the store
+stays bounded.
+
+State shape: one tiny row per id (count), grouped by id — the state store
+shuffles on id exactly like the batch D1 window, but incrementally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_first_wins_dedup(
+    stream: DataFrame,
+    id_col: str = "id",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Emit only the first occurrence of each id across micro-batches.
+
+    Within one micro-batch, "first" follows the group's arrival order (pass
+    a pre-sorted stream for a total order, mirroring batch D1's explicit
+    order key). State: a single seen-flag per id.
+
+    ``ttl_ms``: optional processing-time TTL that expires an id's state so
+    the store stays bounded (replays older than the TTL re-emit — the same
+    horizon a DB retention window gives the reference's upsert). With a TTL
+    the engine schedules timeout-cleanup micro-batches continuously, so
+    `processAllAvailable()` never drains — use it only with real
+    (production) triggers; tests and finite replays run with ttl_ms=None.
+    """
+    schema = stream.schema
+    out_schema = schema  # pass-through of the first row
+    state_schema = "seen long"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def dedup(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = state.get[0] if state.exists else 0
+        first = None
+        n_new = 0
+        for pdf in batches:
+            n_new += len(pdf)
+            if seen == 0 and first is None and len(pdf) > 0:
+                first = pdf.iloc[[0]]
+        state.update((seen + n_new,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if first is not None:
+            yield first
+
+    return stream.groupBy(id_col).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
