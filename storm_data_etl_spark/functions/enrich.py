@@ -12,6 +12,16 @@ time bucket → processed-at. `enrich()` composes them in exactly that order.
 
 Sentinels: invalid type/unit/office → '' (not NULL); severity / distance /
 direction → NULL; zero time → NULL timestamp.
+
+Known divergences from the Go reference, all outside the NOAA input domain
+(found by property-based testing, pinned in tests/test_property.py):
+- trim: Spark's trim strips all chars ≤ U+0020 (Java semantics); Go's
+  TrimSpace strips only Unicode whitespace — differs for control-char input.
+- HHMM digits: Go's Atoi accepts a leading sign (range check still rejects
+  negatives); the digits-only regex here rejects sign-prefixed strings.
+- %g formatting (fmt_g): Go switches to scientific notation at |x|≥1e21 or
+  exponent < -4; Java at ≥1e7 or < 1e-3 — identical in the plain-decimal
+  range that magnitudes/coordinates occupy.
 """
 
 from __future__ import annotations
