@@ -84,12 +84,17 @@ def main() -> None:
     # Warmup: absorb JVM + codegen startup.
     t(spark, SF_DIR, "lineitem").agg(F.count(F.lit(1))).collect()
 
+    # min of two runs per query: the shared host shows 2× timing swings
+    # under tenant noise; the minimum is the stable engine-cost estimate.
     times: dict[str, float] = {}
     for name, fn in runners.items():
-        start = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
