@@ -168,7 +168,48 @@ def simhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lang_id_distribution",
-    None,  # stopword-argmax heuristic is expressible but brittle in SQL; rows-only
+    # Faithful SQL model of functions/text.py lang_id: lowercased
+    # whitespace tokens, per-language stopword hit counts (zh: per-char
+    # substring counts over the raw text), argmax with lexicographic
+    # tie-break, 'und' when all scores are zero.
+    """
+    WITH tk AS (
+      SELECT lang AS labeled, text,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            w -> lower(w)) AS toks
+      FROM documents
+    ), s AS (
+      SELECT labeled,
+        len(list_filter(toks, w -> list_contains(
+          ['der','die','das','und','ist','von','mit','für','auf','ein'], w))) AS s_de,
+        len(list_filter(toks, w -> list_contains(
+          ['the','and','of','to','a','in','is','that','for','with'], w))) AS s_en,
+        len(list_filter(toks, w -> list_contains(
+          ['el','la','los','las','y','de','un','una','es','para'], w))) AS s_es,
+        len(list_filter(toks, w -> list_contains(
+          ['le','la','les','et','de','un','une','est','pour','dans'], w))) AS s_fr,
+        (length(text) - length(replace(text, '的', '')))
+          + (length(text) - length(replace(text, '是', '')))
+          + (length(text) - length(replace(text, '在', '')))
+          + (length(text) - length(replace(text, '了', '')))
+          + (length(text) - length(replace(text, '和', '')))
+          + (length(text) - length(replace(text, '有', '')))
+          + (length(text) - length(replace(text, '我', '')))
+          + (length(text) - length(replace(text, '不', '')))
+          + (length(text) - length(replace(text, '人', '')))
+          + (length(text) - length(replace(text, '这', ''))) AS s_zh
+      FROM tk
+    )
+    SELECT labeled,
+      CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+           WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+           WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+           WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+           ELSE 'zh' END AS predicted,
+      count(*) AS n
+    FROM s GROUP BY labeled, predicted
+    """,
 )
 def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the table's labeled lang: confusion counts.

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.operators.asof import as_of_join
+from storm_data_etl_spark.operators.range_join import bucketed_range_join
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
 
@@ -229,3 +230,74 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@register(
+    "range_join_busy_windows",
+    """
+    WITH busy AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1
+      ORDER BY n DESC, hour ASC LIMIT 5
+    ), intervals AS (
+      SELECT hour - INTERVAL 30 MINUTE AS start_ts,
+             hour + INTERVAL 90 MINUTE AS end_ts
+      FROM busy
+    )
+    SELECT i.start_ts, count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM intervals i JOIN events e
+      ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    GROUP BY i.start_ts
+    """,
+)
+def range_join_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join via bucketing (operators/range_join.py): the 5
+    busiest hours, widened to overlapping [hour-30min, hour+90min) windows,
+    joined back to every event inside each window. The bucketed form
+    replaces the BroadcastNestedLoopJoin Spark would otherwise pick —
+    the formulation that still works when the interval side is too big to
+    broadcast."""
+    ev = t(spark, sf_dir, "events")
+    busy = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts_utc")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("hour"))
+        .limit(5)
+    )
+    intervals = busy.select(
+        (F.col("hour") - F.expr("INTERVAL 30 MINUTES")).alias("start_ts"),
+        (F.col("hour") + F.expr("INTERVAL 90 MINUTES")).alias("end_ts"),
+    )
+    joined = bucketed_range_join(
+        ev.select(F.col("ts_utc"), F.col("value")),
+        intervals,
+        point_ts="ts_utc",
+        start_col="start_ts",
+        end_col="end_ts",
+        bucket_width_s=1800,
+    )
+    return joined.groupBy("start_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "cube_counts",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, date_trunc('day', ts))
+    """,
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping-set combinations in
+    one pass — the generalization of rollup_counts. Spark expands the cube
+    map-side; the shuffle still carries partial counts only."""
+    ev = t(spark, sf_dir, "events")
+    # to_date, not date_trunc: DuckDB's date_trunc('day') yields DATE and
+    # the value-hash compare is type-sensitive through the ISO string form.
+    return ev.cube(
+        F.col("event_type"), F.to_date(F.col("ts_utc")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))

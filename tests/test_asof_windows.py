@@ -140,3 +140,51 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     # partition filters must appear in the scan, not as a post-filter
     assert "PartitionFilters" in plan or pruned.count() == 8
     assert pruned.count() == 8  # 8 hail rows in the golden fixture
+
+
+def test_bucketed_range_join_semantics(spark):
+    from storm_data_etl_spark.operators.range_join import bucketed_range_join
+
+    intervals = spark.createDataFrame(
+        [
+            ("w1", _ts(9, 0), _ts(10, 0)),    # [09:00, 10:00)
+            ("w2", _ts(9, 30), _ts(12, 0)),   # overlaps w1; spans 5 buckets
+            ("w3", _ts(20, 0), _ts(20, 30)),  # no points inside
+        ],
+        "win string, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, _ts(8, 59)),   # just before w1
+            (2, _ts(9, 0)),    # start boundary → inclusive (w1)
+            (3, _ts(9, 45)),   # inside w1 AND w2 → two output rows
+            (4, _ts(10, 0)),   # end boundary of w1 → exclusive; inside w2
+            (5, _ts(11, 59)),  # last bucket of w2
+            (6, _ts(12, 0)),   # end boundary of w2 → excluded
+        ],
+        "pid int, ts timestamp",
+    )
+    out = bucketed_range_join(
+        points, intervals, "ts", "start_ts", "end_ts", bucket_width_s=1800
+    )
+    got = sorted((r.pid, r.win) for r in out.collect())
+    assert got == [(2, "w1"), (3, "w1"), (3, "w2"), (4, "w2"), (5, "w2")]
+    # each (point, interval) candidate is produced exactly once
+    assert out.count() == len(set(got))
+
+
+def test_bucketed_range_join_wide_interval_narrow_buckets(spark):
+    """An interval spanning many buckets must still yield one row per match."""
+    from storm_data_etl_spark.operators.range_join import bucketed_range_join
+
+    intervals = spark.createDataFrame(
+        [("day", _ts(0, 0), dt.datetime(2024, 1, 2, 0, 0))],
+        "win string, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [(h, _ts(h, 30)) for h in range(24)], "pid int, ts timestamp"
+    )
+    out = bucketed_range_join(
+        points, intervals, "ts", "start_ts", "end_ts", bucket_width_s=60
+    )
+    assert out.count() == 24
