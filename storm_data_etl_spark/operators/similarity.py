@@ -142,3 +142,108 @@ def embedding_near_dup_pairs(
         F.col("b.id").alias("id_b"),
         F.round("cosine", 6).alias("cosine"),
     )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample_n: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic driver-side k-means for IVF coarse quantization.
+
+    Sample = the ``sample_n`` lowest-id vectors (stable under partitioning,
+    no RNG); init = evenly spaced sample points; ``iters`` Lloyd steps in
+    numpy. Empty cells re-seed to the point farthest from its centroid, so
+    every centroid stays distinct. Training cost is constant w.r.t. table
+    size (the sample bounds it), which is what makes IVF viable at 100 TB:
+    train once on a sample, broadcast the codebook as literals.
+    """
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    if x.shape[0] == 0:
+        raise ValueError("cannot train IVF centroids on an empty table")
+    k = min(n_centroids, x.shape[0])
+    cent = x[np.linspace(0, x.shape[0] - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        mindist = d2[np.arange(x.shape[0]), assign]
+        for c in range(k):
+            members = x[assign == c]
+            if members.shape[0]:
+                cent[c] = members.mean(axis=0)
+            else:
+                cent[c] = x[mindist.argmax()]
+    return [[float(v) for v in c] for c in cent]
+
+
+def _nearest_cells(vec_col: str, centroids: list[list[float]], n: int):
+    """Array of the ``n`` nearest centroid indices (squared-L2, index
+    tie-break), as pure JVM expressions over the literal codebook."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        V.lit_vector(c),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine via IVF: vectors live in their nearest
+    centroid's cell; each probe scans its ``n_probe`` nearest cells only.
+
+    The trained-codebook counterpart of lsh_bucketed_topk: data-adaptive
+    cells give better recall-per-candidate on clustered embeddings, at the
+    price of the (sampled, constant-cost) training step. The join is an
+    equality join on cell id — one shuffle of the vector side, probes
+    broadcast, ~N·n_probe/n_centroids candidates per probe.
+    """
+    cells = vectors.withColumn(
+        "cell", _nearest_cells(vec_col, centroids, 1)[0]["cell"]
+    )
+    pb = probes.withColumn(
+        "cell", F.explode(F.transform(
+            _nearest_cells("probe_vec", centroids, n_probe), lambda s: s["cell"]
+        ))
+    )
+    scored = cells.join(F.broadcast(pb), on="cell").withColumn(
+        "cosine", V.cosine(vec_col, "probe_vec")
+    )
+    scored = scored.filter(F.col(id_col) != F.col("probe_id"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

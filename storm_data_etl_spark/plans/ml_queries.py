@@ -264,6 +264,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, probes, dim=64, k=10, n_planes=8)
 
 
+@register("ann_ivf_topk", None)  # approximate by design: no exact oracle
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for the same probes — the trained-codebook
+    scale path (k-means cells instead of hyperplane buckets). Training is
+    driver-side on a deterministic sample; pytest measures recall against
+    brute force."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    centroids = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
+    return S.ivf_topk(emb, probes, centroids, k=10, n_probe=3)
+
+
 @register(
     "embedding_norm_stats",
     """

@@ -69,3 +69,37 @@ def test_embedding_near_dup_pairs(spark):
     pairs = S.embedding_near_dup_pairs(df, dim=4, threshold=0.99, n_planes=4).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     assert pairs[0].cosine > 0.999
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    data = _vectors(n=100, dim=16)
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    probes = S.make_probes(df, [0, 1, 2])
+    cents = S.train_ivf_centroids(df, dim=16, n_centroids=4, sample_n=64)
+    # training is deterministic: same sample → same codebook
+    assert cents == S.train_ivf_centroids(df, dim=16, n_centroids=4, sample_n=64)
+    assert len(cents) == 4 and all(len(c) == 16 for c in cents)
+
+    exact = S.brute_force_topk(df, probes, k=5).collect()
+    approx = S.ivf_topk(df, probes, cents, k=5, n_probe=2).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    approx_set = {(r.probe_id, r.vec_id) for r in approx}
+    # probing 2 of 4 cells scans ~half the table near the probe's region;
+    # recall on random data should be substantial.
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"implausibly low IVF recall: {recall}"
+    # scores on returned pairs are exact cosine
+    vecs = dict(data)
+    for r in approx:
+        assert abs(r.cosine - _cosine(vecs[r.probe_id], vecs[r.vec_id])) < 1e-6
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """n_probe == n_centroids scans every cell → must equal the exact top-k."""
+    data = _vectors(n=60, dim=8, seed=7)
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    probes = S.make_probes(df, [5, 6])
+    cents = S.train_ivf_centroids(df, dim=8, n_centroids=3, sample_n=60)
+    exact = {(r.probe_id, r.vec_id, r.rank) for r in S.brute_force_topk(df, probes, k=5).collect()}
+    full = {(r.probe_id, r.vec_id, r.rank) for r in S.ivf_topk(df, probes, cents, k=5, n_probe=3).collect()}
+    assert full == exact
