@@ -208,28 +208,36 @@ def storm_enrich_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattened for comparison. sf_dir is unused — the fixture is inline, so
     the same check runs at every scale factor."""
     raw = golden_df(spark).withColumn("_base_ts", F.lit(BASE_TS).cast("timestamp"))
-    lat = E.parse_float_or_zero("Lat")
-    lon = E.parse_float_or_zero("Lon")
-    raw_mag = E.magnitude_raw("EventType", "Size", "F_Scale", "Speed")
-    etime = E.event_time("_base_ts", "Time")
-    et_norm = E.normalize_event_type("EventType")
-    unit = E.normalize_unit(et_norm, F.lit(""))
-    mag = E.normalize_magnitude(et_norm, raw_mag, unit)
-    return raw.select(
+    # Staged intermediates, same rationale as enrich_raw: inlined Column
+    # trees duplicate the when-chains into every consumer branch.
+    staged = (
+        raw.withColumns(
+            {
+                "_lat": E.parse_float_or_zero("Lat"),
+                "_lon": E.parse_float_or_zero("Lon"),
+                "_raw_mag": E.magnitude_raw("EventType", "Size", "F_Scale", "Speed"),
+                "_et_norm": E.normalize_event_type("EventType"),
+                "_etime": E.event_time("_base_ts", "Time"),
+            }
+        )
+        .withColumn("_unit", E.normalize_unit("_et_norm", F.lit("")))
+        .withColumn("_mag", E.normalize_magnitude("_et_norm", "_raw_mag", "_unit"))
+    )
+    return staged.select(
         "rid",
-        E.event_id("EventType", "State", lat, lon, "Time", raw_mag).alias("id"),
-        et_norm.alias("event_type"),
-        F.round(lat, 6).alias("lat"),
-        F.round(lon, 6).alias("lon"),
-        F.round(mag, 6).alias("magnitude"),
-        unit.alias("unit"),
-        E.derive_severity(et_norm, mag).alias("severity"),
-        etime.alias("event_time"),
+        E.event_id("EventType", "State", "_lat", "_lon", "Time", "_raw_mag").alias("id"),
+        F.col("_et_norm").alias("event_type"),
+        F.round("_lat", 6).alias("lat"),
+        F.round("_lon", 6).alias("lon"),
+        F.round("_mag", 6).alias("magnitude"),
+        F.col("_unit").alias("unit"),
+        E.derive_severity("_et_norm", "_mag").alias("severity"),
+        F.col("_etime").alias("event_time"),
         E.parse_location_name("Location").alias("loc_name"),
         E.parse_location_distance("Location").alias("loc_distance"),
         E.parse_location_direction("Location").alias("loc_direction"),
         F.col("State").alias("state"),
         F.col("County").alias("county"),
         E.extract_source_office("Comments").alias("source_office"),
-        E.time_bucket(etime).alias("time_bucket"),
+        E.time_bucket("_etime").alias("time_bucket"),
     )

@@ -83,6 +83,25 @@ def main() -> int:
     p = plan_of(qs["first_per_group"](spark, sf_dir))
     check("first_per_group_window", "RunningWindowFunction" in p or "Window" in p)
 
+    # 7. Range join: the bucketed formulation must compile to a hash join on
+    # the bucket key, never a nested loop over (points x intervals).
+    p = plan_of(qs["range_join_busy_windows"](spark, sf_dir))
+    check(
+        "range_join_no_nested_loop",
+        "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p,
+        "(equi-join on bucket id)",
+    )
+
+    # 8. Enrichment plan stays deduplicated: the staged intermediates keep
+    # each when-chain/regex at one copy; inlining regressions blow this up
+    # (162 regexp_replace nodes before the fix).
+    p = qs["storm_enrich_golden"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    check(
+        "enrich_plan_deduplicated",
+        p.count("regexp_replace") <= 12 and p.count("sha2") <= 4,
+        f"(regexp_replace x{p.count('regexp_replace')}, sha2 x{p.count('sha2')})",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
