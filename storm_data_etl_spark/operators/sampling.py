@@ -1,0 +1,88 @@
+"""Deterministic dataset splitting and shard packing for training pipelines.
+
+Two operators a 100 TB corpus pipeline needs that plain SQL engines don't
+ship as primitives:
+
+- **hash split** — assign every row to train/val/test by a deterministic
+  arithmetic hash of its id. Portable across engines (pure integer math, no
+  engine-specific hash), stable under repartitioning/reruns, and narrow (no
+  shuffle): each executor decides membership locally. This is the property
+  `df.randomSplit` lacks — its assignment depends on partitioning.
+
+- **token-budget shard packing** — assign documents to contiguous training
+  shards so each shard holds ~``budget`` tokens: a prefix-sum over a stable
+  ordering, shard = floor(exclusive_prefix_sum / budget). One shuffle
+  (the global ordering window). At cluster scale, order within a partition
+  key (e.g. source) instead of globally to keep the window per-key.
+
+No reference analog (the reference has no sampling surface); part of the
+beyond-reference training-data family (SURVEY §7 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth-style LCG constants (glibc): the bucket is (id mod 2^31) pushed
+# through one LCG step, mod 2^31 again. All intermediates fit in a signed
+# 64-bit long for any id (2^31 * 1103515245 < 2^63), so ANSI mode is safe.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2_147_483_648  # 2^31
+
+
+def lcg_bucket(id_col: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer id."""
+    h = F.pmod(F.col(id_col) if isinstance(id_col, str) else id_col, F.lit(_LCG_M))
+    h = F.pmod(h * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def lcg_bucket_sql(id_expr: str, n_buckets: int = 100) -> str:
+    """The identical bucket arithmetic as ANSI SQL (for oracles/other engines)."""
+    return (
+        f"(((({id_expr}) % {_LCG_M}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}) % {n_buckets}"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train' / 'val' / 'test') by deterministic
+    id-hash percentage. Percentages are integers out of 100; test gets the
+    remainder. Same id → same split, on any cluster, any day."""
+    if not 0 < train_pct + val_pct <= 100:
+        raise ValueError("train_pct + val_pct must be in (0, 100]")
+    b = lcg_bucket(id_col, 100)
+    return df.withColumn(
+        split_col,
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign rows to contiguous shards of ~``budget`` tokens each.
+
+    Rows are taken in ``order_col`` order; a row belongs to shard
+    floor(exclusive-prefix-sum / budget), i.e. a shard closes once the
+    tokens BEFORE the next row reach the budget. A single over-budget row
+    occupies a shard alone rather than being dropped."""
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(shard_col, F.floor(prefix / F.lit(budget)))

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from storm_data_etl_spark.functions import text as X
 from storm_data_etl_spark.functions import vectors as V
 from storm_data_etl_spark.operators import dedup as D
+from storm_data_etl_spark.operators import sampling as SP
 from storm_data_etl_spark.operators import similarity as S
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
@@ -411,3 +412,48 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_quantiles"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    SELECT CASE WHEN {SP.lcg_bucket_sql('doc_id')} < 80 THEN 'train'
+                WHEN {SP.lcg_bucket_sql('doc_id')} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by id-hash (operators/sampling.py):
+    same doc_id lands in the same split on any cluster — the reproducibility
+    contract randomSplit cannot give. Narrow (no shuffle before the
+    aggregate)."""
+    docs = SP.hash_split(t(spark, sf_dir, "documents"), "doc_id", 80, 10)
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "token_shard_packing",
+    """
+    WITH packed AS (
+      SELECT source,
+             floor(coalesce(sum(n_chars) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 100000) AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs
+    FROM packed GROUP BY shard
+    """,
+)
+def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into ~100k-char training shards via
+    an exclusive prefix sum (operators/sampling.py). Global ordering is one
+    window shuffle; at corpus scale the ordering key would be per-source."""
+    docs = t(spark, sf_dir, "documents")
+    packed = SP.pack_token_shards(docs, "n_chars", "doc_id", budget=100_000)
+    return packed.groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1,0 +1,45 @@
+"""Tests for deterministic splitting and token-shard packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.operators import sampling as SP
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in SP.hash_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in SP.hash_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # partitioning must not change assignment
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    # 80/10/10 within a loose tolerance on 2000 uniform-ish ids
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    assert 0.05 < counts["val"] / 2000 < 0.16
+    assert 0.05 < counts["test"] / 2000 < 0.16
+
+
+def test_hash_split_matches_sql_model(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    got = SP.hash_split(df, "doc_id").select("doc_id", "split").collect()
+    a, c, m = 1103515245, 12345, 2_147_483_648
+    for r in got:
+        b = (((r.doc_id % m) * a + c) % m) % 100
+        expected = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert r.split == expected, (r.doc_id, b)
+
+
+def test_pack_token_shards_exact(spark):
+    rows = [(1, 40), (2, 50), (3, 30), (4, 250), (5, 10), (6, 95)]
+    df = spark.createDataFrame(rows, "doc_id int, toks int")
+    got = {
+        r.doc_id: r.shard
+        for r in SP.pack_token_shards(df, "toks", "doc_id", budget=100).collect()
+    }
+    # exclusive prefix sums: 0,40,90,120,370,380 → shards 0,0,0,1,3,3
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 3, 6: 3}
