@@ -24,6 +24,7 @@ from storm_data_etl_spark.session import get_spark
 from storm_data_etl_spark.plans import queries as _q
 from storm_data_etl_spark.plans import enrich_queries as _eq  # noqa: F401
 from storm_data_etl_spark.plans import ml_queries as _mq  # noqa: F401
+from storm_data_etl_spark.plans import window_queries as _wq  # noqa: F401
 from storm_data_etl_spark.plans.tables import t
 from storm_data_etl_spark.functions.enrich import enrich_envelope
 
@@ -45,6 +46,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_candidates",
     "ann_cosine_topk",
+    "asof_join",
+    "range_join_busy_windows",
 ]
 
 
