@@ -238,6 +238,112 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate-generate + exact-verify near-dup pairs: MinHash+LSH prunes
+    the pair space, then the surviving candidates are verified with the
+    EXACT shingle Jaccard. Output: (id_a, id_b, jaccard) with
+    jaccard ≥ threshold — identical to the all-pairs exact operator whenever
+    LSH recall at the threshold is 1, which banding guarantees w.h.p.
+    (P(miss) = (1-j^r)^b; at j=0.9, r=4, b=16 that is ~4e-8 per pair).
+
+    This is the standard production shape for fuzzy dedup (candidates from
+    the sketch, exactness from verification): the expensive exact measure
+    runs only on O(candidates), not O(N²), so the plan scales like LSH while
+    the output contract is the exact one — and is therefore SQL-oracle-able.
+    """
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, k, threshold=0.0, seed=seed
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col).alias("id"), X.shingles(text_col, k).alias("sh")
+    )
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b")))
+        .distinct()
+    )
+    # Only candidate docs carry their shingle arrays into the verify join.
+    sh = sh.join(ids, "id", "semi")
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union_n
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Connected components over an undirected pair list: every node gets
+    ``component`` = the minimum id reachable from it. This closes the gap
+    `dedup_by_pairs` documents — chained near-dup clusters (A~B, B~C, A≁C)
+    collapse to one representative instead of leaking one doc per missing
+    edge.
+
+    Algorithm: iterative min-label propagation (label := min(label,
+    neighbors' labels)) until a fixpoint, detected by the strictly
+    decreasing sum of labels. Converges in O(graph diameter) rounds; dedup
+    graphs are near-cliques, so 2-3 rounds in practice. Each round is one
+    shuffle-join on uniformly distributed ids; `localCheckpoint` cuts the
+    growing lineage so round N doesn't recompute rounds 1..N-1. At extreme
+    scale the two-phase large-star/small-star formulation (O(log n) rounds
+    on high-diameter graphs) drops in behind the same signature.
+
+    Output: (id, component) for every id appearing in ``pairs``; callers
+    left-join singletons back with component = own id.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nlabel")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Drop near-duplicates given a pair list: every id_b that appears with
     some id_a < id_b is removed (min-id representative survives).

@@ -121,28 +121,40 @@ def _sql_shingles(k: int = 3) -> str:
            ELSE [array_to_string(words, ' ')] END"""
 
 
-@register(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH norm AS (
+def _sql_jaccard_pairs(threshold: float, k: int = 3) -> str:
+    """DuckDB CTE body producing exact shingle-Jaccard pairs ≥ threshold:
+    (id_a, id_b, jaccard). Shared by the exact all-pairs oracle, the
+    verified-MinHash oracle, and the cluster-assignment oracle."""
+    return f"""
+    norm AS (
       SELECT doc_id AS id, regexp_split_to_array({_SQL_NORM}, ' ') AS words
       FROM documents
     ),
     sh AS (
-      SELECT id, unnest({_sql_shingles(3)}) AS shingle FROM norm
+      SELECT id, unnest({_sql_shingles(k)}) AS shingle FROM norm
     ),
     sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id
-    )
-    SELECT id_a, id_b,
-           round(n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.id = id_a
-    JOIN sizes sb ON sb.id = id_b
-    WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+    ),
+    jacpairs AS (
+      SELECT id_a, id_b,
+             round(n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common), 6)
+               AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= {threshold}
+    )"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_sql_jaccard_pairs(0.2)}
+    SELECT id_a, id_b, jaccard FROM jacpairs
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +170,58 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probabilistic scale path; pytest cross-validates against exact Jaccard."""
     docs = t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.2)
+
+
+@register(
+    "minhash_dedup_verified",
+    f"""
+    WITH {_sql_jaccard_pairs(0.5)}
+    SELECT id_a, id_b, jaccard FROM jacpairs
+    """,
+)
+def minhash_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generate + exact-verify fuzzy dedup (Jaccard ≥ 0.5):
+    MinHash+LSH prunes to O(candidates), exact shingle Jaccard verifies —
+    output is the exact pair set, plan cost is the LSH one. The oracle is
+    the all-pairs exact SQL; they agree because banding recall at the
+    planted-duplicate similarity (j ≥ 0.9) is 1 - ~4e-8 per pair."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_verified_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
+
+
+@register(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE {_sql_jaccard_pairs(0.5)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jacpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM jacpairs
+    ),
+    walk(id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id)
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: verified MinHash pairs (Jaccard ≥ 0.5)
+    → connected components (iterative min-label propagation) → every doc
+    labeled with its cluster representative (min reachable doc_id;
+    singletons label themselves). The transitive-closure step is what turns
+    pairwise near-dup detection into a usable keep/drop decision at corpus
+    scale. Oracle: DuckDB recursive-CTE reachability over the same exact
+    pair set."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_verified_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
+    comp = D.connected_components(pairs)
+    return docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
 
 
 @register("simhash_candidates", None)  # xxhash64 sketch: no SQL oracle
@@ -329,6 +393,127 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     query above (pytest measures recall against the exact operator)."""
     emb = t(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, dim=64, threshold=0.38, n_planes=4)
+
+
+@register(
+    "repetition_signals",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i+1])
+                  ELSE [] END AS bigrams
+      FROM norm
+    ),
+    frac AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(bigrams) = 0 THEN 0.0
+                  ELSE (len(bigrams) - len(list_distinct(bigrams)))::DOUBLE
+                       / len(bigrams) END AS dup_frac
+      FROM bg
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(dup_frac), 6) AS avg_dup_bigram_frac,
+           round(max(dup_frac), 6) AS max_dup_bigram_frac,
+           sum(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS n_repetitious
+    FROM frac GROUP BY lang
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signal: the fraction of token
+    bigrams that are duplicates of an earlier bigram in the same document
+    (1 - distinct/total). High values flag boilerplate / degenerate text.
+    Narrow per-row array expressions + one tiny aggregate — scan-speed at
+    any scale."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(X.normalize_for_fingerprint("text"), " ")
+    docs = docs.withColumn("_words", words)
+    n = F.size("_words")
+    bigrams = F.zip_with(
+        F.col("_words"),
+        F.slice(F.col("_words"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # zip_with pads the shorter side with null; concat_ws skips the null, so
+    # the padded tail element is a single word — real bigrams contain a space
+    bigrams = F.filter(bigrams, lambda g: g.contains(" "))
+    docs = docs.withColumn("_bigrams", F.when(n >= 2, bigrams).otherwise(F.array()))
+    total = F.size("_bigrams")
+    distinct_n = F.size(F.array_distinct("_bigrams"))
+    dup_frac = F.when(total == 0, F.lit(0.0)).otherwise(
+        (total - distinct_n).cast("double") / total
+    )
+    docs = docs.withColumn("_dup_frac", dup_frac)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_dup_frac"), 6).alias("avg_dup_bigram_frac"),
+        F.round(F.max("_dup_frac"), 6).alias("max_dup_bigram_frac"),
+        F.sum(F.when(F.col("_dup_frac") > 0.5, 1).otherwise(0)).alias("n_repetitious"),
+    )
+
+
+@register(
+    "repeated_ngram_contamination",
+    f"""
+    WITH norm AS (
+      SELECT doc_id AS id, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest({_sql_shingles(8)}) AS gram FROM norm
+    ),
+    gram_docs AS (
+      SELECT gram, count(*) AS n_docs FROM sh GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT sh.id, count(*) AS n_grams,
+             sum(CASE WHEN gd.n_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+      FROM sh JOIN gram_docs gd ON gd.gram = sh.gram
+      GROUP BY sh.id
+    )
+    SELECT id AS doc_id, n_grams, n_shared,
+           round(n_shared::DOUBLE / n_grams, 6) AS shared_frac
+    FROM per_doc WHERE n_shared > 0
+    """,
+)
+def repeated_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (the exact-substring-dedup
+    signal): for each doc, the fraction of its distinct word-8-grams that
+    also appear in at least one other document. Docs with high shared_frac
+    are near-copies or heavy boilerplate carriers — the unit of
+    train/test-contamination checks. Plan: explode distinct 8-grams,
+    aggregate doc-counts per gram (uniform shuffle keys), join back, one
+    per-doc aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), F.explode(X.shingles("text", 8)).alias("gram")
+    )
+    sh.persist()  # scanned by both the gram-count aggregate and the join-back
+    gram_docs = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        sh.join(gram_docs, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("n_shared") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
 
 
 _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"

@@ -100,6 +100,40 @@ def test_simhash_near_dup_small_hamming(spark):
     assert (1, 3) not in got or got[(1, 3)] > got[(1, 2)]
 
 
+def test_minhash_verified_equals_exact(spark):
+    df = _corpus(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_verified_pairs(
+            df, num_hashes=64, bands=16, k=3, threshold=0.5
+        ).collect()
+    }
+    # verify step makes the LSH path exact: same pairs, same jaccard values
+    assert verified == exact and len(exact) >= 5
+
+
+def test_connected_components_chains_and_islands(spark):
+    # chain 1-2-3 (no direct 1-3 edge) + island pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # worst-case diameter: a path graph 0-1-2-...-9
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 10
+
+
 def test_dedup_by_pairs_keeps_min_representative(spark):
     df = spark.createDataFrame([(i, f"t{i}") for i in range(5)], "doc_id long, text string")
     pairs = spark.createDataFrame([(0, 3), (1, 4)], "id_a long, id_b long")
