@@ -381,8 +381,13 @@ def enrich_raw(
             "_raw_mag": magnitude_raw("EventType", "Size", "F_Scale", "Speed"),
             "_et_norm": normalize_event_type("EventType"),
             "_etime": event_time(base_ts_col, "Time"),
+            # location parse staging: one trim + one regex-match per row;
+            # the three field extracts below branch on the staged flag
+            # instead of each re-running the match (6 regex evals → 4)
+            "_loc_t": F.trim(F.col("Location")),
         }
     )
+    staged = staged.withColumn("_loc_m", F.col("_loc_t").rlike(LOCATION_RE))
     # Raw input had no unit field — unit derives purely from normalized type.
     staged = staged.withColumn("_unit", normalize_unit("_et_norm", F.lit("")))
     staged = staged.withColumn(
@@ -406,9 +411,19 @@ def enrich_raw(
         F.col("_etime").alias("event_time"),
         F.struct(
             F.col("Location").alias("raw"),
-            parse_location_name("Location").alias("name"),
-            parse_location_distance("Location").alias("distance"),
-            parse_location_direction("Location").alias("direction"),
+            F.when(
+                F.col("_loc_m"),
+                F.trim(F.regexp_extract(F.col("_loc_t"), LOCATION_RE, 3)),
+            )
+            .otherwise(F.col("_loc_t"))
+            .alias("name"),
+            F.when(
+                F.col("_loc_m"),
+                F.regexp_extract(F.col("_loc_t"), LOCATION_RE, 1).cast("double"),
+            ).alias("distance"),
+            F.when(
+                F.col("_loc_m"), F.regexp_extract(F.col("_loc_t"), LOCATION_RE, 2)
+            ).alias("direction"),
             F.col("State").alias("state"),
             F.col("County").alias("county"),
         ).alias("location"),
