@@ -263,16 +263,21 @@ def minhash_verified_pairs(
     cand = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, k, threshold=0.0, seed=seed
     ).select("id_a", "id_b")
-    sh = df.select(
-        F.col(id_col).alias("id"), X.shingles(text_col, k).alias("sh")
-    )
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b")))
         .distinct()
     )
-    # Only candidate docs carry their shingle arrays into the verify join.
-    sh = sh.join(ids, "id", "semi")
+    # Restrict BEFORE the shingle projection: Catalyst does not push a
+    # LeftSemi below a Project, so joining first is what keeps the
+    # expensive shingle computation to candidate docs only. Persist: the
+    # small candidate shingle set feeds both sides of the pair join.
+    docs_cand = df.join(
+        ids, df[id_col] == ids["id"], "semi"
+    )
+    sh = docs_cand.select(
+        F.col(id_col).alias("id"), X.shingles(text_col, k).alias("sh")
+    ).persist()
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = cand.join(a, "id_a").join(b, "id_b")
