@@ -102,6 +102,27 @@ def main() -> int:
         f"(regexp_replace x{p.count('regexp_replace')}, sha2 x{p.count('sha2')})",
     )
 
+    # 9. Verified minhash: the exact-verify shingle projection must sit
+    # ABOVE the candidate semi-join (Catalyst won't push LeftSemi below a
+    # Project — the operator has to order them; regression computes shingles
+    # for every doc instead of candidates only).
+    p = qs["minhash_dedup_verified"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    lines = p.splitlines()
+    shingle_projects = [
+        i
+        for i, l in enumerate(lines)
+        if "arrays_zip" in l and "ArrowEval" not in l
+    ]
+    ok = bool(shingle_projects) and all(
+        any("LeftSemi" in lines[j] for j in range(i + 1, min(i + 3, len(lines))))
+        for i in shingle_projects
+    )
+    check(
+        "minhash_verify_restricted",
+        ok,
+        "(verify-path shingle projection directly above the candidate semi-join)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
