@@ -42,6 +42,22 @@ def test_shingles(spark):
     assert got[1] == ["solo"]
 
 
+def test_shingles_overlap_and_unicode(spark):
+    # the lookahead-regex formulation must anchor at every word start,
+    # including non-ASCII word chars (Java \b is Unicode-aware) — pinned
+    # because an ASCII-only \b would silently split mid-word on umlauts
+    cases = [
+        ("für das wörld bär tüv", ["für das wörld", "das wörld bär", "wörld bär tüv"]),
+        ("的 是 在 了", ["的 是 在", "是 在 了"]),
+        ("caffè niño señor año", ["caffè niño señor", "niño señor año"]),
+        ("one two three", ["one two three"]),
+        ("a a a a", ["a a a"]),  # distinct collapses repeated grams
+        ("", [""]),
+    ]
+    got = _one(spark, X.shingles("t", 3), [(c,) for c, _ in cases], "t string")
+    assert got == [e for _, e in cases]
+
+
 def test_lang_id_obvious(spark):
     cases = [
         ("the cat and the dog sat in a house for a while", "en"),
