@@ -159,3 +159,40 @@ def test_parse_location_parity(spark, cases):
     ]
     exp = [py_parse_location(c) for c in cases]
     assert got == exp, [z for z in zip(cases, got, exp) if z[1] != z[2]]
+
+
+# Shingle alphabet: the normalize_for_fingerprint output domain (lowercase
+# ASCII, digits, Latin-Extended À-ɏ, CJK 一-鿿) plus junk that normalization
+# strips — exercises the Unicode word-boundary anchoring of the
+# lookahead-regex shingle formulation against a direct Python model.
+shingle_texts = st.text(
+    alphabet="abz09 _!.,üéñÀɏ的是一鿿ΩЖ\t\n",
+    min_size=0,
+    max_size=80,
+)
+
+
+def py_shingles(text: str, k: int = 3) -> list[str]:
+    norm = re.sub(r"[^a-z0-9À-ɏ一-鿿]+", " ", text.lower()).strip()
+    words = norm.split(" ")
+    if len(words) < k:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out, seen = [], set()
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@SETTINGS
+@given(st.lists(shingle_texts, min_size=1, max_size=40))
+def test_shingles_parity(spark, texts):
+    from storm_data_etl_spark.functions import text as X
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [list(r[0]) for r in df.select(X.shingles("t", 3)).collect()]
+    exp = [py_shingles(t, 3) for t in texts]
+    assert got == exp, [z for z in zip(texts, got, exp) if z[1] != z[2]]
