@@ -301,3 +301,151 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cube(
         F.col("event_type"), F.to_date(F.col("ts_utc")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+           min(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+           max(CAST(props->>'$.k' AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction at scan speed: pull a field out of
+    the JSON `props` payload with get_json_object (JVM, codegen'd — no
+    Python, no schema inference pass) and aggregate per event type. The
+    pattern for the 'typed metadata beside an opaque payload' layout the
+    multimodal tables use."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "conversion_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS s_ts
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND s.s_ts IS NOT NULL AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s WHERE s_ts IS NOT NULL) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: users counted at
+    a stage only when its event happens at-or-after the previous stage's
+    first event. ONE shuffle: three stacked whole-partition windows over
+    user_id resolve each stage's earliest qualifying timestamp in-partition,
+    and the per-user collapse + global count reuse the same partitioning
+    (no further exchange). The join-per-stage alternative shuffles 3×."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("s_ts").alias("s_ts"),
+        F.first("c_ts").alias("c_ts"),
+        F.first("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after_signup"),
+        F.count("p_ts").alias("n_purchase_after_click"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts) FILTER (WHERE event_type = 'signup'))
+                  AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+      FROM events e JOIN cohort c ON c.user_id = e.user_id
+      WHERE c.cohort_week IS NOT NULL
+        AND CAST(e.ts AS DATE) >= c.cohort_week
+    )
+    SELECT cohort_week,
+           CAST((active_week - cohort_week) / 7 AS BIGINT) AS week_offset,
+           count(*) AS n_active_users
+    FROM active
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the week of their first
+    signup, counted once per subsequent active week (any event type).
+    Shuffles: per-user cohort agg + join co-partition on user_id, then one
+    rollup exchange — the once-per-week dedup folds into the rollup as
+    countDistinct instead of a separate distinct exchange. The per-user
+    join side is one row per user: broadcast-eligible under AQE."""
+    ev = t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(
+            F.date_trunc(
+                "week", F.min(F.when(F.col("event_type") == "signup", F.col("ts_utc")))
+            )
+        ).alias("cohort_week")
+    ).filter(F.col("cohort_week").isNotNull())
+    active = (
+        ev.join(cohort, "user_id")
+        .filter(F.to_date("ts_utc") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.to_date(F.date_trunc("week", F.col("ts_utc"))).alias("active_week"),
+        )
+    )
+    offset = (F.datediff("active_week", "cohort_week") / 7).cast("long")
+    return active.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.count_distinct(F.col("user_id")).alias("n_active_users")
+    )
