@@ -39,6 +39,12 @@ def get_spark(app_name: str = "storm_data_etl_spark", master: str | None = None)
         # vectorized reader rejects; read as long (ns since epoch) — exact,
         # order-preserving. tables.t() re-derives timestamps where needed.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Bucketed tables (sources/parquet.write_bucketed) land here; keep
+        # the warehouse out of the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

@@ -43,3 +43,37 @@ def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned lake back; date/type filters prune partitions
     (verify via .explain → PartitionFilters)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a bucketed (and optionally sort-ordered) table: rows are
+    hash-partitioned into ``n_buckets`` files per write-task group and the
+    layout is recorded in the session catalog. A later join or aggregation
+    on ``bucket_cols`` between two tables bucketed the same way runs with
+    ZERO exchange — the repeated-join co-location upgrade SCALE.md
+    describes for lakes where one join key dominates (e.g. `id` after
+    enrichment, `user_id` for sessionized events).
+
+    Works against the in-memory session catalog (no Hive metastore
+    needed); at cluster scale the same call records bucketing in the
+    shared metastore. Spark's bucket hash = pmod(hash(col), n) — both
+    sides must use identical n_buckets.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table with its layout metadata intact (a plain
+    `spark.read.parquet(path)` of the same files would LOSE the bucketing
+    and reintroduce the shuffle)."""
+    return spark.table(table)

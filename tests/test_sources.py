@@ -104,3 +104,44 @@ def test_serialize_drops_null_severity(spark):
     value = json.loads(bytes(serialize_events(enriched).collect()[0].value))
     assert "severity" not in value["measurement"]  # omitempty parity
     assert "distance" in value["location"]  # parsed 2.0 present
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key must join with zero Exchange —
+    the co-located repeated-join layout SCALE.md promises."""
+    from storm_data_etl_spark.sources.parquet import read_bucketed, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: at test scale AQE would broadcast the
+        # tiny side, which hides the property under test (at lake scale
+        # neither side broadcasts — that's when bucketing matters)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo, bl = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_lineitem")
+        joined = bo.join(
+            bl, bo["o_orderkey"] == bl["l_orderkey"]
+        ).groupBy("o_orderkey").count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan, plan
+        # correctness: same count as the plain (shuffling) join
+        expect = (
+            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+            .groupBy("o_orderkey")
+            .count()
+        )
+        assert joined.exceptAll(expect).count() == 0
+        assert expect.exceptAll(joined).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
