@@ -67,6 +67,29 @@ def hash_split(
     )
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row when its id-hash
+    bucket falls below the stratum's percentage. The data-mixing primitive
+    of corpus curation (e.g. keep 100% of low-resource languages, 10% of
+    crawl English): reproducible across engines and reruns, narrow (no
+    shuffle — membership decided row-locally), and exactly complementary
+    across rates (raising a rate only ADDS rows, so curriculum steps are
+    supersets). ``rates``: stratum value → integer percent 0..100.
+    """
+    b = lcg_bucket(id_col, 100)
+    s = F.col(strata_col)
+    rate = F.lit(default_rate)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(s == value, F.lit(pct)).otherwise(rate)
+    return df.filter(b < rate)
+
+
 def pack_token_shards(
     df: DataFrame,
     token_col: str,

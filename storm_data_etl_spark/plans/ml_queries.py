@@ -621,6 +621,37 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"en": 25, "de": 75, "es": 10, "fr": 50, "zh": 100}
+
+
+@register(
+    "stratified_sample_mix",
+    f"""
+    WITH rated AS (
+      SELECT lang, n_chars,
+             CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 75 WHEN 'es' THEN 10
+                       WHEN 'fr' THEN 50 WHEN 'zh' THEN 100 ELSE 0 END AS rate,
+             {SP.lcg_bucket_sql('doc_id')} AS bucket
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS total_chars
+    FROM rated WHERE bucket < rate GROUP BY lang
+    """,
+)
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing by per-language deterministic sampling rates
+    (operators/sampling.stratified_hash_sample): up-weight low-resource
+    languages, down-sample the dominant ones. Narrow — every executor
+    decides membership locally from the id hash; rerun-stable and
+    monotone in the rate (a higher rate strictly adds rows)."""
+    docs = SP.stratified_hash_sample(
+        t(spark, sf_dir, "documents"), "doc_id", "lang", _MIX_RATES
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("total_chars")
+    )
+
+
 @register(
     "token_shard_packing",
     """

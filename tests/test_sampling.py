@@ -43,3 +43,24 @@ def test_pack_token_shards_exact(spark):
     }
     # exclusive prefix sums: 0,40,90,120,370,380 → shards 0,0,0,1,3,3
     assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 3, 6: 3}
+
+
+def test_stratified_sample_monotone_and_deterministic(spark):
+    from storm_data_etl_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(500)], "doc_id long, lang string"
+    )
+    lo = stratified_hash_sample(df, "doc_id", "lang", {"en": 20, "zh": 100})
+    hi = stratified_hash_sample(df, "doc_id", "lang", {"en": 60, "zh": 100})
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids <= hi_ids  # raising a rate only adds rows
+    assert lo_ids == {r.doc_id for r in lo.collect()}  # rerun-stable
+    # zh kept in full
+    zh = {r.doc_id for r in df.filter("lang = 'zh'").collect()}
+    assert zh <= hi_ids
+    # en rate lands near 20%/60% of 250
+    n_en_lo = len(lo_ids - zh)
+    n_en_hi = len(hi_ids - zh)
+    assert 30 <= n_en_lo <= 70 and 120 <= n_en_hi <= 180
