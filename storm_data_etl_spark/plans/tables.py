@@ -36,6 +36,14 @@ def _target_partitions(spark: SparkSession) -> int:
         return int(env)
     return spark.sparkContext.defaultParallelism
 
+#: Opt-in cluster-resident tables (SPARK_GRAFT_CACHE_TABLES=1): persist each
+#: repartitioned table once per session. The fixture's single-row-group
+#: files force a 1-task scan + round-robin exchange in front of EVERY query
+#: — an artifact a real lake doesn't have (its scans split by row-group).
+#: Caching pays that artifact once instead of per query; bench.py enables it
+#: so timings reflect engine compute over distributed-resident input.
+_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Plain parquet scan: Catalyst handles column
@@ -46,6 +54,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ordered — safe for ordering/dedup) and add `ts_utc` (microsecond
     timestamp) for calendar operations.
     """
+    caching = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+    if caching and (sf_dir, name) in _CACHE:
+        return _CACHE[(sf_dir, name)]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -55,4 +66,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         target = _target_partitions(spark)
         if df.rdd.getNumPartitions() < max(2, target // 4):
             df = df.repartition(target)
+    if caching:
+        df = df.persist()
+        _CACHE[(sf_dir, name)] = df
     return df
