@@ -349,6 +349,100 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def _edge_signature(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fingerprint of an edge set (count, hash-sum)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: commutative, associative, overflow-free under ANSI mode
+        # (a hash-SUM would throw ARITHMETIC_OVERFLOW on 64-bit hashes)
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 30, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    O(log n)-round formulation that `connected_components`' min-label
+    propagation (O(diameter) rounds) needs behind it for adversarial
+    high-diameter graphs at 100 TB scale.
+
+    One round = two grouped passes over the edge list:
+      large-star: every node links its LARGER neighbors to the smallest
+        member of its neighborhood (incl. itself) — long chains contract
+        toward minima in parallel;
+      small-star: every node links its smaller-or-equal neighbors to that
+        minimum — stars flatten.
+    The edge set converges to a star forest: (node → component minimum).
+    Each pass is one shuffle on node id (uniform keys); `localCheckpoint`
+    cuts lineage per round; convergence is an O(1)-state fingerprint
+    compare, not a join-and-diff.
+
+    Output: (id, component) for every id in ``pairs`` — identical contract
+    (and, by the equivalence tests, identical output) to
+    `connected_components`.
+    """
+    def sym(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def with_min(e: DataFrame) -> DataFrame:
+        # (u, v, m) rows where m = min(Γ(u) ∪ {u}); e is symmetric so the
+        # grouped min sees every adjacency.
+        m = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("_nmin"))
+            .select(
+                F.col("src").alias("u"),
+                F.least(F.col("_nmin"), F.col("src")).alias("m"),
+            )
+        )
+        return e.join(m, e["src"] == m["u"], "inner").select(
+            F.col("src").alias("u"), F.col("dst").alias("v"), "m"
+        )
+
+    edges = sym(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    ).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    sig = _edge_signature(edges)
+    for _ in range(max_iter):
+        # large-star: every strictly-larger neighbor of u links to m(u)
+        wm = with_min(edges)
+        large = wm.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
+        )
+        edges = sym(large).localCheckpoint()
+        # small-star: every smaller neighbor of u (and u itself) links to m(u)
+        wm = with_min(edges)
+        small = wm.filter(F.col("v") < F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
+        )
+        own = wm.select(F.col("u").alias("src"), F.col("m").alias("dst")).distinct()
+        edges = sym(small.union(own)).localCheckpoint()
+        new_sig = _edge_signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Star forest: each node's component is its minimum neighbor, or itself
+    # for roots; nodes whose component collapsed onto them keep themselves.
+    comp = (
+        nodes.join(edges, nodes["id"] == edges["src"], "left")
+        .groupBy("id")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            "id",
+            F.least(F.coalesce(F.col("_m"), F.col("id")), F.col("id")).alias("component"),
+        )
+    )
+    return comp
+
+
 def dedup_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Drop near-duplicates given a pair list: every id_b that appears with
     some id_a < id_b is removed (min-id representative survives).

@@ -139,3 +139,27 @@ def test_dedup_by_pairs_keeps_min_representative(spark):
     pairs = spark.createDataFrame([(0, 3), (1, 4)], "id_a long, id_b long")
     out = sorted(r.doc_id for r in D.dedup_by_pairs(df, pairs).collect())
     assert out == [0, 1, 2]
+
+
+def test_star_cc_equals_propagation(spark):
+    import random
+
+    rng = random.Random(11)
+    graphs = {
+        "path": [(i, i + 1) for i in range(12)],
+        "star": [(0, i) for i in range(1, 8)],
+        "two_cliques": [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)],
+        "random": list({tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)}),
+        "descending_path": [(i + 1, i) for i in range(10, 20)],
+    }
+    from storm_data_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = {r.id: r.component for r in connected_components(pairs).collect()}
+        b = {r.id: r.component for r in connected_components_star(pairs).collect()}
+        assert a == b, f"{name}: propagation={a} star={b}"
