@@ -584,6 +584,35 @@ def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "binary_payload_stats",
+    """
+    SELECT source, count(*) AS n,
+           sum(octet_length(encode(text))) AS total_bytes,
+           max(octet_length(encode(text))) AS max_bytes,
+           count(DISTINCT md5(text)) AS n_distinct_payloads
+    FROM documents GROUP BY source
+    """,
+)
+def binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload metadata pass over a `binary` column (the multimodal
+    layout: bytes + typed metadata, operators/multimodal.py): byte sizes and
+    distinct-content fingerprints per source, all JVM-side — the cheap
+    pre-pass a media pipeline runs before deciding what to decode. Payload
+    synthesized as UTF-8 bytes of `text` so the oracle can reproduce it;
+    byte length ≠ char length on the non-ASCII rows, which is the point."""
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        "source", F.col("text").cast("binary").alias("payload")
+    )
+    return media.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+        F.count_distinct(F.md5("payload")).alias("n_distinct_payloads"),
+    )
+
+
 @register("approx_sketches", None)  # engine-specific sketches: rows-only
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB substitutes for exact distinct/percentile: HyperLogLog++
