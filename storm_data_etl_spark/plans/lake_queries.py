@@ -1,0 +1,271 @@
+"""Lake-maintenance / corpus-hygiene queries: CDC merge, benchmark
+decontamination, PII scrubbing, and the Z-order layout curve — the
+incremental-ingest and data-layout half of a training-data pipeline,
+complementing plans.ml_queries' dedup/similarity/text family.
+
+Each query mirrors its DuckDB oracle exactly (same expressions, same
+aliases). The reference's analogue of this family is its idempotent-replay
+and validation design (docs/Architecture.md:98-102, cmd/validate phases);
+everything beyond that is the 100 TB extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.functions import pii as PII
+from storm_data_etl_spark.functions import text as X
+from storm_data_etl_spark.functions.zorder import interleave_bits, interleave_bits_sql
+from storm_data_etl_spark.operators import merge as M
+from storm_data_etl_spark.plans.ml_queries import _SQL_NORM, _sql_shingles
+from storm_data_etl_spark.plans.queries import register
+from storm_data_etl_spark.plans.tables import t
+
+
+# =====================================================================
+# CDC upsert merge (last-writer-wins changelog collapse)
+# =====================================================================
+
+@register(
+    "cdc_upsert_merge",
+    """
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS _version, 'I' AS _op
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice * 1.1, 2),
+             2 AS _version, 'U' AS _op
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    del AS (
+      SELECT o_orderkey, 'X', 0.0, 3 AS _version, 'D' AS _op
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    log AS (
+      SELECT * FROM snap UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY _version DESC, _op DESC) AS rn
+      FROM log
+    )
+    SELECT o_orderstatus, count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM latest WHERE rn = 1 AND _op <> 'D'
+    GROUP BY o_orderstatus
+    """,
+)
+def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest MERGE: collapse snapshot + update batch + delete
+    tombstones to the latest surviving row per key (last-writer-wins — the
+    complement of the reference's first-wins `ON CONFLICT DO NOTHING`
+    replay design, docs/Architecture.md:98-102), then summarize. One
+    shuffle on the merge key (operators.merge)."""
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    snap = base.withColumns({"_version": F.lit(1), "_op": F.lit("I")})
+    upd = (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumns(
+            {
+                "o_orderstatus": F.lit("U"),
+                "o_totalprice": F.round(F.col("o_totalprice") * 1.1, 2),
+                "_version": F.lit(2),
+                "_op": F.lit("U"),
+            }
+        )
+    )
+    dele = (
+        base.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumns(
+            {
+                "o_orderstatus": F.lit("X"),
+                "o_totalprice": F.lit(0.0),
+                "_version": F.lit(3),
+                "_op": F.lit("D"),
+            }
+        )
+    )
+    log = snap.unionByName(upd).unionByName(dele)
+    merged = M.upsert_last_writer_wins(log, ["o_orderkey"], "_version", "_op")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# =====================================================================
+# Benchmark decontamination (shared-n-gram semi-join)
+# =====================================================================
+
+@register(
+    "decontaminate_benchmark",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, source, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, unnest({_sql_shingles(8)}) AS gram FROM norm
+    ),
+    bench AS (SELECT DISTINCT gram FROM sh WHERE source = 'src0'),
+    train AS (SELECT doc_id, gram FROM sh WHERE source <> 'src0')
+    SELECT t.doc_id, count(*) AS n_grams,
+           sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS contaminated_frac
+    FROM train t LEFT JOIN bench b ON b.gram = t.gram
+    GROUP BY t.doc_id
+    HAVING sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents (source ≠ src0)
+    sharing any word-8-gram with the held-out benchmark set (source =
+    src0). The benchmark gram set is tiny relative to the corpus →
+    broadcast, so the contamination check is a map-side join + ONE
+    shuffle for the per-doc aggregate. At 100 TB the benchmark side stays
+    a broadcast (eval sets are MBs); the scan side is embarrassingly
+    parallel."""
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source", F.explode(X.shingles("text", 8)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("source") == "src0")
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = grams.filter(F.col("source") != "src0").select("doc_id", "gram")
+    flagged = train.join(F.broadcast(bench), "gram", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_grams"), 6
+            ).alias("contaminated_frac"),
+        )
+    )
+
+
+# =====================================================================
+# PII scrubbing (deterministic synthetic injection + redaction)
+# =====================================================================
+
+_SQL_PII_INJECT = """
+    concat(text, CASE
+      WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      WHEN doc_id % 4 = 1 THEN ' call 555-013-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      WHEN doc_id % 4 = 2 THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 + 1 AS VARCHAR)
+      ELSE '' END)
+"""
+
+_SQL_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SQL_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_SQL_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+@register(
+    "pii_redaction_stats",
+    f"""
+    WITH injected AS (
+      SELECT doc_id, source, {_SQL_PII_INJECT} AS txt FROM documents
+    ),
+    redacted AS (
+      SELECT source,
+             len(regexp_extract_all(txt, '{_SQL_EMAIL}')) AS n_email,
+             len(regexp_extract_all(txt, '{_SQL_PHONE}')) AS n_phone,
+             len(regexp_extract_all(txt, '{_SQL_IPV4}')) AS n_ip,
+             length(regexp_replace(regexp_replace(regexp_replace(txt,
+               '{_SQL_EMAIL}', '<EMAIL>', 'g'),
+               '{_SQL_PHONE}', '<PHONE>', 'g'),
+               '{_SQL_IPV4}', '<IP>', 'g')) AS clean_len
+      FROM injected
+    )
+    SELECT source, count(*) AS n_docs,
+           sum(n_email) AS emails_redacted,
+           sum(n_phone) AS phones_redacted,
+           sum(n_ip) AS ips_redacted,
+           sum(clean_len) AS total_clean_chars
+    FROM redacted GROUP BY source
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: deterministically inject synthetic emails / phone
+    numbers / IPv4s (the testdata corpus contains none), then count and
+    redact them per source with pure JVM regex expressions
+    (functions.pii). Narrow — one scan, one tiny aggregate; the redaction
+    fuses into the document pipeline's codegen stage at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    inject = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")))
+        .when(did % 4 == 1, F.concat(F.lit(" call 555-013-"), F.lpad((did % 10000).cast("string"), 4, "0")))
+        .when(did % 4 == 2, F.concat(F.lit(" node 10.0."), (did % 256).cast("string"), F.lit("."), (did % 250 + 1).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    injected = docs.select("source", inject.alias("txt"))
+    return injected.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(PII.pii_count("txt", "email")).alias("emails_redacted"),
+        F.sum(PII.pii_count("txt", "phone")).alias("phones_redacted"),
+        F.sum(PII.pii_count("txt", "ipv4")).alias("ips_redacted"),
+        F.sum(F.length(PII.redact("txt"))).alias("total_clean_chars"),
+    )
+
+
+# =====================================================================
+# Z-order curve (multi-dimensional layout key)
+# =====================================================================
+
+_Z_X = "CAST(floor(\"value\" * 100) AS BIGINT)"
+_Z_Y = "(user_id % 65536)"
+
+
+@register(
+    "zorder_curve_stats",
+    f"""
+    WITH z AS (
+      SELECT event_type,
+             {interleave_bits_sql([_Z_X, _Z_Y], 16)} AS zval
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_rows,
+           min(zval) AS z_min, max(zval) AS z_max,
+           CAST(sum(zval) AS BIGINT) AS z_sum
+    FROM z GROUP BY event_type
+    """,
+)
+def zorder_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity check of the Morton-code expression behind the Z-ordered
+    lake layout (functions.zorder / sources.parquet.write_zordered):
+    interleave (value, user_id) into a 32-bit curve position and aggregate
+    per event type. The layout itself (file-stat pruning) is proven in
+    tests/test_lake.py; this query pins the curve's arithmetic against
+    DuckDB bit-for-bit."""
+    ev = t(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100).cast("bigint")
+    y = F.col("user_id") % 65536
+    z = interleave_bits([x, y], 16)
+    return (
+        ev.select("event_type", z.alias("zval"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+            F.sum("zval").alias("z_sum"),
+        )
+    )

@@ -77,3 +77,62 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     `spark.read.parquet(path)` of the same files would LOSE the bucketing
     and reintroduce the shuffle)."""
     return spark.table(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ordered on ``zcols``: one stats pass for min/max, one
+    range-repartition + in-partition sort on the Morton code, then plain
+    parquet files whose footer min/max stats are tight in EVERY z column —
+    multi-dimensional file skipping from ordinary pruning (see
+    functions.zorder).  Scale shape: agg pass is map-side-combined; the
+    write is ONE range shuffle (same cost as any sorted write)."""
+    from storm_data_etl_spark.functions.zorder import interleave_bits, scale_to_bits
+
+    stats = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in zcols],
+        *[F.max(c).alias(f"_hi_{c}") for c in zcols],
+    ).first()
+    scaled = [
+        scale_to_bits(F.col(c), float(stats[f"_lo_{c}"]), float(stats[f"_hi_{c}"]), bits)
+        for c in zcols
+    ]
+    out = (
+        df.withColumn("_z", interleave_bits(scaled, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_bytes: int = 128 << 20,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a parquet directory into ~``target_bytes`` files (the
+    small-files compaction every streaming/lake pipeline needs: thousands of
+    micro-batch files → row-group-sized ones).  Returns the file count
+    written.  Narrow when coalescing (no shuffle); reads src, writes dest so
+    the swap stays atomic for readers (rename at the catalog/path level)."""
+    import math
+    import os
+
+    df = spark.read.parquet(src)
+    total = 0
+    for f in df.inputFiles():
+        p = f.removeprefix("file:")
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    n = max(1, math.ceil(total / target_bytes))
+    df.coalesce(n).write.mode(mode).parquet(dest)
+    return n

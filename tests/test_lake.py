@@ -1,0 +1,114 @@
+"""Lake-maintenance operators: CDC merge, PII redaction, Z-order layout,
+small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.functions import pii as PII
+from storm_data_etl_spark.functions.zorder import interleave_bits
+from storm_data_etl_spark.operators.merge import upsert_last_writer_wins
+from storm_data_etl_spark.plans.tables import t
+from storm_data_etl_spark.sources.parquet import compact_parquet, write_zordered
+
+
+def test_upsert_last_writer_wins(spark):
+    log = spark.createDataFrame(
+        [
+            Row(k=1, v="a", ver=1, op="I"),
+            Row(k=1, v="b", ver=2, op="U"),  # update wins over insert
+            Row(k=2, v="c", ver=1, op="I"),
+            Row(k=3, v="d", ver=1, op="I"),
+            Row(k=3, v=None, ver=2, op="D"),  # tombstone removes the key
+            Row(k=4, v="x", ver=5, op="I"),
+            Row(k=4, v="y", ver=5, op="U"),  # same version: op desc breaks tie
+        ]
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in upsert_last_writer_wins(log, ["k"], "ver", "op").collect()
+    }
+    assert got == {1: "b", 2: "c", 4: "y"}
+
+
+def test_upsert_without_op_column_keeps_latest(spark):
+    log = spark.createDataFrame([Row(k=1, v="old", ver=1), Row(k=1, v="new", ver=9)])
+    rows = upsert_last_writer_wins(log, ["k"], "ver").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "new")]
+
+
+def test_pii_redact_and_count(spark):
+    df = spark.createDataFrame(
+        [Row(text="mail a.b+c@x-corp.io or call 555-013-0042 from 10.0.3.7 ok")]
+    )
+    row = df.select(
+        PII.redact("text").alias("clean"),
+        PII.pii_count("text", "email").alias("e"),
+        PII.pii_count("text", "phone").alias("p"),
+        PII.pii_count("text", "ipv4").alias("i"),
+    ).first()
+    assert row["clean"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+
+
+def test_interleave_bits_truth_table(spark):
+    df = spark.createDataFrame(
+        [Row(x=0, y=0), Row(x=1, y=0), Row(x=0, y=1), Row(x=3, y=5), Row(x=65535, y=65535)]
+    )
+    z = [
+        r["z"]
+        for r in df.select(
+            interleave_bits([F.col("x"), F.col("y")], 16).alias("z")
+        ).collect()
+    ]
+    # bit b of x → position 2b; bit b of y → position 2b+1
+    assert z[0] == 0
+    assert z[1] == 1
+    assert z[2] == 2
+    assert z[3] == 0b100111  # x=11 → bits 0,2; y=101 → bits 1,5 → 39
+    assert z[4] == 2**32 - 1
+
+
+def test_zorder_write_improves_box_locality(spark, sf_dir, tmp_path):
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts_utc")
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    n_files = 8
+    # baseline: sorted by time only (the default single-dim layout)
+    ev.repartitionByRange(n_files, "ts_utc").sortWithinPartitions("ts_utc").write.parquet(linear)
+    write_zordered(ev, zord, ["user_id", "value"], n_files=n_files)
+
+    box = (F.col("user_id").between(10, 12)) & (F.col("value").between(50.0, 80.0))
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    # same rows either way
+    assert (
+        spark.read.parquet(zord).filter(box).count()
+        == spark.read.parquet(linear).filter(box).count()
+    )
+    # the 2-d box concentrates in fewer files under Z-order → min/max footer
+    # stats let the scan skip the rest
+    assert files_touched(zord) < files_touched(linear)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "small_files")
+    dest = str(tmp_path / "compacted")
+    spark.range(0, 10_000).repartition(32).write.parquet(src)
+    assert len(glob.glob(os.path.join(src, "part-*"))) == 32
+    n = compact_parquet(spark, src, dest, target_bytes=128 << 20)
+    assert n == 1
+    assert len(glob.glob(os.path.join(dest, "part-*"))) == 1
+    assert spark.read.parquet(dest).count() == 10_000
