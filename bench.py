@@ -55,6 +55,9 @@ HEADLINE = [
     "ann_cosine_topk",
     "asof_join",
     "range_join_busy_windows",
+    "cdc_upsert_merge",
+    "decontaminate_benchmark",
+    "bm25_keyword_search",
 ]
 
 

@@ -269,3 +269,90 @@ def zorder_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("zval").alias("z_sum"),
         )
     )
+
+
+# =====================================================================
+# BM25 keyword search (inverted-index scoring)
+# =====================================================================
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_keyword_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM d, unnest(toks) AS u(tok)
+      WHERE tok IN {repr(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 keyword retrieval over the corpus (k1=1.2, b=0.75),
+    built from relational pieces only: tokenize → posting-list term
+    frequencies (one shuffle on (doc, term)) → document frequencies
+    (broadcast back: |vocab ∩ query| rows) → per-doc score sum → global
+    top-k (TakeOrdered, no full sort). Corpus stats (N, avgdl) ride a
+    broadcast single-row cross join — at 100 TB every non-scan input to
+    the score is KBs."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    )
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
