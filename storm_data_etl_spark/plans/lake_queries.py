@@ -356,3 +356,100 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+# =====================================================================
+# Skew-safe aggregation (salted two-stage distinct) — oracle is the
+# PLAIN formulation, proving the salted plan computes identical results
+# =====================================================================
+
+@register(
+    "skew_salted_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-users per event type via the two-stage salted plan
+    (operators.skew.salted_distinct_count): stage 1 shuffles on
+    (event_type, hash(user_id) % 16) so a hot event type spreads over 16
+    reducers; stage 2 sums the disjoint partial distincts. The oracle is
+    the PLAIN group-by-distinct SQL — the point of the query is that the
+    skew-safe plan is semantically identical while no single reducer ever
+    holds a whole hot key."""
+    from storm_data_etl_spark.operators.skew import salted_distinct_count
+
+    ev = t(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id", salt=16)
+
+
+# =====================================================================
+# PageRank (power iteration, 3 rounds) — unrolled-CTE oracle
+# =====================================================================
+
+def _sql_pagerank_iter(prev: str, out: str) -> str:
+    return f"""
+    c_{out} AS (
+      SELECT e.dst AS node, sum(r.rank / e.outdeg) AS contrib
+      FROM dedges e JOIN {prev} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    {out} AS (
+      SELECT n.node, 0.15 + 0.85 * coalesce(c.contrib, 0) AS rank
+      FROM pnodes n LEFT JOIN c_{out} c ON c.node = n.node
+    )"""
+
+
+@register(
+    "pagerank_topk",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey + 1000000 AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    edgelist AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION ALL SELECT c, s FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edgelist GROUP BY src),
+    dedges AS (
+      SELECT e.src, e.dst, d.outdeg FROM edgelist e JOIN deg d ON d.src = e.src
+    ),
+    pnodes AS (SELECT DISTINCT src AS node FROM edgelist),
+    r0 AS (SELECT node, 1.0 AS rank FROM pnodes),
+    {_sql_pagerank_iter("r0", "r1")},
+    {_sql_pagerank_iter("r1", "r2")},
+    {_sql_pagerank_iter("r2", "r3")}
+    SELECT node, round(rank, 6) AS pagerank
+    FROM r3 ORDER BY rank DESC, node LIMIT 10
+    """,
+)
+def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔customer interaction graph (distinct
+    (l_suppkey, o_custkey) pairs, both directions; customer ids offset to
+    disjoin the node spaces), 3 power iterations, damping 0.85, top-10.
+    The oracle unrolls the identical iterations as SQL CTEs — pinning the
+    loop's join/aggregate semantics, not just one round. Per-iteration
+    cost: 2 shuffles (rank⋈edges on src, contribution agg on dst)."""
+    from storm_data_etl_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(10)
+        .select("node", F.round("rank", 6).alias("pagerank"))
+    )

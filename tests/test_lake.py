@@ -112,3 +112,27 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(os.path.join(dest, "part-*"))) == 1
     assert spark.read.parquet(dest).count() == 10_000
+
+
+def test_pagerank_known_graph(spark):
+    # star: 1 -> {2,3}, 2 -> 1, 3 -> 1 ; hand-computed 2 iterations
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=1, dst=3), Row(src=2, dst=1), Row(src=3, dst=1)]
+    )
+    from storm_data_etl_spark.operators.graph import pagerank
+
+    r2 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=2).collect()}
+    # iter1: r(1)=0.15+0.85*(1+1)=1.85 ; r(2)=r(3)=0.15+0.85*0.5=0.575
+    # iter2: r(1)=0.15+0.85*(0.575+0.575)=1.1275 ; r(2)=r(3)=0.15+0.85*0.925=0.93625
+    assert abs(r2[1] - 1.1275) < 1e-12
+    assert abs(r2[2] - 0.93625) < 1e-12 and abs(r2[3] - 0.93625) < 1e-12
+
+
+def test_pagerank_sink_node_gets_base_rank(spark):
+    # 1 -> 2 ; node 2 has no out-edges (dangling), node 1 no in-edges
+    edges = spark.createDataFrame([Row(src=1, dst=2)])
+    from storm_data_etl_spark.operators.graph import pagerank
+
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=3).collect()}
+    assert abs(r[1] - 0.15) < 1e-12  # no in-edges -> reset mass only
+    assert abs(r[2] - (0.15 + 0.85 * 0.15)) < 1e-12

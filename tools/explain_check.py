@@ -108,10 +108,13 @@ def main() -> int:
     # for every doc instead of candidates only).
     p = qs["minhash_dedup_verified"](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
     lines = p.splitlines()
+    # Shingle-projection marker: the array_distinct(CASE WHEN ...) shingle
+    # expression inside a Project node (the minhash signature's ArrowEval
+    # nodes embed the same expression — exclude them).
     shingle_projects = [
         i
         for i, l in enumerate(lines)
-        if "arrays_zip" in l and "ArrowEval" not in l
+        if "Project" in l and "array_distinct(CASE WHEN" in l and "ArrowEval" not in l
     ]
     ok = bool(shingle_projects) and all(
         any("LeftSemi" in lines[j] for j in range(i + 1, min(i + 3, len(lines))))
@@ -121,6 +124,29 @@ def main() -> int:
         "minhash_verify_restricted",
         ok,
         "(verify-path shingle projection directly above the candidate semi-join)",
+    )
+
+    # 10. Decontamination: the benchmark gram set must ride a broadcast —
+    # the corpus side never shuffles for the containment join.
+    p = plan_of(qs["decontaminate_benchmark"](spark, sf_dir))
+    check("decontaminate_broadcast", "BroadcastHashJoin" in p)
+
+    # 11. BM25 top-k compiles to TakeOrderedAndProject (per-partition heap),
+    # never a global Sort.
+    p = plan_of(qs["bm25_keyword_search"](spark, sf_dir))
+    check("bm25_take_ordered", "TakeOrderedAndProject" in p)
+
+    # 12. CDC merge: one window over the merge key, and the changelog union
+    # stays a single-stage UNION ALL (no distinct-style exchange per leg).
+    p = plan_of(qs["cdc_upsert_merge"](spark, sf_dir))
+    check("cdc_merge_window", "Window" in p and "Union" in p)
+
+    # 13. Z-order curve stats: pure expression + partial agg, no joins.
+    p = plan_of(qs["zorder_curve_stats"](spark, sf_dir))
+    check(
+        "zorder_narrow_agg",
+        "Join" not in p and p.count("HashAggregate") >= 2,
+        "(scan -> partial agg -> final agg)",
     )
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
