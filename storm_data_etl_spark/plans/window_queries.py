@@ -449,3 +449,114 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_week", offset.alias("week_offset")).agg(
         F.count_distinct(F.col("user_id")).alias("n_active_users")
     )
+
+
+# =====================================================================
+# Time-series gap fill (hourly resample + forward fill)
+# =====================================================================
+
+@register(
+    "gapfill_forward_fill",
+    """
+    WITH ev AS (SELECT user_id, ts, "value" FROM events WHERE user_id < 5),
+    obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             max_by("value", ts) AS v_obs
+      FROM ev GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM ev
+    ),
+    grid AS (
+      SELECT u.user_id, g.hour
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      CROSS JOIN bounds b,
+           unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(hour)
+    )
+    SELECT g.user_id, g.hour, round(o.v_obs, 2) AS observed,
+           round(last_value(o.v_obs IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_ffill
+    FROM grid g
+    LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
+    """,
+)
+def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: project each user's event values onto a dense
+    hourly grid (sequence + explode — generated, not stored) and
+    forward-fill gaps with the last observation (`last(ignorenulls)` running
+    window). The grid bounds ride a broadcast single-row cross join; cost is
+    ONE shuffle for the per-(user,hour) last-observation aggregate and one
+    for the per-user fill window — at 100 TB the grid is generated
+    executor-side, never materialized as input."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts_utc").alias("hour")
+    ).agg(F.max_by("value", "ts").alias("v_obs"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts_utc")).alias("h0"),
+        F.date_trunc("hour", F.max("ts_utc")).alias("h1"),
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.round("v_obs", 2).alias("observed"),
+            F.round(F.last("v_obs", ignorenulls=True).over(w), 2).alias(
+                "value_ffill"
+            ),
+        )
+    )
+
+
+# =====================================================================
+# Equi-width histogram
+# =====================================================================
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor("value" / 25) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+             AS avg_value
+    FROM events GROUP BY CAST(floor("value" / 25) AS BIGINT)
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the value column (bin width 25): the one-pass
+    binned aggregate behind distribution profiling. Narrow map-side partial
+    + tiny final agg — bins are bounded, never skewed beyond the data's own
+    distribution."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact decimal sum -> single double division: avg-of-doubles is
+            # summation-order-dependent in the last ulp and splits round(,4)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
+        )
+    )
