@@ -453,3 +453,118 @@ def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("node", F.round("rank", 6).alias("pagerank"))
     )
+
+
+# =====================================================================
+# Skew-safe per-key top-k — oracle is the plain window formulation
+# =====================================================================
+
+@register(
+    "skew_salted_topk",
+    """
+    WITH counts AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, user_id, n,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+      FROM counts
+    )
+    SELECT event_type, user_id, n, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per event type via the salted two-stage count
+    (operators.skew.salted_top_values): partial counts on (key, value,
+    salt) so a hot (event_type, user) pair never concentrates on one
+    reducer, then merge + per-key window. Oracle is the plain
+    count+row_number SQL — identical results, skew-safe plan."""
+    from storm_data_etl_spark.operators.skew import salted_top_values
+
+    ev = t(spark, sf_dir, "events")
+    top = salted_top_values(ev, "event_type", "user_id", n=3, salt=16)
+    return top.select(
+        F.col("key").alias("event_type"),
+        F.col("value").alias("user_id"),
+        F.col("count").alias("n"),
+        "rank",
+    )
+
+
+# =====================================================================
+# Corpus after near-dup removal (end-to-end keep/drop decision)
+# =====================================================================
+
+@register(
+    "corpus_after_dedup",
+    f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id AS id, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest({_sql_shingles(3)}) AS shingle FROM norm
+    ),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    jacpairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jacpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM jacpairs
+    ),
+    walk(id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+    labeled AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN doc_id = component THEN n_chars ELSE 0 END) AS kept_chars
+    FROM labeled GROUP BY source
+    """,
+)
+def corpus_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end keep/drop decision: verified MinHash pairs (Jaccard ≥
+    0.5) → connected components → keep only each cluster's canonical doc
+    (min doc_id; singletons keep themselves), reported as per-source
+    survivor counts and retained bytes. This is the full dedup pipeline a
+    corpus build runs — candidate generation, verification, transitive
+    closure, canonical selection — in one plan. Oracle recomputes the same
+    decision from exact all-pairs Jaccard + recursive-CTE reachability."""
+    from storm_data_etl_spark.operators import dedup as D
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_verified_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
+    comp = D.connected_components(pairs)
+    labeled = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+    kept = F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(F.col("n_chars") * kept).alias("kept_chars"),
+    )
