@@ -136,3 +136,26 @@ def test_pagerank_sink_node_gets_base_rank(spark):
     r = {row["node"]: row["rank"] for row in pagerank(edges, iterations=3).collect()}
     assert abs(r[1] - 0.15) < 1e-12  # no in-edges -> reset mass only
     assert abs(r[2] - (0.15 + 0.85 * 0.15)) < 1e-12
+
+
+def test_interleave_bits_matches_python_model(spark):
+    import random
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+
+    def model(x: int, y: int) -> int:
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in pairs])
+    got = [
+        r["z"]
+        for r in df.select(
+            interleave_bits([F.col("x"), F.col("y")], 16).alias("z")
+        ).collect()
+    ]
+    assert got == [model(x, y) for x, y in pairs]
