@@ -109,3 +109,23 @@ def pack_token_shards(
     )
     prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return df.withColumn(shard_col, F.floor(prefix / F.lit(budget)))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    granularity: int = 10_000,
+) -> DataFrame:
+    """Deterministic importance sampling: keep a row when its id-hash
+    bucket (out of ``granularity``) falls below ``weight_col`` ×
+    granularity, i.e. each row survives with probability ≈ its weight in
+    [0, 1] — but reproducibly (same id + weight → same decision on any
+    cluster, any rerun) and row-locally (narrow, no shuffle, no RNG
+    state). The quality-weighted corpus-mixing primitive: upsample what a
+    scorer likes without ever double-counting a document. Weights outside
+    [0, 1] clamp."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    b = lcg_bucket(id_col, granularity)
+    return df.filter(b.cast("double") < w * granularity)

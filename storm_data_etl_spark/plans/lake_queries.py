@@ -18,6 +18,7 @@ from storm_data_etl_spark.functions import pii as PII
 from storm_data_etl_spark.functions import text as X
 from storm_data_etl_spark.functions.zorder import interleave_bits, interleave_bits_sql
 from storm_data_etl_spark.operators import merge as M
+from storm_data_etl_spark.operators.sampling import lcg_bucket_sql
 from storm_data_etl_spark.plans.ml_queries import _SQL_NORM, _sql_shingles
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
@@ -567,4 +568,49 @@ def corpus_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(kept).alias("n_kept"),
         F.sum(F.col("n_chars") * kept).alias("kept_chars"),
+    )
+
+
+# =====================================================================
+# Quality-weighted deterministic sampling (importance corpus mixing)
+# =====================================================================
+
+@register(
+    "weighted_sample_mix",
+    f"""
+    WITH weighted AS (
+      SELECT doc_id, source, n_chars,
+             least(greatest(n_chars / 400.0, 0.0), 1.0) AS w,
+             {lcg_bucket_sql('doc_id', 10_000)} AS b
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           sum(CASE WHEN b < w * 10000 THEN 1 ELSE 0 END) AS n_kept,
+           sum(CASE WHEN b < w * 10000 THEN n_chars ELSE 0 END) AS kept_chars
+    FROM weighted GROUP BY source
+    """,
+)
+def weighted_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each doc survives with
+    probability ≈ its weight (here min(n_chars/400, 1) — a stand-in for a
+    quality score), decided row-locally by id-hash
+    (operators.sampling.weighted_hash_sample) — reproducible on any
+    cluster, no RNG state, narrow until the reporting aggregate. Oracle
+    mirrors the LCG arithmetic exactly."""
+    from storm_data_etl_spark.operators.sampling import weighted_hash_sample
+
+    docs = t(spark, sf_dir, "documents")
+    w = F.col("n_chars") / F.lit(400.0)
+    kept = weighted_hash_sample(docs, "doc_id", w, granularity=10_000)
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept_stats, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("kept_chars"), F.lit(0)).alias("kept_chars"),
     )

@@ -64,3 +64,24 @@ def test_stratified_sample_monotone_and_deterministic(spark):
     n_en_lo = len(lo_ids - zh)
     n_en_hi = len(hi_ids - zh)
     assert 30 <= n_en_lo <= 70 and 120 <= n_en_hi <= 180
+
+
+def test_weighted_hash_sample_extremes_and_monotonicity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.operators.sampling import weighted_hash_sample
+    from storm_data_etl_spark.plans.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    assert weighted_hash_sample(docs, "doc_id", F.lit(0.0)).count() == 0
+    assert weighted_hash_sample(docs, "doc_id", F.lit(1.0)).count() == n
+    assert weighted_hash_sample(docs, "doc_id", F.lit(5.0)).count() == n  # clamped
+    low = weighted_hash_sample(docs, "doc_id", F.lit(0.2))
+    high = weighted_hash_sample(docs, "doc_id", F.lit(0.8))
+    n_low, n_high = low.count(), high.count()
+    assert 0 < n_low < n_high < n
+    # raising the weight only ADDS rows (supersets, like stratified rates)
+    low_ids = {r["doc_id"] for r in low.select("doc_id").collect()}
+    high_ids = {r["doc_id"] for r in high.select("doc_id").collect()}
+    assert low_ids <= high_ids
