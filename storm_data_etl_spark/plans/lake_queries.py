@@ -614,3 +614,70 @@ def weighted_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("kept_chars"), F.lit(0)).alias("kept_chars"),
     )
+
+
+# =====================================================================
+# Document chunking (overlapping token windows — embedding/RAG prep)
+# =====================================================================
+
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 8
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    counted AS (
+      SELECT doc_id, words,
+             CAST(floor(greatest(len(words) - {_CHUNK_SIZE}, 0) / {_CHUNK_STRIDE}) AS BIGINT) + 1
+               AS n_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, ci.ci AS chunk_idx,
+             words[ci.ci * {_CHUNK_STRIDE} + 1 : ci.ci * {_CHUNK_STRIDE} + {_CHUNK_SIZE}] AS chunk
+      FROM counted, unnest(range(0, n_chunks)) AS ci(ci)
+    )
+    SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 16, stride 8) — the
+    embedding/RAG preparation step that turns documents into units a
+    vector index can hold. Chunk boundaries are computed per row with
+    sequence + slice (narrow; the explode multiplies rows inside the same
+    scan stage, no shuffle at all), and each chunk carries an md5
+    fingerprint so downstream chunk-level dedup can run exactly like
+    doc-level (same md5 both engines pins cross-engine parity)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
+    )
+    n = F.size("words")
+    n_chunks = (
+        F.floor(F.greatest(n - _CHUNK_SIZE, F.lit(0)) / _CHUNK_STRIDE).cast("bigint") + 1
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "words",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            "words", F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
