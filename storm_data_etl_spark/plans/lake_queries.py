@@ -681,3 +681,92 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").alias("n_tokens"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
     )
+
+
+# =====================================================================
+# PMI collocations (bigram association mining)
+# =====================================================================
+
+@register(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (
+      SELECT w.w AS word FROM toks, unnest(words) AS w(w)
+    ),
+    uni_counts AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+    n_uni AS (SELECT sum(c) AS n FROM uni_counts),
+    bi AS (
+      SELECT words[i.i] AS w1, words[i.i + 1] AS w2
+      FROM toks, unnest(range(1, len(words))) AS i(i)
+    ),
+    bi_counts AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    n_bi AS (SELECT sum(c12) AS n FROM bi_counts),
+    pmi AS (
+      SELECT b.w1, b.w2, b.c12,
+             round(ln(
+               (b.c12::DOUBLE / nb.n)
+               / ((u1.c::DOUBLE / nu.n) * (u2.c::DOUBLE / nu.n))
+             ), 6) AS pmi
+      FROM bi_counts b
+      JOIN uni_counts u1 ON u1.word = b.w1
+      JOIN uni_counts u2 ON u2.word = b.w2
+      CROSS JOIN n_uni nu CROSS JOIN n_bi nb
+      WHERE b.c12 >= 5
+    )
+    SELECT w1, w2, c12, pmi
+    FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    (min count 5) — the association signal behind phrase detection and
+    tokenizer-merge candidates. Unigram/bigram counts are two hash
+    aggregates with map-side partials; the corpus totals ride broadcast
+    single-row cross joins; top-k is TakeOrdered. DuckDB oracle repeats
+    the identical probability arithmetic."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
+    )
+    uni = docs.select(F.explode("words").alias("word"))
+    uni_counts = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni_counts.agg(F.sum("c").alias("n_u"))
+    # bigrams via index explode so the SQL mirror (range + slice) is exact
+    bi = docs.select(
+        F.explode(F.sequence(F.lit(1), F.size("words") - 1)).alias("i"), "words"
+    ).select(
+        F.element_at("words", F.col("i")).alias("w1"),
+        F.element_at("words", F.col("i") + 1).alias("w2"),
+    )
+    bi_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_bi = bi_counts.agg(F.sum("c12").alias("n_b"))
+    scored = (
+        bi_counts.filter(F.col("c12") >= 5)
+        .join(F.broadcast(uni_counts.select(F.col("word").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni_counts.select(F.col("word").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("n_b"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_u"))
+                        * (F.col("c2").cast("double") / F.col("n_u"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "c12", "pmi")
+    )
