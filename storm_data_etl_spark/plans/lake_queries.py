@@ -770,3 +770,112 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("w1", "w2", "c12", "pmi")
     )
+
+
+# =====================================================================
+# Chunk-level exact dedup (cross-document duplicated spans, by chunk md5)
+# =====================================================================
+
+@register(
+    "chunk_dedup_groups",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    counted AS (
+      SELECT doc_id, words,
+             CAST(floor(greatest(len(words) - {_CHUNK_SIZE}, 0) / {_CHUNK_STRIDE}) AS BIGINT) + 1
+               AS n_chunks
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               words[ci.ci * {_CHUNK_STRIDE} + 1 : ci.ci * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' '))
+               AS chunk_md5
+      FROM counted, unnest(range(0, n_chunks)) AS ci(ci)
+    )
+    SELECT chunk_md5,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS canonical_doc
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def chunk_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: duplicate token-window fingerprints that
+    appear in MORE THAN ONE document — the sub-document analogue of
+    doc_fingerprint_dedup (C4-style span dedup keeps min-doc as canonical
+    and strips repeats elsewhere). One shuffle on uniformly-distributed
+    md5 keys; group state is O(dup factor)."""
+    chunks = doc_chunking(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# =====================================================================
+# Per-user anomaly detection (z-score outliers, exact-decimal moments)
+# =====================================================================
+
+@register(
+    "anomaly_zscore_events",
+    """
+    WITH moments AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST("value" AS DECIMAL(18,2)) * CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id, n, s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+      FROM moments WHERE n >= 30
+    )
+    SELECT e.event_id, e.user_id,
+           round(("value" - s.mean) / s.std, 4) AS zscore
+    FROM events e JOIN stats s ON s.user_id = e.user_id
+    WHERE abs(("value" - s.mean) / s.std) > 3
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier detection: flag events beyond 3 sample standard
+    deviations of that user's mean. Moments are computed from EXACT
+    decimal sums (value has 2 decimals; value2 has 4 — both exact), then
+    converted to double for one deterministic mean/std derivation —
+    stddev-of-doubles is summation-order-dependent across engines and
+    can flip both round(,4) and the >3 cut. Plan: one partial-aggregated
+    shuffle for moments, broadcast join back (user stats are tiny),
+    narrow filter."""
+    ev = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    moments = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    stats = (
+        moments.filter(F.col("n") >= 30)
+        .withColumn("mean", F.col("s1") / F.col("n"))
+        .withColumn(
+            "std",
+            F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)),
+        )
+        .select("user_id", "mean", "std")
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "user_id", F.round(z, 4).alias("zscore"))
+    )
