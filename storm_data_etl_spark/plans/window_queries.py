@@ -560,3 +560,102 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+# =====================================================================
+# Range-frame moving average (calendar window, not row window)
+# =====================================================================
+
+@register(
+    "moving_avg_7d",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, CAST("value" AS DECIMAL(18,2)) AS v
+      FROM events WHERE user_id < 20
+    )
+    SELECT event_id, user_id,
+           CAST(floor(10000 * CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w)
+                AS BIGINT) AS avg_7d_e4,
+           count(*) OVER w AS n_7d
+    FROM ev
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average per user — a RANGE frame over event
+    time (calendar semantics: the frame holds however many events fall in
+    the window), not a row-count frame. Spark orders by the exact
+    nanosecond long and bounds the range in ns; the sum is carried in
+    exact decimal with ONE double division at the end (running
+    double-sums are order-dependent across engines). One shuffle on
+    user_id."""
+    six_days_ns = 6 * 86_400 * 1_000_000_000
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-six_days_ns, 0)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        # floor of ten-thousandths, NOT round(,4): Spark rounds doubles via
+        # the shortest decimal string (HALF_UP on "43.01125") while DuckDB
+        # rounds the binary value (43.011249999999996...) — exact-half
+        # quotients split them. floor on the identical IEEE quotient is
+        # deterministic in both engines.
+        F.floor(
+            10000 * F.sum(dec).over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).cast("bigint").alias("avg_7d_e4"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+# =====================================================================
+# Token entropy (vocabulary-diversity quality signal)
+# =====================================================================
+
+@register(
+    "token_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    freq AS (
+      SELECT doc_id, w.w AS word, count(*) AS c
+      FROM toks, unnest(words) AS w(w)
+      GROUP BY doc_id, w.w
+    ),
+    totals AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+    SELECT f.doc_id, max(t.n) AS n_tokens,
+           round(-sum((f.c::DOUBLE / t.n) * ln(f.c::DOUBLE / t.n)), 6) AS entropy
+    FROM freq f JOIN totals t ON t.doc_id = f.doc_id
+    GROUP BY f.doc_id
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram entropy per document — the vocabulary-diversity signal that
+    separates natural text from keyword stuffing / boilerplate (low
+    entropy) in corpus quality filters. One shuffle on (doc, word) for
+    frequencies, one per-doc aggregate; both map-side partial."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+    )
+    freq = docs.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        freq.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
