@@ -19,7 +19,7 @@ from storm_data_etl_spark.functions import text as X
 from storm_data_etl_spark.functions.zorder import interleave_bits, interleave_bits_sql
 from storm_data_etl_spark.operators import merge as M
 from storm_data_etl_spark.operators.sampling import lcg_bucket_sql
-from storm_data_etl_spark.plans.ml_queries import _SQL_NORM, _sql_shingles
+from storm_data_etl_spark.plans.ml_queries import _SQL_NORM, _sql_jaccard_pairs, _sql_shingles
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
 
@@ -878,4 +878,55 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "user_id")
         .filter(F.abs(z) > 3)
         .select("event_id", "user_id", F.round(z, 4).alias("zscore"))
+    )
+
+
+# =====================================================================
+# Edit-distance verification of near-dup candidate pairs
+# =====================================================================
+
+@register(
+    "edit_distance_verify",
+    f"""
+    WITH {_sql_jaccard_pairs(0.2)}
+    SELECT p.id_a, p.id_b, p.jaccard,
+           levenshtein(a.text, b.text) AS edit_dist,
+           round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+                 / greatest(length(a.text), length(b.text)), 6) AS edit_sim
+    FROM jacpairs p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    """,
+)
+def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of shingle-Jaccard near-dup candidates:
+    Levenshtein distance + normalized similarity for each candidate pair.
+    Edit distance is O(len^2) per pair — never run all-pairs; here it runs
+    only on the candidate set (the same restrict-then-verify shape as
+    minhash_dedup_verified), joined back to the two texts by id. At corpus
+    scale the candidate pair list is the small side and broadcasts."""
+    from storm_data_etl_spark.operators.dedup import ngram_jaccard_pairs as _njp
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = _njp(docs, k=3, threshold=0.2)
+    texts = docs.select("doc_id", "text")
+    a = texts.withColumnsRenamed({"doc_id": "id_a", "text": "text_a"})
+    b = texts.withColumnsRenamed({"doc_id": "id_b", "text": "text_b"})
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        F.broadcast(pairs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            dist.alias("edit_dist"),
+            F.round(
+                1.0
+                - dist.cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b")),
+                6,
+            ).alias("edit_sim"),
+        )
     )

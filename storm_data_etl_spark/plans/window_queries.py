@@ -659,3 +659,44 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+# =====================================================================
+# NTILE bucketing (quartile assignment per group)
+# =====================================================================
+
+@register(
+    "ntile_quartiles",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id, "value",
+             ntile(4) OVER (
+               PARTITION BY event_type ORDER BY "value", event_id) AS quartile
+      FROM events
+    )
+    SELECT event_type, quartile,
+           count(*) AS n,
+           CAST(floor(10000 * CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*)) AS BIGINT) AS avg_value_e4
+    FROM ranked GROUP BY event_type, quartile
+    """,
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment per event type (ntile window with a
+    deterministic event_id tiebreak) summarized per bucket — the
+    equal-frequency binning behind feature bucketization. One shuffle on
+    the partition key, per-partition sort; the bucket average uses the
+    exact-decimal-sum + floor formulation (see moving_avg_7d)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(10000 * F.sum(dec).cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_value_e4"),
+        )
+    )
