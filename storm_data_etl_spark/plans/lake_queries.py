@@ -1,7 +1,10 @@
 """Lake-maintenance / corpus-hygiene queries: CDC merge, benchmark
-decontamination, PII scrubbing, and the Z-order layout curve — the
-incremental-ingest and data-layout half of a training-data pipeline,
-complementing plans.ml_queries' dedup/similarity/text family.
+decontamination, PII scrubbing, Z-order layout curve, BM25 retrieval,
+skew-salted aggregation, PageRank, weighted sampling, document chunking,
+PMI collocations, chunk-level dedup, anomaly detection, and edit-distance
+verification — the incremental-ingest, data-layout, and corpus-hygiene
+half of a training-data pipeline, complementing plans.ml_queries'
+dedup/similarity/text family.
 
 Each query mirrors its DuckDB oracle exactly (same expressions, same
 aliases). The reference's analogue of this family is its idempotent-replay
