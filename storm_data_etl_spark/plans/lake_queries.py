@@ -933,3 +933,66 @@ def edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
     )
+
+
+# =====================================================================
+# Triangle counting (co-supply graph)
+# =====================================================================
+
+@register(
+    "triangle_count",
+    """
+    WITH su AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM su a JOIN su b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(DISTINCT src) + count(DISTINCT dst)
+              FROM edges) AS node_endpoint_kinds,
+           n_triangles
+    FROM tri
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-supply graph (suppliers joined when
+    they serve the same order): the clustering-structure primitive behind
+    community/cohesion analysis. Edges are oriented src < dst so each
+    triangle counts exactly once via the two-hop + closing-edge join —
+    the standard distributed formulation (2 shuffle joins on uniform
+    supplier keys), never an all-triples enumeration. The edge list
+    derives from one self-join of the distinct (order, supplier)
+    projection."""
+    su = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = su.withColumnsRenamed({"l_suppkey": "src"})
+    b = su.withColumnsRenamed({"l_suppkey": "dst"})
+    edges = (
+        a.join(b, (a.l_orderkey == b.l_orderkey) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges.persist()  # scanned three times by the triangle join + counts
+    e1 = edges
+    e2 = edges.withColumnsRenamed({"src": "mid", "dst": "dst2"})
+    e3 = edges.withColumnsRenamed({"src": "src3", "dst": "dst3"})
+    tri = (
+        e1.join(e2, e1.dst == e2.mid)
+        .join(e3, (F.col("src3") == e1.src) & (F.col("dst3") == F.col("dst2")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        (F.countDistinct("src") + F.countDistinct("dst")).alias(
+            "node_endpoint_kinds"
+        ),
+    )
+    return counts.crossJoin(tri)
