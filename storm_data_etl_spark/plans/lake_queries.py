@@ -996,3 +996,83 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return counts.crossJoin(tri)
+
+
+# =====================================================================
+# Table profiling (per-column data-quality summary)
+# =====================================================================
+
+@register(
+    "table_profile",
+    """
+    SELECT 'l_quantity' AS col, count(*) AS n,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           printf('%.2f', min(l_quantity)) AS min_s,
+           printf('%.2f', max(l_quantity)) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           printf('%.2f', min(l_extendedprice)),
+           printf('%.2f', max(l_extendedprice))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           printf('%.2f', min(l_discount)),
+           printf('%.2f', max(l_discount))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*),
+           count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           strftime(min(l_shipdate), '%Y-%m-%d'),
+           strftime(max(l_shipdate), '%Y-%m-%d')
+    FROM lineitem
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (row count, nulls, distincts,
+    min/max) — the lake profiling pass every ingestion job runs. All five
+    column summaries compute in ONE scan: Spark evaluates the aggregates
+    together and the stack into (col, stats) rows happens after the
+    aggregate, so profiling N columns costs one pass, not N (the
+    UNION-ALL oracle shape would rescan per column)."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nn"),
+            F.countDistinct(c).alias(f"{c}_nd"),
+            F.format_string("%.2f", F.min(c)).alias(f"{c}_mn"),
+            F.format_string("%.2f", F.max(c)).alias(f"{c}_mx"),
+        ]
+    aggs += [
+        (F.count(F.lit(1)) - F.count("l_returnflag")).alias("l_returnflag_nn"),
+        F.countDistinct("l_returnflag").alias("l_returnflag_nd"),
+        F.min("l_returnflag").alias("l_returnflag_mn"),
+        F.max("l_returnflag").alias("l_returnflag_mx"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("l_shipdate_nn"),
+        F.countDistinct("l_shipdate").alias("l_shipdate_nd"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("l_shipdate_mn"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("l_shipdate_mx"),
+    ]
+    wide = li.agg(*aggs)
+    all_cols = cols + ["l_returnflag", "l_shipdate"]
+    stack_args = ", ".join(
+        f"'{c}', {c}_nn, {c}_nd, {c}_mn, {c}_mx" for c in all_cols
+    )
+    return wide.selectExpr(
+        f"stack({len(all_cols)}, {stack_args}) AS (col, n_null, n_distinct, min_s, max_s)",
+        "_n AS n",
+    ).select("col", "n", "n_null", "n_distinct", "min_s", "max_s")
