@@ -700,3 +700,47 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_value_e4"),
         )
     )
+
+
+# =====================================================================
+# Hypertable rollup (hourly partials reaggregated to daily)
+# =====================================================================
+
+@register(
+    "hypertable_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n_events,
+           CAST(floor(100 * CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE))
+                AS BIGINT) AS sum_value_e2
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the daily aggregate is
+    computed FROM the hourly partials (count-sum states re-aggregate
+    losslessly), not from the raw rows — the incremental-rollup pattern
+    where each coarser granularity reads the finer materialization
+    instead of rescanning the 100 TB base table. The oracle aggregates
+    the base table directly at day grain — identical results prove the
+    partial states compose."""
+    ev = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts_utc").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec).alias("_sum_v"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.floor(100 * F.sum("_sum_v").cast("double"))
+            .cast("bigint")
+            .alias("sum_value_e2"),
+        )
+    )
