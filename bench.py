@@ -58,6 +58,7 @@ HEADLINE = [
     "cdc_upsert_merge",
     "decontaminate_benchmark",
     "bm25_keyword_search",
+    "hypertable_rollup",
 ]
 
 
