@@ -143,6 +143,16 @@ def quality_score(col: ColumnOrName) -> Column:
     return F.round(0.3 * len_band + 0.2 * punct_band + 0.25 * sw_band + 0.25 * mwl_band, 4)
 
 
+def strip_markup(col: ColumnOrName) -> Column:
+    """HTML/XML markup removal — the first cleaning pass over crawled
+    training text. Three JVM regex passes: tags → space, character
+    entities (`&nbsp;`, `&#39;`, …) → space, whitespace collapse + trim.
+    Patterns are RE2-safe so the DuckDB oracle can mirror them verbatim."""
+    c = F.regexp_replace(_c(col), r"<[^>]*>", " ")
+    c = F.regexp_replace(c, r"&[A-Za-z#0-9]{1,8};", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def normalize_for_fingerprint(col: ColumnOrName) -> Column:
     """Canonical form for content-defined fingerprints: lowercase, strip
     non-alphanumerics to single spaces, trim."""

@@ -1,0 +1,268 @@
+"""Corpus-quality and signal-extraction queries: statistical language-model
+scoring, markup cleaning, change-point detection, and EWMA smoothing.
+
+These extend the reference's text-analysis surface (the genmock/validate
+report queries, `cmd/genmock/main.go:194-354`) to the operations a
+large-scale training-data pipeline runs over a document corpus and an event
+stream. Everything is built-in Catalyst expressions — no Python in the data
+path — with DuckDB oracles mirroring the exact arithmetic.
+
+Float parity notes (see window_queries.moving_avg_7d): per-row doubles are
+deterministic across engines (same IEEE ops on same inputs); only
+*aggregated* doubles carry summation-order noise, so every aggregated float
+is emitted as `floor(x * 10^k)` — never `round()`, whose half-way behavior
+differs between Spark (shortest-decimal-string) and DuckDB (binary value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.functions import text as X
+from storm_data_etl_spark.plans.queries import register
+from storm_data_etl_spark.plans.tables import t
+
+
+# =====================================================================
+# Bigram language-model quality score (CCNet-style perplexity proxy)
+# =====================================================================
+
+@register(
+    "bigram_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+      SELECT doc_id, w[r.i] AS prev, w[r.i + 1] AS cur
+      FROM toks, unnest(range(1, len(w))) AS r(i)
+    ),
+    bigc AS (SELECT prev, cur, count(*) AS c_ab FROM bg GROUP BY prev, cur),
+    ctxc AS (SELECT prev, sum(c_ab) AS c_ctx FROM bigc GROUP BY prev),
+    v AS (SELECT count(DISTINCT tok) AS v_size
+          FROM (SELECT unnest(w) AS tok FROM toks) u),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((bigc.c_ab + 1)::DOUBLE / (ctxc.c_ctx + v.v_size)) AS logp
+      FROM bg JOIN bigc USING (prev, cur) JOIN ctxc USING (prev) CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(floor(10000 * sum(logp) / count(*)) AS BIGINT) AS lm_score_e4
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one-smoothed bigram LM, scoring each document by
+    its mean log P(w_i | w_{i-1}) — the cheap in-engine stand-in for the
+    KenLM perplexity filter used in CCNet-style corpus curation (low score
+    = unnatural/boilerplate text).
+
+    Scale shape: the LM tables (bigram counts, context totals, vocabulary
+    size) are corpus-global but vocabulary-bounded — orders of magnitude
+    smaller than the corpus — so both joins broadcast and the only big
+    shuffles are the two count aggregations, each map-side partial. At
+    100 TB the bigram table may exceed the broadcast cap; dropping the
+    explicit hint lets AQE pick shuffle-hash, with the plan otherwise
+    unchanged.
+    """
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", X.tokens("text").alias("w"))
+    )
+    n_pairs = F.greatest(F.size("w") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("w", 1, n_pairs),
+        F.slice("w", 2, n_pairs),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.prev", "p.cur"
+    )
+    bigc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctxc = bigc.groupBy("prev").agg(F.sum("c_ab").alias("c_ctx"))
+    vocab = toks.select(F.explode("w").alias("tok")).agg(
+        F.count_distinct("tok").alias("v_size")
+    )
+    logp = F.log(
+        (F.col("c_ab") + 1).cast("double") / (F.col("c_ctx") + F.col("v_size"))
+    )
+    return (
+        bg.join(F.broadcast(bigc), ["prev", "cur"])
+        .join(F.broadcast(ctxc), ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.floor(10000 * F.sum(logp) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("lm_score_e4"),
+        )
+    )
+
+
+# =====================================================================
+# Markup stripping (crawl-cleaning pass)
+# =====================================================================
+
+@register(
+    "markup_strip_stats",
+    r"""
+    WITH h AS (
+      SELECT source,
+             '<html><body><h1>' || substr(text, 1, 16) || '</h1><p>' || text ||
+             '</p><a href="https://example.com/' || CAST(doc_id AS VARCHAR) ||
+             '">&nbsp;src</a></body></html>' AS html
+      FROM documents
+    ),
+    c AS (
+      SELECT source, html,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                 html, '<[^>]*>', ' ', 'g'),
+                 '&[A-Za-z#0-9]{1,8};', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS clean
+      FROM h
+    )
+    SELECT source, count(*) AS n_docs,
+           sum(length(html)) AS total_html_chars,
+           sum(length(clean)) AS total_clean_chars,
+           CAST(floor(10000 * sum(length(clean))::DOUBLE / sum(length(html)))
+                AS BIGINT) AS keep_ratio_e4
+    FROM c GROUP BY source
+    """,
+)
+def markup_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-stripping cleaning pass with per-source retention stats. The
+    testdata corpus carries no markup, so the query synthesizes a
+    deterministic HTML wrapper (title + paragraph + entity-bearing anchor)
+    around each document and then runs `text.strip_markup` — exercising
+    the real cleaning operator end-to-end with a value-checked oracle.
+    One scan, three JVM regex passes, tiny per-source aggregate; ratios
+    are exact-integer sums divided once (no float-sum noise)."""
+    docs = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>"),
+        F.substring("text", 1, 16),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://example.com/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">&nbsp;src</a></body></html>'),
+    )
+    staged = docs.withColumn("html", html).withColumn(
+        "clean", X.strip_markup("html")
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("html")).alias("total_html_chars"),
+        F.sum(F.length("clean")).alias("total_clean_chars"),
+        F.floor(
+            10000 * F.sum(F.length("clean")).cast("double") / F.sum(F.length("html"))
+        )
+        .cast("bigint")
+        .alias("keep_ratio_e4"),
+    )
+
+
+# =====================================================================
+# Change-point detection (lag-based jump flags)
+# =====================================================================
+
+@register(
+    "value_change_points",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             "value" - lag("value") OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS jump
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           count(jump) AS n_steps,
+           sum(CASE WHEN abs(jump) > 100 THEN 1 ELSE 0 END) AS n_change_points,
+           CAST(floor(100 * max(abs(jump))) AS BIGINT) AS max_jump_e2
+    FROM steps GROUP BY user_id
+    """,
+)
+def value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user change-point detection: consecutive-event value deltas
+    (lag window over ns-precision `ts` with event_id tiebreak — see
+    sessionize) flagged where |Δ| > 100 (~2σ of the value distribution).
+    One shuffle on user_id; max is order-independent so its floor is
+    parity-safe."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    jump = F.col("value") - F.lag("value").over(w)
+    staged = t(spark, sf_dir, "events").select("user_id", jump.alias("jump"))
+    return staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("jump").alias("n_steps"),
+        F.sum(F.when(F.abs("jump") > 100, 1).otherwise(0)).alias("n_change_points"),
+        F.floor(100 * F.max(F.abs("jump"))).cast("bigint").alias("max_jump_e2"),
+    )
+
+
+# =====================================================================
+# EWMA smoothing (trailing exponentially-weighted average, ordered fold)
+# =====================================================================
+
+@register(
+    "ewma_last",
+    """
+    WITH lists AS (
+      SELECT user_id,
+             list("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+               AS lastv,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, len(lastv) AS n_window,
+           CAST(floor(10000 * list_reduce(
+                  lastv::DOUBLE[],
+                  (acc, x) -> acc * 0.8::DOUBLE + x * 0.2::DOUBLE))
+                AS BIGINT) AS ewma_e4
+    FROM lists WHERE rn = 1
+    """,
+)
+def ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's current EWMA (α=0.2) over their trailing 20 events —
+    the smoothed-state readout behind monitoring dashboards. The recursion
+    s ← 0.8·s + 0.2·x is evaluated as an explicit LEFT FOLD over the
+    frame-ordered value list (`collect_list` over a bounded window +
+    `F.aggregate`): both engines fold the identical list in the identical
+    order, so the resulting double is bit-identical — aggregation-order
+    noise, the usual float-parity hazard, never arises. One shuffle on
+    user_id; the collected frame is bounded (20 rows) so state is O(1)
+    per row."""
+    w20 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    wn = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.collect_list("value").over(w20).alias("lastv"),
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ts", "event_id")
+    )
+    tail = F.slice("lastv", 2, F.greatest(F.size("lastv") - 1, F.lit(0)))
+    ewma = F.aggregate(
+        tail,
+        F.element_at("lastv", 1).cast("double"),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return last.select(
+        "user_id",
+        F.size("lastv").alias("n_window"),
+        F.floor(10000 * ewma).cast("bigint").alias("ewma_e4"),
+    )

