@@ -24,6 +24,8 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    persist: bool = True,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (`src`, `dst`).
 
@@ -32,6 +34,15 @@ def pagerank(
     and ranks become ``(1 - damping) + damping * incoming``. Nodes without
     in-edges settle at ``1 - damping``; dangling nodes (no out-edges)
     simply don't contribute. Returns (node, rank).
+
+    The unrolled plan references the node set once per iteration and the
+    degree-joined edge list in every contribution join — without
+    materialization Spark recomputes the (possibly expensive) upstream
+    edge derivation for each reference. ``persist=True`` caches both
+    loop invariants (MEMORY_AND_DISK; callers doing one-shot runs can
+    opt out), and ranks are ``localCheckpoint``ed every
+    ``checkpoint_interval`` rounds so deep iteration counts don't build
+    an unboundedly nested plan.
     """
     edges = edges.select("src", "dst")
     nodes = (
@@ -41,8 +52,11 @@ def pagerank(
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_outdeg"))
     e = edges.join(deg, "src")
+    if persist:
+        nodes = nodes.persist()
+        e = e.persist()
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
@@ -59,4 +73,6 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("_contrib"), F.lit(0.0))
             ).alias("rank"),
         )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
