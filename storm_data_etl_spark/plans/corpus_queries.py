@@ -266,3 +266,83 @@ def ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("lastv").alias("n_window"),
         F.floor(10000 * ewma).cast("bigint").alias("ewma_e4"),
     )
+
+
+# =====================================================================
+# TF-IDF characteristic phrases per source
+# =====================================================================
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    terms AS (
+      SELECT source, w[r.i] || ' ' || w[r.i + 1] AS term
+      FROM toks, unnest(range(1, len(w))) AS r(i)
+    ),
+    tf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY source, term),
+    dfreq AS (SELECT term, count(DISTINCT source) AS df_s FROM tf GROUP BY term),
+    nsrc AS (SELECT count(DISTINCT source) AS n_src FROM toks),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, dfreq.df_s,
+             tf.tf * ln((1 + nsrc.n_src)::DOUBLE / (1 + dfreq.df_s)) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nsrc
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT source, rnk, term, tf, df_s,
+           CAST(floor(10000 * score) AS BIGINT) AS score_e4
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic phrases per source: TF-IDF over word bigrams
+    (unigrams are degenerate on this corpus — every word appears in every
+    source), smoothed idf = ln((1+N)/(1+df)), top-5 per source with a
+    deterministic term tiebreak.
+
+    Scale shape: term frequencies shuffle on (source, term) — both
+    high-cardinality, skew-free; document frequency and corpus size are
+    vocabulary-bounded side tables that ride broadcasts into the scoring
+    join; the top-k is one window shuffle on source. Same three-table
+    pattern as bm25_keyword_search, reading the corpus once."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("source", X.tokens("text").alias("w"))
+    )
+    n_pairs = F.greatest(F.size("w") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("w", 1, n_pairs),
+        F.slice("w", 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    terms = toks.select("source", F.explode(bigrams).alias("term"))
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count_distinct("source").alias("df_s"))
+    nsrc = toks.agg(F.count_distinct("source").alias("n_src"))
+    score = F.col("tf") * F.log(
+        (1 + F.col("n_src")).cast("double") / (1 + F.col("df_s"))
+    )
+    w_rank = Window.partitionBy("source").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nsrc))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            "rnk",
+            "term",
+            "tf",
+            "df_s",
+            F.floor(10000 * F.col("score")).cast("bigint").alias("score_e4"),
+        )
+    )

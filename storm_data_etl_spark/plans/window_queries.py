@@ -176,6 +176,40 @@ def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_counts",
+    """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+           CAST(floor(100 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE)) AS BIGINT) AS total_price_e2,
+           grouping(o_orderpriority) AS g_prio, grouping(o_orderstatus) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    """,
+)
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form behind ROLLUP/CUBE): the
+    (priority × status) detail grid, per-status subtotals, and the grand
+    total in ONE pass — Catalyst expands the sets into a single Expand +
+    hash aggregate, so the table is scanned once instead of three times.
+    Price totals use the exact-decimal-sum + floor formulation
+    (see moving_avg_7d)."""
+    o = t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupingSets(
+        [[F.col("o_orderpriority"), F.col("o_orderstatus")],
+         [F.col("o_orderstatus")], []],
+        F.col("o_orderpriority"),
+        F.col("o_orderstatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(100 * F.sum(dec).cast("double")).cast("bigint").alias("total_price_e2"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
     "asof_join",
     """
     WITH clicks AS (
