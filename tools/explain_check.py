@@ -149,6 +149,34 @@ def main() -> int:
         "(scan -> partial agg -> final agg)",
     )
 
+    # 14. Bigram LM: both model tables (bigram counts, context totals) and
+    # the vocab scalar ride broadcasts — the corpus-sized bigram stream
+    # never shuffles for the scoring joins.
+    p = plan_of(qs["bigram_lm_score"](spark, sf_dir))
+    check(
+        "bigram_lm_broadcast_model",
+        p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p,
+        f"(BroadcastHashJoin x{p.count('BroadcastHashJoin')})",
+    )
+
+    # 15. TF-IDF: document frequency + corpus size broadcast into the
+    # scoring join; top-k is a window, not a global sort of all terms.
+    p = plan_of(qs["tfidf_top_terms"](spark, sf_dir))
+    check(
+        "tfidf_broadcast_model",
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    )
+
+    # 16. GROUPING SETS compiles to ONE scan + Expand, not a union of
+    # per-granularity scans.
+    p = plan_of(qs["grouping_sets_counts"](spark, sf_dir))
+    # formatted explain names each scan twice (tree line + detail header).
+    check(
+        "grouping_sets_single_scan",
+        "Expand" in p and p.count("Scan parquet") <= 2 and "Union" not in p,
+        f"(Expand present, scan mentions x{p.count('Scan parquet')})",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
