@@ -116,6 +116,85 @@ def ngram_jaccard_pairs(
     return jac.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard pairs — the PPJoin-style scale path.
+
+    `ngram_jaccard_pairs` indexes EVERY shingle, so candidate volume is
+    Σ bucket² over all shingles; common shingles ("the data") generate
+    almost all of those pairs while confirming almost none. The prefix
+    filter exploits a total order over shingles (rarest first, by global
+    document frequency): if J(A,B) ≥ t, the two sets MUST share a shingle
+    among each one's first |S| - ⌈t·|S|⌉ + 1 shingles in that order — so
+    only those prefix shingles need indexing. Rare shingles have tiny
+    buckets, so candidate volume collapses while recall stays exact; the
+    surviving candidates are verified with a full intersection count,
+    making the output identical to the all-pairs operator (the unit tests
+    and the shared oracle pin that equivalence).
+
+    Plan shape: shingle pass persisted once; global frequency table joined
+    back (shuffle on shingle hash — uniform); per-doc rank window (shuffle
+    on id); candidate self-join only over prefix shingles; verify joins
+    restricted to candidate ids. The prefix length uses
+    n - floor(t·n) + 1 — one longer than strictly needed — so float edge
+    cases can only admit extra candidates (cost), never miss one
+    (correctness).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(X.shingles(text_col, k)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("shingle"))
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_s"))
+    prefix_len = F.col("n_shingles") - F.floor(threshold * F.col("n_shingles")) + 1
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df_s", "shingle")
+            ),
+        )
+        .join(sizes, "id")
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "shingle")
+    )
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -164,6 +164,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
 
 
+@register(
+    "jaccard_prefix_filtered",
+    f"""
+    WITH {_sql_jaccard_pairs(0.2)}
+    SELECT id_a, id_b, jaccard FROM jacpairs
+    """,
+)
+def jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard pairs (threshold 0.2):
+    only each document's rarest n - floor(t·n) + 1 shingles are indexed,
+    collapsing candidate volume; survivors get a full intersection count,
+    so the result is IDENTICAL to ngram_jaccard_pairs — the oracle is the
+    same exact all-pairs SQL, pinning that equivalence at value level."""
+    docs = t(spark, sf_dir, "documents")
+    return D.jaccard_prefix_pairs(docs, k=3, threshold=0.2)
+
+
 @register("minhash_lsh_pairs", None)  # xxhash64 signatures: no SQL oracle
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup candidates, est. Jaccard ≥ 0.2.

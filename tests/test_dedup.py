@@ -163,3 +163,24 @@ def test_star_cc_equals_propagation(spark):
         a = {r.id: r.component for r in connected_components(pairs).collect()}
         b = {r.id: r.component for r in connected_components_star(pairs).collect()}
         assert a == b, f"{name}: propagation={a} star={b}"
+
+
+def test_prefix_filtered_equals_all_pairs(spark, sf_dir):
+    """PPJoin prefix filter is exact: identical (id_a, id_b, jaccard) set
+    to the full inverted-index operator at the same threshold."""
+    from storm_data_etl_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    assert pref == exact
+    assert exact  # non-degenerate: the corpus has planted near-dups
