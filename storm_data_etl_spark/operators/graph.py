@@ -16,7 +16,7 @@ lineage — same guidance as dedup.connected_components.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +76,56 @@ def pagerank(
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    persist: bool = True,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an undirected
+    edge list (`src`, `dst`; symmetrized and deduplicated internally).
+
+    Every node starts labeled with its own id; each round a node adopts
+    the label most frequent among its neighbors, ties broken by the
+    SMALLEST label — fully deterministic, unlike the textbook
+    random-order variant, so results are reproducible and
+    oracle-checkable. Returns (node, label).
+
+    Per round: one shuffle joining labels to edges on dst, one grouped
+    count on (src, label), one row_number window on src — all uniform
+    keys. The symmetric edge list is the loop invariant (persisted);
+    labels are localCheckpoint'ed every ``checkpoint_interval`` rounds
+    (same lineage regime as `pagerank`).
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    if persist:
+        sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("nlab"))
+    for i in range(iterations):
+        counts = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("nlab")),
+                "dst",
+            )
+            .groupBy("src", "nlab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), F.col("nlab").alias("label"))
+        )
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -998,6 +998,62 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(tri)
 
 
+def _sql_lpa_iter(prev: str, out: str) -> str:
+    """One synchronous label-propagation round as SQL CTEs: neighbor-label
+    counts, then per-node argmax with smallest-label tie-break."""
+    return f"""
+    c_{out} AS (
+      SELECT e.src, l.label, count(*) AS c
+      FROM edges e JOIN {prev} l ON l.node = e.dst
+      GROUP BY e.src, l.label
+    ),
+    {out} AS (
+      SELECT src AS node, label FROM (
+        SELECT src, label,
+               row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS rn
+        FROM c_{out}) ranked
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "label_propagation_communities",
+    f"""
+    WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM su a JOIN su b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_sql_lpa_iter("l0", "l1")},
+    {_sql_lpa_iter("l1", "l2")}
+    SELECT node, label AS community FROM l2
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-supply graph by two rounds of
+    deterministic synchronous label propagation (argmax neighbor label,
+    min-label tie-break). The oracle unrolls both rounds as SQL CTEs —
+    pinning the count/argmax semantics per round, not just the final
+    partition. See operators/graph.label_propagation for the per-round
+    shuffle shape."""
+    from storm_data_etl_spark.operators.graph import label_propagation
+
+    su = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = su.withColumnsRenamed({"l_suppkey": "src"})
+    b = su.withColumnsRenamed({"l_suppkey": "dst"})
+    edges = (
+        a.join(b, (a.l_orderkey == b.l_orderkey) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    return label_propagation(edges, iterations=2).select(
+        "node", F.col("label").alias("community")
+    )
+
+
 # =====================================================================
 # Table profiling (per-column data-quality summary)
 # =====================================================================

@@ -184,3 +184,20 @@ def test_prefix_filtered_equals_all_pairs(spark, sf_dir):
     }
     assert pref == exact
     assert exact  # non-degenerate: the corpus has planted near-dups
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge: after 2 rounds every member
+    labels with its clique minimum; deterministic min tie-break."""
+    from storm_data_etl_spark.operators.graph import label_propagation
+
+    edges = (
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        + [(3, 10)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iterations=2).collect()}
+    assert all(got[n] == 0 for n in range(4))
+    # clique 2: node 10 touches the bridge but majority still wins
+    assert all(got[n] == 10 for n in range(11, 14))
