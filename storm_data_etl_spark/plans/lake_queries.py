@@ -100,6 +100,69 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_agg_maintenance",
+    """
+    WITH final AS (
+      SELECT o_custkey, o_totalprice FROM orders
+      WHERE (o_orderkey % 10 = 0) OR (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0)
+    )
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(floor(100 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE)) AS BIGINT) AS total_e2
+    FROM final GROUP BY o_custkey
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer (count, sum) aggregate
+    kept current by MERGING a CDC delta into the materialized state —
+    never recomputing from the base table. Base = orders with key%10≠0
+    (the 'already ingested' snapshot, aggregated once); delta = new
+    inserts (key%10=0) weighted +1 and deletes (key%7=0 of the base)
+    weighted −1, aggregated into signed partial states; the merge is a
+    union of the two state tables + one re-aggregate on the key, with
+    fully-deleted keys (count→0) dropped.
+
+    The oracle recomputes the same aggregate directly from the final row
+    set — proving delta composition ≡ recompute. At 100 TB this is the
+    difference between touching |delta| rows and touching the world: the
+    base state is bucketed/partitioned by key, the delta shuffle is
+    proportional to the changelog, and count/sum (and anything derivable:
+    avg, ratios) compose losslessly; the same pattern underlies
+    hypertable_rollup's hourly→daily composition."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    inserts = o.filter(F.col("o_orderkey") % 10 == 0)
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0)
+
+    base_state = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("price").alias("s")
+    )
+    changelog = inserts.select(
+        "o_custkey", F.lit(1).alias("w"), F.col("price").alias("sp")
+    ).unionByName(
+        deletes.select("o_custkey", F.lit(-1).alias("w"), (-F.col("price")).alias("sp"))
+    )
+    delta_state = changelog.groupBy("o_custkey").agg(
+        F.sum("w").alias("n"), F.sum("sp").alias("s")
+    )
+    merged = (
+        base_state.unionByName(delta_state)
+        .groupBy("o_custkey")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("stot"))
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.floor(100 * F.col("stot").cast("double")).cast("bigint").alias("total_e2"),
+    )
+
+
 # =====================================================================
 # Benchmark decontamination (shared-n-gram semi-join)
 # =====================================================================
