@@ -100,17 +100,22 @@ def magnitude_raw(
 def parse_hhmm(base_ts: ColumnOrName, hhmm: ColumnOrName) -> Column:
     """HHMM → timestamp on base date; invalid → base timestamp unchanged.
 
-    transform.go:93-112: trim; len<3 → base; len==3 → zero-pad; hour 0-23
-    and minute 0-59 else base. Valid values take the base timestamp's UTC
-    calendar date. Go accepts only digit strings of length 3-4 (Atoi fails
-    otherwise, len>4 yields minutes>59) ≡ regex ^\\d{3,4}$ + range checks.
+    transform.go:93-112: trim; len<3 → base; len==3 → zero-pad; then
+    hour = Atoi(s[:2]), minutes = Atoi(s[2:]) — the minute slice runs TO
+    THE END, so len>4 digit strings stay in Go's domain when the tail
+    parses ≤59 ("00001" → 00:01; hypothesis found the earlier
+    `lpad(t,4)` formulation silently truncating those). Digit-only gate ≡
+    Atoi failure on other chars; try_cast null on >int tails ≡ Atoi
+    range error. Known pinned divergence (out-of-domain): Go's Atoi also
+    accepts a leading sign inside the slices ("+100" → 01:00) — kept out
+    of scope like the other sign cases (see module notes).
     """
     ts = _c(base_ts)
     t = F.trim(_c(hhmm))
-    padded = F.lpad(t, 4, "0")
+    padded = F.when(F.length(t) == 3, F.concat(F.lit("0"), t)).otherwise(t)
     hour = F.substring(padded, 1, 2).try_cast("int")
-    minute = F.substring(padded, 3, 2).try_cast("int")
-    valid = t.rlike(r"^\d{3,4}$") & (hour <= 23) & (minute <= 59)
+    minute = F.substr(padded, F.lit(3)).try_cast("int")
+    valid = t.rlike(r"^\d{3,}$") & (hour <= 23) & (minute.isNotNull()) & (minute <= 59)
     return F.when(
         valid,
         F.make_timestamp(

@@ -120,6 +120,11 @@ HHMM_CASES = [
     ("12a0", BASE),
     ("  1510  ", dt.datetime(2024, 4, 26, 15, 10)),
     ("15100", BASE),  # 5 digits → Go minutes=100 invalid
+    # >4 digits stay in Go's domain when the tail parses ≤59: the minute
+    # slice runs to the END of the string (transform.go:103), regression
+    # for the lpad-truncation bug hypothesis found.
+    ("00001", dt.datetime(2024, 4, 26, 0, 1)),
+    ("230059", dt.datetime(2024, 4, 26, 23, 59)),
 ]
 
 
