@@ -130,6 +130,119 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type, "value",
+             quantile_cont("value", 0.05) OVER (PARTITION BY event_type) AS lo,
+             quantile_cont("value", 0.95) OVER (PARTITION BY event_type) AS hi
+      FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           sum(CASE WHEN "value" < lo OR "value" > hi THEN 1 ELSE 0 END)
+             AS n_clipped,
+           CAST(floor(10000 * sum(least(greatest("value", lo), hi)) / count(*))
+                AS BIGINT) AS winsor_mean_e4,
+           CAST(floor(10000 * max(lo)) AS BIGINT) AS p05_e4,
+           CAST(floor(10000 * max(hi)) AS BIGINT) AS p95_e4
+    FROM b GROUP BY event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) robust mean per event type: exact p05/p95 as
+    partition-window percentiles, values clipped into the band, outliers
+    counted — the standard tail-taming pass before numeric features feed
+    training. One shuffle on event_type; at 100 TB the exact holistic
+    percentile swaps for percentile_approx computed in a pre-aggregate
+    (same two-pass shape) rather than a window."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    staged = ev.select(
+        "event_type",
+        "value",
+        F.percentile("value", F.lit(0.05)).over(w).alias("lo"),
+        F.percentile("value", F.lit(0.95)).over(w).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(out_of_band, 1).otherwise(0)).alias("n_clipped"),
+        F.floor(10000 * F.sum(clipped) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("winsor_mean_e4"),
+        F.floor(10000 * F.max("lo")).cast("bigint").alias("p05_e4"),
+        F.floor(10000 * F.max("hi")).cast("bigint").alias("p95_e4"),
+    )
+
+
+@register(
+    "rolling_distinct_types",
+    """
+    WITH r AS (
+      SELECT user_id,
+             len(list_distinct(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)))
+               AS n_distinct_1h
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           max(n_distinct_1h) AS max_distinct_1h
+    FROM r GROUP BY user_id
+    """,
+)
+def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burst diversity: distinct event types within the trailing
+    hour at every event (range frame over the raw ns timestamp — ties are
+    peers, so ordering is unambiguous), summarized as the per-user max.
+    Distinct-in-frame is collect_list + array_distinct (bounded by the
+    frame); at 100 TB the range frame stays per-user-local — one shuffle
+    on user_id."""
+    one_hour_ns = 3_600_000_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-one_hour_ns, 0)
+    )
+    r = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "n_distinct_1h"
+        ),
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("n_distinct_1h").alias("max_distinct_1h"),
+    )
+
+
+@register(
+    "value_corr_by_type",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(floor(10000 * corr("value", CAST(hour(ts) AS DOUBLE)))
+                AS BIGINT) AS corr_value_hour_e4
+    FROM events GROUP BY event_type
+    """,
+)
+def value_corr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of event value against hour-of-day per type —
+    the quick seasonality screen before feature selection. Spark `corr` ≡
+    DuckDB `corr` (sample covariance over n−1); one partial-aggregable
+    shuffle on event_type."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(
+            10000 * F.corr("value", F.hour("ts_utc").cast("double"))
+        )
+        .cast("bigint")
+        .alias("corr_value_hour_e4"),
+    )
+
+
+@register(
     "pivot_counts",
     """
     SELECT user_id % 10 AS cohort,
