@@ -74,3 +74,81 @@ def streaming_first_wins_dedup(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def streaming_running_stats(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch per-key running aggregates: count, sum, min, max and an
+    EWMA (s ← α·x + (1−α)·s in arrival order) maintained in the state
+    store; each micro-batch emits one updated snapshot row per touched
+    key — the streaming twin of the batch `ewma_last` /
+    `value_change_points` readouts.
+
+    State is O(1) per key (five scalars) regardless of stream length —
+    the composable-aggregate discipline from incremental_agg_maintenance
+    applied to streams. Decomposable stats (count/sum/min/max) would also
+    fit `agg` over a watermarked window; the EWMA's order-dependent
+    recursion is what needs applyInPandasWithState. ``ttl_ms`` bounds the
+    store for keys gone cold (same caveat as streaming_first_wins_dedup:
+    only with real triggers).
+    """
+    ktype = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, n long, total double, vmin double, "
+        "vmax double, ewma double"
+    )
+    state_schema = "n long, total double, vmin double, vmax double, ewma double"
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, vmin, vmax, ewma = (
+            state.get if state.exists else (0, 0.0, float("inf"), float("-inf"), 0.0)
+        )
+        touched = False
+        for pdf in batches:
+            for x in pdf[value_col].astype(float):
+                touched = True
+                total += x
+                vmin = min(vmin, x)
+                vmax = max(vmax, x)
+                ewma = x if n == 0 else alpha * x + (1.0 - alpha) * ewma
+                n += 1
+        if not touched:
+            return
+        state.update((n, total, vmin, vmax, ewma))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    "n": n,
+                    "total": total,
+                    "vmin": vmin,
+                    "vmax": vmax,
+                    "ewma": ewma,
+                }
+            ]
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

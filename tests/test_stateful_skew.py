@@ -69,3 +69,49 @@ def test_salted_top_values(spark):
     assert got[("k1", 1)] == ("a", 5)
     assert got[("k1", 2)] == ("b", 3)
     assert got[("k2", 1)] == ("z", 2)
+
+
+def test_streaming_running_stats_cross_batch(spark, tmp_path):
+    """Running (n, sum, min, max, EWMA) accumulates across micro-batches;
+    the final snapshot per key matches a sequential Python fold."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import streaming_running_stats
+
+    src = str(tmp_path / "src_stats")
+    _os.makedirs(src)
+
+    def write_batch(fname, rows):
+        with open(_os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_batch("b0.json", [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 20.0}])
+
+    stream = spark.readStream.schema("user_id long, value double").json(src)
+    stats = streaming_running_stats(stream, "user_id", "value", alpha=0.5)
+    q = (
+        stats.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stats_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b1.json", [{"user_id": 1, "value": 2.0}, {"user_id": 2, "value": 7.0}])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from stats_out order by n"
+        ).collect()
+    finally:
+        q.stop()
+
+    latest = {}
+    for r in rows:  # last snapshot per key (ordered by n, so later overwrites)
+        latest[r.user_id] = r
+    # user 1: fold 10, 20, 2 with alpha=0.5 → ewma = 0.5*2 + 0.5*(0.5*20+0.5*10) = 8.5
+    u1 = latest[1]
+    assert (u1.n, u1.total, u1.vmin, u1.vmax, u1.ewma) == (3, 32.0, 2.0, 20.0, 8.5)
+    u2 = latest[2]
+    assert (u2.n, u2.total, u2.vmin, u2.vmax, u2.ewma) == (1, 7.0, 7.0, 7.0, 7.0)
