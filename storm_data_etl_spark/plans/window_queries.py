@@ -242,6 +242,81 @@ def value_corr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hll_distinct_rollup", None)  # Datasketches binary: no SQL oracle
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL sketches of user_id
+    built once (`hll_sketch_agg`), then UNIONED upward (`hll_union_agg`)
+    into per-type totals — distinct counts composed from partial states
+    without re-touching rows, the incremental_agg_maintenance /
+    hypertable_rollup discipline applied to COUNT(DISTINCT), which does
+    not otherwise compose. At 100 TB the daily sketch table is KBs per
+    partition and replaces a full-corpus shuffle per rollup question;
+    estimates are within ~2% (lgK=12) — pytest pins the error against the
+    exact count. No SQL oracle: the sketch binary is Datasketches-
+    specific (driver does the rows-only check)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts_utc").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_rows").alias("n_rows"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "distinct_users_est"
+            ),
+        )
+        .select("event_type", "n_days", "n_rows", "distinct_users_est")
+    )
+
+
+@register(
+    "percentile_ranks",
+    """
+    WITH r AS (
+      SELECT event_type, event_id,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY "value", event_id) AS pr,
+             cume_dist()    OVER (PARTITION BY event_type
+                                  ORDER BY "value", event_id) AS cd
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(floor(1000000 * max(CASE WHEN pr <= 0.5 THEN pr END))
+                AS BIGINT) AS median_pr_e6,
+           CAST(floor(1000000 * min(CASE WHEN cd >= 0.9 THEN cd END))
+                AS BIGINT) AS p90_cd_e6
+    FROM r GROUP BY event_type
+    """,
+)
+def percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist relative-position windows (deterministic
+    event_id tiebreak), summarized per type: the largest percent_rank at
+    or below the median and the smallest cume_dist at or above 0.9. The
+    ranks are exact rationals (k/(n−1), k/n) — identical doubles in both
+    engines, so the e6 floor is parity-safe."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(1000000 * F.max(F.when(F.col("pr") <= 0.5, F.col("pr"))))
+        .cast("bigint")
+        .alias("median_pr_e6"),
+        F.floor(1000000 * F.min(F.when(F.col("cd") >= 0.9, F.col("cd"))))
+        .cast("bigint")
+        .alias("p90_cd_e6"),
+    )
+
+
 @register(
     "pivot_counts",
     """

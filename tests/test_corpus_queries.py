@@ -81,3 +81,25 @@ def test_bigram_lm_prefers_repeated_text(spark, sf_dir):
     # Scores are mean log-probs: strictly negative, and not all equal.
     assert stats["hi"] < 0
     assert stats["lo"] < stats["hi"]
+
+
+def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
+    """Merged daily HLL sketches estimate per-type distinct users within
+    2% of the exact count (lgK=12 on small cardinalities is near-exact)."""
+    from pyspark.sql import functions as F
+    from storm_data_etl_spark.plans.window_queries import hll_distinct_rollup
+
+    est = {
+        r.event_type: r.distinct_users_est
+        for r in hll_distinct_rollup(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for etype, n in exact.items():
+        assert abs(est[etype] - n) <= max(1, 0.02 * n), (etype, est[etype], n)
