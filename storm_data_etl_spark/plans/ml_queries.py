@@ -377,6 +377,70 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_error",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, label, v,
+             list_min(v) AS vmin,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT label,
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE list_max(list_transform(v, x ->
+                    abs(x - (vmin + floor((x - vmin) / scale + 0.5) * scale))))
+             END AS err
+      FROM s
+    )
+    SELECT label, count(*) AS n_vecs,
+           CAST(floor(1000000 * max(err)) AS BIGINT) AS max_err_e6,
+           CAST(floor(1000000 * sum(err) / count(*)) AS BIGINT) AS avg_err_e6
+    FROM q GROUP BY label
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization error analysis: each vector min-max
+    quantized to 256 levels (floor(x+0.5), never round() — the
+    engine-splitting half-up trap) and dequantized; per-label max and
+    mean of the per-vector worst-dimension reconstruction error. The 4×
+    compression (float32 → uint8 + 2 scalars) is what makes a 100 TB
+    embedding store scannable; this query is the quality gate that
+    precedes it. All higher-order array expressions — narrow pass + tiny
+    label aggregate; the quantization bound err ≤ scale/2 is pinned in
+    pytest."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    staged = emb.withColumns(
+        {
+            "vmin": F.array_min("v"),
+            "scale": (F.array_max("v") - F.array_min("v")) / 255.0,
+        }
+    )
+
+    def dim_err(x):
+        code = F.floor((x - F.col("vmin")) / F.col("scale") + F.lit(0.5))
+        return F.abs(x - (F.col("vmin") + code * F.col("scale")))
+
+    err = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.array_max(F.transform("v", dim_err))
+    )
+    return (
+        staged.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.floor(1000000 * F.max("err")).cast("bigint").alias("max_err_e6"),
+            F.floor(1000000 * F.sum("err") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_err_e6"),
+        )
+    )
+
+
+@register(
     "embedding_near_dup_exact",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -318,6 +318,49 @@ def percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev, event_type AS next, count(*) AS n,
+           CAST(floor(1000000 * count(*)::DOUBLE /
+                sum(count(*)) OVER (PARTITION BY prev)) AS BIGINT) AS prob_e6
+    FROM s WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (lag window with the standard ns-ts + event_id order): count and
+    row-normalized probability per (prev → next) pair — the behavioral-
+    model summary behind session simulation and anomaly scoring. One
+    shuffle on user_id for the lag, one tiny aggregate; the normalizing
+    row sums ride a window over the K×K result, not the events."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t(spark, sf_dir, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    counts = (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "next",
+        "n",
+        F.floor(1000000 * F.col("n").cast("double") / F.sum("n").over(wrow))
+        .cast("bigint")
+        .alias("prob_e6"),
+    )
+
+
+@register(
     "pivot_counts",
     """
     SELECT user_id % 10 AS cohort,

@@ -103,3 +103,22 @@ def test_ivf_full_probe_equals_brute_force(spark):
     exact = {(r.probe_id, r.vec_id, r.rank) for r in S.brute_force_topk(df, probes, k=5).collect()}
     full = {(r.probe_id, r.vec_id, r.rank) for r in S.ivf_topk(df, probes, cents, k=5, n_probe=3).collect()}
     assert full == exact
+
+
+def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
+    """int8 min-max quantization: worst-dim reconstruction error ≤ scale/2
+    (the roundoff bound), and zero only for constant vectors."""
+    from pyspark.sql import functions as F
+    from storm_data_etl_spark.plans.ml_queries import embedding_quantize_error
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    half_scale_max = emb.select(
+        ((F.array_max("v") - F.array_min("v")) / 255.0 / 2.0).alias("hs")
+    ).agg(F.max("hs")).first()[0]
+    out = embedding_quantize_error(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.max_err_e6 <= int(1e6 * half_scale_max) + 1
+        assert 0 <= r.avg_err_e6 <= r.max_err_e6
