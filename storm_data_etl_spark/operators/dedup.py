@@ -195,6 +195,51 @@ def jaccard_prefix_pairs(
     return jac.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C = |A∩B| / min(|A|, |B|).
+
+    Jaccard under-scores subset relationships — a paragraph wholly embedded
+    in a much longer page has J = |A|/|B| ≈ 0 but containment ≈ 1. Corpus
+    curation cares about exactly that case (quoted/boilerplate inclusion,
+    doc-in-doc scrapes), so the standard recipe (e.g. Broder's shingling
+    paper's "containment" measure) is max-containment over the smaller set.
+
+    Same inverted-index plan shape as `ngram_jaccard_pairs` (one persisted
+    shingle pass, self-join on 8-byte shingle hash, per-pair intersection
+    count, size join) — only the final scoring expression differs, so the
+    scale analysis there applies unchanged. Output (id_a, id_b, containment)
+    with id_a < id_b, containment rounded to 6 places.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(X.shingles(text_col, k)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    cont = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+    )
+    return cont.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -129,3 +129,49 @@ def label_propagation(
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 2) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list (`src`,
+    `dst`; symmetrized and deduplicated internally).
+
+    Each round drops every node whose current degree is < k and restricts
+    the edge set to surviving endpoints — the standard distributed peeling
+    formulation (one grouped degree count + two semi-joins per round, all
+    on uniform node keys). A bounded `rounds` keeps the plan size fixed
+    and oracle-unrollable; full-core convergence just raises `rounds`
+    (degeneracy peeling converges in O(peel depth) rounds). Returns
+    (node, degree) for nodes whose degree after the final restriction is
+    still ≥ k — i.e. members of the (k, rounds)-approximate core, exact
+    when an extra round removes nothing.
+
+    The symmetric edge list is re-persisted per round (it is both the
+    degree-count input and the restriction target — two references), and
+    the prior round's cache is released once the new one materializes.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    cur = sym
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        nxt = (
+            cur.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    out = (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("src").alias("node"), "degree")
+    )
+    return out

@@ -346,3 +346,67 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(10000 * F.col("score")).cast("bigint").alias("score_e4"),
         )
     )
+
+
+# =====================================================================
+# Vocabulary coverage (tokenizer truncation planning)
+# =====================================================================
+
+@register(
+    "vocab_coverage",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    top AS (
+      SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+      FROM cnt QUALIFY rank <= 100
+    )
+    SELECT rank, tok, c,
+           CAST(floor(1000000.0 * sum(c) OVER (ORDER BY rank)
+                      / n_total) AS BIGINT) AS cum_cov_e6
+    FROM top CROSS JOIN tot
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 tokens by corpus frequency with cumulative token-stream
+    coverage — the curve a tokenizer/vocabulary-size decision reads off
+    ("how much of the stream do the top-N types cover?").
+
+    Scale shape: the token count is one map-side-combined shuffle on
+    uniform token keys; top-100 is a TakeOrdered (no global sort of the
+    vocabulary); only the 100 survivors hit the single-partition
+    cumulative window, and the scalar total broadcasts. The (count desc,
+    token) order is total, so rank — and therefore the cumulative sum —
+    is deterministic in both engines.
+    """
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(F.explode(X.tokens("text")).alias("tok"))
+    )
+    toks = toks.persist()  # counted twice: per-token and grand total
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(100)
+    )
+    w_rank = Window.orderBy(F.desc("c"), "tok")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .select(
+            "rank",
+            "tok",
+            "c",
+            F.floor(1000000.0 * F.sum("c").over(w_cum) / F.col("n_total"))
+            .cast("bigint")
+            .alias("cum_cov_e6"),
+        )
+    )

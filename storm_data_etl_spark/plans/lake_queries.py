@@ -1117,6 +1117,70 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "kcore_decomposition",
+    """
+    WITH slot AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+      FROM events
+    ),
+    w AS (
+      SELECT a.user_id AS src, b.user_id AS dst
+      FROM slot a JOIN slot b
+        ON a.event_type = b.event_type AND a.h = b.h AND a.user_id < b.user_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    e0 AS (SELECT src, dst FROM w UNION SELECT dst, src FROM w),
+    d1 AS (SELECT src, count(*) AS c FROM e0 GROUP BY src),
+    k1 AS (SELECT src FROM d1 WHERE c >= 15),
+    e1 AS (SELECT e.src, e.dst FROM e0 e
+           JOIN k1 a ON a.src = e.src JOIN k1 b ON b.src = e.dst),
+    d2 AS (SELECT src, count(*) AS c FROM e1 GROUP BY src),
+    k2 AS (SELECT src FROM d2 WHERE c >= 15),
+    e2 AS (SELECT e.src, e.dst FROM e1 e
+           JOIN k2 a ON a.src = e.src JOIN k2 b ON b.src = e.dst),
+    d3 AS (SELECT src, count(*) AS c FROM e2 GROUP BY src)
+    SELECT src AS node, c AS degree FROM d3 WHERE c >= 15
+    """,
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-core of the user co-activity graph (users linked when they share
+    ≥3 distinct (event_type, hour) activity slots): two rounds of degree
+    peeling — the cohesion primitive behind dense-community extraction
+    and bot-ring detection. The oracle unrolls the same two peeling
+    rounds as CTEs, pinning per-round degree/restriction semantics. The
+    slot projection keeps the pair join sparse (slots fan out ~users per
+    slot, not all-pairs); see operators/graph.kcore for the per-round
+    shuffle shape."""
+    from storm_data_etl_spark.operators.graph import kcore
+
+    ev = t(spark, sf_dir, "events")
+    slot = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts_utc").alias("h")
+    ).distinct()
+    a = slot.select(
+        F.col("user_id").alias("src"), "event_type", F.col("h")
+    )
+    b = slot.select(
+        F.col("user_id").alias("dst"),
+        F.col("event_type").alias("et_b"),
+        F.col("h").alias("h_b"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("h") == F.col("h_b"))
+            & (F.col("src") < F.col("dst")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("src", "dst")
+    )
+    return kcore(edges, k=15, rounds=2)
+
+
 # =====================================================================
 # Table profiling (per-column data-quality summary)
 # =====================================================================

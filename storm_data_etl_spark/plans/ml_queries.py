@@ -181,6 +181,40 @@ def jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_pairs(docs, k=3, threshold=0.2)
 
 
+@register(
+    "containment_near_dup",
+    f"""
+    WITH norm AS (
+      SELECT doc_id AS id, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest({_sql_shingles(3)}) AS shingle FROM norm
+    ),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / least(sa.n_shingles, sb.n_shingles), 6)
+             AS containment
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common::DOUBLE / least(sa.n_shingles, sb.n_shingles) >= 0.6
+    """,
+)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (C = |A∩B| / min sizes ≥ 0.6):
+    catches doc-in-doc inclusion that symmetric Jaccard under-scores (a
+    page embedding a whole shorter doc). Same inverted-index plan as
+    ngram_jaccard_pairs; only the scoring expression differs."""
+    docs = t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, k=3, threshold=0.6)
+
+
 @register("minhash_lsh_pairs", None)  # xxhash64 signatures: no SQL oracle
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup candidates, est. Jaccard ≥ 0.2.

@@ -1009,3 +1009,96 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_e2"),
         )
     )
+
+
+# =====================================================================
+# Interval union merge (gaps-and-islands over overlapping intervals)
+# =====================================================================
+
+@register(
+    "interval_union_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS s,
+             epoch_ns(ts) + (1 + event_id % 30) * 60000000000 AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ),
+    fl AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+               AS new_island
+      FROM m
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+      FROM fl
+    ),
+    g AS (
+      SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, count(*) AS n_islands,
+           CAST(floor(sum(i_end - i_start) / 60000000000.0) AS BIGINT)
+             AS covered_min,
+           CAST(floor(max(i_end - i_start) / 60000000000.0) AS BIGINT)
+             AS longest_min
+    FROM g GROUP BY user_id
+    """,
+)
+def interval_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of overlapping time intervals (gaps-and-islands):
+    each event opens a deterministic (1 + event_id mod 30)-minute interval;
+    overlapping/touching-by-overlap intervals merge into islands via the
+    classic running-max-of-ends break detector, then per-user island
+    count / covered / longest-coverage stats. This is the interval-algebra
+    primitive behind utilization, on-call coverage, and downtime-merge
+    queries — distinct from sessionize's point-gap sessions (intervals
+    have extents; islands end only when the next start clears EVERY prior
+    end, hence the cummax, not lag).
+
+    All arithmetic is exact int64 nanoseconds (events.ts scans as raw ns
+    long); the only floats are the final minute divisions, identical IEEE
+    ops in both engines. Plan: one shuffle partitioning by user_id serves
+    both stacked windows (same key+order), then the two grouped
+    aggregations reuse that partitioning — no extra exchange.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + (1 + F.col("event_id") % 30) * F.lit(60_000_000_000)).alias(
+            "e"
+        ),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    )
+    isl = ev.withColumn("new_island", new_island).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    span = F.col("i_end") - F.col("i_start")
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.floor(F.sum(span) / 60_000_000_000.0).cast("bigint").alias("covered_min"),
+        F.floor(F.max(span) / 60_000_000_000.0).cast("bigint").alias("longest_min"),
+    )

@@ -201,3 +201,43 @@ def test_label_propagation_two_cliques(spark):
     assert all(got[n] == 0 for n in range(4))
     # clique 2: node 10 touches the bridge but majority still wins
     assert all(got[n] == 10 for n in range(11, 14))
+
+
+def test_kcore_peels_tail(spark):
+    """Triangle 0-1-2 plus a pendant chain 2-3-4: 2-core keeps exactly the
+    triangle (round 1 drops node 4, round 2 drops the now-degree-1 node 3);
+    surviving degrees are the within-core degrees."""
+    from storm_data_etl_spark.operators.graph import kcore
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore(df, k=2, rounds=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_complete_graph_survives(spark):
+    """K4 is its own 3-core: nothing peels, all degrees stay 3."""
+    from storm_data_etl_spark.operators.graph import kcore
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.degree for r in kcore(df, k=3, rounds=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_containment_subset_doc(spark):
+    """A 4-word doc embedded verbatim in a longer doc: containment = 1.0
+    even though Jaccard is far below threshold; unrelated docs absent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in D.containment_pairs(docs, k=3, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): 1.0}
