@@ -410,3 +410,43 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_cov_e6"),
         )
     )
+
+
+# =====================================================================
+# Per-source document cap (domain-balance retention)
+# =====================================================================
+
+@register(
+    "per_source_cap",
+    """
+    SELECT source, rank, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+    ) ranked
+    WHERE rank <= 10
+    """,
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap: keep at most 10 documents per source,
+    preferring the largest (n_chars desc, doc_id tie-break) — the
+    crawl-curation rule that stops any single domain from dominating the
+    training mix. One shuffle on source; the rank window's (n_chars desc,
+    doc_id) order is total, so the kept set is deterministic. At 100 TB
+    a heavy-domain skew would make per-source partitions uneven — the
+    same window runs after salting with skew.salted_top_values if a
+    domain exceeds a task's memory; semantics unchanged."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("source", "rank", "doc_id", "n_chars")
+    )

@@ -215,6 +215,51 @@ def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(docs, k=3, threshold=0.6)
 
 
+@register(
+    "cross_source_overlap",
+    f"""
+    WITH norm AS (
+      SELECT source, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, unnest({_sql_shingles(8)}) AS g FROM norm
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_8grams
+    FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: for every source pair, the number
+    of distinct word-8-grams both emit — the diagnostic that surfaces
+    mirror sites / syndicated boilerplate BETWEEN crawl domains (the
+    per-doc twin is repeated_ngram_contamination). The distinct
+    (source, shingle) projection collapses within-source repeats before
+    the pair join, so join input is bounded by distinct-grams × sources,
+    not corpus size; the join key is the 8-byte shingle hash in Spark
+    (count per pair is hash-invariant: both engines count the same set)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.explode(X.shingles("text", 8)).alias("g")
+        )
+        .select("source", F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+    sh = sh.persist()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_8grams"))
+    )
+
+
 @register("minhash_lsh_pairs", None)  # xxhash64 signatures: no SQL oracle
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup candidates, est. Jaccard ≥ 0.2.

@@ -118,3 +118,78 @@ def test_streaming_pipeline_foreachbatch(spark, tmp_path):
         time.sleep(0.2)
     assert listener.ready
     assert listener.total_input_rows >= 3
+
+
+def test_attribution_join_batch_semantics(spark):
+    """Batch run of the stream-stream join plan: conversions attach to every
+    impression of the same user within the 1h horizon; outside-horizon and
+    cross-user conversions drop; left_outer keeps unconverted impressions."""
+    from datetime import datetime
+
+    from storm_data_etl_spark.streaming.joins import attribution_join
+
+    ts = lambda m: datetime(2024, 1, 1, 12, m)  # noqa: E731
+    imps = spark.createDataFrame(
+        [(1, ts(0), "a"), (1, ts(30), "b"), (2, ts(0), "c")],
+        "user_id long, imp_ts timestamp, imp_id string",
+    )
+    convs = spark.createDataFrame(
+        [(1, ts(45), 9.99), (3, ts(10), 5.0)],
+        "user_id long, conv_ts timestamp, amount double",
+    )
+    inner = attribution_join(imps, convs).select("imp_id", "amount").collect()
+    assert {(r.imp_id, r.amount) for r in inner} == {("a", 9.99), ("b", 9.99)}
+
+    outer = attribution_join(imps, convs, how="left_outer")
+    got = {(r.imp_id, r.amount) for r in outer.collect()}
+    assert got == {("a", 9.99), ("b", 9.99), ("c", None)}
+
+
+def test_attribution_join_streaming_cross_batch(spark, tmp_path):
+    """Impression arrives in micro-batch 0, its conversion in batch 1: the
+    buffered impression state still matches (stream-stream join state)."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.joins import attribution_join
+
+    imp_dir = str(tmp_path / "imps")
+    conv_dir = str(tmp_path / "convs")
+    _os.makedirs(imp_dir)
+    _os.makedirs(conv_dir)
+
+    def put(d, fname, rows):
+        with open(_os.path.join(d, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    put(imp_dir, "b0.json", [
+        {"user_id": 1, "imp_ts": "2024-01-01T12:00:00", "imp_id": "a"},
+    ])
+    put(conv_dir, "b0.json", [])
+
+    imps = spark.readStream.schema(
+        "user_id long, imp_ts timestamp, imp_id string"
+    ).json(imp_dir)
+    convs = spark.readStream.schema(
+        "user_id long, conv_ts timestamp, amount double"
+    ).json(conv_dir)
+    q = (
+        attribution_join(imps, convs)
+        .select("imp_id", "amount")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from attr_out").count() == 0
+        put(conv_dir, "b1.json", [
+            {"user_id": 1, "conv_ts": "2024-01-01T12:30:00", "amount": 3.5},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("select * from attr_out").collect()
+    finally:
+        q.stop()
+    assert {(r.imp_id, r.amount) for r in rows} == {("a", 3.5)}
