@@ -1102,3 +1102,197 @@ def interval_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum(span) / 60_000_000_000.0).cast("bigint").alias("covered_min"),
         F.floor(F.max(span) / 60_000_000_000.0).cast("bigint").alias("longest_min"),
     )
+
+
+# =====================================================================
+# Per-type linear trend (regression slope over time)
+# =====================================================================
+
+@register(
+    "trend_slope_by_type",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(floor(1000000 * regr_slope(
+                 "value", epoch_ns(ts) / 86400000000000.0)) AS BIGINT)
+             AS slope_per_day_e6,
+           CAST(floor(10000 * regr_intercept(
+                 "value", epoch_ns(ts) / 86400000000000.0)) AS BIGINT)
+             AS intercept_e4
+    FROM events GROUP BY event_type
+    """,
+)
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of event value over time per type (slope per
+    day + intercept) — the drift screen that catches a metric ramping
+    before a threshold alarm would. x is exact epoch-ns scaled to days by
+    one per-row double division (deterministic IEEE op), y the raw value;
+    regr_slope/regr_intercept are single-pass partial-aggregable moments,
+    so the whole query is one map-side-combined shuffle on event_type —
+    the same plan at any scale. Spark and DuckDB share the moment
+    formulas; outputs are floor-scaled like value_corr_by_type."""
+    ev = t(spark, sf_dir, "events")
+    x = (F.col("ts") / 86400000000000.0).alias("x")
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(1000000 * F.regr_slope("y", "x"))
+            .cast("bigint")
+            .alias("slope_per_day_e6"),
+            F.floor(10000 * F.regr_intercept("y", "x"))
+            .cast("bigint")
+            .alias("intercept_e4"),
+        )
+    )
+
+
+# =====================================================================
+# PSI drift bins (population stability index, per-bin terms)
+# =====================================================================
+
+@register(
+    "psi_drift_bins",
+    """
+    WITH half AS (
+      SELECT "value",
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS h
+      FROM events
+    ),
+    edges AS (
+      SELECT quantile_cont("value", [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e
+      FROM half WHERE h = 0
+    ),
+    binned AS (
+      SELECT h,
+             CAST("value" > e[1] AS INT) + CAST("value" > e[2] AS INT)
+           + CAST("value" > e[3] AS INT) + CAST("value" > e[4] AS INT)
+           + CAST("value" > e[5] AS INT) + CAST("value" > e[6] AS INT)
+           + CAST("value" > e[7] AS INT) + CAST("value" > e[8] AS INT)
+           + CAST("value" > e[9] AS INT) AS bin
+      FROM half CROSS JOIN edges
+    ),
+    counts AS (
+      SELECT bin,
+             count(*) FILTER (h = 0) AS n_first,
+             count(*) FILTER (h = 1) AS n_second
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_first) AS t1, sum(n_second) AS t2 FROM counts)
+    SELECT bin, n_first, n_second,
+           CAST(floor(1000000 * ((n_second + 1.0) / (t2 + 10)
+                                 - (n_first + 1.0) / (t1 + 10))
+                * ln(((n_second + 1.0) / (t2 + 10))
+                     / ((n_first + 1.0) / (t1 + 10)))) AS BIGINT)
+             AS psi_term_e6
+    FROM counts CROSS JOIN tot
+    """,
+)
+def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check: decile bin edges fitted on
+    the first half of the month, both halves histogrammed into those
+    bins, and the add-one-smoothed per-bin PSI term emitted (summing the
+    terms gives the headline PSI; per-bin output keeps every float op
+    per-row-deterministic — no cross-row double summation to diverge
+    between engines, the same discipline as moving_avg_7d).
+
+    Scale shape: the 9 edges are one exact-percentile aggregate on the
+    reference half (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    both (n-1)p interpolation on doubles) broadcast to the scan; binning
+    is 9 comparisons per row; the bin histogram is a 10-key grouped count
+    with map-side partials — at 100 TB this is one scan plus two scalar
+    broadcasts. Used as the production gate that training-data value
+    distributions haven't shifted between snapshots."""
+    ev = t(spark, sf_dir, "events")
+    cutoff = 1705363200000000000  # 2024-01-16T00:00:00Z in epoch ns
+    half = ev.select(
+        "value", F.when(F.col("ts") < cutoff, 0).otherwise(1).alias("h")
+    )
+    half = half.persist()  # scanned for edges and again for binning
+    edges = half.filter(F.col("h") == 0).agg(
+        F.percentile(
+            "value", F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
+        ).alias("e")
+    )
+    bin_col = sum(
+        (F.col("value") > F.col("e")[i]).cast("int") for i in range(9)
+    ).alias("bin")
+    counts = (
+        half.crossJoin(F.broadcast(edges))
+        .select("h", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("n_first"),
+            F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("n_second"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_first").alias("t1"), F.sum("n_second").alias("t2")
+    )
+    p1 = (F.col("n_first") + 1.0) / (F.col("t1") + 10)
+    p2 = (F.col("n_second") + 1.0) / (F.col("t2") + 10)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_first",
+            "n_second",
+            F.floor(1000000 * (p2 - p1) * F.log(p2 / p1))
+            .cast("bigint")
+            .alias("psi_term_e6"),
+        )
+    )
+
+
+# =====================================================================
+# Frequent event trigrams (sequential pattern mining)
+# =====================================================================
+
+@register(
+    "frequent_event_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS trigram, count(*) AS c
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT trigram, c,
+           row_number() OVER (ORDER BY c DESC, trigram) AS rank
+    FROM tri QUALIFY rank <= 20
+    """,
+)
+def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-event behavioral sequences across users (lead ×2 within
+    each user's (ts, event_id)-ordered stream, then a global count) — the
+    sequential-pattern primitive behind funnel discovery and bot-signature
+    mining, generalizing event_transition_matrix from order-1 to order-2
+    context. One shuffle partitions by user for the windows, the trigram
+    count is map-side-combined on a key space bounded by |types|³, and the
+    top-20 is a TakeOrdered under the total (count desc, trigram) order."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "trigram")
+        .limit(20)
+    )
+    return tri.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("c"), "trigram"))
+    )

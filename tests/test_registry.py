@@ -45,5 +45,5 @@ def test_registry_size_floor():
     """The operator inventory must not silently shrink (SURVEY §2 coverage)."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 106, f"query registry shrank: {len(qs)}"
-    assert len(oracles) >= 99, f"oracle coverage shrank: {len(oracles)}"
+    assert len(qs) >= 109, f"query registry shrank: {len(qs)}"
+    assert len(oracles) >= 102, f"oracle coverage shrank: {len(oracles)}"
