@@ -177,6 +177,54 @@ def main() -> int:
         f"(Expand present, scan mentions x{p.count('Scan parquet')})",
     )
 
+    # 19. Interval union merge: ONE hash exchange (user_id) feeds both
+    # stacked windows and both grouped aggregations — no re-shuffle after
+    # the window or between the island and per-user aggs.
+    p = plan_of(qs["interval_union_merge"](spark, sf_dir))
+    n_hash = p.count("hashpartitioning(")
+    check(
+        "interval_union_single_shuffle",
+        n_hash == 1 and p.count("Window") >= 2,
+        f"(hashpartitioning x{n_hash})",
+    )
+
+    # 20. Trend slope: regression moments computed as map-side partials.
+    p = plan_of(qs["trend_slope_by_type"](spark, sf_dir))
+    check(
+        "trend_slope_partial_moments",
+        "partial_regr_slope" in p,
+        "(partial_regr_slope before exchange)",
+    )
+
+    # 21. Trigram top-k: TakeOrdered (no global sort) over a single
+    # user-partitioned window shuffle.
+    p = plan_of(qs["frequent_event_trigrams"](spark, sf_dir))
+    check(
+        "trigrams_take_ordered",
+        "TakeOrderedAndProject" in p and p.count("hashpartitioning(user_id") == 1,
+        "(TakeOrdered; one user_id shuffle)",
+    )
+
+    # 22. Vocab coverage: token pass persisted once (no double scan of the
+    # explode), top-100 via TakeOrdered, scalar total broadcast.
+    p = plan_of(qs["vocab_coverage"](spark, sf_dir))
+    check(
+        "vocab_coverage_shape",
+        "TakeOrderedAndProject" in p
+        and "InMemoryRelation" in p
+        and "BroadcastNestedLoopJoin" in p,
+        "(persisted tokens; TakeOrdered; broadcast total)",
+    )
+
+    # 23. Cross-source overlap: the distinct (source, shingle) projection is
+    # persisted so the self-join doesn't recompute the shingle explode.
+    p = plan_of(qs["cross_source_overlap"](spark, sf_dir))
+    check(
+        "cross_source_overlap_persisted",
+        "InMemoryRelation" in p,
+        "(shingle projection cached)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
