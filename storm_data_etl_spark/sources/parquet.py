@@ -136,3 +136,49 @@ def compact_parquet(
     n = max(1, math.ceil(total / target_bytes))
     df.coalesce(n).write.mode(mode).parquet(dest)
     return n
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write a training-ready sharded dataset: every row lands in shard
+    ``pmod(xxhash64(key), n_shards)`` — a pure function of the key, so the
+    doc→shard mapping is reproducible across runs, machines, and data
+    orderings (the property a resumable training job needs), and shard
+    sizes are balanced by the hash. Rows are sorted by key within each
+    shard for deterministic iteration order.
+
+    Layout: ``path/shard=K/part-*.parquet``. ``max_records_per_file``
+    bounds individual file size (the small-files/giant-files control at
+    100 TB: files should land near the row-group sweet spot so training
+    readers stream sequential column chunks).
+
+    Plan: one shuffle into exactly n_shards tasks (repartition on the
+    shard id), a within-partition sort (no global sort), then a
+    partitioned write — each task writes exactly one shard directory.
+    """
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    )
+    out = sharded.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", key_col
+    )
+    writer = out.write.mode(mode).partitionBy("shard")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def read_training_shard(
+    spark: SparkSession, path: str, shard: int | None = None
+) -> DataFrame:
+    """Read the sharded dataset; a specific shard reads ONLY its directory
+    (partition pruning on the shard column) — the per-worker access
+    pattern of a distributed training loader."""
+    df = spark.read.parquet(path)
+    return df if shard is None else df.filter(F.col("shard") == shard)

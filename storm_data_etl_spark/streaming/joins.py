@@ -58,3 +58,23 @@ def attribution_join(
     joined = imp.join(conv, cond, how)
     # drop the duplicate key column from the conversion side
     return joined.drop(conv[key])
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    CURRENT state of the static/dimension DataFrame (Spark re-evaluates
+    the static side per batch, so a lake-table dimension picks up upstream
+    refreshes without restarting the query). No watermark needed — the
+    static side holds no streaming state.
+
+    The dimension is broadcast when it fits (``F.broadcast`` hint), which
+    keeps the stream side shuffle-free — at 1000 executors this is the
+    difference between a per-batch map-side hash join and a full shuffle
+    of every micro-batch.
+    """
+    return stream.join(F.broadcast(dim), key, how)

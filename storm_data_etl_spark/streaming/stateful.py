@@ -152,3 +152,26 @@ def streaming_running_stats(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def watermarked_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts_utc",
+    watermark: str = "1 hour",
+):
+    """Built-in streaming dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's state only until the
+    watermark passes, so duplicates arriving within the watermark horizon
+    collapse while state stays finite at any stream length — the
+    deterministic-ID replay guard (reference ST2/P6 idempotency) expressed
+    as a native Spark 4 operator instead of custom applyInPandasWithState.
+
+    Use `streaming_first_wins_dedup` when the dedup horizon must be
+    unbounded (its state never expires); use this when duplicates only
+    arrive near each other in event time (Kafka replays, at-least-once
+    redelivery) and state size matters.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -64,3 +64,46 @@ def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
         pruned._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "etype" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_training_shards_roundtrip(spark, tmp_path):
+    """Sharded write: deterministic key→shard mapping, all rows preserved,
+    shard read prunes to one directory, file size bounded."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.sources.parquet import (
+        read_training_shard,
+        write_training_shards,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 7 % 97).alias("v")
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=8, key_col="doc_id",
+                          max_records_per_file=100)
+
+    back = read_training_shard(spark, path)
+    assert back.count() == 1000
+    assert back.select("shard").distinct().count() == 8
+    # mapping is the documented pure function of the key
+    expected = df.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(8))
+    )
+    assert (
+        back.select("doc_id", "shard")
+        .exceptAll(expected.select("doc_id", "shard"))
+        .count()
+        == 0
+    )
+    # single-shard read prunes partitions
+    one = read_training_shard(spark, path, shard=3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+    n3 = one.count()
+    assert 0 < n3 < 1000
+    # rewrite produces the identical mapping (reproducibility)
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(df, path2, n_shards=8, key_col="doc_id")
+    again = read_training_shard(spark, path2).select("doc_id", "shard")
+    assert again.exceptAll(back.select("doc_id", "shard")).count() == 0

@@ -193,3 +193,78 @@ def test_attribution_join_streaming_cross_batch(spark, tmp_path):
     finally:
         q.stop()
     assert {(r.imp_id, r.amount) for r in rows} == {("a", 3.5)}
+
+
+def test_watermarked_dedup_streaming(spark, tmp_path):
+    """dropDuplicatesWithinWatermark collapses same-key rows arriving within
+    the watermark horizon, including across micro-batches."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import watermarked_dedup
+
+    src = str(tmp_path / "dedup_src")
+    _os.makedirs(src)
+
+    def put(fname, rows):
+        with open(_os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    put("b0.json", [
+        {"id": "a", "ts_utc": "2024-01-01T12:00:00", "v": 1},
+        {"id": "a", "ts_utc": "2024-01-01T12:00:01", "v": 2},
+        {"id": "b", "ts_utc": "2024-01-01T12:00:02", "v": 3},
+    ])
+    stream = spark.readStream.schema("id string, ts_utc timestamp, v long").json(src)
+    q = (
+        watermarked_dedup(stream, ["id"], watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        put("b1.json", [
+            {"id": "a", "ts_utc": "2024-01-01T12:10:00", "v": 9},
+            {"id": "c", "ts_utc": "2024-01-01T12:10:01", "v": 4},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("select id, v from wm_dedup_out").collect()
+    finally:
+        q.stop()
+    got = {(r.id, r.v) for r in rows}
+    # first arrival wins per key inside the horizon; the batch-1 'a' replay drops
+    assert got == {("a", 1), ("b", 3), ("c", 4)}
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Each micro-batch joins the static dimension; unmatched keys keep null
+    dimension columns under how='left'."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.joins import stream_static_enrich
+
+    src = str(tmp_path / "enrich_src")
+    _os.makedirs(src)
+    with open(_os.path.join(src, "b0.json"), "w") as f:
+        for r in [{"k": 1, "x": "p"}, {"k": 3, "x": "q"}]:
+            f.write(_json.dumps(r) + "\n")
+
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    stream = spark.readStream.schema("k long, x string").json(src)
+    q = (
+        stream_static_enrich(stream, dim, "k")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select k, x, name from enrich_out").collect()
+    finally:
+        q.stop()
+    assert {(r.k, r.x, r.name) for r in rows} == {(1, "p", "one"), (3, "q", None)}
