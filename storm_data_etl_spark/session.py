@@ -35,6 +35,8 @@ def get_spark(app_name: str = "storm_data_etl_spark", master: str | None = None)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (sources/stormgen.py pushFilters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # The driver's events.parquet uses TIMESTAMP(NANOS), which the
         # vectorized reader rejects; read as long (ns since epoch) — exact,
         # order-preserving. tables.t() re-derives timestamps where needed.
