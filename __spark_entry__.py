@@ -25,6 +25,7 @@ from storm_data_etl_spark.plans import ml_queries as _mq  # noqa: F401
 from storm_data_etl_spark.plans import window_queries as _wq  # noqa: F401
 from storm_data_etl_spark.plans import lake_queries as _lq  # noqa: F401
 from storm_data_etl_spark.plans import corpus_queries as _cq  # noqa: F401
+from storm_data_etl_spark.plans import geo_queries as _gq  # noqa: F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 

@@ -225,6 +225,15 @@ def main() -> int:
         "(shingle projection cached)",
     )
 
+    # 24. Spatial radius join: grid blocking must plan as an EQUI join on
+    # the cell keys — never a cartesian / nested-loop product.
+    p = plan_of(qs["spatial_neighbor_join"](spark, sf_dir))
+    check(
+        "spatial_join_is_equi",
+        "CartesianProduct" not in p and "NestedLoop" not in p,
+        "(cell-key equi join, no cross product)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
