@@ -677,3 +677,98 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# =====================================================================
+# Sorted-neighborhood blocking (family 6)
+# =====================================================================
+
+def global_rank(df: DataFrame, order_cols: list[str], num_partitions: int | None = None) -> DataFrame:
+    """Scalable global row_number over `order_cols` (must be a unique key).
+
+    A bare `Window.orderBy(...)` pulls the whole table into ONE task — the
+    textbook non-scalable plan. This is the two-phase form: range-partition
+    on the order columns (cluster-wide sort boundaries), rank WITHIN each
+    partition, then add per-partition row-count offsets via a broadcast
+    join (one row per partition). Total cost: one range shuffle + one tiny
+    count job; every stage is parallel.
+
+    Range-partition sampling is seeded deterministically (RangePartitioner
+    sketches with a byteswap32(partitionId) seed), so re-evaluating the
+    same lineage yields the same bounds and ranks.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    part = part.withColumn("_rn", F.row_number().over(w))
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # ~num_partitions rows: a single-task window here is fine by design.
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn("rnk", F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 24,
+    window: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup detection: sort the corpus by a content
+    prefix key, compare each doc only to its next `window` neighbors in the
+    global sort order, verify with exact word-set Jaccard ≥ threshold.
+
+    The classic record-linkage alternative to LSH blocking (Hernández &
+    Stolfo's merge/purge): O(n·w) comparisons after an O(n log n) sort,
+    strong at catching duplicates with shared prefixes (boilerplate
+    headers, templated docs) that token-sampling sketches can miss.
+    Complements the reference's exact first-wins dedup (SURVEY §2.6 D1,
+    internal/transform/dedupe.go) with a fuzzy variant.
+
+    Plan shape: one range shuffle (the sort) → rank → the "next w" pairing
+    is an EQUI-join on rank (left side explodes w offsets, so candidate
+    volume is exactly n·w rows — never a non-equi nested loop). Jaccard is
+    verified inline from the carried distinct-word arrays (array_intersect,
+    JVM-side), no second pass over the corpus.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    """
+    norm = X.normalize_for_fingerprint(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, prefix_len).alias("skey"),
+        F.array_distinct(F.split(norm, " ")).alias("words"),
+    )
+    ranked = global_rank(base, ["skey", "id"]).persist()
+    left = ranked.select(
+        F.col("id").alias("ia"),
+        F.col("words").alias("wa"),
+        F.col("rnk"),
+        F.explode(F.array(*[F.lit(o) for o in range(1, window + 1)])).alias("o"),
+    ).select("ia", "wa", (F.col("rnk") + F.col("o")).alias("nrnk"))
+    right = ranked.select(
+        F.col("id").alias("ib"), F.col("words").alias("wb"), F.col("rnk")
+    )
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    union = F.size(F.col("wa")) + F.size(F.col("wb")) - inter
+    j = inter.cast("double") / union
+    return (
+        left.join(right, left.nrnk == right.rnk)
+        .withColumn("j", j)
+        .filter(F.col("j") >= threshold)
+        .select(
+            F.least(F.col("ia"), F.col("ib")).alias("id_a"),
+            F.greatest(F.col("ia"), F.col("ib")).alias("id_b"),
+            F.round(F.col("j"), 6).alias("jaccard"),
+        )
+    )

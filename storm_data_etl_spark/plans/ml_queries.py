@@ -862,3 +862,41 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     packed = SP.pack_token_shards(docs, "n_chars", "doc_id", budget=100_000)
     return packed.groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             substring({_SQL_NORM}, 1, 24) AS skey,
+             list_distinct(regexp_split_to_array({_SQL_NORM}, ' ')) AS words
+      FROM documents
+    ),
+    ranked AS (
+      SELECT id, words, row_number() OVER (ORDER BY skey, id) AS rnk FROM norm
+    ),
+    cand AS (
+      SELECT a.id AS ia, a.words AS wa, b.id AS ib, b.words AS wb
+      FROM ranked a JOIN ranked b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 4
+    ),
+    scored AS (
+      SELECT ia, ib,
+             len(list_intersect(wa, wb))::DOUBLE
+               / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS j
+      FROM cand
+    )
+    SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+           round(j, 6) AS jaccard
+    FROM scored WHERE j >= 0.4
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) near-dup blocking: global sort by a
+    24-char content prefix, each doc compared to its next 4 neighbors only,
+    word-set Jaccard >= 0.4 verified inline. The global rank is the scalable
+    two-phase form (range shuffle + per-partition offsets) — never a
+    single-task window — and the neighbor pairing is an equi-join on rank."""
+    return D.sorted_neighborhood_pairs(
+        t(spark, sf_dir, "documents"), prefix_len=24, window=4, threshold=0.4
+    )

@@ -241,3 +241,44 @@ def test_containment_subset_doc(spark):
         for r in D.containment_pairs(docs, k=3, threshold=0.6).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+def test_global_rank_is_total_order(spark, sf_dir):
+    from storm_data_etl_spark.operators.dedup import global_rank
+    from storm_data_etl_spark.plans.tables import t
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    ranked = global_rank(docs, ["doc_id"], num_partitions=4).collect()
+    n = len(ranked)
+    assert sorted(r.rnk for r in ranked) == list(range(1, n + 1))
+    # rank order == key order
+    by_rank = [r.doc_id for r in sorted(ranked, key=lambda r: r.rnk)]
+    assert by_rank == sorted(by_rank)
+
+
+def test_sorted_neighborhood_matches_python_model(spark, sf_dir):
+    import re
+
+    from storm_data_etl_spark.operators.dedup import sorted_neighborhood_pairs
+    from storm_data_etl_spark.plans.tables import t
+
+    docs = t(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b) for r in sorted_neighborhood_pairs(docs, window=3).collect()
+    }
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9À-ɏ一-鿿]+", " ", s.lower()).strip()
+
+    rows = [(r.doc_id, norm(r.text)) for r in docs.select("doc_id", "text").collect()]
+    ranked = sorted(rows, key=lambda x: (x[1][:24], x[0]))
+    expect = set()
+    for i, (ia, ta) in enumerate(ranked):
+        for j in range(i + 1, min(i + 4, len(ranked))):
+            ib, tb = ranked[j]
+            wa, wb = set(ta.split(" ")), set(tb.split(" "))
+            jac = len(wa & wb) / (len(wa) + len(wb) - len(wa & wb))
+            if jac >= 0.4:
+                expect.add((min(ia, ib), max(ia, ib)))
+    assert got == expect
+    assert len(got) > 0
