@@ -126,8 +126,8 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h
     )
     SELECT source, count(*) AS n_docs,
-           sum(length(html)) AS total_html_chars,
-           sum(length(clean)) AS total_clean_chars,
+           CAST(sum(length(html)) AS BIGINT) AS total_html_chars,
+           CAST(sum(length(clean)) AS BIGINT) AS total_clean_chars,
            CAST(floor(10000 * sum(length(clean))::DOUBLE / sum(length(html)))
                 AS BIGINT) AS keep_ratio_e4
     FROM c GROUP BY source
@@ -182,7 +182,8 @@ def markup_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*) AS n_events,
            count(jump) AS n_steps,
-           sum(CASE WHEN abs(jump) > 100 THEN 1 ELSE 0 END) AS n_change_points,
+           CAST(sum(CASE WHEN abs(jump) > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_change_points,
            CAST(floor(100 * max(abs(jump))) AS BIGINT) AS max_jump_e2
     FROM steps GROUP BY user_id
     """,

@@ -35,16 +35,21 @@ from storm_data_etl_spark.plans.tables import t
     "cdc_upsert_merge",
     """
     WITH snap AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS _version, 'I' AS _op
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             1 AS _version, 'I' AS _op
       FROM orders
     ),
     upd AS (
-      SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice * 1.1, 2),
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                  AS DECIMAL(18,2)),
              2 AS _version, 'U' AS _op
       FROM orders WHERE o_orderkey % 7 = 0
     ),
     del AS (
-      SELECT o_orderkey, 'X', 0.0, 3 AS _version, 'D' AS _op
+      SELECT o_orderkey, 'X', CAST(0.0 AS DECIMAL(18,2)), 3 AS _version,
+             'D' AS _op
       FROM orders WHERE o_orderkey % 101 = 0
     ),
     log AS (
@@ -56,7 +61,7 @@ from storm_data_etl_spark.plans.tables import t
       FROM log
     )
     SELECT o_orderstatus, count(*) AS n_rows,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(o_totalprice) AS DOUBLE) AS total_price
     FROM latest WHERE rn = 1 AND _op <> 'D'
     GROUP BY o_orderstatus
     """,
@@ -68,14 +73,22 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay design, docs/Architecture.md:98-102), then summarize. One
     shuffle on the merge key (operators.merge)."""
     orders = t(spark, sf_dir, "orders")
-    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # Exact decimal money arithmetic throughout (double round() diverges
+    # across engines near .005 boundaries); ONE cast to double at the end.
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+    )
     snap = base.withColumns({"_version": F.lit(1), "_op": F.lit("I")})
     upd = (
         base.filter(F.col("o_orderkey") % 7 == 0)
         .withColumns(
             {
                 "o_orderstatus": F.lit("U"),
-                "o_totalprice": F.round(F.col("o_totalprice") * 1.1, 2),
+                "o_totalprice": F.round(
+                    F.col("o_totalprice") * F.lit("1.1").cast("decimal(2,1)"), 2
+                ).cast("decimal(18,2)"),
                 "_version": F.lit(2),
                 "_op": F.lit("U"),
             }
@@ -86,7 +99,7 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumns(
             {
                 "o_orderstatus": F.lit("X"),
-                "o_totalprice": F.lit(0.0),
+                "o_totalprice": F.lit("0.00").cast("decimal(18,2)"),
                 "_version": F.lit(3),
                 "_op": F.lit("D"),
             }
@@ -96,7 +109,7 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = M.upsert_last_writer_wins(log, ["o_orderkey"], "_version", "_op")
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.sum("o_totalprice").cast("double").alias("total_price"),
     )
 
 
@@ -180,7 +193,8 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench AS (SELECT DISTINCT gram FROM sh WHERE source = 'src0'),
     train AS (SELECT doc_id, gram FROM sh WHERE source <> 'src0')
     SELECT t.doc_id, count(*) AS n_grams,
-           sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
            round(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
                  / count(*), 6) AS contaminated_frac
     FROM train t LEFT JOIN bench b ON b.gram = t.gram
@@ -261,10 +275,10 @@ _SQL_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
       FROM injected
     )
     SELECT source, count(*) AS n_docs,
-           sum(n_email) AS emails_redacted,
-           sum(n_phone) AS phones_redacted,
-           sum(n_ip) AS ips_redacted,
-           sum(clean_len) AS total_clean_chars
+           CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+           CAST(sum(n_ip) AS BIGINT) AS ips_redacted,
+           CAST(sum(clean_len) AS BIGINT) AS total_clean_chars
     FROM redacted GROUP BY source
     """,
 )
@@ -605,8 +619,10 @@ def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN doc_id = component THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(sum(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN doc_id = component THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
     FROM labeled GROUP BY source
     """,
 )
@@ -652,8 +668,10 @@ def corpus_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_total,
-           sum(CASE WHEN b < w * 10000 THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN b < w * 10000 THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(sum(CASE WHEN b < w * 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN b < w * 10000 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
     FROM weighted GROUP BY source
     """,
 )

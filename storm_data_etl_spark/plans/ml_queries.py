@@ -37,7 +37,7 @@ _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9À-ɏ一-鿿]+', ' ', 'g'
     SELECT lang, count(*) AS n_docs,
            round(avg(n_tokens), 4) AS avg_tokens,
            round(avg(n_chars), 4) AS avg_chars,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM toks GROUP BY lang
     """,
 )
@@ -93,8 +93,9 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fp GROUP BY fingerprint
     )
     SELECT count(*) AS n_unique,
-           sum(dup_count) AS n_total,
-           sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+           CAST(sum(dup_count) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups
     FROM grouped
     """,
 )
@@ -580,7 +581,8 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, count(*) AS n_docs,
            round(avg(dup_frac), 6) AS avg_dup_bigram_frac,
            round(max(dup_frac), 6) AS max_dup_bigram_frac,
-           sum(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS n_repetitious
+           CAST(sum(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitious
     FROM frac GROUP BY lang
     """,
 )
@@ -636,7 +638,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh JOIN gram_docs gd ON gd.gram = sh.gram
       GROUP BY sh.id
     )
-    SELECT id AS doc_id, n_grams, n_shared,
+    SELECT id AS doc_id, n_grams, CAST(n_shared AS BIGINT) AS n_shared,
            round(n_shared::DOUBLE / n_grams, 6) AS shared_frac
     FROM per_doc WHERE n_shared > 0
     """,
@@ -728,7 +730,8 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_token_budget",
     """
     SELECT source,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')))
+           CAST(sum(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT)
              AS bpe_ish_tokens,
            count(*) AS n_docs
     FROM documents GROUP BY source
@@ -748,7 +751,7 @@ def bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "binary_payload_stats",
     """
     SELECT source, count(*) AS n,
-           sum(octet_length(encode(text))) AS total_bytes,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            max(octet_length(encode(text))) AS max_bytes,
            count(DISTINCT md5(text)) AS n_distinct_payloads
     FROM documents GROUP BY source
@@ -780,10 +783,15 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     No oracle — sketch outputs are engine-specific by nature (the exact
     twins distinct_count / exact_percentiles are oracle-checked)."""
     li = t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000
+    )
+    # Scalar columns only: the driver's canonicalizer sorts rows in pandas,
+    # which cannot hash array-typed cells.
     return li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
-        .alias("price_quantiles"),
+        F.element_at(q, 1).alias("price_p50"),
+        F.element_at(q, 2).alias("price_p95"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -794,7 +802,7 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN {SP.lcg_bucket_sql('doc_id')} < 80 THEN 'train'
                 WHEN {SP.lcg_bucket_sql('doc_id')} < 90 THEN 'val'
                 ELSE 'test' END AS split,
-           count(*) AS n_docs, sum(n_chars) AS total_chars
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY split
     """,
 )
@@ -823,7 +831,8 @@ _MIX_RATES = {"en": 25, "de": 75, "es": 10, "fr": 50, "zh": 100}
              {SP.lcg_bucket_sql('doc_id')} AS bucket
       FROM documents
     )
-    SELECT lang, count(*) AS n_sampled, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM rated WHERE bucket < rate GROUP BY lang
     """,
 )
@@ -846,9 +855,9 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH packed AS (
       SELECT source,
-             floor(coalesce(sum(n_chars) OVER (
+             CAST(floor(coalesce(sum(n_chars) OVER (
                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) / 100000) AS shard
+             ), 0) / 100000) AS BIGINT) AS shard
       FROM documents
     )
     SELECT shard, count(*) AS n_docs

@@ -58,10 +58,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if caching and (sf_dir, name) in _CACHE:
         return _CACHE[(sf_dir, name)]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) file read via nanosAsLong: ns since epoch.
+            df = df.withColumn(
+                "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            ).withColumn("ts_ns", F.col("ts"))
+        elif ts_type is not None:
+            # TIMESTAMP(MICROS) file: ts scans as a real timestamp. ts_ns is
+            # the exact int64 epoch-nanos twin for interval/gap arithmetic.
+            # ts scans as TIMESTAMP_NTZ; unix_micros needs LTZ — with the
+            # session timezone pinned to UTC the cast is wall-clock identity.
+            df = df.withColumn("ts_utc", F.col("ts")).withColumn(
+                "ts_ns",
+                F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+            )
     if name in _SPLIT_TABLES:
         target = _target_partitions(spark)
         if df.rdd.getNumPartitions() < max(2, target // 4):

@@ -81,7 +81,8 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM gaps GROUP BY user_id
     """,
 )
@@ -91,12 +92,12 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-nanos (long), so the gap compares in ns; the oracle compares
     INTERVAL against timestamp_ns — identical semantics."""
     gap_ns = 30 * 60 * 1_000_000_000
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     gaps = t(spark, sf_dir, "events").select(
         "user_id",
         F.when(
-            F.lag("ts").over(w).isNull()
-            | ((F.col("ts") - F.lag("ts").over(w)) > gap_ns),
+            F.lag("ts_ns").over(w).isNull()
+            | ((F.col("ts_ns") - F.lag("ts_ns").over(w)) > gap_ns),
             1,
         )
         .otherwise(0)
@@ -139,8 +140,8 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type, count(*) AS n,
-           sum(CASE WHEN "value" < lo OR "value" > hi THEN 1 ELSE 0 END)
-             AS n_clipped,
+           CAST(sum(CASE WHEN "value" < lo OR "value" > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
            CAST(floor(10000 * sum(least(greatest("value", lo), hi)) / count(*))
                 AS BIGINT) AS winsor_mean_e4,
            CAST(floor(10000 * max(lo)) AS BIGINT) AS p05_e4,
@@ -202,7 +203,7 @@ def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     one_hour_ns = 3_600_000_000_000
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts_ns")
         .rangeBetween(-one_hour_ns, 0)
     )
     r = t(spark, sf_dir, "events").select(
@@ -561,10 +562,11 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass — the generalization of rollup_counts. Spark expands the cube
     map-side; the shuffle still carries partial counts only."""
     ev = t(spark, sf_dir, "events")
-    # to_date, not date_trunc: DuckDB's date_trunc('day') yields DATE and
-    # the value-hash compare is type-sensitive through the ISO string form.
+    # date_trunc on both sides: DuckDB date_trunc('day', TIMESTAMP) yields
+    # TIMESTAMP, and the driver's pandas canonicalizer stringifies a DATE
+    # differently from a midnight TIMESTAMP.
     return ev.cube(
-        F.col("event_type"), F.to_date(F.col("ts_utc")).alias("day")
+        F.col("event_type"), F.date_trunc("day", F.col("ts_utc")).alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -679,7 +681,7 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c.cohort_week IS NOT NULL
         AND CAST(e.ts AS DATE) >= c.cohort_week
     )
-    SELECT cohort_week,
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
            CAST((active_week - cohort_week) / 7 AS BIGINT) AS week_offset,
            count(*) AS n_active_users
     FROM active
@@ -711,8 +713,14 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     offset = (F.datediff("active_week", "cohort_week") / 7).cast("long")
-    return active.groupBy("cohort_week", offset.alias("week_offset")).agg(
-        F.count_distinct(F.col("user_id")).alias("n_active_users")
+    return (
+        active.groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active_users"))
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "week_offset",
+            "n_active_users",
+        )
     )
 
 
@@ -861,7 +869,7 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts_ns")
         .rangeBetween(-six_days_ns, 0)
     )
     dec = F.col("value").cast("decimal(18,2)")
@@ -896,7 +904,8 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks, unnest(words) AS w(w)
       GROUP BY doc_id, w.w
     ),
-    totals AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+    totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM freq
+               GROUP BY doc_id)
     SELECT f.doc_id, max(t.n) AS n_tokens,
            round(-sum((f.c::DOUBLE / t.n) * ln(f.c::DOUBLE / t.n)), 6) AS entropy
     FROM freq f JOIN totals t ON t.doc_id = f.doc_id
@@ -1000,7 +1009,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hourly.groupBy(
-            F.date_trunc("day", "hour").cast("date").alias("day"), "event_type"
+            F.date_trunc("day", "hour").alias("day"), "event_type"
         )
         .agg(
             F.sum("_n").alias("n_events"),
@@ -1075,8 +1084,8 @@ def interval_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.col("ts").alias("s"),
-        (F.col("ts") + (1 + F.col("event_id") % 30) * F.lit(60_000_000_000)).alias(
+        F.col("ts_ns").alias("s"),
+        (F.col("ts_ns") + (1 + F.col("event_id") % 30) * F.lit(60_000_000_000)).alias(
             "e"
         ),
     )
@@ -1131,7 +1140,7 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan at any scale. Spark and DuckDB share the moment
     formulas; outputs are floor-scaled like value_corr_by_type."""
     ev = t(spark, sf_dir, "events")
-    x = (F.col("ts") / 86400000000000.0).alias("x")
+    x = (F.col("ts_ns") / 86400000000000.0).alias("x")
     return (
         ev.select("event_type", F.col("value").alias("y"), x)
         .groupBy("event_type")
@@ -1206,7 +1215,7 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     cutoff = 1705363200000000000  # 2024-01-16T00:00:00Z in epoch ns
     half = ev.select(
-        "value", F.when(F.col("ts") < cutoff, 0).otherwise(1).alias("h")
+        "value", F.when(F.col("ts_ns") < cutoff, 0).otherwise(1).alias("h")
     )
     half = half.persist()  # scanned for edges and again for binning
     edges = half.filter(F.col("h") == 0).agg(
