@@ -41,15 +41,17 @@ PRIORITY = [
     # flagship + reference-parity
     "pricing_summary",
     "storm_enrich_golden",
-    # core relational spine
+    # core relational spine (first_per_group/dedup_first_wins/semi_join/
+    # anti_join_missing were hash-proven by round 1's gate)
     "join_multiway",
     "top_unshipped",
-    "first_per_group",
-    "dedup_first_wins",
-    "semi_join",
-    "anti_join_missing",
+    "nation_pair_trade",
+    "unpivot_metrics",
     # windows / time-series
     "sessionize",
+    "session_window_agg",
+    "sliding_window_counts",
+    "time_to_conversion",
     "asof_join",
     "range_join_busy_windows",
     "cube_counts",
@@ -61,7 +63,6 @@ PRIORITY = [
     "trend_slope_by_type",
     "psi_drift_bins",
     "winsorized_stats",
-    "rolling_distinct_types",
     # lake maintenance / retrieval / graph
     "cdc_upsert_merge",
     "incremental_agg_maintenance",

@@ -512,3 +512,106 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.intersect(o)
+
+
+@register(
+    "nation_pair_trade",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           count(*) AS n_items,
+           CAST(floor(100 * CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE)) AS BIGINT) AS revenue_e2
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_nationkey < n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+    """,
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style nation-pair trade volume: a 6-table join graph
+    (fact ⋈ orders ⋈ customer ⋈ supplier ⋈ nation×2) with revenue per
+    (supplier-nation, customer-nation) pair. Extends join_multiway's star
+    shape to a snowflake with TWO independent dimension paths meeting at
+    the fact row. Plan shape at 100 TB: lineitem⋈orders co-partition on
+    orderkey (the one big shuffle); customer/supplier/nation are
+    broadcast tiers. Revenue is per-row exact decimal (the double product
+    is within 1 ulp of the true 4-decimal rational, so the DECIMAL(18,4)
+    cast recovers it identically in both engines), summed exactly, floored
+    once."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("rev")
+    )
+    joined = (
+        li.select("l_orderkey", "l_suppkey", rev)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
+                                 F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .filter(F.col("sn_key") < F.col("cn_key"))
+    )
+    return joined.groupBy("supp_nation", "cust_nation").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.floor(100 * F.sum("rev").cast("double")).cast("bigint").alias("revenue_e2"),
+    )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    WITH m AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, count(*) AS n,
+           CAST(floor(100 * min(v)) AS BIGINT) AS min_e2,
+           CAST(floor(100 * max(v)) AS BIGINT) AS max_e2,
+           CAST(floor(100 * CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE))
+                AS BIGINT) AS sum_e2
+    FROM m GROUP BY metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (UNPIVOT / melt — the inverse of pivot_counts):
+    four lineitem measure columns stacked into (metric, value) rows, then
+    profiled per metric. Spark's unpivot is a narrow Expand (each input row
+    emits 4 stacked rows map-side, no shuffle until the 4-key aggregate);
+    the oracle states the same thing as UNION ALL. All testdata measures
+    carry ≤2 decimals, so the DECIMAL(18,2) cast is exact and the sums
+    hash-match."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(100 * F.min("v")).cast("bigint").alias("min_e2"),
+        F.floor(100 * F.max("v")).cast("bigint").alias("max_e2"),
+        F.floor(100 * F.sum(F.col("v").cast("decimal(18,2)")).cast("double"))
+        .cast("bigint")
+        .alias("sum_e2"),
+    )

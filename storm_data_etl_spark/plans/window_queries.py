@@ -1305,3 +1305,165 @@ def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.desc("c"), "trigram"))
     )
+
+
+# =====================================================================
+# Native session windows (batch session_window — the Spark primitive
+# sessionize derives by hand)
+# =====================================================================
+
+@register(
+    "session_window_agg",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM gaps
+    ),
+    sess AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) + 1800000000 AS dur_us
+      FROM isl GROUP BY user_id, sid
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           max(n_events) AS max_session_events,
+           CAST(floor(sum(dur_us) / 60000000.0) AS BIGINT)
+             AS total_session_min
+    FROM sess GROUP BY user_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via Spark's NATIVE session_window (gap 30 min)
+    — the built-in primitive whose semantics `sessionize` reconstructs with
+    lag+cumsum. An event at EXACTLY prev + gap still merges (verified in
+    tests/test_new_analytics.py) — the break is strictly `> gap`, matching
+    sessionize. Duration sums are exact microsecond integers (end =
+    last-event + gap); one floor at the end. Same single user_id shuffle as
+    sessionize — the merging of session intervals happens inside the
+    aggregate, which is how Structured Streaming maintains it incrementally
+    with state."""
+    ev = t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id",
+        F.session_window(F.col("ts_utc").cast("timestamp"), "30 minutes").alias("sw"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per = sess.select(
+        "user_id",
+        "n_events",
+        (
+            F.unix_micros(F.col("sw.end")) - F.unix_micros(F.col("sw.start"))
+        ).alias("dur_us"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.floor(F.sum("dur_us") / 60000000.0).cast("bigint").alias(
+            "total_session_min"
+        ),
+    )
+
+
+# =====================================================================
+# Sliding (hopping) time windows — each event counted in 4 overlapping
+# 1-hour windows on a 15-minute grid
+# =====================================================================
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH g AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT) - k.k)
+               * 900000000) AS w_start,
+             event_type
+      FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    )
+    SELECT w_start, event_type, count(*) AS n
+    FROM g GROUP BY w_start, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window counts: 1-hour windows sliding every 15 minutes
+    (Spark's F.window with slideDuration — the batch twin of the streaming
+    hopping aggregate). Every event lands in exactly 4 windows; Spark
+    expands them map-side (Expand, narrow) and the shuffle carries
+    (window, type) partial counts. The oracle states the same expansion
+    arithmetically on the epoch-15-minute grid, which is exactly Spark's
+    epoch-aligned window origin."""
+    ev = t(spark, sf_dir, "events")
+    win = ev.groupBy(
+        F.window(F.col("ts_utc").cast("timestamp"), "1 hour", "15 minutes").alias("w"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return win.select(
+        F.col("w.start").alias("w_start"), "event_type", "n"
+    )
+
+
+# =====================================================================
+# Time-to-conversion (event-sequence latency distribution)
+# =====================================================================
+
+@register(
+    "time_to_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS s_ts
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND s.s_ts IS NOT NULL
+        AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST(floor((epoch_us(p.p_ts) - epoch_us(s.s_ts)) / 3600000000.0)
+                AS BIGINT) AS hours_to_convert,
+           count(*) AS n_users
+    FROM p JOIN s ON s.user_id = p.user_id
+    GROUP BY hours_to_convert
+    """,
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase latency histogram (hour buckets) — the
+    funnel-timing companion to conversion_funnel: not just whether users
+    convert but how fast. ONE user_id shuffle computes both anchors as
+    conditional aggregates in the same hash aggregate; the delta is exact
+    microsecond arithmetic, floored into hour buckets, then a tiny
+    histogram aggregate."""
+    ev = t(spark, sf_dir, "events")
+    anchors = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_ns"))).alias("s_ns"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_ns"))
+        ).alias("_unused_first_purchase"),
+    )
+    # first purchase AT OR AFTER signup needs the signup anchor first: join
+    # back and re-aggregate (same key → AQE reuses the partitioning).
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(anchors.filter(F.col("s_ns").isNotNull()).select("user_id", "s_ns"),
+              "user_id")
+        .filter(F.col("ts_ns") >= F.col("s_ns"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("p_ns"), F.first("s_ns").alias("s_ns"))
+    )
+    return (
+        first_purchase.select(
+            F.floor((F.col("p_ns") - F.col("s_ns")) / F.lit(3600.0 * 1e9))
+            .cast("bigint")
+            .alias("hours_to_convert")
+        )
+        .groupBy("hours_to_convert")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

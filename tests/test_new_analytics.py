@@ -1,0 +1,134 @@
+"""Hand-computed semantics for the native-primitive analytics added in
+round 2: batch session_window, sliding (hopping) windows, unpivot/melt,
+snowflake nation-pair join, and funnel timing. Each test writes a tiny
+parquet `events`/`lineitem`/... table and runs the registry query against
+it, asserting exact hand-derived outputs (the DuckDB oracle cross-check
+runs separately via tools/pandas_parity_check.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.plans import window_queries as WQ
+from storm_data_etl_spark.plans import queries as Q
+
+
+def _ts(h, m=0, s=0, us=0):
+    return dt.datetime(2024, 1, 1, h, m, s, us)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_session_window_gap_boundary(spark, tmp_path):
+    # user 1: 10:00 and 10:29:59.999999 merge (gap < 30 min); 11:00 breaks.
+    # user 2: 10:00 and exactly 10:30: session_window MERGES at the exact
+    # boundary (break is strictly > gap), same as sessionize.
+    rows = [
+        (1, _ts(10), 1, "click", 1.0, "{}"),
+        (2, _ts(10, 29, 59, 999999), 1, "click", 1.0, "{}"),
+        (3, _ts(11), 1, "click", 1.0, "{}"),
+        (4, _ts(10), 2, "click", 1.0, "{}"),
+        (5, _ts(10, 30), 2, "click", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    sw = {
+        r.user_id: (r.n_sessions, r.max_session_events, r.total_session_min)
+        for r in WQ.session_window_agg(spark, str(tmp_path)).collect()
+    }
+    # user 1: sessions [10:00, 10:29:59.999999] (dur ~30+30 min) and [11:00]
+    # (dur 30 min) → floor(total) = 89 min (59:59.999999 + 30:00)
+    assert sw[1][0] == 2 and sw[1][1] == 2 and sw[1][2] == 89
+    # user 2: one merged session 10:00→10:30 (+gap) = 60 min
+    assert sw[2] == (1, 2, 60)
+    sess = {
+        r.user_id: r.n_sessions
+        for r in WQ.sessionize(spark, str(tmp_path)).collect()
+    }
+    assert sess[1] == 2
+    assert sess[2] == 1  # strict > 30 min keeps the exact-gap pair together
+
+
+def test_sliding_window_expansion(spark, tmp_path):
+    _write_events(spark, tmp_path, [(1, _ts(10, 7), 1, "click", 1.0, "{}")])
+    out = WQ.sliding_window_counts(spark, str(tmp_path)).collect()
+    starts = sorted(r.w_start for r in out)
+    assert starts == [_ts(9, 15), _ts(9, 30), _ts(9, 45), _ts(10, 0)]
+    assert all(r.n == 1 and r.event_type == "click" for r in out)
+
+
+def test_time_to_conversion_buckets(spark, tmp_path):
+    rows = [
+        (1, _ts(9), 1, "purchase", 1.0, "{}"),    # before signup → ignored
+        (2, _ts(10), 1, "signup", 1.0, "{}"),
+        (3, _ts(12, 30), 1, "purchase", 1.0, "{}"),  # 2.5 h → bucket 2
+        (4, _ts(13), 1, "purchase", 1.0, "{}"),      # later → not first
+        (5, _ts(10), 2, "purchase", 1.0, "{}"),      # no signup → excluded
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.hours_to_convert: r.n_users
+        for r in WQ.time_to_conversion(spark, str(tmp_path)).collect()
+    }
+    assert out == {2: 1}
+
+
+def test_unpivot_metrics_shape(spark, tmp_path):
+    spark.createDataFrame(
+        [
+            (1, 10, 10, 1, 2.0, 100.50, 0.05, 0.02, "N", "O", _ts(10)),
+            (2, 20, 20, 1, 3.0, 200.25, 0.10, 0.04, "R", "F", _ts(11)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    out = {r.metric: (r.n, r.sum_e2) for r in
+           Q.unpivot_metrics(spark, str(tmp_path)).collect()}
+    assert out["l_quantity"] == (2, 500)          # 5.00 → 500
+    assert out["l_extendedprice"] == (2, 30075)   # 300.75 → 30075
+    assert out["l_discount"] == (2, 15)           # 0.15 → 15
+    assert out["l_tax"] == (2, 6)                 # 0.06 → 6
+
+
+def test_nation_pair_trade_revenue(spark, tmp_path):
+    p = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "ALPHA", 0), (2, "BETA", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/nation.parquet")
+    spark.createDataFrame(
+        [(7, "s", 1, 0.0)], "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/supplier.parquet")
+    spark.createDataFrame(
+        [(9, "c", 2, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/customer.parquet")
+    spark.createDataFrame(
+        [(5, 9, "O", 100.0, _ts(10), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/orders.parquet")
+    spark.createDataFrame(
+        [
+            (5, 1, 7, 1, 1.0, 100.00, 0.10, 0.0, "N", "O", _ts(10)),
+            (5, 2, 7, 2, 1.0, 50.00, 0.00, 0.0, "N", "O", _ts(10)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/lineitem.parquet")
+    rows = Q.nation_pair_trade(spark, p).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # revenue = 100*0.9 + 50*1.0 = 140.00 → e2 = 14000
+    assert (r.supp_nation, r.cust_nation, r.n_items, r.revenue_e2) == (
+        "ALPHA", "BETA", 2, 14000
+    )
