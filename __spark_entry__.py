@@ -41,12 +41,13 @@ PRIORITY = [
     # flagship + reference-parity
     "pricing_summary",
     "storm_enrich_golden",
-    # core relational spine (first_per_group/dedup_first_wins/semi_join/
-    # anti_join_missing were hash-proven by round 1's gate)
-    "join_multiway",
-    "top_unshipped",
+    # core relational spine (join_multiway/top_unshipped/first_per_group/
+    # dedup_first_wins/semi_join/anti_join_missing were hash-proven by
+    # round 1's gate)
     "nation_pair_trade",
     "unpivot_metrics",
+    "props_variant_buckets",
+    "udtf_sentence_stats",
     # windows / time-series
     "sessionize",
     "session_window_agg",

@@ -451,3 +451,61 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("source", "rank", "doc_id", "n_chars")
     )
+
+
+# =====================================================================
+# Python UDTF (Spark 4 user-defined table function — the one extension
+# point where a row legitimately explodes into a variable-length set)
+# =====================================================================
+
+@register(
+    "udtf_sentence_stats",
+    """
+    WITH sent AS (
+      SELECT doc_id, trim(s.s) AS sentence
+      FROM documents,
+           unnest(regexp_extract_all(text, '[^.!?]+[.!?]?')) AS s(s)
+      WHERE trim(s.s) <> ''
+    )
+    SELECT doc_id, count(*) AS n_sentences,
+           max(length(sentence)) AS max_sentence_chars,
+           CAST(sum(length(sentence)) AS BIGINT) AS total_sentence_chars
+    FROM sent GROUP BY doc_id
+    """,
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a Python UDTF (Spark 4's table-function
+    API, Arrow-batched): one input document row yields N sentence rows —
+    the lateral-join shape that a scalar UDF cannot express. The regex is
+    lookaround-free so the DuckDB oracle replays it exactly.
+
+    This is deliberately the ENGINE's UDTF-surface demo: everything else
+    in the corpus family stays in JVM expressions (explode over split works
+    for this particular regex too), but real segmenters (spaCy, pysbd,
+    tiktoken) are Python libraries — this is the plumbing they plug into.
+    Narrow: the UDTF runs map-side per partition; only the per-doc
+    aggregate shuffles."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sentence string", useArrow=True)
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for raw in re.findall(r"[^.!?]+[.!?]?", text or ""):
+                s = raw.strip()
+                if s:
+                    yield doc_id, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    sent = spark.sql(
+        "SELECT s.doc_id, s.sentence FROM _udtf_docs d, "
+        "LATERAL split_sentences(d.doc_id, d.text) s"
+    )
+    return sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.max(F.length("sentence")).alias("max_sentence_chars"),
+        F.sum(F.length("sentence")).alias("total_sentence_chars"),
+    )

