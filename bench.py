@@ -61,6 +61,11 @@ HEADLINE = [
     "decontaminate_benchmark",
     "bm25_keyword_search",
     "hypertable_rollup",
+    "session_window_agg",
+    "sliding_window_counts",
+    "nation_pair_trade",
+    "props_variant_buckets",
+    "udtf_sentence_stats",
 ]
 
 

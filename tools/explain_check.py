@@ -234,6 +234,43 @@ def main() -> int:
         "(cell-key equi join, no cross product)",
     )
 
+    # 25. Native session windows: the session merge happens inside the
+    # aggregate after ONE user_id exchange (no extra shuffle for the
+    # per-user re-aggregate — same key, AQE reuses the partitioning).
+    p = plan_of(qs["session_window_agg"](spark, sf_dir))
+    check(
+        "session_window_single_shuffle",
+        "SessionWindow" in p or "session_window" in p,
+        "(native session-window node present)",
+    )
+
+    # 26. Sliding windows: the 4-window expansion is map-side (Expand /
+    # explode before the exchange), not a join against a window table.
+    p = plan_of(qs["sliding_window_counts"](spark, sf_dir))
+    check(
+        "sliding_window_mapside_expand",
+        ("Expand" in p or "Generate" in p) and "Join" not in p,
+        "(map-side window expansion, no join)",
+    )
+
+    # 27. Nation-pair snowflake: lineitem⋈orders is the only big join; all
+    # four dimension joins broadcast (no sort-merge anywhere at this SF).
+    p = plan_of(qs["nation_pair_trade"](spark, sf_dir))
+    check(
+        "nation_pair_broadcast_dims",
+        p.count("BroadcastHashJoin") >= 4,
+        f"(BroadcastHashJoin x{p.count('BroadcastHashJoin')})",
+    )
+
+    # 28. Variant path: parse_json runs JVM-side — no Python eval node in
+    # the plan (the UDTF query is the one deliberate Python stage).
+    p = plan_of(qs["props_variant_buckets"](spark, sf_dir))
+    check(
+        "variant_no_python",
+        "Python" not in p and "variant_get" in p,
+        "(variant_get JVM expression, no Python eval)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
