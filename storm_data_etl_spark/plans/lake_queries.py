@@ -1277,3 +1277,98 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(all_cols)}, {stack_args}) AS (col, n_null, n_distinct, min_s, max_s)",
         "_n AS n",
     ).select("col", "n", "n_null", "n_distinct", "min_s", "max_s")
+
+
+# =====================================================================
+# Recursive CTE (Spark 4 WITH RECURSIVE — iterative closure inside ONE
+# declarative query, no driver-side loop)
+# =====================================================================
+
+@register(
+    "recursive_digit_hierarchy",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS part, p_partkey AS node, 0 AS depth FROM part
+      UNION ALL
+      SELECT part, node // 10, depth + 1 FROM anc WHERE node >= 10
+    )
+    SELECT depth, count(*) AS n,
+           CAST(sum(node) AS BIGINT) AS node_sum
+    FROM anc GROUP BY depth
+    """,
+)
+def recursive_digit_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy walk via Spark 4's native WITH RECURSIVE: every part key
+    climbs its decimal-digit parent chain (part → part div 10 → … → root
+    digit) — the BOM-explosion / org-chart / category-rollup shape that
+    previously needed a driver-side loop (operators/graph.py unrolls fixed
+    rounds; connected_components iterates in Python). The recursion is
+    bounded by the key's digit count, executes as iterated DataFrame steps
+    inside one plan, and aggregates per level. The DuckDB oracle is the
+    SAME recursive SQL (`//` is integer division in both dialects here via
+    explicit DIV on the Spark side)."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("_rec_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS part, p_partkey AS node, 0 AS depth
+          FROM _rec_part
+          UNION ALL
+          SELECT part, node DIV 10, depth + 1 FROM anc WHERE node >= 10
+        )
+        SELECT depth, count(*) AS n,
+               CAST(sum(node) AS BIGINT) AS node_sum
+        FROM anc GROUP BY depth
+        """
+    )
+
+
+# =====================================================================
+# SQL UDF (CREATE FUNCTION ... RETURN expr — declarative scalar
+# extension that inlines into codegen, unlike Python UDFs)
+# =====================================================================
+
+@register(
+    "sql_udf_value_bands",
+    """
+    WITH banded AS (
+      SELECT CASE WHEN "value" < 0 THEN 'negative'
+                  WHEN "value" < 100 THEN 'low'
+                  WHEN "value" < 500 THEN 'mid'
+                  ELSE 'high' END AS band,
+             event_type, "value"
+      FROM events
+    )
+    SELECT band, event_type, count(*) AS n,
+           CAST(floor(100 * CAST(sum(CAST("value" AS DECIMAL(18,2)))
+                AS DOUBLE)) AS BIGINT) AS sum_value_e2
+    FROM banded GROUP BY band, event_type
+    """,
+)
+def sql_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar extension via a SQL-defined UDF (Spark 4 CREATE FUNCTION ...
+    RETURN <expr>): the banding rule is declared once as a reusable
+    function, and — unlike a Python UDF — Catalyst inlines its body into
+    the plan, so the query stays whole-stage-codegen with zero
+    serialization boundary (tools/explain_check.py pins the absence of a
+    Python eval node). The oracle states the inlined CASE directly."""
+    ev = t(spark, sf_dir, "events")
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS value_band")
+    spark.sql(
+        """
+        CREATE TEMPORARY FUNCTION value_band(v DOUBLE) RETURNS STRING
+        RETURN CASE WHEN v < 0 THEN 'negative'
+                    WHEN v < 100 THEN 'low'
+                    WHEN v < 500 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    ev.createOrReplaceTempView("_udf_events")
+    return spark.sql(
+        """
+        SELECT value_band(value) AS band, event_type, count(*) AS n,
+               CAST(floor(100 * CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    AS DOUBLE)) AS BIGINT) AS sum_value_e2
+        FROM _udf_events GROUP BY value_band(value), event_type
+        """
+    )

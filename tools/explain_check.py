@@ -271,6 +271,24 @@ def main() -> int:
         "(variant_get JVM expression, no Python eval)",
     )
 
+    # 29. Recursive CTE: plans as a native recursion loop (UnionLoop /
+    # CTERelation iteration), not a driver-side materialization.
+    p = plan_of(qs["recursive_digit_hierarchy"](spark, sf_dir))
+    check(
+        "recursive_cte_native",
+        "UnionLoop" in p or "Recursion" in p or "recursive" in p.lower(),
+        "(native recursion node)",
+    )
+
+    # 30. SQL UDF: the function body inlines into the plan — no Python eval
+    # stage, aggregate still map-side partial.
+    p = plan_of(qs["sql_udf_value_bands"](spark, sf_dir))
+    check(
+        "sql_udf_inlined",
+        "Python" not in p and p.count("HashAggregate") >= 2,
+        "(CASE inlined, partial agg, no Python)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
