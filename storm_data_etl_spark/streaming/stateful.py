@@ -175,3 +175,72 @@ def watermarked_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def streaming_change_detector(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key change-point emitter on the MODERN stateful API
+    (transformWithStateInPandas, Spark 4 StatefulProcessor): a row is
+    emitted only when a key's new value differs from its last-seen value
+    by more than ``threshold`` — the streaming twin of the batch
+    `value_change_points` query, producing the sparse "something moved"
+    feed downstream alerting actually wants instead of every tick.
+
+    Why transformWithState and not applyInPandasWithState: typed named
+    state variables (a one-double ValueState here) with per-state TTL
+    (``state_ttl_ms``), a lifecycle hook model (init/close), timers, and
+    initial-state bootstrap — the API Structured Streaming is
+    standardizing on. State is O(1) per key; the shuffle is the same
+    groupBy(key) exchange every stateful operator pays.
+
+    Runtime requirement: the transformWithState state-server protocol
+    runs over protobuf — environments without ``google.protobuf`` (like
+    this test container) fail at query start; the pytest coverage
+    auto-skips there and exercises the operator on protobuf-equipped
+    clusters.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ktype = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, prev double, cur double, jump double"
+    )
+
+    class ChangeDetector(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState(
+                "last", "last double", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            last = self._last.get()[0] if self._last.exists() else None
+            out = []
+            for pdf in rows:
+                for v in pdf[value_col]:
+                    v = float(v)
+                    if last is not None and abs(v - last) > threshold:
+                        out.append((key[0], last, v, v - last))
+                    last = v
+            self._last.update((last,))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[key_col, "prev", "cur", "jump"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=ChangeDetector(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

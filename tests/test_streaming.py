@@ -3,6 +3,8 @@ readiness listener — all through a file-source streaming query (no broker)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -268,3 +270,64 @@ def test_stream_static_enrich(spark, tmp_path):
     finally:
         q.stop()
     assert {(r.k, r.x, r.name) for r in rows} == {(1, "p", "one"), (3, "q", None)}
+
+
+def _has_protobuf() -> bool:
+    # transformWithStateInPandas drives its state-server protocol over
+    # protobuf; the runtime path needs google.protobuf (present on real
+    # clusters, absent in this container).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState runtime needs google.protobuf (not in container)",
+)
+def test_transform_with_state_change_detector(spark, tmp_path):
+    """transformWithStateInPandas keeps the last value per key across
+    micro-batches and emits only above-threshold jumps."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import streaming_change_detector
+
+    src = str(tmp_path / "tws_src")
+    _os.makedirs(src)
+
+    def put(fname, rows):
+        with open(_os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 0: u1 base 10 → 250 jumps (+240); u2 stays flat.
+    put("b0.json", [
+        {"user_id": 1, "value": 10.0},
+        {"user_id": 1, "value": 250.0},
+        {"user_id": 2, "value": 5.0},
+    ])
+    stream = spark.readStream.schema("user_id long, value double").json(src)
+    q = (
+        streaming_change_detector(stream, threshold=100.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1: u2 jumps vs state carried from batch 0 (5 → 500).
+        put("b1.json", [
+            {"user_id": 2, "value": 500.0},
+            {"user_id": 1, "value": 260.0},  # +10: below threshold, silent
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("select user_id, prev, cur, jump from tws_out").collect()
+    finally:
+        q.stop()
+    got = {(r.user_id, r.prev, r.cur, r.jump) for r in rows}
+    assert got == {(1, 10.0, 250.0, 240.0), (2, 5.0, 500.0, 495.0)}
