@@ -17,14 +17,29 @@ def _c(col: ColumnOrName) -> Column:
 
 
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
-    """Dot product of two equal-length array columns."""
-    prods = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+    """Dot product of two equal-length array columns.
+
+    Elements are cast to double BEFORE multiplying: float32 inputs would
+    otherwise multiply in float32 while any SQL oracle computing over
+    ::DOUBLE[] multiplies exact doubles — a ~1e-8 divergence that can cross
+    a round(6) boundary. Float→double casts are exact, and the left-to-right
+    fold (0.0 + p1) + p2 + … is the same IEEE sequence DuckDB's
+    list_reduce performs, so results are bit-identical."""
+    prods = F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def norm(a: ColumnOrName) -> Column:
-    """L2 norm."""
-    return F.sqrt(F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    """L2 norm (double accumulation — see dot)."""
+    return F.sqrt(
+        F.aggregate(
+            _c(a),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
 
 
 def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:

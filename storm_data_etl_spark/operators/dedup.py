@@ -703,6 +703,12 @@ def global_rank(df: DataFrame, order_cols: list[str], num_partitions: int | None
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     part = part.withColumn("_rn", F.row_number().over(w))
+    # MUST pin one materialization: the per-partition counts and the joined
+    # rows both re-evaluate `part` otherwise, and AQE may coalesce the two
+    # range shuffles differently — _pid labels then disagree between the
+    # offset table and the rows, scrambling the global ranks (observed at
+    # sf0.1 as a nondeterministic sorted-neighborhood pair set).
+    part = part.persist()
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # ~num_partitions rows: a single-task window here is fine by design.
     wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

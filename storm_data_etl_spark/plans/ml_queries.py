@@ -25,6 +25,22 @@ from storm_data_etl_spark.plans.tables import t
 _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9À-ɏ一-鿿]+', ' ', 'g'))"
 
 
+def _sql_cosine(a: str, b: str) -> str:
+    """DuckDB cosine mirroring functions.vectors.cosine's exact IEEE op
+    sequence: left-to-right fold for dot and squared norms over DOUBLE
+    elements, sqrt of each norm, dot/(na*nb). list_reduce folds
+    ((e1+e2)+e3)… which equals Spark's aggregate fold seeded with 0.0
+    (0.0+e1 == e1), so the two engines produce bit-identical doubles —
+    builtin list_cosine_similarity is NOT used because its internal
+    accumulation order is unspecified."""
+    return (
+        f"(list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+        f" / (sqrt(list_reduce(list_transform({a}, x -> x * x), (x, y) -> x + y))"
+        f" * sqrt(list_reduce(list_transform({b}, x -> x * x), (x, y) -> x + y))))"
+    )
+
+
 @register(
     "doc_token_stats",
     f"""
@@ -386,18 +402,19 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_topk",
-    """
+    f"""
     WITH probes AS (
       SELECT vec_id AS probe_id, embedding::DOUBLE[] AS probe_vec
       FROM embeddings WHERE vec_id < 5
     ),
-    scored AS (
-      -- float32 list_cosine_similarity diverges from Spark's float64
-      -- zip_with/aggregate path in the 7th decimal; compute in DOUBLE.
-      SELECT p.probe_id, e.vec_id,
-             list_cosine_similarity(e.embedding::DOUBLE[], p.probe_vec) AS cos_raw
+    pairs AS (
+      SELECT p.probe_id, e.vec_id, e.embedding::DOUBLE[] AS ev, p.probe_vec
       FROM embeddings e, probes p
       WHERE e.vec_id <> p.probe_id
+    ),
+    scored AS (
+      SELECT probe_id, vec_id, {_sql_cosine('ev', 'probe_vec')} AS cos_raw
+      FROM pairs
     ),
     ranked AS (
       SELECT probe_id, vec_id, cos_raw,
@@ -441,9 +458,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_norm_stats",
     """
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
     SELECT label, count(*) AS n,
-           round(avg(sqrt(list_dot_product(embedding, embedding))), 6) AS avg_norm
-    FROM embeddings GROUP BY label
+           round(avg(sqrt(list_reduce(list_transform(e, x -> x * x),
+                                      (x, y) -> x + y))), 6) AS avg_norm
+    FROM v GROUP BY label
     """,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,12 +541,15 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dup_exact",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-             AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.38
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_sql_cosine('a.e', 'b.e')} AS cos_raw
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+    FROM scored WHERE cos_raw >= 0.38
     """,
 )
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
