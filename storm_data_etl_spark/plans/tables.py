@@ -54,6 +54,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ordered — safe for ordering/dedup) and add `ts_utc` (microsecond
     timestamp) for calendar operations.
     """
+    # Queries may run under a caller-built SparkSession (the driver's
+    # correctness gate constructs its own): pin UTC here so NTZ→LTZ casts
+    # (ts_ns) and epoch-aligned windows stay oracle-identical regardless of
+    # the host session's timezone. Idempotent per call.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     caching = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
     if caching and (sf_dir, name) in _CACHE:
         return _CACHE[(sf_dir, name)]
