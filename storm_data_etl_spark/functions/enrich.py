@@ -379,6 +379,12 @@ def enrich_raw(
     CollapseProject keeps the stages intact because the aliases are
     non-cheap and multi-referenced.
     """
+    # All reference time math is UTC (transform.go:108-111,313): HHMM
+    # expansion, RFC-3339 parse, and hourly buckets silently shift under a
+    # non-UTC session (observed: a 4-hour offset under America/New_York).
+    # Pin it here so every caller — CLI, streaming, the driver's own
+    # session — gets reference semantics.
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     staged = df.withColumns(
         {
             "_lat": parse_float_or_zero("Lat"),

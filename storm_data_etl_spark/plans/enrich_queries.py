@@ -207,6 +207,9 @@ def storm_enrich_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full enrichment dataflow (P2-P13) over the shared golden VALUES rows,
     flattened for comparison. sf_dir is unused — the fixture is inline, so
     the same check runs at every scale factor."""
+    # Reference time semantics are UTC; the host session (the driver builds
+    # its own) may not be — pin before any timestamp literal is resolved.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = golden_df(spark).withColumn("_base_ts", F.lit(BASE_TS).cast("timestamp"))
     # Staged intermediates, same rationale as enrich_raw: inlined Column
     # trees duplicate the when-chains into every consumer branch.
