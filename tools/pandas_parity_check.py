@@ -40,6 +40,13 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     spark = get_spark("pandas-parity", master="local[8]")
+    # SPARK_GRAFT_PARITY_TZ: simulate a host session with a non-UTC
+    # timezone (the driver builds its own session; queries must self-pin).
+    # Re-forced before EVERY query — t() and the enrich runners reset UTC,
+    # so a single upfront set would only test the first query.
+    tz = os.environ.get("SPARK_GRAFT_PARITY_TZ")
+    if tz:
+        print(f"[session timezone forced to {tz} before each query]")
     con = duckdb.connect()
     for tname in TABLES:
         con.execute(
@@ -51,6 +58,8 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if tz:
+            spark.conf.set("spark.sql.session.timeZone", tz)
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
