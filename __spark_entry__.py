@@ -81,7 +81,7 @@ PRIORITY = [
     "markup_strip_stats",
     "tfidf_top_terms",
     "vocab_coverage",
-    "per_source_cap",
+    "curation_funnel",
     # dedup / sampling / tokenization (fixed this round)
     "doc_token_stats",
     "doc_fingerprint_dedup",

@@ -66,6 +66,7 @@ HEADLINE = [
     "nation_pair_trade",
     "props_variant_buckets",
     "udtf_sentence_stats",
+    "curation_funnel",
 ]
 
 

@@ -931,3 +931,106 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.sorted_neighborhood_pairs(
         t(spark, sf_dir, "documents"), prefix_len=24, window=4, threshold=0.4
     )
+
+
+# =====================================================================
+# End-to-end corpus curation funnel (the full pipeline in ONE query)
+# =====================================================================
+
+_FUNNEL_PUNCT = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 "
+    "ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))::DOUBLE"
+    " / length(text) END)"
+)
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH q0 AS (SELECT doc_id, lang, n_chars, text FROM documents),
+    q1 AS (SELECT * FROM q0 WHERE lang IN ('en', 'de', 'es')),
+    q2 AS (SELECT * FROM q1 WHERE n_chars >= 100 AND {_FUNNEL_PUNCT} <= 0.1),
+    q3 AS (
+      SELECT doc_id, lang, n_chars, text FROM q2
+      QUALIFY row_number() OVER (PARTITION BY md5({_SQL_NORM})
+                                 ORDER BY doc_id) = 1
+    ),
+    norm3 AS (
+      SELECT doc_id AS id, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM q3
+    ),
+    sh3 AS (SELECT id, unnest({_sql_shingles(3)}) AS shingle FROM norm3),
+    sizes3 AS (SELECT id, count(*) AS n_shingles FROM sh3 GROUP BY id),
+    common3 AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b FROM common3
+      JOIN sizes3 sa ON sa.id = id_a
+      JOIN sizes3 sb ON sb.id = id_b
+      WHERE n_common::DOUBLE / (sa.n_shingles + sb.n_shingles - n_common)
+            >= 0.5
+    ),
+    q4 AS (SELECT * FROM q3 WHERE doc_id NOT IN (SELECT id_b FROM dropped)),
+    q5 AS (SELECT * FROM q4 WHERE {SP.lcg_bucket_sql('doc_id')} < 80)
+    SELECT stage, n_docs, total_chars FROM (
+      SELECT '0_input' AS stage, count(*) AS n_docs,
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars FROM q0
+      UNION ALL SELECT '1_lang', count(*),
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM q1
+      UNION ALL SELECT '2_quality', count(*),
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM q2
+      UNION ALL SELECT '3_exact_dedup', count(*),
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM q3
+      UNION ALL SELECT '4_near_dedup', count(*),
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM q4
+      UNION ALL SELECT '5_train', count(*),
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM q5
+    )
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE corpus-curation pipeline as one plan, reported as a
+    per-stage retention funnel: language allowlist → quality gate
+    (length + punctuation ratio) → exact dedup (md5 fingerprint,
+    first-wins) → near-dup drop (exact 3-gram Jaccard ≥ 0.5, greedy
+    keep-lower-id) → deterministic train split. This is the composition a
+    training-data build actually runs; every stage reuses the engine's
+    audited primitive, and the oracle replays the identical chain in SQL —
+    pinning not just each operator but their COMPOSITION.
+
+    Scale shape: stages 1-2 are narrow filters; stage 3 shuffles on the
+    content fingerprint; stage 4's pair generation is the inverted-index
+    join (prefix-filter or MinHash swap in at corpus scale, same drop
+    semantics); stage 5 is narrow. Funnel readout aggregates each stage's
+    frame; the expensive stage-3/4 frames are persisted so the six
+    aggregates don't recompute the dedup chain."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    q1 = docs.filter(F.col("lang").isin("en", "de", "es"))
+    q2 = q1.filter(
+        (F.col("n_chars") >= 100) & (X.punct_ratio("text") <= 0.1)
+    )
+    q3 = D.exact_dedup(q2).select("doc_id", "lang", "n_chars", "text").persist()
+    pairs = D.ngram_jaccard_pairs(q3, k=3, threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    q4 = q3.join(dropped, "doc_id", "left_anti").persist()
+    q5 = q4.filter(SP.lcg_bucket("doc_id") < 80)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+        )
+
+    funnel = (
+        stage(docs, "0_input")
+        .unionByName(stage(q1, "1_lang"))
+        .unionByName(stage(q2, "2_quality"))
+        .unionByName(stage(q3, "3_exact_dedup"))
+        .unionByName(stage(q4, "4_near_dedup"))
+        .unionByName(stage(q5, "5_train"))
+    )
+    return funnel.select("stage", "n_docs", "total_chars")
