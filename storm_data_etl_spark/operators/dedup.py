@@ -755,7 +755,11 @@ def sorted_neighborhood_pairs(
         F.substring(norm, 1, prefix_len).alias("skey"),
         F.array_distinct(F.split(norm, " ")).alias("words"),
     )
-    ranked = global_rank(base, ["skey", "id"]).persist()
+    # No second persist here: global_rank already pins its partitioned frame,
+    # so the left/right re-reads only recompute the cheap window+offset join
+    # over that cache (a stacked persist of overlapping lineage doubles the
+    # memory for no replanning benefit).
+    ranked = global_rank(base, ["skey", "id"])
     left = ranked.select(
         F.col("id").alias("ia"),
         F.col("words").alias("wa"),

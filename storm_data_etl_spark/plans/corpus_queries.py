@@ -493,7 +493,10 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     class SplitSentences:
         def eval(self, doc_id, text):  # noqa: ANN001
             for raw in re.findall(r"[^.!?]+[.!?]?", text or ""):
-                s = raw.strip()
+                # strip SPACES only: the oracle's trim() strips spaces, while
+                # Python's bare .strip() also removes \n/\t — a latent parity
+                # break for multi-line text.
+                s = raw.strip(" ")
                 if s:
                     yield doc_id, s
 

@@ -69,8 +69,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             # TIMESTAMP(NANOS) file read via nanosAsLong: ns since epoch.
+            # Integer `div`, not `/`: double division of an int64 epoch-ns
+            # carries ~128 ns rounding error, enough to shift the truncated
+            # microsecond across a window boundary.
             df = df.withColumn(
-                "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts_utc", F.timestamp_micros(F.expr("ts div 1000"))
             ).withColumn("ts_ns", F.col("ts"))
         elif ts_type is not None:
             # TIMESTAMP(MICROS) file: ts scans as a real timestamp. ts_ns is

@@ -1444,9 +1444,6 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     anchors = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts_ns"))).alias("s_ns"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ts_ns"))
-        ).alias("_unused_first_purchase"),
     )
     # first purchase AT OR AFTER signup needs the signup anchor first: join
     # back and re-aggregate (same key → AQE reuses the partitioning).

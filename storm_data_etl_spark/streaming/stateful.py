@@ -183,6 +183,7 @@ def streaming_change_detector(
     value_col: str = "value",
     threshold: float = 100.0,
     state_ttl_ms: int | None = None,
+    order_col: str | None = "ts_utc",
 ) -> DataFrame:
     """Per-key change-point emitter on the MODERN stateful API
     (transformWithStateInPandas, Spark 4 StatefulProcessor): a row is
@@ -197,6 +198,18 @@ def streaming_change_detector(
     initial-state bootstrap — the API Structured Streaming is
     standardizing on. State is O(1) per key; the shuffle is the same
     groupBy(key) exchange every stateful operator pays.
+
+    ``order_col``: event-time column used to sort each key's rows WITHIN a
+    micro-batch before diffing (None → arrival order). Without it,
+    multi-partition batches reach the detector in shuffle order and both
+    the emitted jumps and the stored last-value become nondeterministic —
+    the same reason the batch twin orders by (ts, event_id). Pass None
+    only for single-partition, pre-ordered sources.
+
+    ``state_ttl_ms``: per-state TTL; requires processing-time semantics, so
+    the operator switches timeMode to ProcessingTime when set (Spark
+    rejects TTL under TimeMode.None with
+    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL).
 
     Runtime requirement: the transformWithState state-server protocol
     runs over protobuf — environments without ``google.protobuf`` (like
@@ -222,13 +235,18 @@ def streaming_change_detector(
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
             last = self._last.get()[0] if self._last.exists() else None
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if not chunks:
+                return
+            batch = pd.concat(chunks, ignore_index=True)
+            if order_col is not None:
+                batch = batch.sort_values(order_col, kind="stable")
             out = []
-            for pdf in rows:
-                for v in pdf[value_col]:
-                    v = float(v)
-                    if last is not None and abs(v - last) > threshold:
-                        out.append((key[0], last, v, v - last))
-                    last = v
+            for v in batch[value_col]:
+                v = float(v)
+                if last is not None and abs(v - last) > threshold:
+                    out.append((key[0], last, v, v - last))
+                last = v
             self._last.update((last,))
             if out:
                 yield pd.DataFrame(
@@ -242,5 +260,5 @@ def streaming_change_detector(
         statefulProcessor=ChangeDetector(),
         outputStructType=out_schema,
         outputMode="Append",
-        timeMode="None",
+        timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
     )

@@ -304,13 +304,16 @@ def test_transform_with_state_change_detector(spark, tmp_path):
             for r in rows:
                 f.write(_json.dumps(r) + "\n")
 
-    # batch 0: u1 base 10 → 250 jumps (+240); u2 stays flat.
+    # batch 0: u1 base 10 → 250 jumps (+240); u2 stays flat. u1's rows are
+    # written out of event-time order — the detector must sort by ts_utc.
     put("b0.json", [
-        {"user_id": 1, "value": 10.0},
-        {"user_id": 1, "value": 250.0},
-        {"user_id": 2, "value": 5.0},
+        {"user_id": 1, "ts_utc": "2024-01-01T00:01:00", "value": 250.0},
+        {"user_id": 1, "ts_utc": "2024-01-01T00:00:00", "value": 10.0},
+        {"user_id": 2, "ts_utc": "2024-01-01T00:00:00", "value": 5.0},
     ])
-    stream = spark.readStream.schema("user_id long, value double").json(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts_utc timestamp, value double"
+    ).json(src)
     q = (
         streaming_change_detector(stream, threshold=100.0)
         .writeStream.outputMode("append")
@@ -322,8 +325,9 @@ def test_transform_with_state_change_detector(spark, tmp_path):
         q.processAllAvailable()
         # batch 1: u2 jumps vs state carried from batch 0 (5 → 500).
         put("b1.json", [
-            {"user_id": 2, "value": 500.0},
-            {"user_id": 1, "value": 260.0},  # +10: below threshold, silent
+            {"user_id": 2, "ts_utc": "2024-01-01T00:10:00", "value": 500.0},
+            # +10 vs the carried state: below threshold, silent
+            {"user_id": 1, "ts_utc": "2024-01-01T00:10:00", "value": 260.0},
         ])
         q.processAllAvailable()
         rows = spark.sql("select user_id, prev, cur, jump from tws_out").collect()
