@@ -1034,3 +1034,57 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(q5, "5_train"))
     )
     return funnel.select("stage", "n_docs", "total_chars")
+
+
+@register(
+    "semantic_decontamination",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bench AS (SELECT vec_id, e FROM v WHERE vec_id < 50),
+    train AS (SELECT vec_id, e FROM v WHERE vec_id >= 50),
+    scored AS (
+      SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+             {_sql_cosine('t.e', 'b.e')} AS cos_raw
+      FROM train t CROSS JOIN bench b
+    ),
+    hits AS (
+      SELECT train_id, count(*) AS n_bench_hits,
+             round(max(cos_raw), 6) AS max_cosine
+      FROM scored WHERE cos_raw >= 0.35
+      GROUP BY train_id
+    )
+    SELECT train_id, n_bench_hits, max_cosine FROM hits
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination — the semantic complement
+    of decontaminate_benchmark's exact 8-gram check: training vectors whose
+    cosine against ANY benchmark vector (vec_id < 50) clears the threshold
+    are flagged with their hit count and worst offender score. Catches
+    paraphrased/translated leakage that n-gram overlap misses.
+
+    Plan: the benchmark side is tiny by construction (eval sets are KBs of
+    vectors) → broadcast; the train side streams through one narrow scored
+    pass + a per-train-id aggregate. At 100 TB this is a scan, not a join
+    problem — the same shape as decontaminate_benchmark. Exact scoring at
+    test scale doubles as the recall oracle for an LSH-prefiltered variant
+    (embedding_near_dup_lsh's bucketing drops in unchanged when the
+    benchmark outgrows a broadcast)."""
+    emb = t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("vb")
+    )
+    train = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("vt")
+    )
+    scored = train.crossJoin(F.broadcast(bench)).withColumn(
+        "cos_raw", V.cosine("vt", "vb")
+    )
+    return (
+        scored.filter(F.col("cos_raw") >= 0.35)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.round(F.max("cos_raw"), 6).alias("max_cosine"),
+        )
+    )
