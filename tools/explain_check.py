@@ -289,6 +289,24 @@ def main() -> int:
         "(CASE inlined, partial agg, no Python)",
     )
 
+    # 31. Curation funnel: the dedup-chain frames are cached so the six
+    # stage aggregates don't recompute the expensive stages.
+    p = plan_of(qs["curation_funnel"](spark, sf_dir))
+    check(
+        "curation_funnel_staged_cache",
+        "InMemoryRelation" in p and "Union" in p,
+        "(persisted dedup chain feeding the funnel union)",
+    )
+
+    # 32. Semantic decontamination: the benchmark vectors ride a broadcast
+    # nested-loop (tiny side) — the train scan never shuffles for scoring.
+    p = plan_of(qs["semantic_decontamination"](spark, sf_dir))
+    check(
+        "semantic_decon_broadcast",
+        "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p,
+        "(bench side broadcast)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
