@@ -1088,3 +1088,53 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cos_raw"), 6).alias("max_cosine"),
         )
     )
+
+
+@register(
+    "media_frame_sample",
+    """
+    -- DuckDB cannot slice BLOBs, so frames are compared through their hex
+    -- encoding (2 hex chars per byte; both engines emit uppercase hex).
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents
+    ),
+    f AS (
+      SELECT media_id, i.i AS frame_index,
+             substring(ph, i.i * 512 + 1, 512) AS fph
+      FROM m, unnest(range(0, greatest(1, least(4, (length(ph) // 2) // 256))))
+           AS i(i)
+    )
+    SELECT media_id, count(*) AS n_frames,
+           max(CASE WHEN frame_index = 0 THEN md5(fph) END) AS first_frame_md5,
+           CAST(sum(length(fph) // 2) AS BIGINT) AS frame_bytes
+    FROM f GROUP BY media_id
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the REAL multimodal plumbing
+    (operators.multimodal.sample_frames — Arrow-batched mapInPandas, one
+    input row exploding into N frame rows inside the Python worker), over
+    payloads synthesized as UTF-8 bytes of `text` so the oracle can replay
+    the byte slicing with blob arithmetic. Verifies the media path's batch
+    iteration, binary slicing, and schema end-to-end at value level — the
+    decode kernel itself stays the documented stub (the container has no
+    codec libraries; a real sampler swaps one inner function).
+
+    Scale shape: narrow map over the scan; frames are content-pruned to
+    fingerprints before the per-media aggregate, so raw bytes never
+    shuffle."""
+    from storm_data_etl_spark.operators import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    frames = MM.sample_frames(media, every_n_bytes=256, max_frames=4)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(
+            F.when(F.col("frame_index") == 0, F.md5(F.hex("frame_payload")))
+        ).alias("first_frame_md5"),
+        F.sum(F.length("frame_payload")).alias("frame_bytes"),
+    )
