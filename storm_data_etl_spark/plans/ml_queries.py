@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from storm_data_etl_spark.functions import text as X
 from storm_data_etl_spark.functions import vectors as V
 from storm_data_etl_spark.operators import dedup as D
+from storm_data_etl_spark.operators import multimodal as MM
 from storm_data_etl_spark.operators import sampling as SP
 from storm_data_etl_spark.operators import similarity as S
 from storm_data_etl_spark.plans.queries import register
@@ -1123,8 +1124,6 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: narrow map over the scan; frames are content-pruned to
     fingerprints before the per-media aggregate, so raw bytes never
     shuffle."""
-    from storm_data_etl_spark.operators import multimodal as MM
-
     docs = t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
