@@ -1509,3 +1509,86 @@ def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# Theil-Sen robust trend (grouped-map applyInPandas — the Python-kernel
+# escape hatch for per-group algorithms Catalyst can't express)
+# =====================================================================
+
+@register(
+    "theil_sen_trend",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_ns(ts) / 86400000000000.0 AS x, "value" AS y,
+             event_id
+      FROM events WHERE user_id < 12
+    ),
+    slopes AS (
+      SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
+      FROM ev a JOIN ev b
+        ON b.user_id = a.user_id AND b.event_id > a.event_id AND b.x <> a.x
+    )
+    SELECT user_id, count(*) AS n_pairs,
+           CAST(floor(10000 * quantile_cont(s, 0.5)) AS BIGINT)
+             AS slope_per_day_e4
+    FROM slopes GROUP BY user_id
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user: the MEDIAN of all pairwise slopes
+    (value delta / day delta) — the outlier-immune complement of
+    trend_slope_by_type's least-squares fit (one wild spike cannot move a
+    median of O(n²) slopes). Implemented as a grouped-map applyInPandas
+    kernel: per-group pairwise computation over numpy is exactly the shape
+    Catalyst can't express and the grouped-map API exists for — one
+    shuffle on user_id, Arrow batch per group, O(n²) work bounded by the
+    per-user event count (restricted to 12 users here; production caps
+    pairs by windowing recent history).
+
+    Parity: each pair slope is one IEEE division on identical doubles in
+    both engines (x derives from exact epoch-ns), and the even-count
+    median interpolates (a+b)/2 on identical sorted doubles — numpy's
+    median ≡ DuckDB quantile_cont(0.5) bit-for-bit; the floor-e4 scaling
+    then hashes stably."""
+    import numpy as np
+    import pandas as pd
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 12)
+        .select(
+            "user_id",
+            (F.col("ts_ns") / F.lit(86400000000000.0)).alias("x"),
+            F.col("value").alias("y"),
+            "event_id",
+        )
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id", kind="stable")
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        # upper-triangle pairwise slopes, skipping zero time deltas
+        dx = x[None, :] - x[:, None]
+        dy = y[None, :] - y[:, None]
+        iu = np.triu_indices(len(x), k=1)
+        dxu, dyu = dx[iu], dy[iu]
+        keep = dxu != 0.0
+        slopes = dyu[keep] / dxu[keep]
+        if len(slopes) == 0:
+            return pd.DataFrame(
+                {"user_id": pdf["user_id"].iloc[:0], "n_pairs": [], "slope_per_day_e4": []}
+            )
+        med = float(np.median(slopes))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_pairs": [int(len(slopes))],
+                "slope_per_day_e4": [int(np.floor(10000 * med))],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        kernel, "user_id long, n_pairs long, slope_per_day_e4 long"
+    )
