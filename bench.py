@@ -67,6 +67,8 @@ HEADLINE = [
     "props_variant_buckets",
     "udtf_sentence_stats",
     "curation_funnel",
+    "media_frame_sample",
+    "theil_sen_trend",
 ]
 
 
