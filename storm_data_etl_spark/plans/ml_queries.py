@@ -1137,3 +1137,86 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_frame_md5"),
         F.sum(F.length("frame_payload")).alias("frame_bytes"),
     )
+
+
+@register(
+    "payload_byte_profile",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents
+    ),
+    b AS (
+      SELECT media_id,
+             CAST(('0x' || substring(ph, i.i * 2 + 1, 2)) AS INTEGER) AS byte
+      FROM m, unnest(range(0, length(ph) // 2)) AS i(i)
+    ),
+    counts AS (
+      SELECT media_id, byte, count(*) AS c FROM b GROUP BY media_id, byte
+    )
+    SELECT media_id,
+           count(*) AS n_distinct_bytes,
+           CAST(max(c) AS BIGINT) AS max_byte_count,
+           min(byte) FILTER (WHERE c = (
+             SELECT max(c2.c) FROM counts c2 WHERE c2.media_id = counts.media_id
+           )) AS most_common_byte
+    FROM counts GROUP BY media_id
+    """,
+)
+def payload_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level payload profiling via mapInArrow — the arrow-NATIVE batch
+    API (pyarrow RecordBatches in and out, no pandas conversion), completing
+    the Python-kernel family alongside mapInPandas / applyInPandas / UDTF.
+    Per payload: distinct byte count, the modal byte's frequency, and the
+    modal byte itself (smallest on ties — deterministic). All-integer
+    output, so the hash compare is exact by construction.
+
+    This is the pre-pass a media pipeline uses for cheap content sniffing
+    (compression detection via byte-entropy proxies, magic-byte surveys)
+    before any decode. Narrow map over the scan; the oracle replays the
+    byte iteration through hex pairs (DuckDB cannot iterate BLOBs
+    directly)."""
+    import collections
+
+    import pyarrow as pa
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+    out_schema = (
+        "media_id long, n_distinct_bytes long, max_byte_count long, "
+        "most_common_byte int"
+    )
+    # The declared output schema must match the arrow batch EXACTLY —
+    # from_pydict would infer int64 for most_common_byte where Spark
+    # expects int32, and the JVM-side accessor then fails.
+    arrow_schema = pa.schema(
+        [
+            ("media_id", pa.int64()),
+            ("n_distinct_bytes", pa.int64()),
+            ("max_byte_count", pa.int64()),
+            ("most_common_byte", pa.int32()),
+        ]
+    )
+
+    def kernel(batches):  # noqa: ANN001
+        for batch in batches:
+            mids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            rows = {"media_id": [], "n_distinct_bytes": [],
+                    "max_byte_count": [], "most_common_byte": []}
+            for mid, payload in zip(mids, payloads):
+                counts = collections.Counter(payload or b"")
+                if not counts:
+                    continue
+                max_c = max(counts.values())
+                modal = min(bv for bv, c in counts.items() if c == max_c)
+                rows["media_id"].append(mid)
+                rows["n_distinct_bytes"].append(len(counts))
+                rows["max_byte_count"].append(max_c)
+                rows["most_common_byte"].append(modal)
+            yield pa.RecordBatch.from_pydict(rows, schema=arrow_schema)
+
+    return media.mapInArrow(kernel, out_schema)
