@@ -45,5 +45,18 @@ def test_registry_size_floor():
     """The operator inventory must not silently shrink (SURVEY §2 coverage)."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 109, f"query registry shrank: {len(qs)}"
-    assert len(oracles) >= 102, f"oracle coverage shrank: {len(oracles)}"
+    assert len(qs) >= 127, f"query registry shrank: {len(qs)}"
+    assert len(oracles) >= 120, f"oracle coverage shrank: {len(oracles)}"
+
+
+def test_priority_head_is_oracle_backed():
+    """The driver's gate samples the head of queries(): every PRIORITY name
+    must resolve, and the head must stay (almost) fully oracle-backed —
+    rows-only entries there waste hash-proof slots."""
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    missing = [n for n in entry.PRIORITY if n not in qs]
+    assert not missing, f"PRIORITY names not in registry: {missing}"
+    head = list(qs)[:50]
+    rows_only = [n for n in head if n not in oracles]
+    assert len(rows_only) <= 1, f"too many rows-only entries in head: {rows_only}"
