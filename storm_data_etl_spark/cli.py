@@ -145,6 +145,39 @@ def cmd_etl(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_list(args: argparse.Namespace) -> int:
+    """Catalog listing: every registered analytics query with its check
+    mode and first docstring line — the discoverability surface for a user
+    switching from the reference."""
+    import __spark_entry__ as entrymod
+    from storm_data_etl_spark.plans.queries import REGISTRY
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in qs:
+        kind = "oracle" if name in oracles else "rows-only"
+        doc = (REGISTRY[name].doc or "").strip().splitlines()
+        first = doc[0] if doc else ""
+        print(f"{name:34s} [{kind:9s}] {first}")
+    print(f"\n{len(qs)} queries ({len(oracles)} oracle-backed)")
+    return 0
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print a query's physical plan (formatted) — the plan-inspection
+    surface behind tools/explain_check.py, exposed for users."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.query not in qs:
+        print(f"explain: unknown query '{args.query}' (see `list`)", file=sys.stderr)
+        return 2
+    spark = _spark("explain")
+    df = qs[args.query](spark, args.sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     env = os.environ
     p = argparse.ArgumentParser(prog="storm_data_etl_spark")
@@ -185,6 +218,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     e.add_argument("--timeout", type=int, default=0, help="seconds; 0 = run forever")
     e.set_defaults(fn=cmd_etl)
+
+    l = sub.add_parser("list", help="list the analytics query catalog")
+    l.set_defaults(fn=cmd_list)
+
+    x = sub.add_parser("explain", help="print a query's physical plan")
+    x.add_argument("query")
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    x.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    x.set_defaults(fn=cmd_explain)
     return p
 
 

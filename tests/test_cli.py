@@ -90,3 +90,17 @@ def test_cli_etl_file_mode(spark, tmp_path):
     assert row.event_type == "hail"
     assert abs(row.measurement.magnitude - 1.25) < 1e-9
     assert row.source_office == "SJT"
+
+
+def test_cli_list(capsys):
+    from storm_data_etl_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "oracle-backed" in out
+
+
+def test_cli_explain_unknown(capsys):
+    from storm_data_etl_spark.cli import main
+
+    assert main(["explain", "no_such_query"]) == 2
