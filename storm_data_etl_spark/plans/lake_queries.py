@@ -14,7 +14,7 @@ everything beyond that is the 100 TB extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import pii as PII
@@ -1371,4 +1371,84 @@ def sql_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE)) AS BIGINT) AS sum_value_e2
         FROM _udf_events GROUP BY value_band(value), event_type
         """
+    )
+
+
+# =====================================================================
+# SCD Type 2 (slowly-changing-dimension history from a changelog)
+# =====================================================================
+
+@register(
+    "scd2_dimension_history",
+    """
+    WITH log AS (
+      SELECT o_custkey, o_orderstatus AS status, o_orderdate AS ts, o_orderkey
+      FROM orders WHERE o_custkey < 200
+    ),
+    changes AS (
+      SELECT * FROM (
+        SELECT o_custkey, status, ts, o_orderkey,
+               lag(status) OVER w AS prev_status
+        FROM log WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, o_orderkey)
+      ) WHERE prev_status IS NULL OR status <> prev_status
+    ),
+    versions AS (
+      SELECT o_custkey, status, ts AS eff_from,
+             lead(ts) OVER (PARTITION BY o_custkey
+                            ORDER BY ts, o_orderkey) AS eff_to
+      FROM changes
+    )
+    SELECT o_custkey,
+           count(*) AS n_versions,
+           CAST(sum(CASE WHEN eff_to IS NULL THEN 0
+                         ELSE date_diff('day', eff_from, eff_to) END) AS BIGINT)
+             AS closed_days,
+           max(CASE WHEN eff_to IS NULL THEN status END) AS current_status
+    FROM versions GROUP BY o_custkey
+    """,
+)
+def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: collapse an order changelog
+    into status VERSIONS — consecutive identical statuses merge, each
+    surviving change opens an effective-dated row [eff_from, eff_to), the
+    live version stays open-ended — then summarize per key (version count,
+    closed-interval days, current status). This is the warehouse-dimension
+    maintenance pattern the CDC family lacked: cdc_upsert_merge keeps only
+    the LATEST row; SCD2 keeps the full effective-dated history.
+
+    Plan: ONE shuffle on the dimension key serves both stacked windows
+    (change detection lag + interval lead share key and order) and the
+    final per-key aggregate. At 100 TB the changelog shuffle is
+    proportional to changed rows, and the history table appends only
+    closed/opened versions — the same touch-the-delta economics as
+    incremental_agg_maintenance."""
+    log = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    changes = log.withColumn("prev_status", F.lag("status").over(w)).filter(
+        F.col("prev_status").isNull() | (F.col("status") != F.col("prev_status"))
+    )
+    versions = changes.select(
+        "o_custkey",
+        "status",
+        F.col("ts").alias("eff_from"),
+        F.lead("ts").over(w).alias("eff_to"),
+    )
+    closed_days = F.when(F.col("eff_to").isNull(), 0).otherwise(
+        F.datediff("eff_to", "eff_from")
+    )
+    return versions.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(closed_days).alias("closed_days"),
+        F.max(F.when(F.col("eff_to").isNull(), F.col("status"))).alias(
+            "current_status"
+        ),
     )
