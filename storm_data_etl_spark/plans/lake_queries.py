@@ -1452,3 +1452,123 @@ def scd2_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "current_status"
         ),
     )
+
+
+# =====================================================================
+# Key-skew profile (the diagnostic that decides salting / AQE strategy)
+# =====================================================================
+
+@register(
+    "key_skew_profile",
+    """
+    WITH sizes AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           max(c) AS max_rows,
+           CAST(floor(100.0 * max(c) * count(*) / sum(c)) AS BIGINT)
+             AS hotness_pct_of_uniform_e2,
+           CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_rows,
+           CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_rows,
+           min(user_id) FILTER (WHERE c = (SELECT max(c) FROM sizes))
+             AS hottest_key
+    FROM sizes
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: per-key row counts summarized as the
+    distribution a partitioning decision actually needs — key count, max
+    group size, the hottest key's share relative to uniform (100 = exactly
+    uniform; 10_000 = one key holds 100 keys' worth), and discrete p50/p99
+    group sizes. This is the report that decides between plain hash
+    partitioning, AQE skew-join splitting, and explicit salting
+    (operators/skew.py) BEFORE a 100 TB job burns a day discovering its
+    hot key. Two tiny aggregates; the per-key count is map-side partial.
+
+    quantile_disc (exact discrete quantile = element at ceil(q·n)) is used
+    rather than interpolated percentiles so every output is an exact
+    integer — hash-stable by construction."""
+    ev = t(spark, sf_dir, "events")
+    sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).persist()
+    hottest = sizes.agg(F.max("c").alias("maxc"))
+    hot_key = (
+        sizes.join(F.broadcast(hottest), sizes["c"] == hottest["maxc"])
+        .agg(F.min("user_id").alias("hottest_key"))
+    )
+    summary = sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_rows"),
+        F.floor(100.0 * F.max("c") * F.count(F.lit(1)) / F.sum("c"))
+        .cast("bigint")
+        .alias("hotness_pct_of_uniform_e2"),
+        # discrete quantile: element at position ceil(q*n) of the sorted
+        # multiset == percentile_disc — Spark spells it percentile(..., disc)
+        # via expr on sorted collect? Use percentile_approx exactness trick:
+        # exact for accuracy >= n. n_keys is small (~150), so 10^6 is exact.
+        F.percentile_approx("c", F.lit(0.5), F.lit(1000000)).alias("p50_rows"),
+        F.percentile_approx("c", F.lit(0.99), F.lit(1000000)).alias("p99_rows"),
+    )
+    return summary.crossJoin(F.broadcast(hot_key)).select(
+        "n_keys", "n_rows", "max_rows", "hotness_pct_of_uniform_e2",
+        F.col("p50_rows").cast("bigint").alias("p50_rows"),
+        F.col("p99_rows").cast("bigint").alias("p99_rows"),
+        "hottest_key",
+    )
+
+
+# =====================================================================
+# Referential-integrity audit (multi-FK orphan counts in one pass)
+# =====================================================================
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT
+      (SELECT count(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey))
+        AS lineitem_orphans,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+        AS order_orphans,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_nationkey = c.c_nationkey))
+        AS customer_orphans,
+      (SELECT count(*) FROM supplier s
+       WHERE NOT EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_nationkey = s.s_nationkey))
+        AS supplier_orphans
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema in one
+    result row: orphan counts for every foreign-key edge (fact→orders→
+    customer→nation, supplier→nation) via left-anti joins. The
+    generalization of the reference's key-existence check (SURVEY §2.5 J1,
+    cmd/validate/main.go:298-313) from one CSV↔JSON pair to an arbitrary
+    schema graph — the data-quality gate a lake runs after every load.
+    Each anti-join broadcasts its dimension side; counts compose into one
+    row with no shuffle larger than the fact scan."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(child, key, parent, pkey, alias):
+        return (
+            child.join(
+                F.broadcast(parent), child[key] == parent[pkey], "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a = orphans(li, "l_orderkey", o.select("o_orderkey"), "o_orderkey", "lineitem_orphans")
+    b = orphans(o, "o_custkey", c.select("c_custkey"), "c_custkey", "order_orphans")
+    d = orphans(c, "c_nationkey", n, "n_nationkey", "customer_orphans")
+    e = orphans(s, "s_nationkey", n, "n_nationkey", "supplier_orphans")
+    return a.crossJoin(b).crossJoin(d).crossJoin(e)
