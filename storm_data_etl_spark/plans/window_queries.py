@@ -1592,3 +1592,46 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         kernel, "user_id long, n_pairs long, slope_per_day_e4 long"
     )
+
+
+# =====================================================================
+# Week-over-week growth (lag over an aggregate — the BI report shape)
+# =====================================================================
+
+@register(
+    "weekly_growth_report",
+    """
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS week, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('week', ts)
+    )
+    SELECT event_type, week, n,
+           lag(n) OVER w AS prev_n,
+           CAST(floor(10000.0 * (n - lag(n) OVER w) / lag(n) OVER w)
+                AS BIGINT) AS wow_delta_e4
+    FROM weekly WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def weekly_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly counts with the
+    previous week's count and the scaled relative delta — the lag-over-
+    aggregate composition every BI report runs (and a different shape from
+    the row-level lags elsewhere: here the window runs over the OUTPUT of
+    an aggregate, so it costs a second tiny exchange over weeks×types
+    rows, not a per-event shuffle). The delta divides two exact integers
+    once — floor-e4 is engine-stable."""
+    ev = t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts_utc")).alias("week")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "n",
+        prev.alias("prev_n"),
+        F.floor(10000.0 * (F.col("n") - prev) / prev).cast("bigint").alias(
+            "wow_delta_e4"
+        ),
+    )
