@@ -14,6 +14,8 @@ everything beyond that is the 100 TB extension surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1572,3 +1574,79 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = orphans(c, "c_nationkey", n, "n_nationkey", "customer_orphans")
     e = orphans(s, "s_nationkey", n, "n_nationkey", "supplier_orphans")
     return a.crossJoin(b).crossJoin(d).crossJoin(e)
+
+
+# =====================================================================
+# Bucketed co-located join (ZERO-exchange repeated joins — the layout
+# investment a 100 TB lake makes for its dominant join key)
+# =====================================================================
+
+@register(
+    "bucketed_colocated_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_items,
+           CAST(floor(100 * CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE)) AS BIGINT) AS revenue_e2
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact⋈orders join executed over BUCKETED table layouts: both
+    sides materialized once with bucketBy(orderkey) into the session
+    warehouse (lazily, per sf_dir), after which the sort-merge join runs
+    with ZERO exchange on either side — the co-location investment a lake
+    makes when one join key dominates its workload, converting every
+    subsequent join on that key from a full shuffle into a local merge.
+    The MERGE hint pins sort-merge (a broadcast would mask the
+    demonstration at test scale); tools/explain_check.py asserts no
+    Exchange feeds the join. Results are identical to the plain join —
+    the oracle doesn't know or care about layout."""
+    import shutil
+
+    from storm_data_etl_spark.sources.parquet import read_bucketed, write_bucketed
+
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_").replace("-", "_")
+    li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
+
+    def _clear_stale(table: str) -> None:
+        # The warehouse directory outlives the session catalog: a previous
+        # process may have left table files that the fresh in-memory catalog
+        # doesn't know, and saveAsTable refuses the occupied location.
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+
+    if not spark.catalog.tableExists(li_tbl):
+        _clear_stale(li_tbl)
+        write_bucketed(
+            t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", F.col("l_extendedprice").cast("decimal(18,2)").alias("price")
+            ),
+            li_tbl,
+            ["l_orderkey"],
+            n_buckets=8,
+            sort_cols=["l_orderkey"],
+        )
+    if not spark.catalog.tableExists(o_tbl):
+        _clear_stale(o_tbl)
+        write_bucketed(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            o_tbl,
+            ["o_orderkey"],
+            n_buckets=8,
+            sort_cols=["o_orderkey"],
+        )
+    li = read_bucketed(spark, li_tbl)
+    o = read_bucketed(spark, o_tbl).hint("merge")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.floor(100 * F.sum("price").cast("double"))
+            .cast("bigint")
+            .alias("revenue_e2"),
+        )
+    )

@@ -307,6 +307,21 @@ def main() -> int:
         "(bench side broadcast)",
     )
 
+    # 33. Bucketed co-located join: sort-merge with ZERO exchange feeding
+    # the join (the only Exchange in the plan belongs to the final
+    # aggregate) — bucketing eliminated the join shuffle entirely.
+    import re as _re
+
+    p = plan_of(qs["bucketed_colocated_join"](spark, sf_dir))
+    # formatted explain lists each node twice (tree + detail header) —
+    # count Exchange NODES from tree lines only.
+    n_exchanges = len(_re.findall(r"[+:]- Exchange", p))
+    check(
+        "bucketed_join_zero_exchange",
+        "SortMergeJoin" in p and n_exchanges == 1,
+        f"(tree Exchange nodes: {n_exchanges}; the one belongs to the final agg)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
