@@ -615,3 +615,51 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_e2"),
     )
+
+
+@register(
+    "collation_group_count",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg,
+             c_acctbal
+      FROM customer
+    )
+    SELECT lower(seg) AS segment, count(*) AS n,
+           CAST(floor(100 * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                AS DOUBLE)) AS BIGINT) AS balance_e2
+    FROM mixed GROUP BY lower(seg)
+    """,
+)
+def collation_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS (UTF8_LCASE): the
+    engine-level answer to mixed-case categorical keys — the comparison /
+    grouping semantics live in the column's collation, not in lower()
+    sprinkled over every expression (and unlike lower(), collations keep
+    original-case data while changing equality). Mixed-case input is
+    synthesized deterministically (even keys lowercased); output keys are
+    canonicalized with ONE lower() so both engines emit identical
+    representatives. The oracle states the classic lower()-grouping
+    equivalent."""
+    c = t(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    return (
+        mixed.groupBy(F.expr("seg COLLATE UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(100 * F.sum("bal").cast("double"))
+            .cast("bigint")
+            .alias("balance_e2"),
+        )
+        .select(
+            F.lower(F.col("k").cast("string")).alias("segment"), "n", "balance_e2"
+        )
+    )
