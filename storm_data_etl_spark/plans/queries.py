@@ -663,3 +663,42 @@ def collation_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("k").cast("string")).alias("segment"), "n", "balance_e2"
         )
     )
+
+
+@register(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 100
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by price —
+    the per-row dependent-subquery shape (SQL:2016 LATERAL) that predates
+    and complements the window-function top-k (rank_in_group). Spark
+    decorrelates the lateral limit into a ranked join under the hood;
+    expressing it as LATERAL exercises that rewrite path end-to-end, and
+    DuckDB runs the identical SQL. Raw parquet doubles pass through
+    unaggregated, so values hash bit-identically."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_lat_customer")
+    o.createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+        """
+    )
