@@ -306,3 +306,43 @@ def test_parse_float_or_zero(spark):
     cases = [("31.02", 31.02), ("", 0.0), ("  -98.44 ", -98.44), ("abc", 0.0), (None, 0.0)]
     got = _eval(spark, E.parse_float_or_zero("s"), [(c,) for c, _ in cases], "s string")
     assert got == [exp for _, exp in cases]
+
+
+def test_enrich_with_observation_metrics(spark):
+    """df.observe() collects pipeline metrics in the SAME pass as the
+    enrichment action — the batch twin of the streaming listener metrics
+    (ST7): no second scan, no accumulator plumbing."""
+    import json
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.functions.enrich import enrich_envelope
+
+    recs = [
+        {"Time": "1510", "Size": "125", "F_Scale": "", "Speed": "",
+         "Location": "8 ESE Chappel", "County": "San Saba", "State": "TX",
+         "Lat": "31.02", "Lon": "-98.44", "Comments": "Hail. (SJT)",
+         "EventType": "hail"},
+        {"Time": "1245", "Size": "", "F_Scale": "", "Speed": "65",
+         "Location": "Tarrant spot", "County": "Tarrant", "State": "TX",
+         "Lat": "32.75", "Lon": "-97.33", "Comments": "Gusts. (FWD)",
+         "EventType": "wind"},
+    ]
+    rows = [(json.dumps(r).encode(), "2024-04-26 00:00:00") for r in recs]
+    rows.append((b"broken{{{", "2024-04-26 00:00:00"))
+    df = spark.createDataFrame(rows, "value binary, timestamp string").withColumn(
+        "timestamp", F.col("timestamp").cast("timestamp")
+    )
+    obs = Observation("enrich_metrics")
+    out = enrich_envelope(df).observe(
+        obs,
+        F.count(F.lit(1)).alias("produced"),
+        F.count(F.when(F.col("measurement.severity").isNull(), 1)).alias(
+            "null_severity"
+        ),
+    )
+    assert out.count() == 2  # poison pill dropped before the observe point
+    got = obs.get
+    assert got["produced"] == 2
+    assert got["null_severity"] == 0
