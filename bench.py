@@ -69,6 +69,8 @@ HEADLINE = [
     "curation_funnel",
     "media_frame_sample",
     "theil_sen_trend",
+    "scd2_dimension_history",
+    "bucketed_colocated_join",
 ]
 
 
