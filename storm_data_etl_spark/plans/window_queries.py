@@ -1635,3 +1635,92 @@ def weekly_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_delta_e4"
         ),
     )
+
+
+# =====================================================================
+# Behavioral signatures (sorted set-aggregation cohorts)
+# =====================================================================
+
+@register(
+    "behavior_signatures",
+    """
+    WITH sigs AS (
+      SELECT user_id,
+             array_to_string(list_sort(list(DISTINCT event_type)), '>')
+               AS signature
+      FROM events GROUP BY user_id
+    )
+    SELECT signature, count(*) AS n_users
+    FROM sigs GROUP BY signature
+    """,
+)
+def behavior_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral cohorts by event-type signature: each user's DISTINCT
+    event types, sorted and joined into a canonical string, then users
+    counted per signature. Set aggregation (collect_set) is
+    order-nondeterministic by itself — the array_sort is what makes the
+    signature reproducible (the same discipline the determinism audit
+    enforces everywhere). Two small shuffles: user grouping, then the
+    tiny signature histogram."""
+    ev = t(spark, sf_dir, "events")
+    sig = F.array_join(F.array_sort(F.collect_set("event_type")), ">")
+    sigs = ev.groupBy("user_id").agg(sig.alias("signature"))
+    return sigs.groupBy("signature").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# =====================================================================
+# Chi-square independence test (statistical data-quality gate)
+# =====================================================================
+
+@register(
+    "chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY source),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM obs),
+    terms AS (
+      SELECT obs.lang, obs.source,
+             CAST(floor(1000000.0 * (obs.o - rt.r * ct.c / CAST(n.total AS DOUBLE))
+                  * (obs.o - rt.r * ct.c / CAST(n.total AS DOUBLE))
+                  / (rt.r * ct.c / CAST(n.total AS DOUBLE))) AS BIGINT)
+               AS term_e6
+      FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    )
+    SELECT count(*) AS n_cells,
+           CAST(sum(term_e6) AS BIGINT) AS chi2_e6
+    FROM terms
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between document language and source —
+    the statistical gate that catches a scraper suddenly feeding one
+    language from one domain (distribution coupling) before it skews a
+    training mix. Per-cell terms (o−e)²/e are computed from exact integer
+    marginals with per-row IEEE ops, FLOORED TO INTEGERS per cell, then
+    summed exactly — a float sum over cells would be accumulation-order
+    nondeterministic, the trap every aggregated float in this repo
+    avoids. Contingency table and marginals are three tiny aggregates;
+    everything broadcasts."""
+    docs = t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.persist()
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("total"))
+    e = F.col("r") * F.col("c") / F.col("total").cast("double")
+    term = F.floor(1000000.0 * (F.col("o") - e) * (F.col("o") - e) / e).cast(
+        "bigint"
+    )
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term_e6"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("term_e6").alias("chi2_e6"),
+        )
+    )
