@@ -702,3 +702,68 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 100
         """
     )
+
+
+@register(
+    "nested_order_rollup",
+    """
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             count(*) AS n_items,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS order_total
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(n_items) AS BIGINT) AS n_items,
+           CAST(floor(100 * CAST(sum(order_total) AS DOUBLE)) AS BIGINT)
+             AS total_e2
+    FROM per_order GROUP BY o_orderpriority
+    """,
+)
+def nested_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse nested-document pattern, value-proven against flat
+    SQL: lineitems are DENORMALIZED into an array<struct> per order
+    (sort_array over collect_list — set aggregation is only reproducible
+    once canonicalized), per-order totals are computed INSIDE the array
+    with a higher-order aggregate over exact decimals, and the rollup
+    reads only the nested column. The oracle computes the same numbers
+    from the flat join — identical hashes prove the nested representation
+    is lossless, which is the contract that lets a 100 TB pipeline store
+    one pre-joined nested table instead of re-shuffling the join for
+    every consumer."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    nested = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "price"))
+            ).alias("items")
+        )
+    )
+    order_total = F.aggregate(
+        "items",
+        F.lit("0.00").cast("decimal(28,2)"),
+        # decimal addition widens (28,2)+(18,2) → (29,2); fold accumulators
+        # must keep a fixed type, so narrow back each step (no overflow:
+        # order totals are ≪ 10^26).
+        lambda acc, x: (acc + x["price"]).cast("decimal(28,2)"),
+    )
+    per_order = nested.select(
+        "o_orderpriority",
+        F.size("items").alias("n_items"),
+        order_total.alias("order_total"),
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_items").cast("bigint").alias("n_items"),
+        F.floor(100 * F.sum("order_total").cast("double"))
+        .cast("bigint")
+        .alias("total_e2"),
+    )
