@@ -159,3 +159,45 @@ def test_interleave_bits_matches_python_model(spark):
         ).collect()
     ]
     assert got == [model(x, y) for x, y in pairs]
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Backfill ONE day partition idempotently: with
+    partitionOverwriteMode=dynamic, an overwrite write replaces only the
+    partitions present in the incoming frame — the standard lake backfill
+    (re-run a bad day) that static overwrite mode would turn into
+    truncate-the-table."""
+    lake = str(tmp_path / "daily_lake")
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0),
+            (2, "2024-01-01", 20.0),
+            (3, "2024-01-02", 30.0),
+            (4, "2024-01-03", 40.0),
+        ],
+        "event_id long, day string, value double",
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(lake)
+
+    # Backfill day 2 with corrected values (one row dropped, one changed).
+    fixed = spark.createDataFrame(
+        [(3, "2024-01-02", 33.0)], "event_id long, day string, value double"
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.partitionBy("day").mode("overwrite").parquet(lake)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    # partition-column inference parses the day strings back as DATEs
+    got = {
+        (r.event_id, str(r.day), r.value)
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == {
+        (1, "2024-01-01", 10.0),
+        (2, "2024-01-01", 20.0),
+        (3, "2024-01-02", 33.0),  # replaced
+        (4, "2024-01-03", 40.0),  # untouched
+    }
