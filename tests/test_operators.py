@@ -89,3 +89,26 @@ def test_bounding_box(spark):
     )
     out = R.bounding_box(df, "lat", "lon", 32.75, -97.15, 0.75).collect()
     assert len(out) == 1
+
+
+def test_percentile_approx_exact_at_high_accuracy(spark):
+    """key_skew_profile equates percentile_approx(accuracy=1e6) with
+    DuckDB's quantile_disc for group counts (n ≈ 150 keys). Pin the
+    guarantee that at accuracy >= n the sketch IS the exact discrete
+    quantile, including on adversarial tie-heavy data."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = [1, 1, 1, 2, 3, 5, 5, 8, 13, 21, 21, 21, 34, 55, 89] * 7 + [144]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = df.agg(
+        F.percentile_approx("c", F.lit(0.5), F.lit(1000000)).alias("p50"),
+        F.percentile_approx("c", F.lit(0.99), F.lit(1000000)).alias("p99"),
+    ).collect()[0]
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT quantile_disc(c, 0.5), quantile_disc(c, 0.99) "
+        "FROM (SELECT unnest(?) AS c)", [vals]
+    ).fetchone()
+    assert (got.p50, got.p99) == exp
