@@ -512,3 +512,60 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("sentence")).alias("max_sentence_chars"),
         F.sum(F.length("sentence")).alias("total_sentence_chars"),
     )
+
+
+# =====================================================================
+# URL parsing (crawl-provenance analytics — parse_url JVM expressions)
+# =====================================================================
+
+@register(
+    "url_host_stats",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example.org/corpus/' || source || '/doc-'
+             || CAST(doc_id AS VARCHAR) || '.txt?lang=' || lang
+             || '&rev=' || CAST(doc_id % 13 AS VARCHAR) AS url,
+             n_chars
+      FROM documents
+    ),
+    parsed AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+             regexp_extract(url, 'rev=([0-9]+)', 1) AS rev,
+             n_chars
+      FROM urls
+    )
+    SELECT host, count(*) AS n_docs,
+           count(DISTINCT rev) AS n_revs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM parsed GROUP BY host
+    """,
+)
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-provenance analytics through Spark's URL expressions: document
+    URLs (synthesized deterministically — the testdata has no real ones)
+    parsed with parse_url(HOST) and parse_url(QUERY, key), then per-host
+    doc counts, distinct revision params, and byte mass — the
+    domain-grouping pass every crawl pipeline runs for robots/ToS buckets,
+    per-domain caps (per_source_cap's upstream), and dedup scoping. JVM
+    expressions end to end; the oracle reproduces the parse with regex
+    (DuckDB has no URL parser), which hashes identically because the URLs
+    are well-formed by construction."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://cdn"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/corpus/"), F.col("source"), F.lit("/doc-"),
+        F.col("doc_id").cast("string"), F.lit(".txt?lang="), F.col("lang"),
+        F.lit("&rev="), (F.col("doc_id") % 13).cast("string"),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("rev")).alias("rev"),
+        "n_chars",
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("rev").alias("n_revs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
