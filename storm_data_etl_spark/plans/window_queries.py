@@ -1724,3 +1724,45 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_e6").alias("chi2_e6"),
         )
     )
+
+
+# =====================================================================
+# ANSI error-safe arithmetic (try_divide — NULL, not job-abort, on the
+# poison rows that reach every real pipeline)
+# =====================================================================
+
+@register(
+    "ansi_safe_division",
+    """
+    WITH x AS (
+      SELECT event_type,
+             "value" / nullif(CAST(props->>'$.k' AS INTEGER) - 26, 0)
+               AS ratio
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           count(ratio) AS n_ok,
+           count(*) - count(ratio) AS n_divzero,
+           CAST(floor(100 * max(ratio)) AS BIGINT) AS max_ratio_e2
+    FROM x GROUP BY event_type
+    """,
+)
+def ansi_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode (Spark 4 default): try_divide
+    yields NULL instead of aborting the job when the denominator (here a
+    props-derived divisor that hits zero on real rows) is zero — the
+    per-row poison-tolerance discipline of the reference's parse-or-zero
+    P2 applied to arithmetic. The report counts clean vs divide-by-zero
+    rows per type; the oracle spells the same semantics with
+    nullif(d, 0). max() ignores NULLs identically in both engines."""
+    ev = t(spark, sf_dir, "events")
+    divisor = F.get_json_object("props", "$.k").cast("int") - 26
+    ratio = F.try_divide(F.col("value"), divisor)
+    x = ev.select("event_type", ratio.alias("ratio"))
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("ratio").alias("n_ok"),
+        (F.count(F.lit(1)) - F.count("ratio")).alias("n_divzero"),
+        F.floor(100 * F.max("ratio")).cast("bigint").alias("max_ratio_e2"),
+    )
