@@ -1766,3 +1766,61 @@ def ansi_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("ratio")).alias("n_divzero"),
         F.floor(100 * F.max("ratio")).cast("bigint").alias("max_ratio_e2"),
     )
+
+
+# =====================================================================
+# DataFrame.transpose (Spark 4 metrics-matrix pivot of an aggregate)
+# =====================================================================
+
+@register(
+    "transpose_metrics",
+    """
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users,
+             CAST(floor(100 * CAST(sum(CAST("value" AS DECIMAL(18,2)))
+                  AS DOUBLE)) AS DOUBLE) AS total_e2
+      FROM events GROUP BY event_type
+    )
+    SELECT 'n_events' AS key,
+           max(CASE WHEN event_type = 'click' THEN n_events END) AS click,
+           max(CASE WHEN event_type = 'error' THEN n_events END) AS error,
+           max(CASE WHEN event_type = 'purchase' THEN n_events END) AS purchase,
+           max(CASE WHEN event_type = 'signup' THEN n_events END) AS signup,
+           max(CASE WHEN event_type = 'view' THEN n_events END) AS view
+    FROM agg
+    UNION ALL
+    SELECT 'n_users',
+           max(CASE WHEN event_type = 'click' THEN n_users END),
+           max(CASE WHEN event_type = 'error' THEN n_users END),
+           max(CASE WHEN event_type = 'purchase' THEN n_users END),
+           max(CASE WHEN event_type = 'signup' THEN n_users END),
+           max(CASE WHEN event_type = 'view' THEN n_users END)
+    FROM agg
+    UNION ALL
+    SELECT 'total_e2',
+           max(CASE WHEN event_type = 'click' THEN total_e2 END),
+           max(CASE WHEN event_type = 'error' THEN total_e2 END),
+           max(CASE WHEN event_type = 'purchase' THEN total_e2 END),
+           max(CASE WHEN event_type = 'signup' THEN total_e2 END),
+           max(CASE WHEN event_type = 'view' THEN total_e2 END)
+    FROM agg
+    """,
+)
+def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics matrix via Spark 4's DataFrame.transpose: the per-type
+    aggregate flips to metrics-as-rows × types-as-columns — the
+    dashboard/report orientation that previously needed hand-written
+    conditional pivots (which is exactly what the oracle spells out).
+    transpose coerces values to the least common type, so every metric is
+    pre-cast to double; the driver's column-name-sorted compare makes the
+    engine's column ordering irrelevant."""
+    ev = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+        F.floor(100 * F.sum(dec).cast("double")).cast("double").alias("total_e2"),
+    )
+    return agg.transpose(indexColumn="event_type")
