@@ -452,7 +452,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force."""
     emb = t(spark, sf_dir, "embeddings")
     probes = S.make_probes(emb, [0, 1, 2, 3, 4])
-    centroids = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
+    try:
+        centroids = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
+    except ValueError:
+        # Empty corpus: nothing to train on — degrade to an empty result
+        # with the operator's schema instead of failing the query (the
+        # training primitive itself correctly refuses).
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cosine double, rank int"
+        )
     return S.ivf_topk(emb, probes, centroids, k=10, n_probe=3)
 
 
