@@ -191,4 +191,9 @@ def shingles(col: ColumnOrName, k: int = 3) -> Column:
     pattern = r"(?<!\S)(?=(" + " ".join([r"\S+"] * k) + r"))"
     grams = F.regexp_extract_all(norm, F.lit(pattern), 1)
     whole = F.array(F.array_join(words, " "))
-    return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+    out = F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+    # NULL text MUST yield an empty set, not [NULL]: xxhash64(NULL) returns
+    # the SEED (not NULL), so [NULL] shingles from different null documents
+    # would all collide on one hash and the whole dedup family would pair
+    # every null doc with every other (found by the null-injection audit).
+    return F.when(norm.isNull(), F.array().cast("array<string>")).otherwise(out)

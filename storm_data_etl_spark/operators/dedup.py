@@ -265,6 +265,11 @@ def minhash_signatures(
     b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
 
     sh = df.select(F.col(id_col).alias("id"), X.shingles(text_col, k).alias("shingles"))
+    # A document with NO shingles (null text) has no signature at all —
+    # the sentinel all-P signature would band every such doc into one
+    # bucket and the verify stage would divide 0/0. Matches exact-Jaccard
+    # semantics: the empty set is similar to nothing.
+    sh = sh.filter(F.size("shingles") > 0)
     hashed = sh.withColumn(
         "hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     )
@@ -602,6 +607,10 @@ def simhash(
             X.tokens(X.normalize_for_fingerprint(text_col)), lambda w: F.xxhash64(w)
         ).alias("h"),
     )
+    # NULL text → NULL token array; the numpy kernel cannot take None and,
+    # as with minhash, a shared empty-sketch would pair every null doc with
+    # every other. No tokens → no sketch.
+    tk = tk.filter(F.col("h").isNotNull() & (F.size("h") > 0))
 
     @F.pandas_udf("long")
     def _pack(batch: pd.Series) -> pd.Series:

@@ -219,7 +219,7 @@ def value_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS lastv,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
+      FROM events WHERE "value" IS NOT NULL
     )
     SELECT user_id, len(lastv) AS n_window,
            CAST(floor(10000 * list_reduce(
@@ -245,11 +245,18 @@ def ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-19, Window.currentRow)
     )
     wn = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    ev = t(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.collect_list("value").over(w20).alias("lastv"),
+    # drop null metric rows BEFORE the frame: Spark's collect_list silently
+    # skips NULLs while DuckDB's list() keeps them — the window contents
+    # would diverge (found by the null-injection audit).
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.collect_list("value").over(w20).alias("lastv"),
+        )
     )
     last = (
         ev.withColumn("rn", F.row_number().over(wn))

@@ -263,7 +263,8 @@ _SQL_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
     "pii_redaction_stats",
     f"""
     WITH injected AS (
-      SELECT doc_id, source, {_SQL_PII_INJECT} AS txt FROM documents
+      SELECT doc_id, source, {_SQL_PII_INJECT} AS txt
+      FROM (SELECT doc_id, source, coalesce(text, '') AS text FROM documents)
     ),
     redacted AS (
       SELECT source,
@@ -292,8 +293,10 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses into the document pipeline's codegen stage at any scale."""
     docs = t(spark, sf_dir, "documents")
     did = F.col("doc_id")
+    # coalesce: Spark concat is NULL if ANY argument is NULL, while the
+    # oracle's concat() skips NULLs — treat missing text as empty on both.
     inject = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(did % 4 == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")))
         .when(did % 4 == 1, F.concat(F.lit(" call 555-013-"), F.lpad((did % 10000).cast("string"), 4, "0")))
         .when(did % 4 == 2, F.concat(F.lit(" node 10.0."), (did % 256).cast("string"), F.lit("."), (did % 250 + 1).cast("string")))

@@ -356,7 +356,7 @@ def simhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang AS labeled, text,
              list_transform(regexp_split_to_array(trim(text), '\\s+'),
                             w -> lower(w)) AS toks
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), s AS (
       SELECT labeled,
         len(list_filter(toks, w -> list_contains(
@@ -393,7 +393,7 @@ def simhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs the table's labeled lang: confusion counts.
     (Accuracy is not the contract — determinism and plan shape are.)"""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return (
         docs.select(F.col("lang").alias("labeled"), X.lang_id("text").alias("predicted"))
         .groupBy("labeled", "predicted")
@@ -1106,6 +1106,7 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- encoding (2 hex chars per byte; both engines emit uppercase hex).
     WITH m AS (
       SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents
+      WHERE text IS NOT NULL
     ),
     f AS (
       SELECT media_id, i.i AS frame_index,
@@ -1132,7 +1133,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: narrow map over the scan; frames are content-pruned to
     fingerprints before the per-media aggregate, so raw bytes never
     shuffle."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -1152,6 +1153,7 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents
+      WHERE text IS NOT NULL
     ),
     b AS (
       SELECT media_id,

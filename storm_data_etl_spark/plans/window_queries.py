@@ -731,7 +731,8 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "gapfill_forward_fill",
     """
-    WITH ev AS (SELECT user_id, ts, "value" FROM events WHERE user_id < 5),
+    WITH ev AS (SELECT user_id, ts, "value" FROM events
+                WHERE user_id < 5 AND "value" IS NOT NULL),
     obs AS (
       SELECT user_id, date_trunc('hour', ts) AS hour,
              max_by("value", ts) AS v_obs
@@ -763,7 +764,9 @@ def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle for the per-(user,hour) last-observation aggregate and one
     for the per-user fill window — at 100 TB the grid is generated
     executor-side, never materialized as input."""
-    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 5) & F.col("value").isNotNull()
+    )
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts_utc").alias("hour")
     ).agg(F.max_by("value", "ts").alias("v_obs"))
@@ -945,7 +948,8 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT event_type, event_id, "value",
              ntile(4) OVER (
-               PARTITION BY event_type ORDER BY "value", event_id) AS quartile
+               PARTITION BY event_type
+               ORDER BY "value" NULLS FIRST, event_id) AS quartile
       FROM events
     )
     SELECT event_type, quartile,
@@ -1264,7 +1268,7 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              lead(event_type, 1) OVER w AS e2,
              lead(event_type, 2) OVER w AS e3
-      FROM events
+      FROM events WHERE event_type IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     tri AS (
@@ -1285,7 +1289,7 @@ def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     context. One shuffle partitions by user for the windows, the trigram
     count is map-side-combined on a key space bounded by |types|³, and the
     top-20 is a TakeOrdered under the total (count desc, trigram) order."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type",
@@ -1522,7 +1526,7 @@ def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
       SELECT user_id, epoch_ns(ts) / 86400000000000.0 AS x, "value" AS y,
              event_id
-      FROM events WHERE user_id < 12
+      FROM events WHERE user_id < 12 AND "value" IS NOT NULL
     ),
     slopes AS (
       SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
@@ -1556,7 +1560,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         t(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 12)
+        .filter((F.col("user_id") < 12) & F.col("value").isNotNull())
         .select(
             "user_id",
             (F.col("ts_ns") / F.lit(86400000000000.0)).alias("x"),
