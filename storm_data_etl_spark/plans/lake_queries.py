@@ -1495,7 +1495,8 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than interpolated percentiles so every output is an exact
     integer — hash-stable by construction."""
     ev = t(spark, sf_dir, "events")
-    sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).persist()
+    # tiny frame read three times — recompute beats a session-lifetime cache
+    sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     hottest = sizes.agg(F.max("c").alias("maxc"))
     hot_key = (
         sizes.join(F.broadcast(hottest), sizes["c"] == hottest["maxc"])
@@ -1508,10 +1509,9 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(100.0 * F.max("c") * F.count(F.lit(1)) / F.sum("c"))
         .cast("bigint")
         .alias("hotness_pct_of_uniform_e2"),
-        # discrete quantile: element at position ceil(q*n) of the sorted
-        # multiset == percentile_disc — Spark spells it percentile(..., disc)
-        # via expr on sorted collect? Use percentile_approx exactness trick:
-        # exact for accuracy >= n. n_keys is small (~150), so 10^6 is exact.
+        # percentile_approx is EXACT (= the discrete quantile element) when
+        # accuracy >= n; n_keys ≈ 150 — pinned by tests/test_operators.py::
+        # test_percentile_approx_exact_at_high_accuracy.
         F.percentile_approx("c", F.lit(0.5), F.lit(1000000)).alias("p50_rows"),
         F.percentile_approx("c", F.lit(0.99), F.lit(1000000)).alias("p99_rows"),
     )
@@ -1609,7 +1609,15 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from storm_data_etl_spark.sources.parquet import read_bucketed, write_bucketed
 
-    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_").replace("-", "_")
+    import hashlib
+
+    # Key the cached tables on the RESOLVED directory, not its basename:
+    # two different datasets named sf0.001 must not reuse each other's
+    # buckets. (Cross-process races on the shared warehouse remain out of
+    # scope — the harness runs its tools sequentially.)
+    tag = hashlib.sha1(
+        os.path.realpath(sf_dir).encode()
+    ).hexdigest()[:12]
     li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
 
     def _clear_stale(table: str) -> None:

@@ -450,17 +450,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path (k-means cells instead of hyperplane buckets). Training is
     driver-side on a deterministic sample; pytest measures recall against
     brute force."""
-    emb = t(spark, sf_dir, "embeddings")
-    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
-    try:
-        centroids = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
-    except ValueError:
+    # NULL embeddings would reach the numpy training sample as None (the
+    # asarray raises) and cannot be assigned to cells — drop them up front.
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    if not emb.limit(1).count():
         # Empty corpus: nothing to train on — degrade to an empty result
         # with the operator's schema instead of failing the query (the
-        # training primitive itself correctly refuses).
+        # training primitive itself correctly refuses). Emptiness is tested
+        # explicitly: a broad except would swallow real kernel errors.
         return spark.createDataFrame(
             [], "probe_id bigint, vec_id bigint, cosine double, rank int"
         )
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    centroids = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
     return S.ivf_topk(emb, probes, centroids, k=10, n_probe=3)
 
 

@@ -1709,8 +1709,8 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids. Contingency table and marginals are three tiny aggregates;
     everything broadcasts."""
     docs = t(spark, sf_dir, "documents")
+    # contingency table is ~50 cells — recompute beats a lingering cache
     obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    obs = obs.persist()
     rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
     ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
     n = obs.agg(F.sum("o").alias("total"))

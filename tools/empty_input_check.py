@@ -14,8 +14,8 @@ Usage: python tools/empty_input_check.py [query ...]
 from __future__ import annotations
 
 import os
+import shutil
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,7 +28,11 @@ def main() -> int:
     spark = get_spark("empty-input-check", master="local[4]")
 
     src = "/root/testdata/sf0.001"
-    empty_dir = tempfile.mkdtemp(prefix="spark-graft-empty-")
+    # Fixed path, recreated per run: a mkdtemp per invocation would
+    # accumulate datasets (and, via the bucketed-join query's
+    # directory-keyed tables, warehouse junk) forever.
+    empty_dir = "/tmp/spark-graft-empty"
+    shutil.rmtree(empty_dir, ignore_errors=True)
     for tname in TABLES:
         df = spark.read.parquet(f"{src}/{tname}.parquet")
         df.limit(0).coalesce(1).write.mode("overwrite").parquet(
