@@ -1828,3 +1828,90 @@ def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(100 * F.sum(dec).cast("double")).cast("double").alias("total_e2"),
     )
     return agg.transpose(indexColumn="event_type")
+
+
+# =====================================================================
+# nth_value podium (frame-positional window functions as columns)
+# =====================================================================
+
+@register(
+    "nth_value_podium",
+    """
+    WITH ranked AS (
+      SELECT c_nationkey,
+             nth_value(c_name, 1) OVER w AS gold,
+             nth_value(c_name, 2) OVER w AS silver,
+             nth_value(c_name, 3) OVER w AS bronze,
+             row_number() OVER w AS rn
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT c_nationkey, gold, silver, bronze
+    FROM ranked WHERE rn = 1
+    """,
+)
+def nth_value_podium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 customers as COLUMNS via nth_value over the full
+    partition frame — the positional-window complement of rank_in_group's
+    top-k-as-rows (a report wants the podium on one line). The frame must
+    be UNBOUNDED FOLLOWING: nth_value's default frame ends at CURRENT ROW
+    and would make silver/bronze NULL on the first row. One shuffle on the
+    partition key; deterministic (balance, custkey) order."""
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_nationkey",
+            F.nth_value("c_name", 1).over(w).alias("gold"),
+            F.nth_value("c_name", 2).over(w).alias("silver"),
+            F.nth_value("c_name", 3).over(w).alias("bronze"),
+            F.row_number()
+            .over(
+                Window.partitionBy("c_nationkey").orderBy(
+                    F.desc("c_acctbal"), F.asc("c_custkey")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# =====================================================================
+# Fiscal-quarter calendar rollup (quarter/year calendar functions)
+# =====================================================================
+
+@register(
+    "quarterly_order_report",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           count(*) AS n_orders,
+           CAST(floor(100 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE)) AS BIGINT) AS revenue_e2
+    FROM orders
+    GROUP BY year(o_orderdate), quarter(o_orderdate)
+    """,
+)
+def quarterly_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal-quarter rollup through the calendar extraction functions
+    (year/quarter) — the finance-facing counterpart of the epoch-grid
+    windows used elsewhere: calendar periods have irregular lengths that
+    epoch arithmetic cannot bucket. Exact-decimal revenue; both engines
+    share the Gregorian definitions."""
+    o = t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.floor(100 * F.sum(dec).cast("double")).cast("bigint").alias("revenue_e2"),
+    )
