@@ -112,3 +112,22 @@ def test_percentile_approx_exact_at_high_accuracy(spark):
         "FROM (SELECT unnest(?) AS c)", [vals]
     ).fetchone()
     assert (got.p50, got.p99) == exp
+
+
+def test_approx_top_k_exact_when_capacity_exceeds_cardinality(spark):
+    """approx_top_k (Spark 4 heavy-hitter sketch) is exact while
+    maxItemsTracked >= distinct items — the same capacity-exactness
+    contract pinned for percentile_approx and HLL. At corpus scale the
+    sketch replaces the full groupBy count for top-k questions; this pins
+    the regime where its answers are not approximations at all."""
+    rows = [(t,) for t, n in
+            [("click", 50), ("view", 30), ("purchase", 20), ("error", 7),
+             ("signup", 3)] for _ in range(n)]
+    df = spark.createDataFrame(rows, "x string")
+    df.createOrReplaceTempView("_atk")
+    got = spark.sql(
+        "SELECT approx_top_k(x, 3, 100) AS tk FROM _atk"
+    ).collect()[0].tk
+    assert [(r.item, r["count"]) for r in got] == [
+        ("click", 50), ("view", 30), ("purchase", 20)
+    ]
