@@ -1915,3 +1915,68 @@ def quarterly_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.floor(100 * F.sum(dec).cast("double")).cast("bigint").alias("revenue_e2"),
     )
+
+
+# =====================================================================
+# Audience overlap matrix (set-intersection analytics between segments)
+# =====================================================================
+
+@register(
+    "audience_overlap_matrix",
+    """
+    WITH aud AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IS NOT NULL
+    ),
+    sizes AS (SELECT event_type, count(*) AS n FROM aud GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_shared
+      FROM aud a JOIN aud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_shared,
+           CAST(floor(1000000.0 * n_shared / (sa.n + sb.n - n_shared))
+                AS BIGINT) AS jaccard_e6
+    FROM pairs
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event-type segments: distinct-user sets per
+    type, pairwise shared-user counts via a self-join on user, and the set
+    Jaccard — the segment-overlap matrix behind campaign planning and
+    cohort-independence checks, and the USER-set analog of the document
+    family's cross_source_overlap. All integers until one floor-scaled
+    division. Plan: the distinct audience is one exchange; the self-join
+    shuffles on user_id (uniform key); sizes broadcast back."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            F.floor(
+                1000000.0 * F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            )
+            .cast("bigint")
+            .alias("jaccard_e6"),
+        )
+    )
