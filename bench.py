@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from storm_data_etl_spark.session import get_spark
+from storm_data_etl_spark.session import get_spark, release_pinned
 from storm_data_etl_spark.plans import queries as _q
 from storm_data_etl_spark.plans import enrich_queries as _eq  # noqa: F401
 from storm_data_etl_spark.plans import ml_queries as _mq  # noqa: F401
@@ -123,6 +123,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         times[name] = round(best, 3)
+        # Free operator-pinned caches (global_rank, curation_funnel) so the
+        # bench loop's executor memory stays flat across the headline set.
+        release_pinned()
 
     total = round(sum(times.values()), 3)
     print(

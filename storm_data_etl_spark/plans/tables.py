@@ -55,10 +55,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp) for calendar operations.
     """
     # Queries may run under a caller-built SparkSession (the driver's
-    # correctness gate constructs its own): pin UTC here so NTZ→LTZ casts
+    # correctness gate constructs its own): pin UTC so NTZ→LTZ casts
     # (ts_ns) and epoch-aligned windows stay oracle-identical regardless of
-    # the host session's timezone. Idempotent per call.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the host session's timezone. This is a session-global contract —
+    # documented in README "Session timezone contract" — so it is
+    # check-and-set with a warning rather than a silent overwrite.
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz != "UTC":
+        import warnings
+
+        warnings.warn(
+            f"storm_data_etl_spark pins spark.sql.session.timeZone=UTC for "
+            f"this session (was {tz!r}); all engine time semantics are UTC.",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     caching = os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
     if caching and (sf_dir, name) in _CACHE:
         return _CACHE[(sf_dir, name)]

@@ -1500,10 +1500,12 @@ def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     dec = F.col("value").cast("decimal(18,2)")
-    # floor-div semantics must match DuckDB's // on possibly-negative ints;
-    # k is non-negative in the testdata, so int division is identical.
+    # F.floor matches DuckDB's // floor-division unconditionally, including
+    # negative k (a plain cast would truncate toward zero and diverge).
     return (
-        ev.select((k / 10).cast("int").alias("k_bucket"), "event_type", dec.alias("v"))
+        ev.select(
+            F.floor(k / 10).cast("int").alias("k_bucket"), "event_type", dec.alias("v")
+        )
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1606,8 +1608,9 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weekly_growth_report",
     """
     WITH weekly AS (
-      SELECT event_type, date_trunc('week', ts) AS week, count(*) AS n
-      FROM events GROUP BY event_type, date_trunc('week', ts)
+      SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
     )
     SELECT event_type, week, n,
            lag(n) OVER w AS prev_n,
@@ -1625,6 +1628,10 @@ def weekly_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not a per-event shuffle). The delta divides two exact integers
     once — floor-e4 is engine-stable."""
     ev = t(spark, sf_dir, "events")
+    # Spark keeps week as TIMESTAMP (midnight) while the oracle casts to
+    # DATE: the driver's pandas comparator maps DuckDB DATE and Spark
+    # TIMESTAMP both to pd.Timestamp, whereas a Spark DATE would surface as
+    # datetime.date and never compare equal.
     weekly = ev.groupBy(
         "event_type", F.date_trunc("week", F.col("ts_utc")).alias("week")
     ).agg(F.count(F.lit(1)).alias("n"))

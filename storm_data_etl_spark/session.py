@@ -18,6 +18,32 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: DataFrames pinned by operators whose correctness depends on a single
+#: materialization (global_rank, curation_funnel). The pin must outlive the
+#: caller's terminal action, so operators cannot unpersist internally —
+#: long-lived harnesses (bench loops, the 143-query registry sweep) call
+#: release_pinned() between actions to keep executor memory flat.
+_PINNED: list = []
+
+
+def pin(df):
+    """persist() a DataFrame and register it for release_pinned()."""
+    df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pinned() -> int:
+    """Unpersist every pin()-registered DataFrame; returns how many."""
+    n = len(_PINNED)
+    for df in _PINNED:
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _PINNED.clear()
+    return n
+
 
 def get_spark(app_name: str = "storm_data_etl_spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession configured for this engine.

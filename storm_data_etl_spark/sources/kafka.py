@@ -23,15 +23,54 @@ DEFAULT_BATCH_SIZE = 50  # reference BATCH_SIZE default (config.go:43-54)
 DEFAULT_FLUSH_INTERVAL = "500 milliseconds"  # BATCH_FLUSH_INTERVAL default
 
 
+def kafka_batch_source_options(brokers: str, topic: str) -> dict[str, str]:
+    """The exact option dict read_kafka_batch passes to the connector —
+    exposed separately so the wiring is unit-testable without a broker."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        "includeHeaders": "true",
+    }
+
+
+def kafka_stream_source_options(
+    brokers: str, topic: str, max_offsets_per_trigger: int | None = None
+) -> dict[str, str]:
+    """Streaming-source option dict; maxOffsetsPerTrigger is the Spark
+    analog of the reference's BATCH_SIZE (reader.go:37-72)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "includeHeaders": "true",
+        # resume from the checkpoint when present; first run reads the
+        # full topic like the reference's earliest-offset consumer group
+        "startingOffsets": "earliest",
+        # fail-fast parity with the reference's fatal consumer errors
+        "failOnDataLoss": "true",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
+    """Producer option dict: acks=all durability (writer.go:35-48) and
+    header propagation."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "kafka.acks": "all",
+        "topic": topic,
+        "includeHeaders": "true",
+    }
+
+
 def read_kafka_batch(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     """S1 batch mode: full-topic read. includeHeaders exposes the reference's
     header map (as array<struct<key,value>>)."""
     return (
         spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("includeHeaders", "true")
+        .options(**kafka_batch_source_options(brokers, topic))
         .load()
     )
 
@@ -45,15 +84,13 @@ def read_kafka_stream(
     """S1 streaming mode: micro-batches bounded by maxOffsetsPerTrigger —
     the Spark analog of BATCH_SIZE; the trigger interval (set on the writer)
     is the analog of BATCH_FLUSH_INTERVAL (reader.go:37-72)."""
-    reader = (
+    return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("includeHeaders", "true")
+        .options(
+            **kafka_stream_source_options(brokers, topic, max_offsets_per_trigger)
+        )
+        .load()
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load()
 
 
 def serialize_events(enriched: DataFrame, drop_zero_times: bool = True) -> DataFrame:
@@ -104,11 +141,4 @@ def serialize_events(enriched: DataFrame, drop_zero_times: bool = True) -> DataF
 
 def write_kafka_batch(df: DataFrame, brokers: str, topic: str) -> None:
     """S3: single batched produce, acks=all (writer.go:35-48)."""
-    (
-        df.write.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("kafka.acks", "all")
-        .option("topic", topic)
-        .option("includeHeaders", "true")
-        .save()
-    )
+    df.write.format("kafka").options(**kafka_sink_options(brokers, topic)).save()

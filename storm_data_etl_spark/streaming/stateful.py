@@ -13,6 +13,7 @@ shuffles on id exactly like the batch D1 window, but incrementally.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -120,7 +121,11 @@ def streaming_running_stats(
         )
         touched = False
         for pdf in batches:
-            for x in pdf[value_col].astype(float):
+            # Null/NaN values would contaminate total/ewma for the key's whole
+            # lifetime (NaN propagates through every later update) — drop them.
+            for x in pdf[value_col].dropna().astype(float):
+                if math.isnan(x):
+                    continue
                 touched = True
                 total += x
                 vmin = min(vmin, x)
@@ -239,11 +244,19 @@ def streaming_change_detector(
             if not chunks:
                 return
             batch = pd.concat(chunks, ignore_index=True)
+            # Null/NaN values would poison the stored last-value (abs(v-last)
+            # with NaN is always False, silencing the key forever) — drop them
+            # before diffing, matching the batch twin value_change_points.
+            batch = batch.dropna(subset=[value_col])
+            if batch.empty:
+                return
             if order_col is not None:
                 batch = batch.sort_values(order_col, kind="stable")
             out = []
             for v in batch[value_col]:
                 v = float(v)
+                if math.isnan(v):
+                    continue
                 if last is not None and abs(v - last) > threshold:
                     out.append((key[0], last, v, v - last))
                 last = v

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from storm_data_etl_spark.plans.tables import TABLES
-from storm_data_etl_spark.session import get_spark
+from storm_data_etl_spark.session import get_spark, release_pinned
 
 
 def _norm_cell(v):
@@ -76,6 +76,8 @@ def main() -> int:
             print(f"[SPARK ERROR] {name}: {e}")
             failures.append(name)
             continue
+        finally:
+            release_pinned()
         if name not in oracles:
             print(f"[ROWS-ONLY ] {name}: {len(srows)} rows")
             continue
