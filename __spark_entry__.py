@@ -64,8 +64,9 @@ PRIORITY = [
     "semantic_decontamination",
     "chunk_dedup_groups",
     "edit_distance_verify",
-    # multimodal
+    # multimodal (image_decode_stats = REAL BMP decode under oracle)
     "media_frame_sample",
+    "image_decode_stats",
     # windows & analytics long tail
     "rank_in_group",
     "running_total",
@@ -96,7 +97,6 @@ PRIORITY = [
     # corpus text long tail
     "token_entropy",
     "pmi_collocations",
-    "url_host_stats",
 ]
 
 

@@ -5,17 +5,20 @@ Media travel as opaque `binary` columns with typed metadata structs; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas
 iterators (mapInPandas) so bytes never round-trip through Python row by row.
 
-The decode kernels themselves are STUBS: the image/audio libraries are not
-in this container, so each operator ships (a) the real Spark plumbing —
-schema, partitioning, batch iteration, UDF signature — and (b) a
-deterministic fake decoder (or NotImplementedError for the true-decode
-path). Swapping in PIL/librosa later changes one inner function per
-operator and nothing in the plan.
+Decoding goes through an injectable adapter registry (register_image_decoder
+/ decode_image): formats with a pure-Python parser — 24-bit uncompressed BMP
+and binary PPM/PGM — decode for REAL (header parse, stride/padding, bottom-up
+row order); PNG/JPEG dispatch to PIL when importable and raise a guarded
+NotImplementedError otherwise (this container has no codec libraries —
+docs/LIMITS.md); unrecognized payloads fall back to the deterministic fake
+used by synthetic fixtures. Swapping in PIL/librosa later changes one
+registry entry and nothing in the plan.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+import struct
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -49,24 +52,240 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_index int, frame_payload binary"
 
 
-def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decoder: derives a (width, height, 8-dim feature)
-    from the byte content. Replace with PIL decode + model embed in prod.
+class DecodedImage:
+    """Decoder-agnostic decode result: geometry + the pixel raster in
+    TOP-DOWN row order, each row a list of (b, g, r) byte tuples."""
 
-    Raises NotImplementedError for payloads tagged as real images — the
-    container cannot decode them; the fake path handles synthetic fixtures.
+    __slots__ = ("width", "height", "rows")
+
+    def __init__(self, width: int, height: int, rows: list[list[tuple[int, int, int]]]):
+        self.width = width
+        self.height = height
+        self.rows = rows
+
+
+def decode_bmp(payload: bytes) -> DecodedImage:
+    """REAL pure-Python decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER).
+
+    Parses the file header (pixel-array offset), geometry, bit depth and
+    compression mode; walks the raster honoring the 4-byte row stride
+    padding and BMP's bottom-up row storage (negative height = top-down).
+    No codec library involved — this is a genuine byte-level decoder, not a
+    fake, so the Spark decode path can be oracle-checked on real image
+    bytes inside this container.
     """
-    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "real image decoding requires PIL — not available in this container"
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={compression})"
         )
+    top_down = height < 0
+    height = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    if len(payload) < pix_off + stride * height:
+        raise ValueError("truncated BMP pixel array")
+    rows: list[list[tuple[int, int, int]]] = []
+    for r in range(height):
+        stored_row = r if top_down else height - 1 - r  # normalize to top-down
+        base = pix_off + stored_row * stride
+        rows.append(
+            [
+                (payload[base + 3 * c], payload[base + 3 * c + 1], payload[base + 3 * c + 2])
+                for c in range(width)
+            ]
+        )
+    return DecodedImage(width, height, rows)
+
+
+def decode_ppm(payload: bytes) -> DecodedImage:
+    """REAL pure-Python decode of binary PPM (P6) / PGM (P5): whitespace-
+    and-comment-tolerant header parse, then the raster (maxval ≤ 255)."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    gray = payload[:2] == b"P5"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace and '#' comment lines between header tokens
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    npix = width * height * (1 if gray else 3)
+    if len(payload) < pos + npix:
+        raise ValueError("truncated PPM raster")
+    rows = []
+    for r in range(height):
+        row = []
+        for c in range(width):
+            if gray:
+                v = payload[pos + r * width + c]
+                row.append((v, v, v))
+            else:
+                base = pos + (r * width + c) * 3
+                # PPM stores RGB; normalize to the (b, g, r) tuple order
+                row.append((payload[base + 2], payload[base + 1], payload[base]))
+        rows.append(row)
+    return DecodedImage(width, height, rows)
+
+
+def _pil_decode(payload: bytes) -> DecodedImage:
+    """PNG/JPEG adapter: real decode when PIL is importable, guarded
+    NotImplementedError otherwise (docs/LIMITS.md — no codec libs here)."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real PNG/JPEG decoding requires PIL — not available in this container"
+        ) from exc
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    w, h = img.size
+    px = img.load()
+    rows = [[(px[c, r][2], px[c, r][1], px[c, r][0]) for c in range(w)] for r in range(h)]
+    return DecodedImage(w, h, rows)
+
+
+def _fake_decode(payload: bytes) -> DecodedImage:
+    """Deterministic fake for synthetic (non-image) fixture payloads:
+    derives a 1-row pseudo-raster from a rolling byte hash. Keeps the
+    pipeline total over corpora where some payloads aren't images."""
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) % (1 << 31)
     width = 16 + h % 64
     height = 16 + (h // 64) % 64
-    feature = [((h >> i) & 0xFF) / 255.0 for i in range(0, 64, 8)]
-    return width, height, feature
+    row = [(((h >> i) & 0xFF), ((h >> i) & 0xFF), ((h >> i) & 0xFF)) for i in range(0, 24, 8)]
+    return DecodedImage(width, height, [row])
+
+
+#: Injectable decoder registry: (name, sniff(payload)->bool, decode). First
+#: sniff hit wins; register_image_decoder prepends, so callers can override
+#: any builtin (e.g. swap _pil_decode for a GPU decoder) without touching
+#: the Spark plumbing.
+IMAGE_DECODERS: list[tuple[str, Callable[[bytes], bool], Callable[[bytes], DecodedImage]]] = [
+    ("bmp", lambda p: p[:2] == b"BM", decode_bmp),
+    ("ppm", lambda p: p[:2] in (b"P6", b"P5"), decode_ppm),
+    ("png", lambda p: p[:4] == b"\x89PNG", _pil_decode),
+    ("jpeg", lambda p: p[:3] == b"\xff\xd8\xff", _pil_decode),
+    ("fake", lambda p: True, _fake_decode),
+]
+
+
+def register_image_decoder(
+    name: str,
+    sniff: Callable[[bytes], bool],
+    decode: Callable[[bytes], DecodedImage],
+) -> None:
+    """Prepend a decoder to the registry (takes precedence over builtins)."""
+    IMAGE_DECODERS.insert(0, (name, sniff, decode))
+
+
+def decode_image(payload: bytes) -> DecodedImage:
+    """Dispatch a payload to the first sniff-matching registered decoder."""
+    for _, sniff, decode in IMAGE_DECODERS:
+        if sniff(payload):
+            return decode(payload)
+    raise ValueError("no decoder matched payload")  # unreachable: fake matches all
+
+
+def _fake_decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """Legacy feature-tuple decode used by extract_image_features: dispatch
+    through the adapter registry, then summarize the raster into the 8-dim
+    feature (channel means, top-left pixel, aspect)."""
+    img = decode_image(payload)
+    n = img.width * img.height if img.rows else 0
+    if img.rows and n:
+        flat = [px for row in img.rows for px in row]
+        # rasters from the fake decoder are 1-row summaries; means still apply
+        npx = len(flat)
+        mb = sum(p[0] for p in flat) / npx / 255.0
+        mg = sum(p[1] for p in flat) / npx / 255.0
+        mr = sum(p[2] for p in flat) / npx / 255.0
+        tb, tg, tr = (v / 255.0 for v in img.rows[0][0])
+    else:
+        mb = mg = mr = tb = tg = tr = 0.0
+    denom = img.width + img.height or 1
+    feature = [mb, mg, mr, tb, tg, tr, img.width / denom, img.height / denom]
+    return img.width, img.height, feature
+
+
+def synth_bmp(seed: int, width: int, height: int) -> bytes:
+    """Write a REAL, spec-conformant uncompressed 24-bit BMP: 14-byte file
+    header, 40-byte BITMAPINFOHEADER, bottom-up pixel array with 4-byte row
+    stride padding. Top-down row r is the constant color
+    (b, g, r) = ((seed*3+r) % 256, (seed*5+r) % 256, (seed*7+r) % 256), so
+    an oracle can predict every decoded statistic in closed form while the
+    decoder still has to parse the header, honor the stride, and un-reverse
+    the bottom-up storage to get row 0 right. Independent of decode_bmp
+    (shares no code), so builder/decoder agreement is a genuine cross-check.
+    """
+    stride = ((width * 3 + 3) // 4) * 4
+    img_size = stride * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 0, 0, 0, 0)
+    rows = []
+    for stored in range(height):  # stored bottom-up
+        r = height - 1 - stored  # top-down index
+        px = bytes((( seed * 3 + r) % 256, (seed * 5 + r) % 256, (seed * 7 + r) % 256))
+        rows.append(px * width + b"\x00" * (stride - 3 * width))
+    return header + info + b"".join(rows)
+
+
+DECODE_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_bytes long, top_b int, mean_b_e2 long"
+)
+
+
+def image_decode_stats(df: DataFrame) -> DataFrame:
+    """Decode real image payloads (via the adapter registry) and emit exact
+    integer statistics per image: geometry from the header, the blue channel
+    of the TOP-LEFT pixel (pins bottom-up handling), and the exact scaled
+    blue mean (pins full-raster traversal incl. stride). mapInPandas — one
+    Arrow batch in, one out; raw bytes never leave the worker."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                img = decode_image(payload)
+                flat_b = [px[0] for row in img.rows for px in row]
+                mean_b_e2 = (100 * sum(flat_b)) // len(flat_b) if flat_b else 0
+                rows.append(
+                    (
+                        mid,
+                        img.width,
+                        img.height,
+                        len(payload),
+                        img.rows[0][0][0] if img.rows else 0,
+                        mean_b_e2,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_bytes", "top_b", "mean_b_e2"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, DECODE_STATS_SCHEMA)
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:

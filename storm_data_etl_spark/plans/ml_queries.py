@@ -1234,3 +1234,64 @@ def payload_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pa.RecordBatch.from_pydict(rows, schema=arrow_schema)
 
     return media.mapInArrow(kernel, out_schema)
+
+
+@register(
+    "image_decode_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 13 AS INTEGER) AS width,
+             CAST(3 + doc_id % 7 AS INTEGER) AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, width, height, r.r AS r,
+             (media_id * 3 + r.r) % 256 AS bb
+      FROM m, unnest(range(0, height)) AS r(r)
+    )
+    SELECT media_id, width, height,
+           CAST(54 + height * ((width * 3 + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+           CAST(max(CASE WHEN r = 0 THEN bb END) AS INTEGER) AS top_b,
+           CAST((100 * sum(bb)) // height AS BIGINT) AS mean_b_e2
+    FROM px GROUP BY media_id, width, height
+    """,
+)
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE image decode under oracle: per document, synthesize a real
+    spec-conformant 24-bit BMP (multimodal.synth_bmp — file header, 40-byte
+    info header, 4-byte stride padding, bottom-up rows), decode it with the
+    REAL pure-Python BMP parser behind the injectable decoder registry
+    (multimodal.decode_bmp — no shared code with the builder), and emit
+    exact integer stats: header geometry, total bytes, top-left blue (pins
+    bottom-up un-reversal) and the scaled blue mean (pins full-raster walk
+    incl. stride skipping). The oracle predicts every statistic in closed
+    form from the construction, so a decoder that misreads the header,
+    stride, or row order hash-mismatches immediately.
+
+    Scale shape: two narrow Arrow-batched maps over the scan (build,
+    decode) + a final tiny aggregate-free projection; no shuffle at all.
+    Real corpora swap the synthesize step for a binaryFile scan
+    (sources/media.py) and PNG/JPEG decoders via register_image_decoder."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (4 + F.col("doc_id") % 13).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 7).cast("int").alias("h"),
+    )
+
+    def build(batches):  # noqa: ANN001
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.synth_bmp(int(m), int(w), int(h))
+                        for m, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return MM.image_decode_stats(media)

@@ -182,54 +182,25 @@ def watermarked_dedup(
     )
 
 
-def streaming_change_detector(
-    stream: DataFrame,
-    key_col: str = "user_id",
-    value_col: str = "value",
-    threshold: float = 100.0,
+def make_change_detector(
+    key_col: str,
+    value_col: str,
+    threshold: float,
     state_ttl_ms: int | None = None,
     order_col: str | None = "ts_utc",
-) -> DataFrame:
-    """Per-key change-point emitter on the MODERN stateful API
-    (transformWithStateInPandas, Spark 4 StatefulProcessor): a row is
-    emitted only when a key's new value differs from its last-seen value
-    by more than ``threshold`` — the streaming twin of the batch
-    `value_change_points` query, producing the sparse "something moved"
-    feed downstream alerting actually wants instead of every tick.
+):
+    """Build the ChangeDetector StatefulProcessor used by
+    streaming_change_detector.
 
-    Why transformWithState and not applyInPandasWithState: typed named
-    state variables (a one-double ValueState here) with per-state TTL
-    (``state_ttl_ms``), a lifecycle hook model (init/close), timers, and
-    initial-state bootstrap — the API Structured Streaming is
-    standardizing on. State is O(1) per key; the shuffle is the same
-    groupBy(key) exchange every stateful operator pays.
-
-    ``order_col``: event-time column used to sort each key's rows WITHIN a
-    micro-batch before diffing (None → arrival order). Without it,
-    multi-partition batches reach the detector in shuffle order and both
-    the emitted jumps and the stored last-value become nondeterministic —
-    the same reason the batch twin orders by (ts, event_id). Pass None
-    only for single-partition, pre-ordered sources.
-
-    ``state_ttl_ms``: per-state TTL; requires processing-time semantics, so
-    the operator switches timeMode to ProcessingTime when set (Spark
-    rejects TTL under TimeMode.None with
-    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL).
-
-    Runtime requirement: the transformWithState state-server protocol
-    runs over protobuf — environments without ``google.protobuf`` (like
-    this test container) fail at query start; the pytest coverage
-    auto-skips there and exercises the operator on protobuf-equipped
-    clusters.
+    Module-level factory (not a closure inside the query builder) so the
+    processor's state/diff logic is directly unit-testable with a fake
+    StatefulProcessorHandle in environments where the transformWithState
+    protobuf transport can't start. The fake needs only getValueState()
+    returning an object with exists/get/update.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
-    )
-
-    ktype = stream.schema[key_col].dataType.simpleString()
-    out_schema = (
-        f"{key_col} {ktype}, prev double, cur double, jump double"
     )
 
     class ChangeDetector(StatefulProcessor):
@@ -269,8 +240,58 @@ def streaming_change_detector(
         def close(self) -> None:
             pass
 
+    return ChangeDetector()
+
+
+def streaming_change_detector(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    state_ttl_ms: int | None = None,
+    order_col: str | None = "ts_utc",
+) -> DataFrame:
+    """Per-key change-point emitter on the MODERN stateful API
+    (transformWithStateInPandas, Spark 4 StatefulProcessor): a row is
+    emitted only when a key's new value differs from its last-seen value
+    by more than ``threshold`` — the streaming twin of the batch
+    `value_change_points` query, producing the sparse "something moved"
+    feed downstream alerting actually wants instead of every tick.
+
+    Why transformWithState and not applyInPandasWithState: typed named
+    state variables (a one-double ValueState here) with per-state TTL
+    (``state_ttl_ms``), a lifecycle hook model (init/close), timers, and
+    initial-state bootstrap — the API Structured Streaming is
+    standardizing on. State is O(1) per key; the shuffle is the same
+    groupBy(key) exchange every stateful operator pays.
+
+    ``order_col``: event-time column used to sort each key's rows WITHIN a
+    micro-batch before diffing (None → arrival order). Without it,
+    multi-partition batches reach the detector in shuffle order and both
+    the emitted jumps and the stored last-value become nondeterministic —
+    the same reason the batch twin orders by (ts, event_id). Pass None
+    only for single-partition, pre-ordered sources.
+
+    ``state_ttl_ms``: per-state TTL; requires processing-time semantics, so
+    the operator switches timeMode to ProcessingTime when set (Spark
+    rejects TTL under TimeMode.None with
+    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL).
+
+    Runtime requirement: the transformWithState state-server protocol
+    runs over protobuf — environments without ``google.protobuf`` (like
+    this test container) fail at query start; the pytest coverage
+    auto-skips the live-query path there and instead drives the processor
+    class directly (make_change_detector) through a fake handle — same
+    diff/state logic, minus the protobuf transport.
+    """
+    ktype = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, prev double, cur double, jump double"
+    )
     return stream.groupBy(key_col).transformWithStateInPandas(
-        statefulProcessor=ChangeDetector(),
+        statefulProcessor=make_change_detector(
+            key_col, value_col, threshold, state_ttl_ms, order_col
+        ),
         outputStructType=out_schema,
         outputMode="Append",
         timeMode="ProcessingTime" if state_ttl_ms is not None else "None",

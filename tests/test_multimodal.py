@@ -48,3 +48,99 @@ def test_sample_frames(spark):
 def test_media_stats(spark):
     out = {r.mime: r.n for r in M.media_stats(_media_df(spark)).collect()}
     assert out == {"image/fake": 2, "application/octet-stream": 1}
+
+
+# ---------------------------------------------------------------------
+# Real pure-Python decoders behind the adapter registry
+# ---------------------------------------------------------------------
+
+def test_decode_bmp_round_trip():
+    """synth_bmp and decode_bmp share no code; agreement on geometry, row
+    order (bottom-up un-reversal) and per-row colors is a real cross-check."""
+    img = M.decode_bmp(M.synth_bmp(seed=11, width=5, height=4))
+    assert (img.width, img.height) == (5, 4)
+    # top-down row r must be ((33+r)%256, (55+r)%256, (77+r)%256)
+    for r in range(4):
+        assert img.rows[r][0] == ((33 + r) % 256, (55 + r) % 256, (77 + r) % 256)
+        assert len(img.rows[r]) == 5
+        assert len(set(img.rows[r])) == 1  # constant along the row
+
+
+def test_decode_bmp_top_down_negative_height():
+    """A BMP with negative height stores rows top-down — the decoder must
+    NOT reverse them. Build one by patching synth_bmp output's height field
+    and reversing the stored rows."""
+    import struct
+
+    p = bytearray(M.synth_bmp(seed=3, width=2, height=3))
+    stride = ((2 * 3 + 3) // 4) * 4
+    rows = [bytes(p[54 + i * stride : 54 + (i + 1) * stride]) for i in range(3)]
+    p[54:] = b"".join(reversed(rows))  # now physically top-down
+    struct.pack_into("<i", p, 22, -3)
+    img = M.decode_bmp(bytes(p))
+    assert (img.width, img.height) == (2, 3)
+    assert img.rows[0][0] == ((9) % 256, (15) % 256, (21) % 256)  # top row r=0
+
+
+def test_decode_bmp_stride_padding():
+    """width=3 → row payload 9 bytes padded to 12; a decoder that ignores
+    stride walks into padding and misreads later rows."""
+    img = M.decode_bmp(M.synth_bmp(seed=1, width=3, height=2))
+    assert img.rows[1][2] == (3 + 1, 5 + 1, 7 + 1)
+
+
+def test_decode_bmp_rejects():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.decode_bmp(b"BM\x00\x00")  # truncated
+    with _pytest.raises(ValueError):
+        M.decode_bmp(b"PK\x03\x04" + b"\x00" * 60)  # wrong magic
+
+
+def test_decode_ppm_p6_with_comments():
+    payload = b"P6\n# a comment line\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  10, 20, 30]
+    )
+    img = M.decode_ppm(payload)
+    assert (img.width, img.height) == (2, 2)
+    # PPM raster is RGB; DecodedImage rows are (b, g, r)
+    assert img.rows[0][0] == (0, 0, 255)
+    assert img.rows[1][1] == (30, 20, 10)
+
+
+def test_decode_pgm_p5():
+    payload = b"P5\n3 1\n255\n" + bytes([7, 8, 9])
+    img = M.decode_ppm(payload)
+    assert img.rows == [[(7, 7, 7), (8, 8, 8), (9, 9, 9)]]
+
+
+def test_registry_dispatch_and_override():
+    bmp = M.synth_bmp(seed=1, width=2, height=2)
+    assert M.decode_image(bmp).width == 2  # sniffed as BMP
+    # fake fallback for arbitrary bytes
+    fake = M.decode_image(b"not-an-image")
+    assert fake.width > 0 and len(fake.rows) == 1
+    # an injected decoder takes precedence
+    M.register_image_decoder(
+        "test", lambda p: p[:2] == b"BM", lambda p: M.DecodedImage(1, 1, [[(0, 0, 0)]])
+    )
+    try:
+        assert M.decode_image(bmp).width == 1
+    finally:
+        M.IMAGE_DECODERS.pop(0)
+
+
+def test_image_decode_stats_operator(spark):
+    rows = [(i, M.synth_bmp(seed=i, width=4, height=3), None) for i in (0, 5)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in M.image_decode_stats(df).collect()}
+    stride = ((4 * 3 + 3) // 4) * 4
+    for i in (0, 5):
+        r = out[i]
+        assert (r.width, r.height) == (4, 3)
+        assert r.n_bytes == 54 + 3 * stride
+        assert r.top_b == (i * 3) % 256
+        blues = [(i * 3 + rr) % 256 for rr in range(3)]
+        assert r.mean_b_e2 == (100 * sum(blues) * 4) // 12

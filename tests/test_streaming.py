@@ -335,3 +335,81 @@ def test_transform_with_state_change_detector(spark, tmp_path):
         q.stop()
     got = {(r.user_id, r.prev, r.cur, r.jump) for r in rows}
     assert got == {(1, 10.0, 250.0, 240.0), (2, 5.0, 500.0, 495.0)}
+
+
+class _FakeValueState:
+    """Minimal ValueState stand-in: exists/get/update over a held tuple."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):  # noqa: N803
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def _drive(proc, key, batches):
+    import pandas as _pd
+
+    out = list(proc.handleInputRows(key, iter([_pd.DataFrame(b) for b in batches]), None))
+    return [tuple(r) for df in out for r in df.itertuples(index=False)]
+
+
+def test_change_detector_processor_logic_without_protobuf():
+    """The ChangeDetector StatefulProcessor's diff/state logic, driven
+    directly through a fake handle — the container has no google.protobuf,
+    so the live transformWithState path auto-skips above; this pins the
+    identical processor code (cross-call state carry, in-batch ordering,
+    threshold gating)."""
+    from storm_data_etl_spark.streaming.stateful import make_change_detector
+
+    proc = make_change_detector("user_id", "value", threshold=100.0)
+    proc.init(_FakeHandle())
+
+    # call 1: out-of-order rows must be sorted by ts_utc before diffing.
+    got = _drive(proc, (1,), [[
+        {"ts_utc": "2024-01-01T00:01:00", "value": 250.0},
+        {"ts_utc": "2024-01-01T00:00:00", "value": 10.0},
+    ]])
+    assert got == [(1, 10.0, 250.0, 240.0)]
+    # call 2 (same key, new micro-batch): state carried — +10 is silent.
+    assert _drive(proc, (1,), [[{"ts_utc": "2024-01-01T00:10:00", "value": 260.0}]]) == []
+    # call 3: jump vs the carried 260.
+    got = _drive(proc, (1,), [[{"ts_utc": "2024-01-01T00:20:00", "value": 500.0}]])
+    assert got == [(1, 260.0, 500.0, 240.0)]
+
+
+def test_change_detector_null_nan_hardening():
+    """Null/NaN values must be dropped BEFORE touching state: a NaN stored
+    as last-value would silence the key forever (abs(v-NaN) > t is always
+    False). An all-null batch must leave state untouched."""
+    from storm_data_etl_spark.streaming.stateful import make_change_detector
+
+    proc = make_change_detector("user_id", "value", threshold=100.0)
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    assert _drive(proc, (7,), [[{"ts_utc": "2024-01-01T00:00:00", "value": 10.0}]]) == []
+    # all-null micro-batch: no emission, no state update
+    assert _drive(proc, (7,), [[{"ts_utc": "2024-01-01T00:01:00", "value": None}]]) == []
+    assert handle.states["last"].get() == (10.0,)
+    # NaN mixed into a real batch is skipped; the real jump still fires
+    got = _drive(proc, (7,), [[
+        {"ts_utc": "2024-01-01T00:02:00", "value": float("nan")},
+        {"ts_utc": "2024-01-01T00:03:00", "value": 300.0},
+    ]])
+    assert got == [(7, 10.0, 300.0, 290.0)]
+    assert handle.states["last"].get() == (300.0,)
