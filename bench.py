@@ -71,6 +71,20 @@ HEADLINE = [
     "theil_sen_trend",
     "scd2_dimension_history",
     "bucketed_colocated_join",
+    # round 3: gated-but-unbenched families (graph / spatial / grouping
+    # sets / percentile / sorted-neighborhood / real-decode multimodal)
+    "pagerank_topk",
+    "label_propagation_communities",
+    "triangle_count",
+    "kcore_decomposition",
+    "spatial_neighbor_join",
+    "spatial_cell_density",
+    "grouping_sets_counts",
+    "exact_percentiles",
+    "sorted_neighborhood_pairs",
+    "image_decode_stats",
+    "weekly_growth_report",
+    "conversion_funnel",
 ]
 
 

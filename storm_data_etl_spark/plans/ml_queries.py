@@ -945,6 +945,69 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Temperature-based mixture reweighting (the multi-source sampling law
+# used to balance training corpora: p_i ∝ n_i^α with α < 1 upweighting
+# small sources)
+# =====================================================================
+
+@register(
+    "temperature_sampling_mix",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    scored AS (
+      SELECT lang, n_docs, n_chars,
+             CAST(floor(sqrt(n_docs)) AS BIGINT) AS w_int
+      FROM counts
+    )
+    SELECT lang, n_docs, CAST(n_chars AS BIGINT) AS n_chars, w_int,
+           CAST((1000000 * w_int) // (SELECT sum(w_int) FROM scored)
+                AS BIGINT) AS weight_e6,
+           CAST((10000 * w_int) // (SELECT sum(w_int) FROM scored)
+                AS BIGINT) AS epoch_docs
+    FROM scored
+    """,
+)
+def temperature_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source reweighting (α = 0.5): per-language sampling
+    weights ∝ n^α, plus the integer document budget each source receives in
+    a 10k-doc epoch — the mixture law multi-source training-corpus builds
+    use to keep small languages/domains from washing out.
+
+    All emitted numbers are INTEGER-exact by construction: w = floor(√n)
+    (IEEE-correctly-rounded sqrt of an exact integer gives the same double
+    in any engine), and weights/budgets are integer floor-divisions by the
+    integer Σw — no float summation order can flip a hash bit. The same
+    discipline as the repo's other e-scaled outputs, taken one step
+    further because mixture weights feed WHICH DATA a model trains on.
+
+    Scale shape: one partial-aggregated groupBy on lang (tiny result), a
+    broadcast of the 1-row Σw, then pure projection — the mixture table
+    for a 100 TB corpus costs one scan."""
+    counts = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .withColumn("w_int", F.floor(F.sqrt("n_docs")).cast("bigint"))
+    )
+    total = counts.agg(F.sum("w_int").alias("_tw"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "w_int",
+        F.expr("(1000000 * w_int) div _tw").alias("weight_e6"),
+        F.expr("(10000 * w_int) div _tw").alias("epoch_docs"),
+    )
+
+
+# =====================================================================
 # End-to-end corpus curation funnel (the full pipeline in ONE query)
 # =====================================================================
 

@@ -45,8 +45,23 @@ def test_registry_size_floor():
     """The operator inventory must not silently shrink (SURVEY §2 coverage)."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 143, f"query registry shrank: {len(qs)}"
-    assert len(oracles) >= 136, f"oracle coverage shrank: {len(oracles)}"
+    assert len(qs) >= 145, f"query registry shrank: {len(qs)}"
+    assert len(oracles) >= 138, f"oracle coverage shrank: {len(oracles)}"
+
+
+def test_priority_head_never_gated_rotation():
+    """Round-3 rotation contract: the gate head must consist of queries
+    without prior CORRECTNESS_r*.json evidence (coverage converges), all
+    oracle-backed, and approx_sketches must stay out of the head."""
+    qs = list(entry.queries())
+    head = qs[:50]
+    assert "approx_sketches" not in head
+    ng = set(entry.never_gated())
+    # queries() may be imported before/after new CORRECTNESS records land;
+    # only enforce when prior-round records exist (they do in this repo).
+    if ng and len(ng) < len(qs):
+        stale = [n for n in head if n not in ng]
+        assert not stale, f"gate head wastes slots on already-proven queries: {stale}"
 
 
 def test_priority_head_is_oracle_backed():

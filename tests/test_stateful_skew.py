@@ -71,6 +71,103 @@ def test_salted_top_values(spark):
     assert got[("k2", 1)] == ("z", 2)
 
 
+def test_aqe_skew_join_split_and_salted_parity(spark):
+    """Skew handling, both layers, on a deliberately skewed key:
+
+    1. AQE skew-join splitting actually fires: with thresholds scaled to
+       test data, the executed adaptive plan must carry the skew marker on
+       the sort-merge join — pinning that the engine's config
+       (session.get_spark: adaptive.skewJoin.enabled) reaches the plan.
+    2. The salted aggregation path (operators/skew.py) and the plain
+       Catalyst path return identical results on the same skewed frame —
+       salting is a pure optimization, never a semantics change.
+    """
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        )
+    }
+    try:
+        # Force SMJ (no broadcast) and scale AQE's skew thresholds down to
+        # fixture size so the splitter can trigger.
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "131072"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16384")
+
+        # hot key: 40k padded rows (~5 MB shuffled); 20 cold keys tiny.
+        big = (
+            spark.range(40_000)
+            .select(
+                F.lit("hot").alias("k"),
+                F.concat(F.lit("x" * 120), F.col("id").cast("string")).alias("pad"),
+            )
+            .unionAll(
+                spark.range(2_000).select(
+                    F.concat(F.lit("cold"), (F.col("id") % 20).cast("string")).alias("k"),
+                    F.col("id").cast("string").alias("pad"),
+                )
+            )
+        )
+        dim = spark.createDataFrame(
+            [("hot", 1)] + [(f"cold{i}", i) for i in range(20)], "k string, tag int"
+        )
+        # No groupBy on the join key downstream: reusing the join's hash
+        # partitioning would forbid OptimizeSkewedJoin from splitting the
+        # skewed partition (it never adds a shuffle unless forced).
+        joined = big.join(dim, "k").select("k", "tag", "pad")
+        # collect() executes THIS QueryExecution (count() would build its
+        # own, leaving joined's adaptive plan unfinalized)
+        assert len(joined.collect()) == 42_000
+
+        # the EXECUTED adaptive plan must mark the skewed join side
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=" in plan, f"AQE skew-join did not fire:\n{plan[:2000]}"
+
+        # per-key correctness of the same join (separate query; its own
+        # plan may legally skip skew-splitting to reuse partitioning)
+        got = {
+            r.k: r.n
+            for r in big.join(dim, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got["hot"] == 40_000
+        assert got["cold3"] == 100
+
+        # layer 2: salted aggregation ≡ plain aggregation on the same data
+        vals = big.select("k", F.substring("pad", -2, 2).alias("v"))
+        salted = {
+            r.k: r.n_distinct
+            for r in salted_distinct_count(vals, "k", "v", salt=8).collect()
+        }
+        plain = {
+            r.k: r.nd
+            for r in vals.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
+        }
+        assert salted == plain
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_streaming_running_stats_cross_batch(spark, tmp_path):
     """Running (n, sum, min, max, EWMA) accumulates across micro-batches;
     the final snapshot per key matches a sequential Python fold."""

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
 
-from storm_data_etl_spark.session import get_spark  # noqa: E402
+from storm_data_etl_spark.session import get_spark, release_pinned  # noqa: E402
 
 
 def main() -> int:
@@ -59,6 +59,7 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - start)
             times[name] = round(best, 3)
+            release_pinned()
         results[str(sf)] = times
         print(json.dumps({"sf": sf, "queries": times}))
 
