@@ -1390,6 +1390,68 @@ def sql_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Snapshot diff (what changed between two corpus/table versions)
+# =====================================================================
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH base AS (SELECT doc_id, n_chars FROM documents),
+    v1 AS (SELECT * FROM base WHERE doc_id % 7 <> 0),
+    v2 AS (SELECT * FROM base WHERE doc_id % 13 <> 0),
+    diff AS (
+      SELECT coalesce(v2.doc_id, v1.doc_id) AS doc_id,
+             coalesce(v2.n_chars, v1.n_chars) AS n_chars,
+             CASE
+               WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN coalesce(v2.doc_id, v1.doc_id) % 11 = 0 THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM diff GROUP BY status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit every dataset
+    release runs ("what changed since the last crawl?"): added / removed /
+    changed / unchanged document counts with their char volumes. Versions
+    are simulated deterministically from the one documents table (v1 drops
+    multiples of 7, v2 drops multiples of 13, multiples of 11 count as
+    content-changed), so the oracle is exact; a real deployment feeds two
+    parquet snapshot paths into the same plan.
+
+    Scale shape: ONE full-outer shuffle join on the primary key — both
+    snapshot scans hash-partition on doc_id and co-locate, then the diff
+    classification is a narrow projection into a tiny aggregate. With
+    bucketed snapshots (sources/parquet.write_bucketed on doc_id) the
+    exchange disappears entirely."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    v1 = base.filter(F.col("doc_id") % 7 != 0).withColumnsRenamed(
+        {"doc_id": "id1", "n_chars": "c1"}
+    )
+    v2 = base.filter(F.col("doc_id") % 13 != 0).withColumnsRenamed(
+        {"doc_id": "id2", "n_chars": "c2"}
+    )
+    diff = v1.join(v2, v1.id1 == v2.id2, "full_outer").select(
+        F.coalesce("id2", "id1").alias("doc_id"),
+        F.coalesce("c2", "c1").alias("n_chars"),
+        F.when(F.col("id1").isNull(), F.lit("added"))
+        .when(F.col("id2").isNull(), F.lit("removed"))
+        .when(F.coalesce("id2", "id1") % 11 == 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# =====================================================================
 # SCD Type 2 (slowly-changing-dimension history from a changelog)
 # =====================================================================
 
