@@ -322,6 +322,39 @@ def main() -> int:
         f"(tree Exchange nodes: {n_exchanges}; the one belongs to the final agg)",
     )
 
+    # 34. Real image decode: two Python-kernel stages over the scan, no
+    # shuffle anywhere (the whole pipeline is narrow maps).
+    p = plan_of(qs["image_decode_stats"](spark, sf_dir))
+    n_exchanges = len(_re.findall(r"[+:]- Exchange", p))
+    n_maps = len(_re.findall(r"[+:]- MapInPandas", p))
+    check(
+        "image_decode_no_shuffle",
+        n_maps == 2 and n_exchanges <= 1,
+        f"(MapInPandas tree nodes: {n_maps}; tree Exchange nodes: "
+        f"{n_exchanges} — only the input-split repartition, no "
+        "mid-pipeline shuffle)",
+    )
+
+    # 35. Snapshot diff: ONE full-outer sort-merge join on the primary key;
+    # both snapshot branches hash-partition (2 exchanges) + 1 for the final
+    # tiny aggregate — nothing else.
+    p = plan_of(qs["corpus_snapshot_diff"](spark, sf_dir))
+    n_smj = len(_re.findall(r"[+:]- SortMergeJoin", p))
+    check(
+        "snapshot_diff_single_join",
+        "FullOuter" in p and n_smj == 1,
+        f"(full-outer SMJ tree nodes: {n_smj})",
+    )
+
+    # 36. Temperature mixture: partial aggregation on lang and the 1-row
+    # total rides a broadcast — no second scan of documents.
+    p = plan_of(qs["temperature_sampling_mix"](spark, sf_dir))
+    check(
+        "temperature_mix_broadcast_total",
+        "BroadcastNestedLoopJoin" in p and p.count("HashAggregate") >= 2,
+        "(broadcast 1-row total; map-side partial agg)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
