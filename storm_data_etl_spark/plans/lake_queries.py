@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import pii as PII
@@ -1386,6 +1386,116 @@ def sql_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE)) AS BIGINT) AS sum_value_e2
         FROM _udf_events GROUP BY value_band(value), event_type
         """
+    )
+
+
+# =====================================================================
+# Declarative data-quality constraint audit (expectation checks)
+# =====================================================================
+
+@register(
+    "constraint_audit",
+    """
+    WITH checks AS (
+      SELECT 'orders_totalprice_positive' AS check_name,
+             count(*) FILTER (WHERE o_totalprice <= 0) AS n_violations,
+             count(*) AS n_rows
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_quantity_range',
+             count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50),
+             count(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer_key_unique',
+             count(*) - count(DISTINCT c_custkey),
+             count(*)
+      FROM customer
+      UNION ALL
+      SELECT 'events_value_null_rate_le_20pct',
+             CASE WHEN 100 * count(*) FILTER (WHERE "value" IS NULL)
+                       > 20 * count(*)
+                  THEN count(*) FILTER (WHERE "value" IS NULL) ELSE 0 END,
+             count(*)
+      FROM events
+      UNION ALL
+      SELECT 'documents_text_nonempty',
+             count(*) FILTER (WHERE text IS NULL OR length(text) = 0),
+             count(*)
+      FROM documents
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           n_violations = 0 AS passed
+    FROM checks
+    """,
+)
+def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation audit — the pre-publish gate every curated
+    dataset release runs (the great-expectations / dbt-test pattern): each
+    declared constraint (range, uniqueness, null-rate budget, non-empty
+    payload) evaluates to one row of (violations, total, passed). All
+    checks on one table fuse into a single conditional-aggregate scan —
+    adding expectations costs columns, not passes; tables audit in
+    parallel and the result is five rows regardless of input size.
+
+    The null-rate check shows budgeted (threshold) form: it reports
+    violations only when nulls exceed 20% of rows — rate checks at 100 TB
+    must stay aggregate-side, never per-row materialized."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+    docs = t(spark, sf_dir, "documents")
+
+    def one(df: DataFrame, name: str, violation: Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.when(violation, 1)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    nulls = F.count(F.when(F.col("value").isNull(), 1))
+    total = F.count(F.lit(1))
+    ev_check = ev.agg(
+        F.lit("events_value_null_rate_le_20pct").alias("check_name"),
+        F.when(100 * nulls > 20 * total, nulls).otherwise(F.lit(0)).alias(
+            "n_violations"
+        ),
+        total.alias("n_rows"),
+    )
+    audits = (
+        one(o, "orders_totalprice_positive", F.col("o_totalprice") <= 0)
+        .unionByName(
+            one(
+                li,
+                "lineitem_quantity_range",
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            )
+        )
+        .unionByName(
+            c.agg(
+                F.lit("customer_key_unique").alias("check_name"),
+                (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias(
+                    "n_violations"
+                ),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        .unionByName(ev_check)
+        .unionByName(
+            one(
+                docs,
+                "documents_text_nonempty",
+                F.col("text").isNull() | (F.length("text") == 0),
+            )
+        )
+    )
+    return audits.select(
+        "check_name",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_violations") == 0).alias("passed"),
     )
 
 
