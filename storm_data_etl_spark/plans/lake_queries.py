@@ -1412,9 +1412,9 @@ def sql_udf_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*)
       FROM customer
       UNION ALL
-      SELECT 'events_value_null_rate_le_20pct',
+      SELECT 'events_value_null_rate_le_5pct',
              CASE WHEN 100 * count(*) FILTER (WHERE "value" IS NULL)
-                       > 20 * count(*)
+                       > 5 * count(*)
                   THEN count(*) FILTER (WHERE "value" IS NULL) ELSE 0 END,
              count(*)
       FROM events
@@ -1440,7 +1440,7 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel and the result is five rows regardless of input size.
 
     The null-rate check shows budgeted (threshold) form: it reports
-    violations only when nulls exceed 20% of rows — rate checks at 100 TB
+    violations only when nulls exceed 5% of rows (clean testdata passes; the null-injected audit twin at ~8% trips it) — rate checks at 100 TB
     must stay aggregate-side, never per-row materialized."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -1458,8 +1458,8 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls = F.count(F.when(F.col("value").isNull(), 1))
     total = F.count(F.lit(1))
     ev_check = ev.agg(
-        F.lit("events_value_null_rate_le_20pct").alias("check_name"),
-        F.when(100 * nulls > 20 * total, nulls).otherwise(F.lit(0)).alias(
+        F.lit("events_value_null_rate_le_5pct").alias("check_name"),
+        F.when(100 * nulls > 5 * total, nulls).otherwise(F.lit(0)).alias(
             "n_violations"
         ),
         total.alias("n_rows"),
