@@ -196,3 +196,59 @@ def test_shingles_parity(spark, texts):
     got = [list(r[0]) for r in df.select(X.shingles("t", 3)).collect()]
     exp = [py_shingles(t, 3) for t in texts]
     assert got == exp, [z for z in zip(texts, got, exp) if z[1] != z[2]]
+
+
+# ---------------------------------------------------------------------
+# Multimodal decoders: property round-trips (pure Python — no Spark)
+# ---------------------------------------------------------------------
+
+PURE_SETTINGS = settings(max_examples=60, deadline=None)
+
+
+@PURE_SETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    width=st.integers(min_value=1, max_value=23),
+    height=st.integers(min_value=1, max_value=17),
+)
+def test_bmp_synth_decode_round_trip(seed, width, height):
+    """decode_bmp must invert synth_bmp for ANY geometry — including the
+    widths whose 3-byte rows need 1-3 bytes of stride padding and 1-pixel
+    degenerate images. The two functions share no code."""
+    from storm_data_etl_spark.operators import multimodal as M
+
+    img = M.decode_bmp(M.synth_bmp(seed, width, height))
+    assert (img.width, img.height) == (width, height)
+    for r in range(height):
+        expect = ((seed * 3 + r) % 256, (seed * 5 + r) % 256, (seed * 7 + r) % 256)
+        assert img.rows[r] == [expect] * width, f"row {r}"
+
+
+@PURE_SETTINGS
+@given(
+    width=st.integers(min_value=1, max_value=11),
+    height=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+def test_ppm_decode_matches_raster(width, height, data):
+    """decode_ppm must reproduce an arbitrary P6 raster byte-for-byte
+    (RGB → the decoder's (b, g, r) tuple order)."""
+    from storm_data_etl_spark.operators import multimodal as M
+
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=width * height * 3,
+                max_size=width * height * 3,
+            )
+        )
+    )
+    img = M.decode_ppm(b"P6\n%d %d\n255\n" % (width, height) + raster)
+    assert (img.width, img.height) == (width, height)
+    for r in range(height):
+        for c in range(width):
+            base = (r * width + c) * 3
+            assert img.rows[r][c] == (
+                raster[base + 2], raster[base + 1], raster[base]
+            )
