@@ -85,6 +85,11 @@ HEADLINE = [
     "image_decode_stats",
     "weekly_growth_report",
     "conversion_funnel",
+    # round-3 additions: recurring-build / release-gate operators
+    "incremental_corpus_dedup",
+    "corpus_snapshot_diff",
+    "constraint_audit",
+    "temperature_sampling_mix",
 ]
 
 
