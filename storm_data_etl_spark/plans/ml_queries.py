@@ -714,10 +714,11 @@ def repeated_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
-@register(
-    "doc_quality_scores",
-    f"""
-    WITH sig AS (
+#: SQL model of functions/text.quality_score (C4/Gopher-style bands),
+#: shared by doc_quality_scores and cluster_quality_canonical. Produces
+#: CTE `qual(doc_id, quality)`; prepend "WITH " or embed in a chain.
+_SQL_QUALITY_CTES = f"""
+    sig AS (
       SELECT doc_id,
              length(text) AS n,
              CASE WHEN length(text) = 0 THEN 0.0
@@ -745,11 +746,20 @@ _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
                   WHEN tok_chars::DOUBLE / n_tok >= 2.5 AND tok_chars::DOUBLE / n_tok <= 12
                   THEN 1.0 ELSE 0.2 END AS mwl_band
       FROM sig
-    )
-    SELECT doc_id,
-           round(0.3 * len_band + 0.2 * punct_band + 0.25 * sw_band + 0.25 * mwl_band, 4)
-             AS quality
-    FROM bands
+    ),
+    qual AS (
+      SELECT doc_id,
+             round(0.3 * len_band + 0.2 * punct_band + 0.25 * sw_band + 0.25 * mwl_band, 4)
+               AS quality
+      FROM bands
+    )"""
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH {_SQL_QUALITY_CTES}
+    SELECT doc_id, quality FROM qual
     """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,6 +767,74 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic filter, independently re-derived in SQL for the oracle."""
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+@register(
+    "cluster_quality_canonical",
+    f"""
+    WITH RECURSIVE {_sql_jaccard_pairs(0.5)},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jacpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM jacpairs
+    ),
+    walk(id, reach) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+    {_SQL_QUALITY_CTES.strip()},
+    ranked AS (
+      SELECT c.component, q.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, q.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM qual q JOIN comp c ON c.id = q.doc_id
+    )
+    SELECT component, doc_id AS canonical_doc, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def cluster_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-aware canonical selection per near-dup cluster: verified
+    MinHash pairs → connected components → within each multi-member
+    cluster keep the HIGHEST-quality document (C4/Gopher composite score;
+    doc_id breaks ties). Production corpus builds keep the best copy, not
+    the lowest-keyed one — a boilerplate-stripped mirror should win over
+    the ad-laden original even when its id is larger. Complements
+    dedup_cluster_assign (min-id labeling) and corpus_after_dedup
+    (min-id canonical). Oracle: recursive-CTE reachability over the exact
+    pair set joined to the shared SQL quality model.
+
+    Plan: the component labels are tiny (clustered docs only) and join
+    back to the quality projection on doc_id; one window per component
+    ranks members. Scale cost is the LSH candidate path, not this step."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_verified_pairs(docs, num_hashes=64, bands=16, threshold=0.5)
+    comp = D.connected_components(pairs)
+    qual = docs.select("doc_id", X.quality_score("text").alias("quality"))
+    labeled = qual.join(comp, qual["doc_id"] == comp["id"], "inner").select(
+        "doc_id", "component", "quality"
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labeled.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc"),
+            "quality",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )
 
 
 @register(
