@@ -69,6 +69,7 @@ def run_pipeline(
     trigger_interval: str = "500 milliseconds",
     processed_at: str | None = None,
     dead_letter_path: str | None = None,
+    dead_letter_sink: Callable[[DataFrame, int], None] | None = None,
 ) -> StreamingQuery:
     """ST1: the continuous pipeline as a foreachBatch streaming query.
 
@@ -87,6 +88,8 @@ def run_pipeline(
             from storm_data_etl_spark.sources.kafka import write_kafka_batch
 
             write_kafka_batch(serialize_events(good), kafka_brokers, output_topic)
+        if dead_letter_sink is not None:
+            dead_letter_sink(dead, epoch_id)
         if dead_letter_path:
             (
                 dead.select(
