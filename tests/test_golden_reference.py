@@ -103,3 +103,67 @@ def test_processed_at_frozen(enriched):
     vals = enriched.select("processed_at").distinct().collect()
     assert len(vals) == 1
     assert vals[0].processed_at == dt.datetime(2024, 4, 27, 6, 0, 0)
+
+
+def test_streaming_pipeline_golden_271(spark, tmp_path):
+    """The reference certifies its pipeline end-to-end through Kafka
+    (internal/integration/kafka_pipeline_test.go:59-362: 271 records,
+    type counts 79/149/43). This is the same certification through the
+    STREAMING runtime available in-container: the raw fixture streams as
+    file-source envelopes through run_pipeline (poison split + enrich +
+    checkpointed foreachBatch), with two injected poison pills that must
+    land in the dead-letter sink without stalling offsets."""
+    from storm_data_etl_spark.streaming.pipeline import run_pipeline
+
+    src = tmp_path / "envsrc"
+    src.mkdir()
+    raw = json.load(open(FIXTURE))
+    # " " not "": the text source drops a trailing empty line entirely
+    lines = [json.dumps(r) for r in raw] + ["not-json{{{", " "]
+    (src / "day.txt").write_text("\n".join(lines))
+
+    envelope = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(
+            F.lit(None).cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.lit(None)
+            .cast("array<struct<key:string,value:binary>>")
+            .alias("headers"),
+            F.lit("storm.raw").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.xxhash64("value").alias("offset"),
+            F.lit("2024-04-26 00:00:00").cast("timestamp").alias("timestamp"),
+        )
+    )
+
+    got: list = []
+    dead: list = []
+    q = run_pipeline(
+        spark,
+        envelope,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=lambda df, _epoch: got.extend(df.collect()),
+        dead_letter_sink=lambda df, _epoch: dead.extend(df.collect()),
+        processed_at="2024-04-27 06:00:00",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(got) == 271
+    counts: dict = {}
+    for r in got:
+        counts[r.event_type] = counts.get(r.event_type, 0) + 1
+    assert counts == {"hail": 79, "tornado": 149, "wind": 43}
+    saba = [
+        r for r in got
+        if r.location.county == "San Saba" and r.location.raw == "8 ESE Chappel"
+    ][0]
+    assert saba.measurement.magnitude == 1.25
+    assert saba.source_office == "SJT"
+    # both poison pills dead-lettered with the original payload intact
+    assert len(dead) == 2
+    assert {bytes(r.value).decode() for r in dead} == {"not-json{{{", " "}
