@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import text as X
+from storm_data_etl_spark.session import pin as _pin
 
 # Deterministic MinHash parameters (fixed seed → reproducible signatures).
 # 31-bit hash space: a*x + b stays < 2^62, safe under ANSI-mode long
@@ -93,7 +94,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(X.shingles(text_col, k)).alias("shingle"),
     ).select("id", F.xxhash64("shingle").alias("shingle"))
-    sh = sh.persist()
+    sh = _pin(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -149,7 +150,7 @@ def jaccard_prefix_pairs(
         F.col(id_col).alias("id"),
         F.explode(X.shingles(text_col, k)).alias("s"),
     ).select("id", F.xxhash64("s").alias("shingle"))
-    sh = sh.persist()
+    sh = _pin(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_s"))
     prefix_len = F.col("n_shingles") - F.floor(threshold * F.col("n_shingles")) + 1
@@ -220,7 +221,7 @@ def containment_pairs(
         F.col(id_col).alias("id"),
         F.explode(X.shingles(text_col, k)).alias("shingle"),
     ).select("id", F.xxhash64("shingle").alias("shingle"))
-    sh = sh.persist()
+    sh = _pin(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -320,7 +321,7 @@ def minhash_lsh_pairs(
     # Persist the signatures: computing them is the expensive narrow pass
     # (shingling + num_hashes permutations); the banded self-join would
     # otherwise recompute it for both sides.
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, seed).persist()
+    sig = _pin(minhash_signatures(df, text_col, id_col, num_hashes, k, seed))
     banded = sig.select(
         "id",
         "signature",
@@ -406,7 +407,8 @@ def minhash_verified_pairs(
     )
     sh = docs_cand.select(
         F.col(id_col).alias("id"), X.shingles(text_col, k).alias("sh")
-    ).persist()
+    )
+    sh = _pin(sh)
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = cand.join(a, "id_a").join(b, "id_b")
@@ -643,7 +645,7 @@ def simhash_candidates(
     Output: (id_a, id_b, hamming) with hamming ≤ max_hamming.
     """
     width = 64 // bands
-    sh = simhash(df, text_col, id_col).persist()  # sketch once, join twice
+    sh = _pin(simhash(df, text_col, id_col))  # sketch once, join twice
     mask = (1 << width) - 1
     banded = sh.select(
         "id",

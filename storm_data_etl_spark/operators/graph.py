@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from storm_data_etl_spark.session import pin as _pin
+
 
 def pagerank(
     edges: DataFrame,
@@ -53,8 +55,10 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_outdeg"))
     e = edges.join(deg, "src")
     if persist:
-        nodes = nodes.persist()
-        e = e.persist()
+        # loop invariants consumed lazily by the returned ranks — the
+        # caller owns the cache lifetime (session.release_pinned()).
+        nodes = _pin(nodes)
+        e = _pin(e)
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iterations):
         contribs = (
@@ -105,7 +109,7 @@ def label_propagation(
         .distinct()
     )
     if persist:
-        sym = sym.persist()
+        sym = _pin(sym)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -168,6 +172,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 2) -> DataFrame:
         nxt.count()
         cur.unpersist()
         cur = nxt
+    _pin(cur)  # idempotent re-persist: registers the surviving cache for release
     out = (
         cur.groupBy("src")
         .agg(F.count(F.lit(1)).alias("degree"))

@@ -396,7 +396,9 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.trim(F.col("text")) != "")
         .select(F.explode(X.tokens("text")).alias("tok"))
     )
-    toks = toks.persist()  # counted twice: per-token and grand total
+    from storm_data_etl_spark.session import pin as _pin
+
+    toks = _pin(toks)  # counted twice: per-token and grand total
     tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
     top = (
         toks.groupBy("tok")

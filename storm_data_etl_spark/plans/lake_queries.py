@@ -1076,7 +1076,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_w") >= 4)
         .select("src", "dst")
     )
-    edges.persist()  # scanned three times by the triangle join + counts
+    from storm_data_etl_spark.session import pin as _pin
+
+    edges = _pin(edges)  # scanned three times by the triangle join + counts
     e1 = edges
     e2 = edges.withColumnsRenamed({"src": "mid", "dst": "dst2"})
     e3 = edges.withColumnsRenamed({"src": "src3", "dst": "dst3"})

@@ -21,6 +21,7 @@ from storm_data_etl_spark.operators import sampling as SP
 from storm_data_etl_spark.operators import similarity as S
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
+from storm_data_etl_spark.session import pin as _pin
 
 # Shared normalization, duplicated in SQL: lower → non-alnum runs → ' ' → trim.
 _SQL_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9À-ɏ一-鿿]+', ' ', 'g'))"
@@ -266,7 +267,7 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.xxhash64("g").alias("g"))
         .distinct()
     )
-    sh = sh.persist()
+    sh = _pin(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -688,7 +689,7 @@ def repeated_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         F.col("doc_id").alias("id"), F.explode(X.shingles("text", 8)).alias("gram")
     )
-    sh.persist()  # scanned by both the gram-count aggregate and the join-back
+    sh = _pin(sh)  # scanned by both the gram-count aggregate and the join-back
     gram_docs = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
         sh.join(gram_docs, "gram")

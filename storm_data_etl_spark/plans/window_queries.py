@@ -1221,7 +1221,9 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = ev.select(
         "value", F.when(F.col("ts_ns") < cutoff, 0).otherwise(1).alias("h")
     )
-    half = half.persist()  # scanned for edges and again for binning
+    from storm_data_etl_spark.session import pin as _pin
+
+    half = _pin(half)  # scanned for edges and again for binning
     edges = half.filter(F.col("h") == 0).agg(
         F.percentile(
             "value", F.array(*[F.lit(p / 10.0) for p in range(1, 10)])
