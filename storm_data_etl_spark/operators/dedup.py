@@ -322,6 +322,17 @@ def minhash_lsh_pairs(
     # (shingling + num_hashes permutations); the banded self-join would
     # otherwise recompute it for both sides.
     sig = _pin(minhash_signatures(df, text_col, id_col, num_hashes, k, seed))
+    return _banded_signature_pairs(sig, bands, r, num_hashes, threshold)
+
+
+def _banded_signature_pairs(
+    sig: DataFrame, bands: int, r: int, sig_len: int, threshold: float
+) -> DataFrame:
+    """Shared LSH banding over a (id, signature array<long>) frame: explode
+    to bands keyed by the band slice's hash, equi-join same (band, bucket),
+    estimate similarity as the fraction of agreeing signature positions.
+    Used by both classic MinHash and one-permutation (OPH) signatures —
+    the banding math is identical; only signature construction differs."""
     banded = sig.select(
         "id",
         "signature",
@@ -360,12 +371,90 @@ def minhash_lsh_pairs(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda eq: eq,
         )
-    ) / F.lit(float(num_hashes))
+    ) / F.lit(float(sig_len))
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def oph_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bins: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """One-permutation MinHash (OPH) signatures with rotation densification
+    (Li/Owen/Zhang one-permutation hashing + Shrivastava's densified
+    variant): hash every shingle ONCE, scatter by `hash % num_bins`, keep
+    the min per bin, and fill empty bins by borrowing circularly from the
+    next non-empty bin with an offset tag (so borrowed positions only
+    collide with positions that borrowed the same way).
+
+    Why it exists: classic MinHash evaluates `num_hashes` permutations per
+    shingle — at 100 TB that is 64× the hash arithmetic of the shingle
+    pass itself. OPH gets the same signature LENGTH (so the SAME banding
+    plan) from one hash per shingle; the collision probability per
+    position is still ≈ Jaccard, so banding thresholds carry over. Recall
+    vs classic MinHash and vs exact Jaccard is pinned in pytest.
+
+    Same vectorized-pandas_udf exception as minhash_signatures, same
+    reasons. Output: (id, signature array<long>).
+    """
+    sh = df.select(F.col(id_col).alias("id"), X.shingles(text_col, k).alias("shingles"))
+    sh = sh.filter(F.size("shingles") > 0)
+    hashed = sh.withColumn(
+        "hashes", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
+    _EMPTY = np.int64(np.iinfo(np.int64).max)
+    # Offset constant for densification: large, odd, and reduced mod p so
+    # borrowed values stay in-range and distinct borrow distances differ.
+    _C = np.int64(2654435761 % _MERSENNE_P)
+
+    @F.pandas_udf("array<long>")
+    def _signature(batch: pd.Series) -> pd.Series:
+        out = []
+        for hs in batch:
+            h = np.asarray(hs, dtype=np.int64) % _MERSENNE_P
+            bins = (h % num_bins).astype(np.int64)
+            sig = np.full(num_bins, _EMPTY, dtype=np.int64)
+            np.minimum.at(sig, bins, h)
+            empty = sig == _EMPTY
+            if empty.any() and not empty.all():
+                # rotation densification: borrow from the next non-empty
+                # bin to the right (circular), offset by borrow distance
+                filled = np.where(~empty)[0]
+                for i in np.where(empty)[0]:
+                    # distance to the next filled bin, circularly
+                    d = (filled - i) % num_bins
+                    j = filled[np.argmin(d)]
+                    dist = (j - i) % num_bins
+                    sig[i] = (sig[j] + dist * _C) % _MERSENNE_P
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return hashed.select("id", _signature("hashes").alias("signature"))
+
+
+def oph_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bins: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding over OPH signatures — the cheap-signature scale path:
+    identical banding plan to minhash_lsh_pairs (same helper), signature
+    pass costs ONE hash per shingle instead of num_hashes. Output:
+    (id_a, id_b, est_jaccard)."""
+    if num_bins % bands:
+        raise ValueError("bands must divide num_bins")
+    sig = _pin(oph_signatures(df, text_col, id_col, num_bins, k))
+    return _banded_signature_pairs(sig, bands, num_bins // bands, num_bins, threshold)
 
 
 def minhash_verified_pairs(
@@ -393,6 +482,19 @@ def minhash_verified_pairs(
     cand = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, k, threshold=0.0, seed=seed
     ).select("id_a", "id_b")
+    return _exact_verify_pairs(df, cand, text_col, id_col, k, threshold)
+
+
+def _exact_verify_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list — the shared
+    verify stage of every sketch-based dedup path (MinHash, OPH)."""
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b")))
@@ -420,6 +522,25 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def oph_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bins: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """OPH candidates + exact-Jaccard verify: same output contract as
+    minhash_verified_pairs (≡ the all-pairs exact operator at recall 1)
+    with the one-hash-per-shingle signature pass — the cheapest
+    SQL-oracle-able fuzzy-dedup path in the engine."""
+    cand = oph_lsh_pairs(
+        df, text_col, id_col, num_bins, bands, k, threshold=0.0
+    ).select("id_a", "id_b")
+    return _exact_verify_pairs(df, cand, text_col, id_col, k, threshold)
 
 
 def connected_components(

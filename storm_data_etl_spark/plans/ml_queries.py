@@ -346,6 +346,31 @@ def simhash_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_candidates(docs, max_hamming=3)
 
 
+@register("oph_lsh_pairs", None)  # xxhash64 sketch: no SQL oracle
+def oph_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation MinHash (densified) + LSH candidates — same banding
+    plan as minhash_lsh_pairs at 1/64 the signature-pass hash cost; pytest
+    pins recall vs both classic MinHash and exact Jaccard."""
+    docs = t(spark, sf_dir, "documents")
+    return D.oph_lsh_pairs(docs, num_bins=64, bands=16, threshold=0.2)
+
+
+@register(
+    "oph_dedup_verified",
+    f"""
+    WITH {_sql_jaccard_pairs(0.5)}
+    SELECT id_a, id_b, jaccard FROM jacpairs
+    """,
+)
+def oph_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPH candidates + exact verify (Jaccard ≥ 0.5): output ≡ the
+    all-pairs exact SQL whenever OPH banding recall at the planted
+    similarity is 1 — the same certification contract as
+    minhash_dedup_verified with the one-hash-per-shingle signature pass."""
+    docs = t(spark, sf_dir, "documents")
+    return D.oph_verified_pairs(docs, num_bins=64, bands=16, threshold=0.5)
+
+
 @register(
     "lang_id_distribution",
     # Faithful SQL model of functions/text.py lang_id: lowercased

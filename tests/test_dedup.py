@@ -282,3 +282,57 @@ def test_sorted_neighborhood_matches_python_model(spark, sf_dir):
                 expect.add((min(ia, ib), max(ia, ib)))
     assert got == expect
     assert len(got) > 0
+
+
+def test_oph_signatures_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    s1 = {r.id: r.signature for r in D.oph_signatures(df, num_bins=32).collect()}
+    s2 = {r.id: r.signature for r in D.oph_signatures(df, num_bins=32).collect()}
+    assert s1 == s2
+    assert all(len(sig) == 32 for sig in s1.values())
+    # densification filled every bin (short docs leave most bins empty)
+    assert all(v >= 0 for sig in s1.values() for v in sig)
+
+
+def test_oph_lsh_recall_vs_exact(spark):
+    """One-permutation signatures must recall the planted near-dups that
+    exact Jaccard finds, with estimates in sketch range — the same
+    certification contract as classic MinHash, at 1/num_hashes the
+    signature-pass hash cost."""
+    df = _corpus(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, k=3, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.oph_lsh_pairs(df, num_bins=64, bands=16, k=3, threshold=0.3).collect()
+    }
+    missed = [p for p in exact if p not in approx]
+    assert not missed, f"OPH-LSH missed high-similarity pairs: {missed}"
+    for p, est in approx.items():
+        if p in exact:
+            assert abs(est - exact[p]) < 0.3
+
+
+def test_oph_agrees_with_classic_minhash_candidates(spark):
+    """OPH and classic MinHash are different estimators of the same
+    quantity: their candidate sets at a low threshold must agree on the
+    strongly-similar pairs (both sketches' banding catches j≥0.8 w.h.p.)."""
+    df = _corpus(spark)
+    classic = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(df, num_hashes=64, bands=16, threshold=0.5).collect()
+    }
+    oph = {
+        (r.id_a, r.id_b)
+        for r in D.oph_lsh_pairs(df, num_bins=64, bands=16, threshold=0.5).collect()
+    }
+    strong = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(df, k=3, threshold=0.8).collect()
+    }
+    assert strong <= classic and strong <= oph
