@@ -90,6 +90,8 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "constraint_audit",
     "temperature_sampling_mix",
+    "oph_lsh_pairs",
+    "cluster_quality_canonical",
 ]
 
 
