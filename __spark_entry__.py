@@ -101,11 +101,16 @@ PRIORITY = [
 
 
 def never_gated() -> list[str]:
-    """Registry queries with no driver-gate record in any CORRECTNESS_r*.json.
+    """Registry queries with no PASSING driver-gate record in any
+    CORRECTNESS_r*.json.
 
     The external gate samples only the first 50 of queries(), so coverage
     accumulates across rounds by rotating this set into PRIORITY. Explicit
-    tracking (vs re-deriving by hand) keeps the rotation convergent.
+    tracking (vs re-deriving by hand) keeps the rotation convergent —
+    convergent on PASSES, not attempts: a record whose hash mismatched or
+    errored does not count as gated, so a broken query rotates back into
+    the head until it actually proves out. Rows-only-by-design queries
+    (err == "no_oracle") count as gated by their weaker rows check.
     """
     import glob
     import json
@@ -116,9 +121,14 @@ def never_gated() -> list[str]:
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                gated.update(json.load(f))
+                records = json.load(f)
         except Exception:
             continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                gated.add(name)  # unknown record shape: assume gated
+            elif rec.get("hash_match") is True or rec.get("err") == "no_oracle":
+                gated.add(name)
     return [n for n in queries() if n not in gated]
 
 

@@ -842,9 +842,7 @@ def global_rank(df: DataFrame, order_cols: list[str], num_partitions: int | None
     # sf0.1 as a nondeterministic sorted-neighborhood pair set). The pin
     # must outlive the caller's terminal action, so the CALLER inherits a
     # live cache; long-lived sessions free it via session.release_pinned().
-    from storm_data_etl_spark.session import pin
-
-    part = pin(part)
+    part = _pin(part)
     counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # ~num_partitions rows: a single-task window here is fine by design.
     wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

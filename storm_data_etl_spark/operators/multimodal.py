@@ -177,13 +177,34 @@ def _fake_decode(payload: bytes) -> DecodedImage:
     return DecodedImage(width, height, [row])
 
 
+def _sniff_bmp(p: bytes) -> bool:
+    """'BM' magic alone false-positives on arbitrary text ("BMW sales…");
+    require a full file header and a known BITMAPINFOHEADER size so only
+    payloads that genuinely CLAIM to be BMPs reach the strict decoder
+    (which then fails loudly on corruption — silent fake-decoding of a
+    truncated real image would be worse)."""
+    if p[:2] != b"BM" or len(p) < 54:
+        return False
+    (hdr_size,) = struct.unpack_from("<I", p, 14)
+    return hdr_size in (40, 52, 56, 64, 108, 124)
+
+
+def _sniff_ppm(p: bytes) -> bool:
+    """Real PPM/PGM magic is ALWAYS followed by whitespace or a comment —
+    rejects prose that merely starts with 'P6…'."""
+    return p[:2] in (b"P6", b"P5") and (p[2:3].isspace() or p[2:3] == b"#")
+
+
 #: Injectable decoder registry: (name, sniff(payload)->bool, decode). First
 #: sniff hit wins; register_image_decoder prepends, so callers can override
 #: any builtin (e.g. swap _pil_decode for a GPU decoder) without touching
-#: the Spark plumbing.
+#: the Spark plumbing. Sniffs validate beyond the bare magic so random
+#: binary/text payloads fall through to the fake decoder (pipelines stay
+#: total over mixed corpora) while genuinely-claimed formats fail loudly
+#: on corruption.
 IMAGE_DECODERS: list[tuple[str, Callable[[bytes], bool], Callable[[bytes], DecodedImage]]] = [
-    ("bmp", lambda p: p[:2] == b"BM", decode_bmp),
-    ("ppm", lambda p: p[:2] in (b"P6", b"P5"), decode_ppm),
+    ("bmp", _sniff_bmp, decode_bmp),
+    ("ppm", _sniff_ppm, decode_ppm),
     ("png", lambda p: p[:4] == b"\x89PNG", _pil_decode),
     ("jpeg", lambda p: p[:3] == b"\xff\xd8\xff", _pil_decode),
     ("fake", lambda p: True, _fake_decode),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from storm_data_etl_spark.functions import text as X
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
+from storm_data_etl_spark.session import pin as _pin
 
 
 # =====================================================================
@@ -396,8 +397,6 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.trim(F.col("text")) != "")
         .select(F.explode(X.tokens("text")).alias("tok"))
     )
-    from storm_data_etl_spark.session import pin as _pin
-
     toks = _pin(toks)  # counted twice: per-token and grand total
     tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
     top = (

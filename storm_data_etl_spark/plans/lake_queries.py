@@ -27,6 +27,7 @@ from storm_data_etl_spark.operators.sampling import lcg_bucket_sql
 from storm_data_etl_spark.plans.ml_queries import _SQL_NORM, _sql_jaccard_pairs, _sql_shingles
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
+from storm_data_etl_spark.session import pin as _pin
 
 
 # =====================================================================
@@ -1076,8 +1077,6 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_w") >= 4)
         .select("src", "dst")
     )
-    from storm_data_etl_spark.session import pin as _pin
-
     edges = _pin(edges)  # scanned three times by the triangle join + counts
     e1 = edges
     e2 = edges.withColumnsRenamed({"src": "mid", "dst": "dst2"})

@@ -1270,12 +1270,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = q1.filter(
         (F.col("n_chars") >= 100) & (X.punct_ratio("text") <= 0.1)
     )
-    from storm_data_etl_spark.session import pin
-
-    q3 = pin(D.exact_dedup(q2).select("doc_id", "lang", "n_chars", "text"))
+    q3 = _pin(D.exact_dedup(q2).select("doc_id", "lang", "n_chars", "text"))
     pairs = D.ngram_jaccard_pairs(q3, k=3, threshold=0.5)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    q4 = pin(q3.join(dropped, "doc_id", "left_anti"))
+    q4 = _pin(q3.join(dropped, "doc_id", "left_anti"))
     q5 = q4.filter(SP.lcg_bucket("doc_id") < 80)
 
     def stage(df: DataFrame, name: str) -> DataFrame:

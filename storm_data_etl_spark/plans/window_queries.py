@@ -15,6 +15,7 @@ from storm_data_etl_spark.operators.asof import as_of_join
 from storm_data_etl_spark.operators.range_join import bucketed_range_join
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
+from storm_data_etl_spark.session import pin as _pin
 
 
 @register(
@@ -1221,8 +1222,6 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = ev.select(
         "value", F.when(F.col("ts_ns") < cutoff, 0).otherwise(1).alias("h")
     )
-    from storm_data_etl_spark.session import pin as _pin
-
     half = _pin(half)  # scanned for edges and again for binning
     edges = half.filter(F.col("h") == 0).agg(
         F.percentile(

@@ -13,7 +13,6 @@ shuffles on id exactly like the batch D1 window, but incrementally.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -122,10 +121,9 @@ def streaming_running_stats(
         touched = False
         for pdf in batches:
             # Null/NaN values would contaminate total/ewma for the key's whole
-            # lifetime (NaN propagates through every later update) — drop them.
+            # lifetime (NaN propagates through every later update) — dropna
+            # removes both (pandas treats None and float NaN alike here).
             for x in pdf[value_col].dropna().astype(float):
-                if math.isnan(x):
-                    continue
                 touched = True
                 total += x
                 vmin = min(vmin, x)
@@ -226,8 +224,6 @@ def make_change_detector(
             out = []
             for v in batch[value_col]:
                 v = float(v)
-                if math.isnan(v):
-                    continue
                 if last is not None and abs(v - last) > threshold:
                     out.append((key[0], last, v, v - last))
                 last = v

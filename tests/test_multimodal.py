@@ -144,3 +144,21 @@ def test_image_decode_stats_operator(spark):
         assert r.top_b == (i * 3) % 256
         blues = [(i * 3 + rr) % 256 for rr in range(3)]
         assert r.mean_b_e2 == (100 * sum(blues) * 4) // 12
+
+
+def test_sniff_rejects_magic_prefixed_prose():
+    """Payloads that merely START with 'BM'/'P6' must fall through to the
+    fake decoder (pipelines stay total over mixed corpora); only payloads
+    with a plausible full header reach the strict decoders."""
+    prose_bmp = b"BMW sales report for Q3 are strong" + b"\x00" * 40
+    img = M.decode_image(prose_bmp)
+    assert len(img.rows) == 1  # fake decoder shape
+    img2 = M.decode_image(b"P6ylon data feed")
+    assert len(img2.rows) == 1
+    # genuinely-claimed formats still decode (and corrupt ones still raise)
+    assert M.decode_image(M.synth_bmp(3, 4, 2)).width == 4
+    import pytest as _pytest
+
+    truncated = M.synth_bmp(3, 4, 2)[:60]  # valid header, missing raster
+    with _pytest.raises(ValueError):
+        M.decode_image(truncated)

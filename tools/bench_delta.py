@@ -33,7 +33,11 @@ def main() -> int:
     for name in sorted(set(old) | set(new)):
         o, n = old.get(name), new.get(name)
         if o is not None and n is not None:
-            ratio = n / o if o else float("inf")
+            if o <= 0:
+                # a 0.000s old timing carries no signal — report, don't gate
+                rows.append((name, f"{o:.3f}", f"{n:.3f}", "n/a (old=0)"))
+                continue
+            ratio = n / o
             flag = " ⚠" if ratio > threshold else ""
             if ratio > threshold:
                 regressions.append(name)
@@ -50,9 +54,10 @@ def main() -> int:
     shared = [n for n in new if n in old]
     tot_o = sum(old[n] for n in shared)
     tot_n = sum(new[n] for n in shared)
+    ratio_txt = f"({tot_n / tot_o:.2f}×) " if tot_o > 0 else ""
     print(
         f"\nShared-query total: {tot_o:.2f}s → {tot_n:.2f}s "
-        f"({tot_n / tot_o:.2f}×) over {len(shared)} queries; "
+        f"{ratio_txt}over {len(shared)} queries; "
         f"{len(new) - len(shared)} new."
     )
     if regressions:

@@ -17,7 +17,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from storm_data_etl_spark.session import get_spark
+from storm_data_etl_spark.session import get_spark, release_pinned
 
 
 def _snapshot(df) -> list[tuple[str, ...]]:
@@ -50,6 +50,7 @@ def main() -> int:
             continue
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
+            release_pinned()
         if len(a) != len(b):
             print(f"[NONDET] {name}: {len(a)} rows vs {len(b)} rows")
             failures.append(name)

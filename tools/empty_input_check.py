@@ -20,7 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from storm_data_etl_spark.plans.tables import TABLES
-from storm_data_etl_spark.session import get_spark
+from storm_data_etl_spark.session import get_spark, release_pinned
 
 
 def main() -> int:
@@ -52,6 +52,8 @@ def main() -> int:
             msg = str(e).splitlines()[0][:160]
             print(f"[CRASH ] {name}: {msg}")
             failures.append(name)
+        finally:
+            release_pinned()
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0

@@ -21,7 +21,7 @@ import duckdb
 import pandas as pd
 
 from storm_data_etl_spark.plans.tables import TABLES
-from storm_data_etl_spark.session import get_spark
+from storm_data_etl_spark.session import get_spark, release_pinned
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -66,6 +66,8 @@ def main() -> int:
             print(f"[SPARK ERROR] {name}: {e}")
             failures.append(name)
             continue
+        finally:
+            release_pinned()
         if name not in oracles:
             # Driver still canonicalizes rows-only results: sort must not
             # blow up on unhashable cells (lists/arrays/dicts).
