@@ -393,12 +393,18 @@ def oph_signatures(
     next non-empty bin with an offset tag (so borrowed positions only
     collide with positions that borrowed the same way).
 
-    Why it exists: classic MinHash evaluates `num_hashes` permutations per
-    shingle — at 100 TB that is 64× the hash arithmetic of the shingle
-    pass itself. OPH gets the same signature LENGTH (so the SAME banding
-    plan) from one hash per shingle; the collision probability per
-    position is still ≈ Jaccard, so banding thresholds carry over. Recall
-    vs classic MinHash and vs exact Jaccard is pinned in pytest.
+    Why it exists: classic MinHash evaluates `num_hashes` permutations
+    per shingle; OPH gets the same signature LENGTH (so the SAME banding
+    plan) from one hash per shingle, and its per-position collision
+    probability is still ≈ Jaccard, so banding thresholds carry over.
+    Honest measurement (40k docs, local[16]): this engine's classic path
+    is ALREADY a vectorized numpy matrix op, so OPH lands within 3% of it
+    (10.4s vs 10.7s; the shingle+Arrow pass is 5.0s of both) — the win
+    materializes where the permutation count cannot be amortized by
+    vectorization (per-row JVM/driver implementations, much larger
+    num_hashes, memory-bandwidth-bound executors), not here. Included for
+    algorithmic completeness with recall pinned vs classic MinHash and vs
+    exact Jaccard in pytest.
 
     Same vectorized-pandas_udf exception as minhash_signatures, same
     reasons. Output: (id, signature array<long>).
