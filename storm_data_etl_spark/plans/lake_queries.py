@@ -1501,6 +1501,120 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Record linkage (Fellegi-Sunter-style blocked match scoring)
+# =====================================================================
+
+@register(
+    "entity_match_scores",
+    """
+    WITH crm AS (
+      SELECT c_custkey + 1000000 AS crm_id, c_custkey AS src_key,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN 'Cust' || substring(c_name, 9) ELSE c_name END AS name,
+             c_nationkey AS nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.01
+                  ELSE c_acctbal END AS acctbal,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE c_mktsegment END AS mktsegment
+      FROM customer
+    ),
+    pairs AS (
+      SELECT c.c_custkey, m.crm_id, m.src_key,
+             (CASE WHEN c.c_name = m.name THEN 24 ELSE -8 END)
+           + (CASE WHEN abs(c.c_acctbal - m.acctbal) <= 0.005 THEN 16
+                   ELSE -4 END)
+           + (CASE WHEN m.mktsegment IS NULL THEN 0
+                   WHEN c.c_mktsegment = m.mktsegment THEN 12
+                   ELSE -12 END) AS score
+      FROM customer c JOIN crm m
+        ON c.c_nationkey = m.nationkey
+       AND substring(c.c_name, length(c.c_name) - 3) =
+           substring(m.name, length(m.name) - 3)
+    ),
+    classified AS (
+      SELECT *,
+             CASE WHEN score >= 30 THEN 'match'
+                  WHEN score >= 10 THEN 'possible'
+                  ELSE 'non_match' END AS decision,
+             (c_custkey = src_key) AS is_true_pair
+      FROM pairs
+    )
+    SELECT decision, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN is_true_pair THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_entity,
+           min(score) AS min_score, max(score) AS max_score
+    FROM classified GROUP BY decision
+    """,
+)
+def entity_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage — the entity-resolution capability class dedup does
+    not cover (dedup asks "same text?", linkage asks "same real-world
+    entity despite field-level corruption?"). Fellegi-Sunter shape:
+    block candidate pairs (nation + name digit-suffix — never a cross
+    join), score each pair as a sum of per-field agreement weights
+    (integer log-odds: exact name +24/−8, balance within tolerance
+    +16/−4, segment +12/−12 with missing-field neutrality), classify by
+    two thresholds into match / possible / non_match. The "CRM" side is
+    a deterministic corruption of customer (truncated names for key%4,
+    drifted balances for key%5, missing segment for key%7), so the oracle
+    predicts every score and the true-entity recall exactly.
+
+    Scale shape: one equi-join on the blocking key (uniform buckets by
+    construction — the digit suffix spreads keys), narrow integer
+    scoring, tiny per-decision aggregate. Real deployments swap the
+    corruption CTE for their second source and learn the weights; the
+    plan is unchanged."""
+    c = t(spark, sf_dir, "customer")
+    crm = c.select(
+        (F.col("c_custkey") + 1_000_000).alias("crm_id"),
+        F.col("c_custkey").alias("src_key"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.lit("Cust"), F.expr("substring(c_name, 9)")),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 0.01)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("mktsegment"),
+    )
+    suffix = lambda col: F.expr(f"substring({col}, length({col}) - 3)")  # noqa: E731
+    pairs = c.join(
+        crm,
+        (c["c_nationkey"] == crm["nationkey"])
+        & (suffix("c_name") == suffix("name")),
+    )
+    score = (
+        F.when(F.col("c_name") == F.col("name"), 24).otherwise(-8)
+        + F.when(F.abs(F.col("c_acctbal") - F.col("acctbal")) <= 0.005, 16).otherwise(-4)
+        + F.when(F.col("mktsegment").isNull(), 0)
+        .when(F.col("c_mktsegment") == F.col("mktsegment"), 12)
+        .otherwise(-12)
+    )
+    classified = pairs.select(
+        score.alias("score"),
+        (F.col("c_custkey") == F.col("src_key")).alias("is_true_pair"),
+    ).withColumn(
+        "decision",
+        F.when(F.col("score") >= 30, "match")
+        .when(F.col("score") >= 10, "possible")
+        .otherwise("non_match"),
+    )
+    return classified.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("is_true_pair"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_entity"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+# =====================================================================
 # Snapshot diff (what changed between two corpus/table versions)
 # =====================================================================
 

@@ -1419,6 +1419,74 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @register(
+    "multitouch_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT DISTINCT p.p_id, e.event_type AS touch_type
+      FROM purchases p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.ts < p.p_ts
+       AND epoch_us(p.p_ts) - epoch_us(e.ts) <= 86400000000
+      WHERE e.event_type <> 'purchase'
+    ),
+    per_conv AS (
+      SELECT p_id, count(*) AS n_touch FROM touches GROUP BY p_id
+    ),
+    credits AS (
+      SELECT t.touch_type, t.p_id, 1000000 // c.n_touch AS credit_e6
+      FROM touches t JOIN per_conv c ON c.p_id = t.p_id
+    )
+    SELECT touch_type,
+           CAST(sum(credit_e6) AS BIGINT) AS total_credit_e6,
+           count(DISTINCT p_id) AS n_conversions
+    FROM credits GROUP BY touch_type
+    """,
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase distributes one unit
+    of credit equally across the DISTINCT event types that touched the
+    user in the 24h before it — the marketing-analytics allocation model
+    between last-touch (nth_value) and Shapley (exponential). Credit is
+    integerized (1e6 // n_touches per touch) so allocation sums are exact
+    across engines — attribution reports feed budget decisions, the same
+    never-let-floats-decide rule as temperature_sampling_mix.
+
+    Plan: touches come from ONE equi-join on user_id with the time window
+    as a post-join filter (per-user event runs are short; the equi key
+    carries the shuffle) — same shape as time_to_conversion; then two tiny
+    aggregates on (purchase) and (type). Output: per touch type, total
+    scaled credit and conversions influenced."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts_ns").alias("p_ns"),
+    )
+    touches = (
+        purchases.join(ev, purchases["p_user"] == ev["user_id"])
+        .filter(
+            (F.col("ts_ns") < F.col("p_ns"))
+            & (F.col("p_ns") - F.col("ts_ns") <= 86_400_000_000_000)
+            & (F.col("event_type") != "purchase")
+        )
+        .select("p_id", F.col("event_type").alias("touch_type"))
+        .distinct()
+    )
+    per_conv = touches.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_touch"))
+    credits = touches.join(per_conv, "p_id").select(
+        "touch_type", "p_id", F.expr("1000000 div n_touch").alias("credit_e6")
+    )
+    return credits.groupBy("touch_type").agg(
+        F.sum("credit_e6").cast("bigint").alias("total_credit_e6"),
+        F.count_distinct("p_id").alias("n_conversions"),
+    )
+
+
+@register(
     "time_to_conversion",
     """
     WITH s AS (

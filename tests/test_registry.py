@@ -45,8 +45,8 @@ def test_registry_size_floor():
     """The operator inventory must not silently shrink (SURVEY §2 coverage)."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 151, f"query registry shrank: {len(qs)}"
-    assert len(oracles) >= 143, f"oracle coverage shrank: {len(oracles)}"
+    assert len(qs) >= 153, f"query registry shrank: {len(qs)}"
+    assert len(oracles) >= 145, f"oracle coverage shrank: {len(oracles)}"
 
 
 def test_priority_head_never_gated_rotation():
