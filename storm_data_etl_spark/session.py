@@ -17,6 +17,10 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+#: local-mode JVM heap: Spark's 1g default starves 32 executor threads
+#: (observed: GCLocker retry aborts on 5× scale probes); applies only at
+#: session creation, so set it before the first get_spark() of a process.
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 #: DataFrames pinned by operators whose correctness depends on a single
 #: materialization (global_rank, curation_funnel). The pin must outlive the
@@ -55,6 +59,7 @@ def get_spark(app_name: str = "storm_data_etl_spark", master: str | None = None)
     """
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")

@@ -8,6 +8,13 @@ Replication shifts every key column by a disjoint offset per copy, so join
 cardinalities and group counts scale like real data growth (not N identical
 worlds colliding on the same keys) for the probed queries.
 
+Caveat for DEDUP operators: text/content columns are NOT perturbed, so the
+replica makes every document N-fold duplicated — near-dup pair output then
+grows as N² BY DEFINITION (that is the true answer, not a plan defect).
+Interpret dedup exponents against output size: at N=5 the pair set is 25×,
+so wall-clock ≈ 20× is SUB-linear in output. The non-dedup queries carry
+the infrastructure signal.
+
 Usage: python tools/scale_probe.py [N] [query ...]   (default N=5)
 Prints one JSON line per query and a summary with the implied exponent vs
 the same query at sf0.1.
@@ -43,7 +50,6 @@ DEFAULT_QUERIES = [
     "constraint_audit",
     "spatial_cell_density",
     "image_decode_stats",
-    "enrich: see bench.py",  # placeholder ignored below
 ]
 
 #: key columns to shift per table so replicas don't collide
@@ -106,8 +112,11 @@ def main() -> int:
                 start = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - start)
+                # release BETWEEN reps too: pinned intermediates (LSH
+                # signatures) would otherwise make rep 2 measure only the
+                # post-cache tail and understate the true exponent.
+                release_pinned()
             times[label] = round(best, 3)
-            release_pinned()
         import math
 
         exp = (
