@@ -135,6 +135,9 @@ def main() -> None:
     # take the min of three executions: run 1 carries Catalyst analysis +
     # codegen, later runs are steady-state engine cost — and the minimum
     # rides out tenant noise on the shared host (2× swings observed).
+    # Deliberate consequence: operators that pin intermediates (LSH
+    # signatures) report WARM steady-state, since the pin survives across
+    # the three reps; tools/scale_probe.py measures the cold path.
     times: dict[str, float] = {}
     for name, fn in runners.items():
         df = fn(spark, SF_DIR)
