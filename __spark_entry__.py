@@ -124,6 +124,11 @@ def never_gated() -> list[str]:
                 records = json.load(f)
         except Exception:
             continue
+        if isinstance(records, list):  # older plain-list-of-names shape
+            gated.update(records)
+            continue
+        if not isinstance(records, dict):
+            continue
         for name, rec in records.items():
             if not isinstance(rec, dict):
                 gated.add(name)  # unknown record shape: assume gated

@@ -34,6 +34,29 @@ from storm_data_etl_spark.functions.enrich import enrich_raw, json_valid, parse_
 from storm_data_etl_spark.sources.kafka import serialize_events
 
 
+def text_stream_to_envelope(
+    text_df: DataFrame,
+    topic: str = "file-source",
+    timestamp: str = "2024-04-26 00:00:00",
+) -> DataFrame:
+    """Adapt a text file-source stream (one JSON payload per line) to the
+    Kafka envelope contract (schema.ENVELOPE_SCHEMA columns) so the same
+    pipeline runs broker-less — the single definition the streaming golden
+    test and stream_bench both use (two hand-maintained copies of this
+    select would silently diverge when the envelope contract changes)."""
+    return text_df.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit(None).cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.lit(topic).alias("topic"),
+        F.lit(0).alias("partition"),
+        # any per-row long works as a surrogate offset; xxhash64 is
+        # streaming-safe (monotonically_increasing_id is rejected)
+        F.xxhash64("value").alias("offset"),
+        F.lit(timestamp).cast("timestamp").alias("timestamp"),
+    )
+
+
 def split_poison(envelope: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split the raw envelope into (good_parsed, dead_letter_envelope).
 

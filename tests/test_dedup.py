@@ -293,8 +293,10 @@ def test_oph_signatures_shape_and_determinism(spark):
     s2 = {r.id: r.signature for r in D.oph_signatures(df, num_bins=32).collect()}
     assert s1 == s2
     assert all(len(sig) == 32 for sig in s1.values())
-    # densification filled every bin (short docs leave most bins empty)
-    assert all(v >= 0 for sig in s1.values() for v in sig)
+    # densification filled every bin: real values are reduced mod the
+    # Mersenne prime (< 2^31); a surviving empty-bin sentinel (2^63-1)
+    # would fail this bound.
+    assert all(0 <= v < (1 << 31) for sig in s1.values() for v in sig)
 
 
 def test_oph_lsh_recall_vs_exact(spark):

@@ -122,20 +122,10 @@ def test_streaming_pipeline_golden_271(spark, tmp_path):
     lines = [json.dumps(r) for r in raw] + ["not-json{{{", " "]
     (src / "day.txt").write_text("\n".join(lines))
 
-    envelope = (
-        spark.readStream.format("text")
-        .load(str(src))
-        .select(
-            F.lit(None).cast("binary").alias("key"),
-            F.col("value").cast("binary").alias("value"),
-            F.lit(None)
-            .cast("array<struct<key:string,value:binary>>")
-            .alias("headers"),
-            F.lit("storm.raw").alias("topic"),
-            F.lit(0).alias("partition"),
-            F.xxhash64("value").alias("offset"),
-            F.lit("2024-04-26 00:00:00").cast("timestamp").alias("timestamp"),
-        )
+    from storm_data_etl_spark.streaming.pipeline import text_stream_to_envelope
+
+    envelope = text_stream_to_envelope(
+        spark.readStream.format("text").load(str(src)), topic="storm.raw"
     )
 
     got: list = []

@@ -40,6 +40,12 @@ def main() -> int:
             text=True,
             cwd=REPO,
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            print("FATAL: could not list the registry head for --quick "
+                  "(registry import failed); refusing to silently run the "
+                  "full battery.", file=sys.stderr)
+            print(out.stderr[-2000:], file=sys.stderr)
+            return 1
         head = out.stdout.split()
 
     py = sys.executable
@@ -85,8 +91,9 @@ def main() -> int:
         status = "PASS" if proc.returncode == 0 else "FAIL"
         print(f"[{status}] {name} ({took:.0f}s)")
         if proc.returncode != 0:
-            tail = "\n".join(proc.stdout.splitlines()[-15:])
-            print(tail)
+            print("\n".join(proc.stdout.splitlines()[-15:]))
+            # tracebacks and Spark launch errors land on stderr
+            print("\n".join(proc.stderr.splitlines()[-15:]), file=sys.stderr)
 
     failures = [n for n, rc, _ in results if rc != 0]
     print(f"\n{'=' * 60}")

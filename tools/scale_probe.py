@@ -23,8 +23,8 @@ the same query at sf0.1.
 from __future__ import annotations
 
 import json
+import math
 import os
-import shutil
 import sys
 import time
 
@@ -52,9 +52,12 @@ DEFAULT_QUERIES = [
     "image_decode_stats",
 ]
 
-#: key columns to shift per table so replicas don't collide
+#: key columns to shift per table so replicas don't collide. Foreign keys
+#: shift WITH their referenced primary keys (lineitem's part/supplier refs,
+#: orders' customer ref), so every join stays referentially consistent
+#: inside each replica instead of all copies colliding on copy 0's dims.
 KEY_SHIFTS = {
-    "lineitem": ["l_orderkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "part": ["p_partkey"],
@@ -89,6 +92,9 @@ def build(spark, n: int, dest: str) -> None:
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    if n < 2:
+        print("N must be >= 2 (exponent needs a data ratio)", file=sys.stderr)
+        return 2
     only = sys.argv[2:]
     dest = f"/tmp/spark-graft-sf{n}x"
     spark = get_spark("scale-probe", master="local[32]")
@@ -117,8 +123,6 @@ def main() -> int:
                 # post-cache tail and understate the true exponent.
                 release_pinned()
             times[label] = round(best, 3)
-        import math
-
         exp = (
             math.log(times[f"{n}x"] / times["sf0.1"]) / math.log(n)
             if times["sf0.1"] > 0

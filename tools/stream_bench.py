@@ -89,20 +89,10 @@ def main() -> int:
     def dead_sink(batch_df, batch_id: int) -> None:  # noqa: ANN001
         counters["dead"] += batch_df.count()
 
-    envelope = (
-        spark.readStream.format("text")
-        .load(src)
-        .select(
-            F.lit(None).cast("binary").alias("key"),
-            F.col("value").cast("binary").alias("value"),
-            F.lit(None)
-            .cast("array<struct<key:string,value:binary>>")
-            .alias("headers"),
-            F.lit("bench").alias("topic"),
-            F.lit(0).alias("partition"),
-            F.xxhash64("value").alias("offset"),  # any per-row long; streaming-safe
-            F.lit("2024-04-26 00:00:00").cast("timestamp").alias("timestamp"),
-        )
+    from storm_data_etl_spark.streaming.pipeline import text_stream_to_envelope
+
+    envelope = text_stream_to_envelope(
+        spark.readStream.format("text").load(src), topic="bench"
     )
 
     start = time.perf_counter()
