@@ -355,6 +355,32 @@ def main() -> int:
         "(broadcast 1-row total; map-side partial agg)",
     )
 
+    # 37. Record linkage: candidates come from an EQUI join on the blocking
+    # key — a broken blocking expression degenerates to a nested-loop cross
+    # product, which this pins against.
+    p = plan_of(qs["entity_match_scores"](spark, sf_dir))
+    check(
+        "entity_match_blocked_equi_join",
+        ("SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p)
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "(hash/merge equi join on blocking key; no cross product)",
+    )
+
+    # 38. Attribution: ONE equi-join on user_id carries the shuffle; the
+    # 24h window must be a post-join filter, not a nested-loop condition.
+    p = plan_of(qs["multitouch_attribution"](spark, sf_dir))
+    n_joins = len(
+        _re.findall(r"[+:]- (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", p)
+    )
+    check(
+        "attribution_equi_join_shape",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and n_joins >= 2,  # touch join + per-conversion credit join
+        f"(equi joins only: {n_joins}; time window as filter)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
