@@ -18,6 +18,7 @@ registry entry and nothing in the plan.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -146,6 +147,123 @@ def decode_ppm(payload: bytes) -> DecodedImage:
     return DecodedImage(width, height, rows)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> DecodedImage:
+    """REAL pure-Python PNG decode — stdlib ``zlib`` only, no codec library.
+
+    Walks the chunk stream (length/type/data/crc, CRC verified), parses
+    IHDR, inflates the concatenated IDAT zlib stream, and reverses the
+    per-scanline filters (None/Sub/Up/Average/Paeth with the spec's
+    predictor selection and truncating average). Supports bit depth 8 in
+    all five color types — gray(0), RGB(2), palette(3, via PLTE),
+    gray+alpha(4), RGBA(6) — non-interlaced. Other depths / Adam7 raise
+    NotImplementedError (dispatch falls through to PIL when importable).
+
+    Filter reversal operates on the *bytes-per-complete-pixel* offset
+    (``bpp = channels`` at depth 8) exactly as the spec defines `a`/`c`.
+    """
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, b"", []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if color_type not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG header (color={color_type}, comp={comp})")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, interlace={interlace})"
+        )
+    nch = _PNG_CHANNELS[color_type]
+    stride = width * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG raster")
+    prev = bytearray(stride)
+    rows: list[list[tuple[int, int, int]]] = []
+    off = 0
+    for _r in range(height):
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average (truncating)
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        rowpx: list[tuple[int, int, int]] = []
+        for col in range(width):
+            if color_type == 0:
+                v = line[col]
+                rowpx.append((v, v, v))
+            elif color_type == 4:
+                v = line[col * 2]
+                rowpx.append((v, v, v))
+            elif color_type == 2:
+                base = col * 3
+                rowpx.append((line[base + 2], line[base + 1], line[base]))
+            elif color_type == 6:
+                base = col * 4
+                rowpx.append((line[base + 2], line[base + 1], line[base]))
+            else:  # palette
+                idx = line[col] * 3
+                if idx + 3 > len(plte):
+                    raise ValueError("PNG palette index out of range")
+                rowpx.append((plte[idx + 2], plte[idx + 1], plte[idx]))
+        rows.append(rowpx)
+        prev = line
+    return DecodedImage(width, height, rows)
+
+
+def _png_dispatch(payload: bytes) -> DecodedImage:
+    """PNG adapter: the pure-Python decoder first; features it doesn't
+    cover (16-bit, Adam7) fall through to PIL when importable."""
+    try:
+        return decode_png(payload)
+    except NotImplementedError:
+        return _pil_decode(payload)
+
+
 def _pil_decode(payload: bytes) -> DecodedImage:
     """PNG/JPEG adapter: real decode when PIL is importable, guarded
     NotImplementedError otherwise (docs/LIMITS.md — no codec libs here)."""
@@ -205,7 +323,7 @@ def _sniff_ppm(p: bytes) -> bool:
 IMAGE_DECODERS: list[tuple[str, Callable[[bytes], bool], Callable[[bytes], DecodedImage]]] = [
     ("bmp", _sniff_bmp, decode_bmp),
     ("ppm", _sniff_ppm, decode_ppm),
-    ("png", lambda p: p[:4] == b"\x89PNG", _pil_decode),
+    ("png", lambda p: p[:8] == _PNG_MAGIC, _png_dispatch),
     ("jpeg", lambda p: p[:3] == b"\xff\xd8\xff", _pil_decode),
     ("fake", lambda p: True, _fake_decode),
 ]
@@ -269,6 +387,238 @@ def synth_bmp(seed: int, width: int, height: int) -> bytes:
         px = bytes((( seed * 3 + r) % 256, (seed * 5 + r) % 256, (seed * 7 + r) % 256))
         rows.append(px * width + b"\x00" * (stride - 3 * width))
     return header + info + b"".join(rows)
+
+
+def synth_png(
+    seed: int,
+    width: int,
+    height: int,
+    color_type: int = 2,
+    filter_type: int = 0,
+) -> bytes:
+    """Write a REAL, spec-conformant 8-bit PNG: signature, IHDR/IDAT/IEND
+    chunks with correct CRCs, zlib-deflated scanlines with the requested
+    filter applied FORWARD on every row (the decoder must reverse it).
+
+    Pixel rule: the blue/gray value at top-down (r, c) is
+    ``v = (seed + 7*r + 3*c) % 256`` in every color type (RGB adds
+    G = (v+40)%256, R = (v+80)%256; RGBA adds alpha 200), so an oracle can
+    predict the decoded blue channel in closed form regardless of color
+    type, while the decoder still has to undo Sub/Up/Average/Paeth
+    filtering to recover it. Shares no code with decode_png — the filters
+    here are the forward direction, the decoder implements the reverse —
+    so builder/decoder agreement is a genuine cross-check.
+    """
+    if color_type not in (0, 2, 6) or filter_type not in range(5):
+        raise ValueError("synth_png supports color types 0/2/6, filters 0-4")
+    nch = _PNG_CHANNELS[color_type]
+    stride = width * nch
+    prev = bytearray(stride)
+    out_lines = []
+    for r in range(height):
+        line = bytearray(stride)
+        for c in range(width):
+            v = (seed + 7 * r + 3 * c) % 256
+            if color_type == 0:
+                line[c] = v
+            elif color_type == 2:
+                base = c * 3
+                line[base], line[base + 1], line[base + 2] = (
+                    (v + 80) % 256,
+                    (v + 40) % 256,
+                    v,
+                )
+            else:  # RGBA
+                base = c * 4
+                line[base], line[base + 1], line[base + 2], line[base + 3] = (
+                    (v + 80) % 256,
+                    (v + 40) % 256,
+                    v,
+                    200,
+                )
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            cc = prev[i - nch] if i >= nch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[i] = (line[i] - pred) & 0xFF
+        out_lines.append(bytes([filter_type]) + bytes(filt))
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_lines))
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+class DecodedAudio:
+    """Decoder-agnostic PCM decode result: per-frame samples centered at 0
+    (frame = list of per-channel ints), plus rate/geometry."""
+
+    __slots__ = ("sample_rate", "channels", "bits", "frames")
+
+    def __init__(
+        self, sample_rate: int, channels: int, bits: int, frames: list[list[int]]
+    ):
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.bits = bits
+        self.frames = frames
+
+
+def decode_wav(payload: bytes) -> DecodedAudio:
+    """REAL pure-Python decode of RIFF/WAVE PCM — stdlib ``struct`` only.
+
+    Walks the RIFF chunk list (word-aligned, unknown chunks like LIST/fact
+    skipped), parses the fmt chunk (PCM format 1 required), and reads the
+    data chunk as interleaved frames. 16-bit signed LE and 8-bit unsigned
+    (normalized to signed, centered at 0, per the WAV spec) supported;
+    other widths / float formats raise NotImplementedError.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE" or len(payload) < 12:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_fmt != 1:
+        raise NotImplementedError(f"only PCM WAV supported (format={audio_fmt})")
+    if bits not in (8, 16):
+        raise NotImplementedError(f"only 8/16-bit PCM supported (bits={bits})")
+    if channels < 1 or block_align != channels * (bits // 8):
+        raise ValueError("inconsistent WAV fmt chunk")
+    n_frames = len(data) // block_align
+    frames: list[list[int]] = []
+    for i in range(n_frames):
+        base = i * block_align
+        if bits == 16:
+            frames.append(
+                list(struct.unpack_from(f"<{channels}h", data, base))
+            )
+        else:  # 8-bit unsigned, centered
+            frames.append([data[base + ch] - 128 for ch in range(channels)])
+    return DecodedAudio(rate, channels, bits, frames)
+
+
+def synth_wav(
+    seed: int,
+    n_frames: int,
+    rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Write a REAL RIFF/WAVE PCM file: fmt chunk, a junk LIST chunk (so
+    decoders must implement chunk skipping + word alignment), then data.
+
+    Sample rule: frame i, channel ch carries
+    ``v = ((seed*31 + i*7 + ch*13) % 201) - 100`` — closed-form, |v| ≤ 100
+    so it fits 8-bit PCM too (stored as v+128 unsigned). Shares no code
+    with decode_wav.
+    """
+    if bits not in (8, 16):
+        raise ValueError("synth_wav supports 8/16-bit PCM")
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+    )
+    # deliberately odd-length junk chunk: exercises word-aligned skipping
+    junk = b"INFOx"
+    frames = bytearray()
+    for i in range(n_frames):
+        for ch in range(channels):
+            v = ((seed * 31 + i * 7 + ch * 13) % 201) - 100
+            if bits == 16:
+                frames += struct.pack("<h", v)
+            else:
+                frames.append(v + 128)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"  # pad to even
+        + b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_frames long, "
+    "duration_ms long, peak_abs int, energy long, zero_cross long"
+)
+
+
+def audio_decode_stats(df: DataFrame) -> DataFrame:
+    """Decode real WAV payloads and emit exact integer statistics: fmt-chunk
+    geometry, frame count (pins data-chunk framing), integer duration,
+    peak |sample|, total energy Σv² across all channels (pins every sample
+    byte, exact in int64), and strict sign-change zero crossings on channel
+    0 (pins frame ORDER, not just the multiset of samples). mapInPandas —
+    Arrow batches, bytes never leave the worker."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                au = decode_wav(payload)
+                flat = [v for fr in au.frames for v in fr]
+                ch0 = [fr[0] for fr in au.frames]
+                zc = sum(
+                    1 for i in range(1, len(ch0)) if ch0[i] * ch0[i - 1] < 0
+                )
+                rows.append(
+                    (
+                        mid,
+                        au.sample_rate,
+                        au.channels,
+                        len(au.frames),
+                        len(au.frames) * 1000 // au.sample_rate,
+                        max((abs(v) for v in flat), default=0),
+                        sum(v * v for v in flat),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_frames",
+                    "duration_ms", "peak_abs", "energy", "zero_cross",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
 DECODE_STATS_SCHEMA = (

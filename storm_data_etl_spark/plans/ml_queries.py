@@ -1540,3 +1540,158 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return MM.image_decode_stats(media)
+
+
+@register(
+    "png_decode_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 9 AS INTEGER) AS width,
+             CAST(3 + doc_id % 5 AS INTEGER) AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, width, height,
+             (media_id + 7 * r.r + 3 * c.c) % 256 AS bb
+      FROM m, unnest(range(0, height)) AS r(r), unnest(range(0, width)) AS c(c)
+    )
+    SELECT media_id, width, height,
+           CAST(media_id % 256 AS INTEGER) AS top_b,
+           CAST((100 * sum(bb)) // (width * height) AS BIGINT) AS mean_b_e2
+    FROM px GROUP BY media_id, width, height
+    """,
+)
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE PNG decode under oracle — stdlib zlib, no codec library.
+
+    Per document, synthesize a real spec-conformant 8-bit PNG
+    (multimodal.synth_png — chunk CRCs, deflated scanlines, forward
+    filtering) with the color type cycling gray/RGB/RGBA (doc_id % 3) and
+    the scanline filter cycling None/Sub/Up/Average/Paeth (doc_id % 5), so
+    every filter-reversal branch and channel layout executes under the
+    gate. Decode through the registry's pure-Python PNG parser
+    (multimodal.decode_png — inflate + per-spec unfiltering) and emit
+    closed-form stats: IHDR geometry, top-left blue (pins row/col origin),
+    exact scaled blue mean (pins full unfilter correctness — one wrong
+    Paeth predictor corrupts every later pixel in the row).
+
+    Scale shape: two narrow Arrow-batched maps over the scan, no shuffle.
+    Real corpora swap the synthesize step for a binaryFile scan
+    (sources/media.py); the decoder registry stays the same."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (4 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 5).cast("int").alias("h"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+        F.element_at(
+            F.array(F.lit(0), F.lit(2), F.lit(6)),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("ct"),
+    )
+
+    out_cols = ["media_id", "width", "height", "top_b", "mean_b_e2"]
+
+    def build_and_decode(batches):  # noqa: ANN001
+        for pdf in batches:
+            rows = []
+            for mid, w, h, ft, ct in zip(
+                pdf["media_id"], pdf["w"], pdf["h"], pdf["ft"], pdf["ct"]
+            ):
+                payload = MM.synth_png(
+                    int(mid), int(w), int(h), color_type=int(ct), filter_type=int(ft)
+                )
+                img = MM.decode_image(payload)
+                flat_b = [px[0] for row in img.rows for px in row]
+                rows.append(
+                    (
+                        mid,
+                        img.width,
+                        img.height,
+                        img.rows[0][0][0],
+                        (100 * sum(flat_b)) // len(flat_b),
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=out_cols)
+
+    return docs.mapInPandas(
+        build_and_decode,
+        "media_id long, width int, height int, top_b int, mean_b_e2 long",
+    )
+
+
+@register(
+    "audio_decode_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             CAST(40 + doc_id % 23 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, channels, n_frames, i.i AS i, ch.ch AS ch,
+             (media_id * 31 + i.i * 7 + ch.ch * 13) % 201 - 100 AS v,
+             CASE WHEN i.i > 0
+                  THEN (media_id * 31 + (i.i - 1) * 7 + ch.ch * 13) % 201 - 100
+             END AS vprev
+      FROM m, unnest(range(0, n_frames)) AS i(i),
+              unnest(range(0, channels)) AS ch(ch)
+    )
+    SELECT media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           channels,
+           n_frames,
+           CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN ch = 0 AND i > 0 AND v * vprev < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+    FROM s GROUP BY media_id, channels, n_frames
+    """,
+)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE WAV/PCM decode under oracle — stdlib struct, no codec library.
+
+    Per document, synthesize a real RIFF/WAVE file (multimodal.synth_wav —
+    fmt chunk, an odd-length LIST junk chunk that forces word-aligned
+    chunk skipping, interleaved PCM data) with channel count cycling 1/2
+    (doc_id % 2) and sample width cycling 8-bit unsigned / 16-bit signed
+    (doc_id % 3 == 0 → 8-bit), then decode with multimodal.decode_wav and
+    emit closed-form stats: fmt geometry, frame count, integer duration,
+    peak |sample|, exact Σv² energy (pins every sample byte) and strict
+    sign-change zero crossings on channel 0 (pins frame ORDER — a decoder
+    that shuffles or de-interleaves frames wrongly keeps energy but breaks
+    this). The 8-bit and 16-bit paths must land on identical sample values
+    for the hash to match, pinning the unsigned-centering rule.
+
+    Scale shape: one narrow Arrow-batched map over the scan, no shuffle."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("ch"),
+        (40 + F.col("doc_id") % 23).cast("int").alias("nf"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(8)).otherwise(F.lit(16)).alias("bits"),
+    )
+
+    def build(batches):  # noqa: ANN001
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.synth_wav(
+                            int(m), int(nf), rate=8000, channels=int(ch), bits=int(b)
+                        )
+                        for m, ch, nf, b in zip(
+                            pdf["media_id"], pdf["ch"], pdf["nf"], pdf["bits"]
+                        )
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return MM.audio_decode_stats(media)

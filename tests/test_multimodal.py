@@ -28,12 +28,25 @@ def test_extract_image_features_shape(spark):
     assert again[1].feature == by_id[1].feature
 
 
-def test_real_image_raises_not_implemented(spark):
+def test_jpeg_raises_not_implemented(spark):
+    """JPEG still requires PIL (no pure-Python DCT here); the guard must
+    surface loudly rather than fake-decode a genuinely-claimed format."""
     df = spark.createDataFrame(
-        [(9, b"\x89PNG\r\n\x1a\n-rest-of-png", ("image/png", 0, 0, 0))], M.MEDIA_SCHEMA
+        [(9, b"\xff\xd8\xff\xe0-rest-of-jpeg", ("image/jpeg", 0, 0, 0))], M.MEDIA_SCHEMA
     )
     with pytest.raises(Exception, match="PIL|NotImplemented"):
         M.extract_image_features(df).collect()
+
+
+def test_png_decodes_for_real(spark):
+    """PNG now has a REAL pure-Python decoder — a valid PNG must decode
+    (no PIL involved), and a corrupt one must raise, not fake-decode."""
+    df = spark.createDataFrame(
+        [(9, M.synth_png(9, 6, 4, color_type=2, filter_type=4), ("image/png", 0, 0, 0))],
+        M.MEDIA_SCHEMA,
+    )
+    out = M.extract_image_features(df).collect()
+    assert (out[0].width, out[0].height) == (6, 4)
 
 
 def test_sample_frames(spark):
@@ -162,3 +175,118 @@ def test_sniff_rejects_magic_prefixed_prose():
     truncated = M.synth_bmp(3, 4, 2)[:60]  # valid header, missing raster
     with _pytest.raises(ValueError):
         M.decode_image(truncated)
+
+
+# ---------------------------------------------------------------------
+# PNG: real inflate + unfilter decoder (stdlib zlib only)
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("color_type", [0, 2, 6])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_decode_png_every_filter_and_color(color_type, filter_type):
+    """synth_png applies filters FORWARD, decode_png reverses them; the
+    closed-form pixel rule is the independent referee. Width 13 makes the
+    Paeth/Average left-neighbor offset (bpp) matter; height 9 chains row
+    dependencies (Up/Paeth read the fully-unfiltered previous row)."""
+    img = M.decode_png(M.synth_png(77, 13, 9, color_type=color_type, filter_type=filter_type))
+    assert (img.width, img.height) == (13, 9)
+    for r in (0, 4, 8):
+        for c in (0, 5, 12):
+            v = (77 + 7 * r + 3 * c) % 256
+            expect = (v, (v + 40) % 256, (v + 80) % 256) if color_type in (2, 6) else (v, v, v)
+            assert img.rows[r][c] == expect
+
+
+def test_decode_png_palette():
+    """Color type 3: indices resolve through PLTE (built by hand — synth_png
+    doesn't emit palettes, so this pins the decoder-only path)."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([10, 20, 30, 40, 50, 60])
+    raw = bytes([0, 0, 1, 0, 1, 0])  # two scanlines, filter 0
+    png = M._PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    img = M.decode_png(png)
+    assert img.rows == [[(30, 20, 10), (60, 50, 40)], [(60, 50, 40), (30, 20, 10)]]
+
+
+def test_decode_png_rejects_corruption():
+    good = M.synth_png(5, 4, 3)
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(good[:-6] + b"\x00\x00\x00\x00" + good[-2:])  # smashed IEND CRC
+    with pytest.raises(ValueError):
+        M.decode_png(good[:30])  # truncated mid-chunk
+    with pytest.raises(ValueError):
+        M.decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks at all
+    # 16-bit depth: valid PNG, unsupported here → NotImplementedError
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    deep = M._PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00")) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        M.decode_png(deep)
+
+
+def test_png_registry_dispatch():
+    assert M.decode_image(M.synth_png(3, 5, 2)).width == 5
+    # prose starting with a partial signature falls through to the fake
+    img = M.decode_image(b"\x89PNG but not really")
+    assert len(img.rows) == 1
+
+
+# ---------------------------------------------------------------------
+# WAV: real RIFF/PCM decoder (stdlib struct only)
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize("channels", [1, 2])
+def test_decode_wav_round_trip(bits, channels):
+    """8-bit (unsigned, centered) and 16-bit (signed LE) must land on the
+    SAME sample values; the synth's junk LIST chunk (odd length) forces the
+    decoder to implement word-aligned chunk skipping to even find data."""
+    au = M.decode_wav(M.synth_wav(11, 53, rate=8000, channels=channels, bits=bits))
+    assert (au.sample_rate, au.channels, au.bits) == (8000, channels, bits)
+    assert len(au.frames) == 53
+    for i in (0, 26, 52):
+        for ch in range(channels):
+            assert au.frames[i][ch] == ((11 * 31 + i * 7 + ch * 13) % 201) - 100
+
+
+def test_decode_wav_rejects():
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFF\x00\x00\x00\x00AVI ")  # not WAVE
+    with pytest.raises(ValueError):
+        M.decode_wav(M.synth_wav(1, 10)[:-5])  # truncated data chunk
+    # float PCM (format 3) is valid WAV but unsupported → NotImplementedError
+    import struct
+
+    p = bytearray(M.synth_wav(1, 4, bits=16))
+    fmt_at = p.index(b"fmt ") + 8
+    struct.pack_into("<H", p, fmt_at, 3)
+    with pytest.raises(NotImplementedError):
+        M.decode_wav(bytes(p))
+
+
+def test_audio_decode_stats_operator(spark):
+    rows = [(i, M.synth_wav(i, 40 + i, channels=1 + i % 2, bits=8 if i % 3 == 0 else 16), None)
+            for i in (0, 1, 2)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in M.audio_decode_stats(df).collect()}
+    for i in (0, 1, 2):
+        n, ch = 40 + i, 1 + i % 2
+        samples = [((i * 31 + fi * 7 + c * 13) % 201) - 100 for fi in range(n) for c in range(ch)]
+        ch0 = [((i * 31 + fi * 7) % 201) - 100 for fi in range(n)]
+        r = out[i]
+        assert (r.sample_rate, r.channels, r.n_frames) == (8000, ch, n)
+        assert r.duration_ms == n * 1000 // 8000
+        assert r.peak_abs == max(abs(v) for v in samples)
+        assert r.energy == sum(v * v for v in samples)
+        assert r.zero_cross == sum(1 for j in range(1, n) if ch0[j] * ch0[j - 1] < 0)
