@@ -247,3 +247,153 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 2048,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic driver-side training of product-quantization codebooks:
+    the vector is split into ``m`` contiguous subspaces of dim/m and each
+    subspace gets its own ``k``-centroid k-means codebook (trained on the
+    UNIT-NORMALIZED sample, because pq_topk quantizes normalized vectors so
+    that the asymmetric dot approximates cosine).
+
+    Same scale posture as train_ivf_centroids: the ``sample_n`` lowest-id
+    vectors bound training cost regardless of table size; the codebooks
+    (m·k·dim/m floats) broadcast as plan literals. PQ's 100 TB win is
+    memory-bandwidth compression: a scan compares m byte-codes per vector
+    (via k-entry lookup tables) instead of reading dim floats — 64-dim
+    float32 → 8 codes is a 32× reduction of the scanned bytes.
+    """
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = (
+        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(sample_n)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    if x.shape[0] == 0:
+        raise ValueError("cannot train PQ codebooks on an empty table")
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0.0] = 1.0
+    x = x / norms[:, None]
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        kk = min(k, xs.shape[0])
+        cent = xs[np.linspace(0, xs.shape[0] - 1, kk).astype(int)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            mindist = d2[np.arange(xs.shape[0]), assign]
+            for c in range(kk):
+                members = xs[assign == c]
+                if members.shape[0]:
+                    cent[c] = members.mean(axis=0)
+                else:
+                    cent[c] = xs[mindist.argmax()]
+        books.append([[float(v) for v in c] for c in cent])
+    return books
+
+
+def _pq_codes(vec_col, codebooks: list[list[list[float]]]):
+    """array<int> of per-subspace nearest-centroid indices for a UNIT
+    vector column — pure JVM expressions over the literal codebooks
+    (squared-L2 argmin, index tie-break via array_sort on (d, idx))."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sl = F.slice(vec_col, j * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(sl, V.lit_vector(c), lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(i).alias("idx"),
+                )
+                for i, c in enumerate(book)
+            ]
+        )
+        codes.append(F.array_sort(dists)[0]["idx"])
+    return F.array(*codes)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization with exact
+    re-ranking (FAISS-style ADC: see Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011 — public literature).
+
+    Stage 1 (compressed scan): every vector is represented by m subspace
+    codes; each probe carries m lookup tables (its subvector's dot with
+    each of the k sub-centroids, computed ONCE per probe). The approximate
+    cosine is then m element_at lookups + a sum — no per-pair float math
+    over dim elements. Stage 2 (re-rank): the ``rerank`` best candidates
+    per probe get exact cosines, so the emitted scores are TRUE cosines
+    and only the candidate CHOICE is approximate.
+
+    All JVM expressions; probes/LUTs broadcast. At 100 TB the codes column
+    (m bytes/vector) is what streams through the scan — pair with IVF cell
+    pruning (ivf_topk) for sublinear candidate counts.
+    """
+    m = len(codebooks)
+    nrm = V.norm(vec_col)
+    unit = F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
+    encoded = (
+        vectors.withColumn("_nrm", F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm))
+        .withColumn("_codes", _pq_codes(unit, codebooks))
+        .drop("_nrm")
+    )
+    pnrm = V.norm("probe_vec")
+    punit = F.transform(F.col("probe_vec"), lambda x: x / F.col("_pnrm"))
+    sub = len(codebooks[0][0])
+    pb = probes.withColumn(
+        "_pnrm", F.when(pnrm == 0.0, F.lit(1.0)).otherwise(pnrm)
+    ).withColumn("_punit", punit)
+    for j, book in enumerate(codebooks):
+        sl = F.slice(F.col("_punit"), j * sub + 1, sub)
+        pb = pb.withColumn(
+            f"_lut{j}", F.array(*[V.dot(sl, V.lit_vector(c)) for c in book])
+        )
+    pb = pb.drop("_pnrm", "_punit")
+    scored = encoded.crossJoin(F.broadcast(pb)).filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    adot = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_lut{j}"), F.col("_codes")[j] + 1)
+        adot = term if adot is None else adot + term
+    scored = scored.withColumn("_adot", adot)
+    w1 = Window.partitionBy("probe_id").orderBy(F.desc("_adot"), F.asc(id_col))
+    cand = scored.withColumn("_crank", F.row_number().over(w1)).filter(
+        F.col("_crank") <= rerank
+    )
+    exact = cand.withColumn("cosine", V.cosine(vec_col, "probe_vec"))
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

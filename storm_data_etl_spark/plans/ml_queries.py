@@ -492,6 +492,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, probes, centroids, k=10, n_probe=3)
 
 
+@register("ann_pq_topk", None)  # approximate by design: no exact oracle
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-10 for the same probes — the
+    memory-bandwidth scale path (each vector scanned as 8 byte-codes via
+    per-probe lookup tables instead of 64 floats, then the best 64
+    candidates re-ranked with exact cosine). Training is driver-side on a
+    deterministic bounded sample; pytest measures recall against brute
+    force and pins that emitted scores are true cosines."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    if not emb.limit(1).count():
+        # Same empty-corpus degradation contract as ann_ivf_topk.
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cosine double, rank int"
+        )
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    books = S.train_pq_codebooks(emb, dim=64, m=8, k=16, sample_n=512)
+    return S.pq_topk(emb, probes, books, k=10, rerank=64)
+
+
 @register(
     "embedding_norm_stats",
     """

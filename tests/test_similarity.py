@@ -122,3 +122,47 @@ def test_quantize_error_bounded_by_half_scale(spark, sf_dir):
     for r in out:
         assert 0 <= r.max_err_e6 <= int(1e6 * half_scale_max) + 1
         assert 0 <= r.avg_err_e6 <= r.max_err_e6
+
+
+def test_pq_topk_recall_and_exact_rerank(spark):
+    data = _vectors(n=100, dim=16)
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    probes = S.make_probes(df, [0, 1, 2])
+    books = S.train_pq_codebooks(df, dim=16, m=4, k=8, sample_n=64)
+    # training is deterministic, shapes are (m, k, dim/m)
+    assert books == S.train_pq_codebooks(df, dim=16, m=4, k=8, sample_n=64)
+    assert len(books) == 4 and all(len(b) == 8 and len(b[0]) == 4 for b in books)
+
+    exact = S.brute_force_topk(df, probes, k=5).collect()
+    approx = S.pq_topk(df, probes, books, k=5, rerank=32).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    approx_set = {(r.probe_id, r.vec_id) for r in approx}
+    # re-ranking 32 ADC candidates out of 99 should recover most of top-5
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"implausibly low PQ recall: {recall}"
+    # emitted scores are TRUE cosines (re-rank stage), only the candidate
+    # choice is approximate
+    vecs = dict(data)
+    for r in approx:
+        assert abs(r.cosine - _cosine(vecs[r.probe_id], vecs[r.vec_id])) < 1e-6
+
+
+def test_pq_full_rerank_equals_brute_force(spark):
+    """rerank ≥ N keeps every candidate → the exact-cosine re-rank stage
+    must reproduce brute force identically, regardless of codebook quality."""
+    data = _vectors(n=60, dim=8, seed=7)
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    probes = S.make_probes(df, [5, 6])
+    books = S.train_pq_codebooks(df, dim=8, m=2, k=4, sample_n=60)
+    exact = {(r.probe_id, r.vec_id, r.rank) for r in S.brute_force_topk(df, probes, k=5).collect()}
+    full = {(r.probe_id, r.vec_id, r.rank) for r in S.pq_topk(df, probes, books, k=5, rerank=100).collect()}
+    assert full == exact
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    data = _vectors(n=10, dim=10)
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        S.train_pq_codebooks(df, dim=10, m=4)
