@@ -577,3 +577,147 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("rev").alias("n_revs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# =====================================================================
+# Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher" §A1.1; C4 filtering, Raffel et al. 2020 —
+# public literature). The reference has no repetition filter; this is
+# part of the training-data extension surface.
+# =====================================================================
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    ),
+    w AS (
+      -- parallel unnests in the projection align positionally in DuckDB
+      SELECT doc_id, unnest(words) AS word,
+             unnest(range(1, len(words) + 1)) AS pos
+      FROM d
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+    ws AS (
+      SELECT doc_id, sum(c) AS n_words, count(*) AS distinct_words,
+             max(c) AS top_word_count
+      FROM wc GROUP BY 1
+    ),
+    bg AS (
+      SELECT a.doc_id, a.word || ' ' || b.word AS g
+      FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bgc AS (
+      SELECT doc_id, max(c) AS top_bigram_count
+      FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    tg AS (
+      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c3.word AS g
+      FROM w a
+      JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN w c3 ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2
+    ),
+    tgc AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_trigram_tokens
+      FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(ws.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(ws.distinct_words, 0) AS BIGINT) AS distinct_words,
+           CAST(coalesce(ws.top_word_count, 0) AS BIGINT) AS top_word_count,
+           CAST(coalesce(bgc.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+           CAST(coalesce(tgc.dup_trigram_tokens, 0) AS BIGINT) AS dup_trigram_tokens
+    FROM d
+    LEFT JOIN ws USING (doc_id)
+    LEFT JOIN bgc USING (doc_id)
+    LEFT JOIN tgc USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals per document, as EXACT integers
+    (consumers divide; no float in the hash): total/distinct word counts,
+    the modal word's count, the modal bigram's count, and the number of
+    trigram instances belonging to a repeated trigram. High
+    top_*_count / n_words or dup_trigram_tokens / n_words marks the
+    boilerplate/spam documents every LLM-corpus pipeline drops.
+
+    Plan shape: n-gram arrays are built JVM-side from ONE split
+    (zip_with over shifted slices — no self-join to form n-grams), then
+    three explode→groupBy aggregates ALL keyed by doc_id, re-joined on
+    doc_id. Every shuffle is on the uniform doc_id key, so the plan
+    scales with corpus size and no key can hot-spot (a single giant doc
+    bounds one task at O(doc words), not the stage)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_remove(F.split("text", " +"), "").alias("words")
+    )
+    n = F.size("words")
+    docs = (
+        docs.withColumn(
+            "bigrams",
+            F.zip_with(
+                F.slice("words", 1, F.greatest(F.lit(0), n - 1)),
+                F.slice("words", 2, F.greatest(F.lit(0), n - 1)),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        )
+        .withColumn(
+            "trigrams",
+            F.zip_with(
+                F.slice("words", 1, F.greatest(F.lit(0), n - 2)),
+                F.zip_with(
+                    F.slice("words", 2, F.greatest(F.lit(0), n - 2)),
+                    F.slice("words", 3, F.greatest(F.lit(0), n - 2)),
+                    lambda b, c: F.concat_ws(" ", b, c),
+                ),
+                lambda a, bc: F.concat_ws(" ", a, bc),
+            ),
+        )
+    )
+    base = docs.select("doc_id")
+    ws = (
+        docs.select("doc_id", F.explode("words").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.count(F.lit(1)).alias("distinct_words"),
+            F.max("count").alias("top_word_count"),
+        )
+    )
+    bgc = (
+        docs.select("doc_id", F.explode("bigrams").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_count"))
+    )
+    tgc = (
+        docs.select("doc_id", F.explode("trigrams").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0)).alias(
+                "dup_trigram_tokens"
+            )
+        )
+    )
+    out = (
+        base.join(ws, "doc_id", "left")
+        .join(bgc, "doc_id", "left")
+        .join(tgc, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("distinct_words", F.lit(0)).alias("distinct_words"),
+        F.coalesce("top_word_count", F.lit(0)).alias("top_word_count"),
+        F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        F.coalesce("dup_trigram_tokens", F.lit(0)).alias("dup_trigram_tokens"),
+    )

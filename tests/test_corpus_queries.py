@@ -103,3 +103,27 @@ def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for etype, n in exact.items():
         assert abs(est[etype] - n) <= max(1, 0.02 * n), (etype, est[etype], n)
+
+
+def test_doc_repetition_stats_known_doc(spark):
+    rows = [
+        (1, "the cat sat the cat sat on mat"),
+        (2, "x"),
+        (3, ""),
+        (4, "  spaced   out  "),  # run-of-spaces tokenization
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orig = CQ.t
+    CQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        got = {r["doc_id"]: r for r in CQ.doc_repetition_stats(spark, "x").collect()}
+    finally:
+        CQ.t = orig
+    r1 = got[1]
+    assert (r1["n_words"], r1["distinct_words"], r1["top_word_count"]) == (8, 5, 2)
+    assert r1["top_bigram_count"] == 2  # "the cat" / "cat sat"
+    assert r1["dup_trigram_tokens"] == 2  # "the cat sat" twice
+    assert (got[2]["n_words"], got[2]["top_bigram_count"], got[2]["dup_trigram_tokens"]) == (1, 0, 0)
+    assert tuple(got[3][c] for c in ("n_words", "distinct_words", "top_word_count",
+                                     "top_bigram_count", "dup_trigram_tokens")) == (0, 0, 0, 0, 0)
+    assert (got[4]["n_words"], got[4]["distinct_words"]) == (2, 2)
