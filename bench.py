@@ -92,6 +92,12 @@ HEADLINE = [
     "temperature_sampling_mix",
     "oph_lsh_pairs",
     "cluster_quality_canonical",
+    # round-3 additions: real codec decodes, PQ ANN, repetition filter
+    "png_decode_stats",
+    "gif_decode_stats",
+    "audio_decode_stats",
+    "ann_pq_topk",
+    "doc_repetition_stats",
 ]
 
 

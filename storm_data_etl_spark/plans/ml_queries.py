@@ -1642,6 +1642,74 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gif_decode_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 11 AS INTEGER) AS width,
+             CAST(3 + doc_id % 6 AS INTEGER) AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, width, height, r.r AS r, c.c AS c,
+             ((media_id + 7 * r.r + 3 * c.c) % 256 * 7 + 3) % 256 AS bb
+      FROM m, unnest(range(0, height)) AS r(r), unnest(range(0, width)) AS c(c)
+    )
+    SELECT media_id, width, height,
+           CAST(((media_id % 256) * 7 + 3) % 256 AS INTEGER) AS top_b,
+           CAST((100 * sum(bb)) // (width * height) AS BIGINT) AS mean_b_e2
+    FROM px GROUP BY media_id, width, height
+    """,
+)
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE GIF decode under oracle — real LZW decompression, no codec
+    library. Per document, synthesize a spec-conformant GIF89a
+    (multimodal.synth_gif — global color table, valid variable-width LZW
+    stream via the no-compression Clear-code technique, interlaced for odd
+    doc_ids) and decode with multimodal.decode_gif (chunked sub-block
+    reassembly, true LZW with dictionary/width handling, palette lookup,
+    4-pass interlace re-ordering). Emitted stats are closed-form: geometry,
+    top-left blue (pins interlace row targeting — pass 4 owns row 1, so a
+    wrong pass order corrupts it), and the exact scaled blue mean through
+    the palette indirection.
+
+    Scale shape: two narrow Arrow-batched maps over the scan, no shuffle."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (4 + F.col("doc_id") % 11).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 6).cast("int").alias("h"),
+        (F.col("doc_id") % 2 == 1).alias("il"),
+    )
+
+    out_cols = ["media_id", "width", "height", "top_b", "mean_b_e2"]
+
+    def build_and_decode(batches):  # noqa: ANN001
+        for pdf in batches:
+            rows = []
+            for mid, w, h, il in zip(pdf["media_id"], pdf["w"], pdf["h"], pdf["il"]):
+                payload = MM.synth_gif(int(mid), int(w), int(h), interlaced=bool(il))
+                img = MM.decode_image(payload)
+                flat_b = [px[0] for row in img.rows for px in row]
+                rows.append(
+                    (
+                        mid,
+                        img.width,
+                        img.height,
+                        img.rows[0][0][0],
+                        (100 * sum(flat_b)) // len(flat_b),
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=out_cols)
+
+    return docs.mapInPandas(
+        build_and_decode,
+        "media_id long, width int, height int, top_b int, mean_b_e2 long",
+    )
+
+
+@register(
     "audio_decode_stats",
     """
     WITH m AS (

@@ -290,3 +290,101 @@ def test_audio_decode_stats_operator(spark):
         assert r.peak_abs == max(abs(v) for v in samples)
         assert r.energy == sum(v * v for v in samples)
         assert r.zero_cross == sum(1 for j in range(1, n) if ch0[j] * ch0[j - 1] < 0)
+
+
+# ---------------------------------------------------------------------
+# GIF: real LZW decoder + interlace
+# ---------------------------------------------------------------------
+
+def _lzw_encode_packed(data: bytes, min_code_size: int) -> bytes:
+    """Genuine GIF LZW COMPRESSOR (dictionary-building, variable width,
+    the encoder-side +1 width-bump offset real encoders use) — exists only
+    in this test, to prove the decoder's compression path on streams the
+    no-compression synth_gif never produces."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    d = {bytes([i]): i for i in range(clear)}
+    next_code, width = clear + 2, min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code, wd):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in d:
+            w = wc
+            continue
+        emit(d[w], width)
+        if next_code < 4096:
+            d[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = bytes([byte])
+    if w:
+        emit(d[w], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_real_compressed_stream():
+    """Random bytes force dictionary growth across the 512 and 1024 width
+    boundaries; the repeated tail exercises long dictionary hits."""
+    import random
+
+    from storm_data_etl_spark.operators.multimodal import _lzw_decode
+
+    rng = random.Random(1)
+    data = bytes(rng.randrange(256) for _ in range(3000)) + b"abcabcabc" * 50
+    assert _lzw_decode(_lzw_encode_packed(data, 8), 8) == data
+
+
+def test_lzw_decode_kwkwk_case():
+    """aaaa... forces code == next_code (the KwKwK case) immediately."""
+    from storm_data_etl_spark.operators.multimodal import _lzw_decode
+
+    data = b"\x01" * 100 + b"\x02\x01\x01\x02\x02\x02\x01" * 30
+    assert _lzw_decode(_lzw_encode_packed(data, 2), 2) == data
+
+
+@pytest.mark.parametrize("interlaced", [False, True])
+def test_decode_gif_round_trip(interlaced):
+    """synth_gif builds its stream with literal codes + Clear resets and
+    never runs the dictionary; decode_gif must still reproduce the exact
+    palette-mapped raster, re-ordering rows when interlaced. Height 17
+    exercises all four interlace passes; 3x300 crosses the 253-pixel
+    Clear cadence and multi-sub-block chunking."""
+    for seed, w, h in [(7, 5, 4), (9, 20, 17), (50, 3, 300)]:
+        img = M.decode_gif(M.synth_gif(seed, w, h, interlaced=interlaced))
+        assert (img.width, img.height) == (w, h)
+        for r in (0, 1, h - 1):
+            for c in (0, w - 1):
+                i = (seed + 7 * r + 3 * c) % 256
+                assert img.rows[r][c] == ((i * 7 + 3) % 256, (i * 3 + 2) % 256, (i * 5 + 1) % 256)
+
+
+def test_decode_gif_skips_extensions_and_rejects_truncation():
+    p = M.synth_gif(3, 4, 2)
+    # splice a graphic-control extension between the palette and the image
+    # descriptor: decoder must skip it via sub-block walking
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    cut = 13 + 768  # header + global palette
+    with_ext = p[:cut] + gce + p[cut:]
+    assert M.decode_gif(with_ext).width == 4
+    with pytest.raises(ValueError):
+        M.decode_gif(p[:30])
+    with pytest.raises(ValueError):
+        M.decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # trailer, no image
+    assert M.decode_image(p).width == 4  # registry dispatch
