@@ -95,6 +95,7 @@ HEADLINE = [
     # round-3 additions: real codec decodes, PQ ANN, repetition filter
     "png_decode_stats",
     "gif_decode_stats",
+    "jpeg_decode_stats",
     "audio_decode_stats",
     "ann_pq_topk",
     "doc_repetition_stats",

@@ -454,6 +454,20 @@ def _png_dispatch(payload: bytes) -> DecodedImage:
         return _pil_decode(payload)
 
 
+def _jpeg_dispatch(payload: bytes) -> DecodedImage:
+    """JPEG adapter: the pure-Python/numpy baseline decoder first
+    (operators/jpeg.py — real Huffman + dequant + IDCT); profiles it
+    doesn't cover (progressive, 12-bit, arithmetic) fall through to PIL
+    when importable."""
+    from storm_data_etl_spark.operators import jpeg as J  # noqa: PLC0415
+
+    try:
+        dec = J.decode_jpeg(payload)
+    except NotImplementedError:
+        return _pil_decode(payload)
+    return DecodedImage(dec.width, dec.height, J.jpeg_to_image_rows(dec))
+
+
 def _pil_decode(payload: bytes) -> DecodedImage:
     """PNG/JPEG adapter: real decode when PIL is importable, guarded
     NotImplementedError otherwise (docs/LIMITS.md — no codec libs here)."""
@@ -515,7 +529,7 @@ IMAGE_DECODERS: list[tuple[str, Callable[[bytes], bool], Callable[[bytes], Decod
     ("ppm", _sniff_ppm, decode_ppm),
     ("png", lambda p: p[:8] == _PNG_MAGIC, _png_dispatch),
     ("gif", lambda p: p[:6] in (b"GIF87a", b"GIF89a"), decode_gif),
-    ("jpeg", lambda p: p[:3] == b"\xff\xd8\xff", _pil_decode),
+    ("jpeg", lambda p: p[:3] == b"\xff\xd8\xff", _jpeg_dispatch),
     ("fake", lambda p: True, _fake_decode),
 ]
 

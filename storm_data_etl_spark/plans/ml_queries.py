@@ -1710,6 +1710,105 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_decode_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 13 AS INTEGER) AS width,
+             CAST(3 + doc_id % 7 AS INTEGER) AS height
+      FROM documents
+    ),
+    tiles AS (
+      SELECT media_id, width, height, tr.tr AS tr, tc.tc AS tc,
+             (media_id + 7 * tr.tr + 3 * tc.tc) % 256 AS i,
+             least(8, width - 8 * tc.tc) * least(8, height - 8 * tr.tr) AS npix
+      FROM m,
+           unnest(range(0, (height + 7) // 8)) AS tr(tr),
+           unnest(range(0, (width + 7) // 8)) AS tc(tc)
+    ),
+    dec AS (
+      -- closed-form replica of the DC-only quantization roundtrip:
+      -- RGB -> YCbCr (floats), DC quantize (luma /16, chroma /17),
+      -- dequantize (qCb*17/8 = qCb*2.125, exact dyadic), YCbCr -> B,
+      -- floor(x+0.5) rounding, clamp. Validated in pytest against the
+      -- full codec for ALL 256 tile colors with >=1e-3 margin to every
+      -- floor boundary (float noise is ~1e-12).
+      SELECT media_id, width, height, tr, tc, npix,
+             greatest(0.0, least(255.0, floor(
+               floor(8.0 * ((0.299 * ((i * 5 + 1) % 256)
+                             + 0.587 * ((i * 3 + 2) % 256)
+                             + 0.114 * ((i * 7 + 3) % 256)) - 128.0) / 16.0
+                     + 0.5) * 2.0 + 128.0
+               + 1.772 * (floor(8.0 * ((-0.168736 * ((i * 5 + 1) % 256)
+                                        - 0.331264 * ((i * 3 + 2) % 256)
+                                        + 0.5 * ((i * 7 + 3) % 256)
+                                        + 128.0) - 128.0) / 17.0
+                                + 0.5) * 2.125)
+               + 0.5))) AS b_dec
+      FROM tiles
+    )
+    SELECT media_id, width, height,
+           CAST(((width + 7) // 8) * ((height + 7) // 8) AS INTEGER) AS n_mcus,
+           CAST(max(CASE WHEN tr = 0 AND tc = 0 THEN b_dec END) AS INTEGER) AS top_b,
+           CAST((100 * CAST(sum(b_dec * npix) AS BIGINT)) // (width * height)
+                AS BIGINT) AS mean_b_e2
+    FROM dec GROUP BY media_id, width, height
+    """,
+)
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE baseline JPEG decode under an EXACT oracle — despite JPEG
+    being lossy. Per document, synthesize a real JFIF baseline JPEG
+    (operators/jpeg.py synth_jpeg — Annex K quant/Huffman tables, float
+    DCT, DPCM + run-length entropy coding) whose 8×8 tiles are constant
+    colors, then decode with the full real pipeline (marker parse, Huffman
+    decode, dequantize, IDCT, YCbCr→RGB). Constant tiles make the DCT
+    energy pure DC, so the decoded value is a closed-form quantization
+    roundtrip the oracle replicates in SQL — validated for all 256 tile
+    colors with ≥1e-3 margin to every rounding boundary (pytest), nine
+    orders above float noise. Emits SOF0 geometry, the actual MCU count
+    walked by the entropy decoder, top-left blue, and the exact scaled
+    blue mean over the raster.
+
+    Scale shape: one narrow Arrow-batched map over the scan, no shuffle."""
+    import pandas as _pd
+
+    from storm_data_etl_spark.operators import jpeg as J
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (4 + F.col("doc_id") % 13).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 7).cast("int").alias("h"),
+    )
+
+    out_cols = ["media_id", "width", "height", "n_mcus", "top_b", "mean_b_e2"]
+
+    def build_and_decode(batches):  # noqa: ANN001
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                payload = J.synth_jpeg(int(mid), int(w), int(h))
+                dec = J.decode_jpeg(payload)
+                raster = J.jpeg_to_image_rows(dec)
+                flat_b = [px[0] for row in raster for px in row]
+                rows.append(
+                    (
+                        mid,
+                        dec.width,
+                        dec.height,
+                        dec.mcus_x * dec.mcus_y,
+                        raster[0][0][0],
+                        (100 * sum(flat_b)) // len(flat_b),
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=out_cols)
+
+    return docs.mapInPandas(
+        build_and_decode,
+        "media_id long, width int, height int, n_mcus int, top_b int, mean_b_e2 long",
+    )
+
+
+@register(
     "audio_decode_stats",
     """
     WITH m AS (

@@ -28,14 +28,23 @@ def test_extract_image_features_shape(spark):
     assert again[1].feature == by_id[1].feature
 
 
-def test_jpeg_raises_not_implemented(spark):
-    """JPEG still requires PIL (no pure-Python DCT here); the guard must
-    surface loudly rather than fake-decode a genuinely-claimed format."""
+def test_jpeg_decodes_for_real_and_corrupt_raises(spark):
+    """Baseline JPEG now has a REAL pure-Python decoder; a valid JPEG must
+    decode through the Spark path, and a corrupt one must raise loudly
+    rather than fake-decode. Progressive (SOF2) still needs PIL — that
+    guard is pinned in tests/test_jpeg.py."""
+    from storm_data_etl_spark.operators import jpeg as J
+
     df = spark.createDataFrame(
+        [(9, J.synth_jpeg(9, 12, 10), ("image/jpeg", 0, 0, 0))], M.MEDIA_SCHEMA
+    )
+    out = M.extract_image_features(df).collect()
+    assert (out[0].width, out[0].height) == (12, 10)
+    bad = spark.createDataFrame(
         [(9, b"\xff\xd8\xff\xe0-rest-of-jpeg", ("image/jpeg", 0, 0, 0))], M.MEDIA_SCHEMA
     )
-    with pytest.raises(Exception, match="PIL|NotImplemented"):
-        M.extract_image_features(df).collect()
+    with pytest.raises(Exception, match="JPEG|ValueError"):
+        M.extract_image_features(bad).collect()
 
 
 def test_png_decodes_for_real(spark):
