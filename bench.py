@@ -96,6 +96,7 @@ HEADLINE = [
     "png_decode_stats",
     "gif_decode_stats",
     "jpeg_decode_stats",
+    "video_frame_decode_stats",
     "audio_decode_stats",
     "ann_pq_topk",
     "doc_repetition_stats",

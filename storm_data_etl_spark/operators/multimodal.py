@@ -904,6 +904,123 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8)
     return df.select("media_id", "payload").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+def synth_avi(seed: int, width: int, height: int, n_frames: int, fps: int = 25) -> bytes:
+    """Write a REAL RIFF/AVI container with an MJPEG video stream: LIST
+    hdrl (avih main header + LIST strl with a 'vids'/'MJPG' strh and a
+    BITMAPINFOHEADER strf), LIST movi with one word-aligned '00dc' chunk
+    per frame, and an idx1 index. Frame f's payload is the real baseline
+    JPEG synth_jpeg(seed + f, width, height), so every decoded frame
+    statistic is closed-form (the JPEG quantization roundtrip)."""
+    from storm_data_etl_spark.operators import jpeg as J  # noqa: PLC0415
+
+    frames = [J.synth_jpeg(seed + f, width, height) for f in range(n_frames)]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(form: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", form + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0,
+                                        n_frames, 0, 0xFFFFFFFF, 0, 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL pure-Python AVI demux: walks the RIFF tree (word-aligned),
+    reads the avih main header for declared geometry/frame count, and
+    pulls the compressed video chunks ('00dc'/'00db') out of LIST movi.
+    Returns (width, height, declared_frames, frame_payloads) — decoding
+    the payloads is the video codec's job (decode_jpeg for MJPEG)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = declared = 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, declared
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if body_start + clen > end:
+                raise ValueError(f"truncated AVI chunk {cid!r}")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + clen)
+            elif cid == b"avih":
+                vals = struct.unpack_from("<14I", payload, body_start)
+                declared = vals[4]
+                width, height = vals[8], vals[9]
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(payload[body_start : body_start + clen])
+            pos = body_start + clen + (clen & 1)
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return width, height, declared, frames
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "media_id long, frame_index int, width int, height int, top_b int, mean_b_e2 long"
+)
+
+
+def sample_video_frames(df: DataFrame, stride: int = 2, max_frames: int = 4) -> DataFrame:
+    """REAL video frame sampling: demux the AVI container, keep every
+    ``stride``-th frame up to ``max_frames``, decode each kept frame with
+    the registry's real JPEG decoder, and emit per-frame decode stats.
+    One row in → up to max_frames rows out, inside the Arrow batch —
+    compressed frames that are never sampled are never decoded (the whole
+    point of keyframe sampling at 100 TB)."""
+    from storm_data_etl_spark.operators import jpeg as J  # noqa: PLC0415
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                _w, _h, _n, frames = decode_avi_frames(payload)
+                for fi in range(0, len(frames), stride)[:max_frames]:
+                    dec = J.decode_jpeg(frames[fi])
+                    raster = J.jpeg_to_image_rows(dec)
+                    flat_b = [px[0] for row in raster for px in row]
+                    rows.append(
+                        (
+                            mid,
+                            fi,
+                            dec.width,
+                            dec.height,
+                            raster[0][0][0],
+                            (100 * sum(flat_b)) // len(flat_b),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "width", "height", "top_b", "mean_b_e2"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, VIDEO_FRAME_STATS_SCHEMA)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Pure-JVM metadata aggregation (no decode): size/mime distribution.
     The cheap pre-pass a pipeline runs before deciding what to decode."""

@@ -1809,6 +1809,94 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_frame_decode_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 13 AS INTEGER) AS width,
+             CAST(3 + doc_id % 7 AS INTEGER) AS height,
+             CAST(3 + doc_id % 4 AS INTEGER) AS n_frames
+      FROM documents
+    ),
+    fr AS (
+      SELECT media_id, width, height, f.f AS frame_index
+      FROM m, unnest(range(0, n_frames)) AS f(f)
+      WHERE f.f % 2 = 0
+    ),
+    tiles AS (
+      SELECT media_id, width, height, frame_index,
+             (media_id + frame_index + 7 * tr.tr + 3 * tc.tc) % 256 AS i,
+             least(8, width - 8 * tc.tc) * least(8, height - 8 * tr.tr) AS npix,
+             tr.tr AS tr, tc.tc AS tc
+      FROM fr,
+           unnest(range(0, (height + 7) // 8)) AS tr(tr),
+           unnest(range(0, (width + 7) // 8)) AS tc(tc)
+    ),
+    dec AS (
+      SELECT media_id, width, height, frame_index, tr, tc, npix,
+             greatest(0.0, least(255.0, floor(
+               floor(8.0 * ((0.299 * ((i * 5 + 1) % 256)
+                             + 0.587 * ((i * 3 + 2) % 256)
+                             + 0.114 * ((i * 7 + 3) % 256)) - 128.0) / 16.0
+                     + 0.5) * 2.0 + 128.0
+               + 1.772 * (floor(8.0 * ((-0.168736 * ((i * 5 + 1) % 256)
+                                        - 0.331264 * ((i * 3 + 2) % 256)
+                                        + 0.5 * ((i * 7 + 3) % 256)
+                                        + 128.0) - 128.0) / 17.0
+                                + 0.5) * 2.125)
+               + 0.5))) AS b_dec
+      FROM tiles
+    )
+    SELECT media_id, CAST(frame_index AS INTEGER) AS frame_index,
+           width, height,
+           CAST(max(CASE WHEN tr = 0 AND tc = 0 THEN b_dec END) AS INTEGER) AS top_b,
+           CAST((100 * CAST(sum(b_dec * npix) AS BIGINT)) // (width * height)
+                AS BIGINT) AS mean_b_e2
+    FROM dec GROUP BY media_id, frame_index, width, height
+    """,
+)
+def video_frame_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE video frame sampling under an exact oracle: per document,
+    synthesize a real RIFF/AVI container holding an MJPEG stream
+    (multimodal.synth_avi — avih/strl headers, word-aligned 00dc movi
+    chunks, idx1) of 3–6 real baseline JPEG frames, demux it
+    (multimodal.decode_avi_frames — recursive RIFF walk), sample every
+    2nd frame, and FULLY decode only the sampled frames through the real
+    JPEG pipeline. One doc row explodes into one row per sampled frame
+    with the closed-form decode stats (same validated quantization
+    roundtrip as jpeg_decode_stats, seeded by media_id + frame_index).
+
+    Scale shape: one narrow Arrow-batched map, no shuffle; unsampled
+    frames are demuxed but never entropy-decoded — the actual economics
+    of keyframe sampling over 100 TB of video."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (4 + F.col("doc_id") % 13).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 7).cast("int").alias("h"),
+        (3 + F.col("doc_id") % 4).cast("int").alias("nf"),
+    )
+
+    def build(batches):  # noqa: ANN001
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.synth_avi(int(m), int(w), int(h), int(nf))
+                        for m, w, h, nf in zip(
+                            pdf["media_id"], pdf["w"], pdf["h"], pdf["nf"]
+                        )
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return MM.sample_video_frames(media, stride=2, max_frames=4)
+
+
+@register(
     "audio_decode_stats",
     """
     WITH m AS (

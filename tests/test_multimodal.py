@@ -397,3 +397,51 @@ def test_decode_gif_skips_extensions_and_rejects_truncation():
     with pytest.raises(ValueError):
         M.decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # trailer, no image
     assert M.decode_image(p).width == 4  # registry dispatch
+
+
+# ---------------------------------------------------------------------
+# AVI: real RIFF demux + MJPEG frame sampling
+# ---------------------------------------------------------------------
+
+def test_decode_avi_frames_round_trip():
+    from storm_data_etl_spark.operators import jpeg as J
+
+    p = M.synth_avi(9, 20, 13, 5)
+    w, h, n, frames = M.decode_avi_frames(p)
+    assert (w, h, n, len(frames)) == (20, 13, 5, 5)
+    for f, payload in enumerate(frames):
+        dec = J.decode_jpeg(payload)
+        assert (dec.width, dec.height) == (20, 13)
+        # frame f's tile (0,0) color comes from seed 9 + f
+        from tests.test_jpeg import closed_form_bgr
+
+        assert J.jpeg_to_image_rows(dec)[0][0] == closed_form_bgr((9 + f) % 256)
+
+
+def test_decode_avi_rejects():
+    with pytest.raises(ValueError):
+        M.decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(ValueError):
+        M.decode_avi_frames(M.synth_avi(1, 8, 8, 2)[:40])  # truncated
+    # an AVI whose movi list is empty
+    import struct as _s
+
+    body = b"AVI " + b"LIST" + _s.pack("<I", 4) + b"movi"
+    with pytest.raises(ValueError, match="no video frames"):
+        M.decode_avi_frames(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+
+def test_sample_video_frames_operator(spark):
+    """Stride-2 sampling over a 5-frame AVI keeps frames 0/2/4; each kept
+    frame is REALLY decoded (stats must match the per-frame closed form)."""
+    from tests.test_jpeg import closed_form_bgr
+
+    rows = [(7, M.synth_avi(7, 8, 8, 5), None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.frame_index: r for r in M.sample_video_frames(df, stride=2).collect()}
+    assert sorted(out) == [0, 2, 4]
+    for fi, r in out.items():
+        b, _, _ = closed_form_bgr((7 + fi) % 256)
+        assert (r.width, r.height) == (8, 8)
+        assert r.top_b == b
+        assert r.mean_b_e2 == 100 * b
