@@ -100,6 +100,8 @@ HEADLINE = [
     "audio_decode_stats",
     "ann_pq_topk",
     "doc_repetition_stats",
+    "compaction_plan",
+    "bpe_subword_stats",
 ]
 
 

@@ -1958,3 +1958,75 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_e2"),
         )
     )
+
+
+# =====================================================================
+# Small-file compaction planning (Delta OPTIMIZE / Iceberg rewrite-style
+# bin packing — public lakehouse maintenance pattern)
+# =====================================================================
+
+_COMPACT_TARGET = 64 * 1024  # target output size (bytes) per compacted file
+
+
+@register(
+    "compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT event_type,
+             epoch(date_trunc('hour', ts)) // 3600 AS file_hour,
+             count(*) * 128 AS size_bytes
+      FROM events GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT event_type, file_hour, size_bytes,
+             coalesce(sum(size_bytes) OVER (
+               PARTITION BY event_type ORDER BY file_hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {_COMPACT_TARGET} AS bin_id
+      FROM files
+    )
+    SELECT event_type, CAST(bin_id AS BIGINT) AS bin_id,
+           count(*) AS n_files,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+           CAST(min(file_hour) AS BIGINT) AS first_hour,
+           CAST(max(file_hour) AS BIGINT) AS last_hour
+    FROM planned GROUP BY event_type, bin_id
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan small-file compaction for a partitioned lake table: simulate
+    the file listing (one file per (event_type, ingest hour), sized by its
+    row count), then bin-pack files into ≈64 KiB output groups with the
+    streaming next-fit rule every lakehouse optimizer uses — files sorted
+    by hour within partition, exclusive running size // target = bin id.
+    Emits the rewrite manifest: per (partition, bin) the file count, byte
+    total, and covered hour range.
+
+    Scale shape: compaction planning is METADATA-only — the input is one
+    row per data file (millions of rows for a 100 TB table, not the table
+    itself), the window and aggregate both shuffle on the partition
+    column, and the bin assignment is a single pass. The actual rewrite
+    would be issued per-bin from this manifest. Mirrors Delta OPTIMIZE /
+    Iceberg RewriteDataFiles semantics (public docs), reference has no
+    lake-maintenance surface (extension op)."""
+    ev = t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts_utc"))) / 3600)
+        .alias("file_hour"),
+    ).agg((F.count(F.lit(1)) * 128).alias("size_bytes"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("file_hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("size_bytes").over(w), F.lit(0)) / _COMPACT_TARGET),
+    )
+    return planned.groupBy("event_type", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("total_bytes"),
+        F.min("file_hour").alias("first_hour"),
+        F.max("file_hour").alias("last_hour"),
+    )

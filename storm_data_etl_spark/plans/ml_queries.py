@@ -1969,3 +1969,20 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return MM.audio_decode_stats(media)
+
+
+@register("bpe_subword_stats", None)  # iterative training: no SQL twin
+def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a REAL byte-pair-encoding tokenizer on the corpus (operators/
+    bpe.py — Sennrich et al. 2016) and report per-source subword economics.
+    Distributed word counts → driver-side merge loop on the bounded top-K
+    frequency table (constant cost, like IVF/PQ training) → distributed
+    application over DISTINCT words only, broadcast-joined back. Rows-only
+    at the gate (the merge loop is not SQL-expressible); pytest pins the
+    learned merges against an independent reference implementation and the
+    segmentation against the training vocab."""
+    from storm_data_etl_spark.operators import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    merges = B.train_bpe_merges(docs, n_merges=30, top_words=1000)
+    return B.bpe_corpus_stats(docs, merges).orderBy("source")
