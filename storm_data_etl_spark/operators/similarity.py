@@ -308,29 +308,41 @@ def train_pq_codebooks(
     return books
 
 
+def _books_lit(codebooks: list[list[list[float]]]):
+    """The codebooks as ONE array<array<array<double>>> literal — plan
+    data, not per-centroid expression subtrees."""
+    return F.array(
+        *[F.array(*[V.lit_vector(c) for c in book]) for book in codebooks]
+    )
+
+
 def _pq_codes(vec_col, codebooks: list[list[list[float]]]):
     """array<int> of per-subspace nearest-centroid indices for a UNIT
-    vector column — pure JVM expressions over the literal codebooks
-    (squared-L2 argmin, index tie-break via array_sort on (d, idx))."""
+    vector column. Loop-based higher-order functions over the literal
+    codebook rather than an unrolled m·k expression tree: the unrolled
+    form cost ~1 s of fixed plan/codegen overhead per query (measured —
+    ann_pq_topk had a NEGATIVE scaling exponent, pure compile cost).
+    argmin = array_position of the array_min (first match ⇒ lowest index
+    wins ties, same as the (d, idx) sort it replaces)."""
     sub = len(codebooks[0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        sl = F.slice(vec_col, j * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(sl, V.lit_vector(c), lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(i).alias("idx"),
-                )
-                for i, c in enumerate(book)
-            ]
-        )
-        codes.append(F.array_sort(dists)[0]["idx"])
-    return F.array(*codes)
+    m = len(codebooks)
+    books = _books_lit(codebooks)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _argmin_code(F.slice(vec_col, j * sub + 1, sub), books[j]),
+    )
+
+
+def _argmin_code(slice_col, book_col):
+    dists = F.transform(
+        book_col,
+        lambda cb: F.aggregate(
+            F.zip_with(slice_col, cb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def pq_topk(
@@ -369,22 +381,39 @@ def pq_topk(
     pnrm = V.norm("probe_vec")
     punit = F.transform(F.col("probe_vec"), lambda x: x / F.col("_pnrm"))
     sub = len(codebooks[0][0])
-    pb = probes.withColumn(
-        "_pnrm", F.when(pnrm == 0.0, F.lit(1.0)).otherwise(pnrm)
-    ).withColumn("_punit", punit)
-    for j, book in enumerate(codebooks):
-        sl = F.slice(F.col("_punit"), j * sub + 1, sub)
-        pb = pb.withColumn(
-            f"_lut{j}", F.array(*[V.dot(sl, V.lit_vector(c)) for c in book])
-        )
-    pb = pb.drop("_pnrm", "_punit")
+    books = _books_lit(codebooks)
+    luts = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            books[j],
+            lambda cb: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_punit"), j * sub + 1, sub),
+                    cb,
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    pb = (
+        probes.withColumn("_pnrm", F.when(pnrm == 0.0, F.lit(1.0)).otherwise(pnrm))
+        .withColumn("_punit", punit)
+        .withColumn("_luts", luts)
+        .drop("_pnrm", "_punit")
+    )
     scored = encoded.crossJoin(F.broadcast(pb)).filter(
         F.col(id_col) != F.col("probe_id")
     )
-    adot = None
-    for j in range(m):
-        term = F.element_at(F.col(f"_lut{j}"), F.col("_codes")[j] + 1)
-        adot = term if adot is None else adot + term
+    # adot = Σ_j luts[j][codes[j]] — one zip over the two m-length arrays
+    adot = F.aggregate(
+        F.zip_with(
+            F.col("_codes"), F.col("_luts"), lambda cd, lut: F.element_at(lut, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     # Drop the LUT/code columns BEFORE the ranking windows: the window
     # shuffle would otherwise move m·k doubles per candidate row that the
     # ranking never reads (measured 2× on the bench headline).
