@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_repetition_stats",
     "compaction_plan",
     "bpe_subword_stats",
+    "substring_dup_spans",
 ]
 
 

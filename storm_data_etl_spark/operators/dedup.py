@@ -922,3 +922,80 @@ def sorted_neighborhood_pairs(
             F.round(F.col("j"), 6).alias("jaccard"),
         )
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    gram_len: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring detection, the practical core of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — public literature): a character
+    position is duplicated when the ``gram_len``-gram starting there occurs
+    ≥ 2 times anywhere in the corpus. Emits, per document, the count of
+    duplicated start positions and the character coverage of the merged
+    duplicated spans [pos, pos+gram_len) — exactly the "how much of this
+    doc is copied text" number a cut-the-substring policy needs.
+
+    Spark-first shape (vs the paper's monolithic suffix array, which does
+    not distribute): every char position becomes an L-gram row (JVM
+    sequence/explode/substring — linear in corpus characters, the same
+    I/O a suffix-array build pays), duplication is ONE count aggregate
+    shuffled on the gram, the positions of duplicated grams come back via
+    a semi join on the same key (shuffle reuse), and span merging is the
+    standard running-max interval union windowed per document. No
+    all-pairs stage anywhere; the gram keys are near-uniform (natural
+    text), so no hot key. For corpora where grams exceed memory budgets,
+    group on xxhash64(gram) first and verify the rare collisions — the
+    string-key form here is the oracle-exact variant."""
+    n_pos = F.length(text_col) - gram_len + 1
+    grams = docs.select(
+        F.col(id_col),
+        # sequence(1, 0) would generate a DESCENDING [1, 0]; docs shorter
+        # than one gram must contribute no rows (explode drops the null)
+        F.explode(
+            F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))
+        ).alias("pos"),
+        F.col(text_col),
+    ).select(
+        id_col, "pos", F.expr(f"substring({text_col}, pos, {gram_len})").alias("gram")
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram", "left_semi").select(id_col, "pos")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = dup_pos.withColumn("prev_max_end", F.max(F.col("pos") + gram_len).over(w))
+    covered = spans.select(
+        F.col(id_col),
+        F.when(
+            F.col("prev_max_end").isNull(), F.lit(gram_len)
+        )
+        .otherwise(
+            F.greatest(
+                F.col("pos") + gram_len - F.greatest(F.col("prev_max_end"), F.col("pos")),
+                F.lit(0),
+            )
+        )
+        .alias("new_cover"),
+    )
+    per_doc = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_positions"),
+        F.sum("new_cover").alias("dup_coverage_chars"),
+    )
+    base = docs.select(id_col, F.length(text_col).alias("n_chars"))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_chars",
+        F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+        F.coalesce("dup_coverage_chars", F.lit(0)).alias("dup_coverage_chars"),
+    )

@@ -1986,3 +1986,50 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     merges = B.train_bpe_merges(docs, n_merges=30, top_words=1000)
     return B.bpe_corpus_stats(docs, merges).orderBy("source")
+
+
+@register(
+    "substring_dup_spans",
+    """
+    WITH g AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p, 24) AS gram
+      FROM documents,
+           unnest(range(1, greatest(len(text) - 24 + 1, 0) + 1)) AS p(p)
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    dp AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+    sp AS (
+      SELECT doc_id, pos,
+             max(pos + 24) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS pme
+      FROM dp
+    ),
+    cov AS (
+      SELECT doc_id,
+             CASE WHEN pme IS NULL THEN 24
+                  ELSE greatest(pos + 24 - greatest(pme, pos), 0) END AS nc
+      FROM sp
+    ),
+    pd AS (
+      SELECT doc_id, count(*) AS n_dup_positions,
+             sum(nc) AS dup_coverage_chars
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d2.doc_id, CAST(len(d2.text) AS BIGINT) AS n_chars,
+           CAST(coalesce(pd.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(coalesce(pd.dup_coverage_chars, 0) AS BIGINT) AS dup_coverage_chars
+    FROM documents d2 LEFT JOIN pd USING (doc_id)
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (operators/dedup.substring_dup_spans
+    — the Lee-et-al-2022 substring-dedup core, Spark-decomposed): per
+    document, how many 24-gram start positions are duplicated anywhere in
+    the corpus and how many characters the merged duplicated spans cover.
+    One linear gram explosion, one count aggregate and one semi join both
+    keyed on the gram, one per-doc interval-union window — no suffix
+    array, no all-pairs stage."""
+    from storm_data_etl_spark.operators.dedup import substring_dup_spans as _op
+
+    return _op(t(spark, sf_dir, "documents"), gram_len=24)

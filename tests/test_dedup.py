@@ -338,3 +338,43 @@ def test_oph_agrees_with_classic_minhash_candidates(spark):
         for r in D.ngram_jaccard_pairs(df, k=3, threshold=0.8).collect()
     }
     assert strong <= classic and strong <= oph
+
+
+def test_substring_dup_spans_known_corpus(spark):
+    """Hand-built corpus with a known shared 30-char passage: coverage
+    must equal the merged union of duplicated 10-gram spans, not the
+    position count times gram length (overlaps merge)."""
+    from storm_data_etl_spark.operators.dedup import substring_dup_spans
+
+    shared = "the quick brown fox jumps over"  # 30 chars
+    rows = [
+        # no common characters ADJACENT to the passage, or the shared
+        # region (and the expected counts) silently grows
+        (1, "AAA-" + shared + "XYZQWERTYUIO"),
+        (2, "BBBB+" + shared + "0987654321ZZ"),
+        (3, "completely unique text here with nothing shared at all"),
+        (4, "tiny"),  # shorter than one gram -> zero rows contributed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in substring_dup_spans(df, gram_len=10).collect()}
+    # every 10-gram inside the 30-char shared passage is duplicated:
+    # 21 start positions, merged coverage = 30 chars
+    assert out[1].n_dup_positions == 21
+    assert out[1].dup_coverage_chars == 30
+    assert out[2].n_dup_positions == 21
+    assert out[2].dup_coverage_chars == 30
+    assert out[3].n_dup_positions == 0 and out[3].dup_coverage_chars == 0
+    assert out[4].n_chars == 4 and out[4].n_dup_positions == 0
+
+
+def test_substring_dup_spans_within_one_doc(spark):
+    """Repetition INSIDE a single document also counts (n_occ >= 2 in the
+    corpus, same doc or not) — the self-repetition case Lee et al. cut."""
+    from storm_data_etl_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij-MIDDLE-abcdefghij")], ["doc_id", "text"]
+    )
+    out = substring_dup_spans(df, gram_len=10).collect()[0]
+    assert out.n_dup_positions == 2  # both copies of the 10-gram
+    assert out.dup_coverage_chars == 20
