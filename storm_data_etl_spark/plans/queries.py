@@ -767,3 +767,59 @@ def nested_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_e2"),
     )
+
+
+@register(
+    "collation_join_sort",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE upper(c_mktsegment) END AS seg,
+             c_custkey
+      FROM customer
+    ),
+    dim AS (
+      SELECT DISTINCT c_mktsegment AS seg_name FROM customer
+    ),
+    joined AS (
+      SELECT lower(d.seg_name) AS segment, m.c_custkey
+      FROM mixed m JOIN dim d ON lower(m.seg) = lower(d.seg_name)
+    )
+    SELECT segment, count(*) AS n_matched,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM joined GROUP BY segment ORDER BY segment
+    """,
+)
+def collation_join_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive JOIN and ORDER BY via Spark 4 collations — extends
+    the collation surface beyond grouping (collation_group_count): the fact
+    side carries deliberately mixed-case keys, the dimension keeps original
+    case, and the equi-join + final sort both run under UTF8_LCASE
+    semantics on the COLUMN (no lower() in the join condition, so the
+    optimizer still sees a plain equi-join and can broadcast the dim —
+    lower()-wrapped keys would also work but push the normalization into
+    every probe). The oracle states the lower()-join equivalent. Output
+    keys canonicalized with one lower() so both engines agree on the
+    representative."""
+    c = t(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.upper("c_mktsegment"))
+        .cast("string collate UTF8_LCASE")
+        .alias("seg"),
+        "c_custkey",
+    )
+    dim = c.select(
+        F.col("c_mktsegment").cast("string collate UTF8_LCASE").alias("seg_name")
+    ).distinct()
+    joined = mixed.join(
+        F.broadcast(dim), mixed["seg"] == dim["seg_name"]
+    )
+    return (
+        joined.groupBy(F.lower(F.col("seg_name").cast("string")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        .orderBy(F.col("segment").cast("string collate UTF8_LCASE"))
+    )

@@ -132,3 +132,31 @@ def test_nation_pair_trade_revenue(spark, tmp_path):
     assert (r.supp_nation, r.cust_nation, r.n_items, r.revenue_e2) == (
         "ALPHA", "BETA", 2, 14000
     )
+
+
+def test_collation_join_sort_matches_lower_join(spark, sf_dir):
+    """The collated join must equal the classic lower()-normalized join
+    row for row, and the output must arrive sorted by segment."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.plans import queries as Q
+
+    got = Q.collation_join_sort(spark, sf_dir).collect()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mixed = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.upper("c_mktsegment"))
+        .alias("seg"),
+        "c_custkey",
+    )
+    dim = c.select(F.col("c_mktsegment").alias("seg_name")).distinct()
+    ref = (
+        mixed.join(dim, F.lower(mixed["seg"]) == F.lower(dim["seg_name"]))
+        .groupBy(F.lower("seg_name").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c_custkey").alias("s"))
+        .collect()
+    )
+    ref_map = {r.segment: (r.n, r.s) for r in ref}
+    assert [r.segment for r in got] == sorted(ref_map)  # sorted output
+    for r in got:
+        assert (r.n_matched, r.key_sum) == ref_map[r.segment]
