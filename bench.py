@@ -99,6 +99,7 @@ HEADLINE = [
     "video_frame_decode_stats",
     "audio_decode_stats",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "doc_repetition_stats",
     "compaction_plan",
     "bpe_subword_stats",

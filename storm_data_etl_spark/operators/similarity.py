@@ -431,3 +431,89 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed — the full FAISS IVFADC layout (Jégou et al. 2011):
+    coarse k-means cells prune candidates to ~N·n_probe/n_cells, and inside
+    the probed cells scoring runs on PQ codes via the probe's lookup tables
+    (m lookups per candidate, not dim float ops), with an exact-cosine
+    re-rank of the survivors. This is the shape that serves ANN over a
+    100 TB vector table: the equality join on cell prunes, the code
+    column is what streams, and both training steps are bounded samples.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    nrm = V.norm(vec_col)
+    unit = F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
+    encoded = (
+        vectors.withColumn("_nrm", F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm))
+        .withColumn("_codes", _pq_codes(unit, codebooks))
+        .withColumn("cell", _nearest_cells(vec_col, centroids, 1)[0]["cell"])
+        .drop("_nrm")
+    )
+    pnrm = V.norm("probe_vec")
+    punit = F.transform(F.col("probe_vec"), lambda x: x / F.col("_pnrm"))
+    books = _books_lit(codebooks)
+    luts = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            books[j],
+            lambda cb: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_punit"), j * sub + 1, sub), cb, lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    pb = (
+        probes.withColumn("_pnrm", F.when(pnrm == 0.0, F.lit(1.0)).otherwise(pnrm))
+        .withColumn("_punit", punit)
+        .withColumn("_luts", luts)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    _nearest_cells("probe_vec", centroids, n_probe),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+        .drop("_pnrm", "_punit")
+    )
+    scored = encoded.join(F.broadcast(pb), on="cell").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    adot = F.aggregate(
+        F.zip_with(
+            F.col("_codes"), F.col("_luts"), lambda cd, lut: F.element_at(lut, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = scored.withColumn("_adot", adot).select(
+        id_col, vec_col, "probe_id", "probe_vec", "_adot"
+    )
+    w1 = Window.partitionBy("probe_id").orderBy(F.desc("_adot"), F.asc(id_col))
+    cand = scored.withColumn("_crank", F.row_number().over(w1)).filter(
+        F.col("_crank") <= rerank
+    )
+    exact = cand.withColumn("cosine", V.cosine(vec_col, "probe_vec"))
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )

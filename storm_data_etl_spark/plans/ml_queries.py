@@ -2033,3 +2033,21 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from storm_data_etl_spark.operators.dedup import substring_dup_spans as _op
 
     return _op(t(spark, sf_dir, "documents"), gram_len=24)
+
+
+@register("ann_ivfpq_topk", None)  # approximate by design: no exact oracle
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (FAISS IVFADC layout): coarse cells prune the
+    candidate set, PQ codes + probe lookup tables score inside the probed
+    cells, exact cosine re-ranks the survivors. Both training steps are
+    bounded deterministic samples; pytest pins recall vs brute force and
+    the every-cell/full-rerank == brute-force identity."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    if not emb.limit(1).count():
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cosine double, rank int"
+        )
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    cents = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
+    books = S.train_pq_codebooks(emb, dim=64, m=8, k=16, sample_n=512)
+    return S.ivfpq_topk(emb, probes, cents, books, k=10, n_probe=3, rerank=64)

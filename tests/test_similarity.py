@@ -166,3 +166,26 @@ def test_pq_rejects_indivisible_dim(spark):
 
     with _pytest.raises(ValueError, match="not divisible"):
         S.train_pq_codebooks(df, dim=10, m=4)
+
+
+def test_ivfpq_topk_recall_and_full_scan_identity(spark):
+    data = _vectors(n=100, dim=16)
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    probes = S.make_probes(df, [0, 1, 2])
+    cents = S.train_ivf_centroids(df, dim=16, n_centroids=4, sample_n=64)
+    books = S.train_pq_codebooks(df, dim=16, m=4, k=8, sample_n=64)
+    exact = S.brute_force_topk(df, probes, k=5).collect()
+    approx = S.ivfpq_topk(df, probes, cents, books, k=5, n_probe=2, rerank=40).collect()
+    exact_set = {(r.probe_id, r.vec_id) for r in exact}
+    approx_set = {(r.probe_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"implausibly low IVF+PQ recall: {recall}"
+    vecs = dict(data)
+    for r in approx:
+        assert abs(r.cosine - _cosine(vecs[r.probe_id], vecs[r.vec_id])) < 1e-6
+    # probing every cell with full re-rank must equal brute force exactly
+    full = {
+        (r.probe_id, r.vec_id, r.rank)
+        for r in S.ivfpq_topk(df, probes, cents, books, k=5, n_probe=4, rerank=100).collect()
+    }
+    assert full == {(r.probe_id, r.vec_id, r.rank) for r in exact}
