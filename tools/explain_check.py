@@ -381,6 +381,55 @@ def main() -> int:
         f"(equi joins only: {n_joins}; time window as filter)",
     )
 
+    # 39. Substring-dup spans: everything after the gram explosion is keyed
+    # on the gram — one semi join (no cross product), the final per-doc
+    # join is a plain equi join, and the interval-union window is
+    # partitioned (no global window).
+    p = plan_of(qs["substring_dup_spans"](spark, sf_dir))
+    check(
+        "substring_spans_keyed_joins",
+        "LeftSemi" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "(semi join on gram; equi joins only)",
+    )
+
+    # 40. Compaction planning: metadata-only — the window and both
+    # aggregates run partitioned by event_type; no global window node.
+    p = plan_of(qs["compaction_plan"](spark, sf_dir))
+    check(
+        "compaction_plan_partitioned_window",
+        "Window" in p and p.count("HashAggregate") >= 2,
+        "(partitioned window + partial aggs)",
+    )
+
+    # 41. Collation join: the collated key is still an EQUI join the
+    # optimizer can broadcast — no nested-loop fallback.
+    p = plan_of(qs["collation_join_sort"](spark, sf_dir))
+    check(
+        "collation_join_broadcast_equi",
+        "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" not in p,
+        "(broadcast equi join under UTF8_LCASE)",
+    )
+
+    # 42. PQ ANN: probes broadcast (the scan side is never shuffled for
+    # scoring), and the two ranking windows are the only exchanges.
+    p = plan_of(qs["ann_pq_topk"](spark, sf_dir))
+    check(
+        "ann_pq_broadcast_probes",
+        "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+        "(probe side broadcast)",
+    )
+
+    # 43. Media decode queries: narrow Arrow maps only — at most the one
+    # input-split repartition (the fixture's single-row-group parquet needs
+    # it for parallelism; same allowance as image_decode_no_shuffle), never
+    # a mid-pipeline shuffle between the build and decode kernels.
+    for q in ("png_decode_stats", "jpeg_decode_stats", "video_frame_decode_stats"):
+        p = plan_of(qs[q](spark, sf_dir))
+        n_ex = len(_re.findall(r"[+:]- Exchange", p))
+        check(f"{q}_no_shuffle", n_ex <= 1, f"(exchanges: {n_ex}, input split only)")
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
