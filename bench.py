@@ -104,6 +104,8 @@ HEADLINE = [
     "compaction_plan",
     "bpe_subword_stats",
     "substring_dup_spans",
+    "welch_ttest",
+    "association_rules",
 ]
 
 

@@ -2056,3 +2056,153 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_e6"),
         )
     )
+
+
+# =====================================================================
+# Two-sample inference + market-basket association (classic analytics
+# surfaces; reference has none — extension ops)
+# =====================================================================
+
+@register(
+    "welch_ttest",
+    """
+    WITH q AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v
+             , event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END) AS BIGINT) AS s2,
+        CAST(sum(CASE WHEN event_type = 'click' THEN v * v ELSE 0 END) AS BIGINT) AS q1,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN v * v ELSE 0 END) AS BIGINT) AS q2
+      FROM q
+    )
+    SELECT n1, n2,
+           CAST(floor(10000.0 * (s1 / (100.0 * n1) - s2 / (100.0 * n2))) AS BIGINT)
+             AS mean_diff_e4,
+           CAST(floor(10000.0 *
+             (s1 / (100.0 * n1) - s2 / (100.0 * n2))
+             / sqrt(
+                 ((q1 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n1) / (n1 - 1)) / n1
+               + ((q2 / 10000.0 - (s2 / 100.0) * (s2 / 100.0) / n2) / (n2 - 1)) / n2
+             )) AS BIGINT) AS t_e4
+    FROM s
+    """,
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic between the click
+    and purchase value distributions — the A/B-test primitive. Values are
+    quantized to integer hundredths FIRST, so the sums and sums-of-squares
+    are exact BIGINTs on both engines (no accumulation-order float noise);
+    mean/variance/t are then closed-form per-row IEEE ops over those six
+    integers, floored at 1e4. ONE conditional-aggregate scan — no pivot,
+    no second pass, no shuffle beyond the 1-row aggregate."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    v = F.floor(F.col("value") * 100).cast("bigint")
+    is1 = (F.col("event_type") == "click").cast("bigint")
+    is2 = (F.col("event_type") == "purchase").cast("bigint")
+    s = ev.select(
+        v.alias("v"), is1.alias("i1"), is2.alias("i2")
+    ).agg(
+        F.sum("i1").alias("n1"),
+        F.sum("i2").alias("n2"),
+        F.sum(F.col("i1") * F.col("v")).alias("s1"),
+        F.sum(F.col("i2") * F.col("v")).alias("s2"),
+        F.sum(F.col("i1") * F.col("v") * F.col("v")).alias("q1"),
+        F.sum(F.col("i2") * F.col("v") * F.col("v")).alias("q2"),
+    )
+    m1 = F.col("s1") / (100.0 * F.col("n1"))
+    m2 = F.col("s2") / (100.0 * F.col("n2"))
+    var1 = (F.col("q1") / 10000.0 - (F.col("s1") / 100.0) * (F.col("s1") / 100.0) / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var2 = (F.col("q2") / 10000.0 - (F.col("s2") / 100.0) * (F.col("s2") / 100.0) / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    tstat = (m1 - m2) / F.sqrt(var1 / F.col("n1") + var2 / F.col("n2"))
+    return s.select(
+        "n1",
+        "n2",
+        F.floor(10000.0 * (m1 - m2)).cast("bigint").alias("mean_diff_e4"),
+        F.floor(10000.0 * tstat).cast("bigint").alias("t_e4"),
+    )
+
+
+@register(
+    "association_rules",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    supp AS (SELECT event_type, count(*) AS n_u FROM b GROUP BY event_type),
+    tot AS (SELECT count(DISTINCT user_id) AS n_users FROM b),
+    pairs AS (
+      SELECT a.event_type AS type_a, c.event_type AS type_b, count(*) AS n_ab
+      FROM b a JOIN b c ON a.user_id = c.user_id AND a.event_type < c.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(sa.n_u AS BIGINT) AS n_a,
+           CAST(sb.n_u AS BIGINT) AS n_b,
+           CAST((10000 * p.n_ab) // sa.n_u AS BIGINT) AS conf_ab_e4,
+           CAST((10000 * p.n_ab) // sb.n_u AS BIGINT) AS conf_ba_e4,
+           CAST((10000 * p.n_ab * t.n_users) // (sa.n_u * sb.n_u) AS BIGINT)
+             AS lift_e4
+    FROM pairs p
+    JOIN supp sa ON p.type_a = sa.event_type
+    JOIN supp sb ON p.type_b = sb.event_type
+    CROSS JOIN tot t
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over user event baskets: for every
+    event-type pair, co-occurrence support, both conditional confidences
+    and the lift — all emitted as EXACT integers (scaled integer division
+    over exact counts; no float anywhere). Baskets are distinct
+    (user, type) rows; the pair join is keyed on user_id, and a user's
+    basket is bounded by the type vocabulary, so the self-join emits
+    O(users · types²) rows with no hot key — the Apriori support-counting
+    core (Agrawal & Srikant 1994, public literature), not a cross
+    product. Supports broadcast onto the pair table."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_type").distinct()
+    supp = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_u"))
+    tot = b.agg(F.countDistinct("user_id").alias("n_users"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("c.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("n_u").alias("n_a"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("n_u").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.floor(10000 * F.col("n_ab") / F.col("n_a")).cast("bigint").alias("conf_ab_e4"),
+            F.floor(10000 * F.col("n_ab") / F.col("n_b")).cast("bigint").alias("conf_ba_e4"),
+            F.floor(
+                (10000 * F.col("n_ab") * F.col("n_users"))
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("bigint")
+            .alias("lift_e4"),
+        )
+    )

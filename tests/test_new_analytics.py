@@ -160,3 +160,55 @@ def test_collation_join_sort_matches_lower_join(spark, sf_dir):
     assert [r.segment for r in got] == sorted(ref_map)  # sorted output
     for r in got:
         assert (r.n_matched, r.key_sum) == ref_map[r.segment]
+
+
+def test_welch_ttest_matches_python_model(spark, sf_dir):
+    """t statistic recomputed in pure Python from the same quantized
+    values must agree exactly (same integer sums, same IEEE ops)."""
+    import math
+
+    row = WQ.welch_ttest(spark, sf_dir).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals = {
+        et: [math.floor(r.value * 100) for r in ev.filter(F.col("event_type") == et)
+             .select("value").collect()]
+        for et in ("click", "purchase")
+    }
+    n1, n2 = len(vals["click"]), len(vals["purchase"])
+    s1, s2 = sum(vals["click"]), sum(vals["purchase"])
+    q1, q2 = sum(v * v for v in vals["click"]), sum(v * v for v in vals["purchase"])
+    m1, m2 = s1 / (100.0 * n1), s2 / (100.0 * n2)
+    v1 = (q1 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n1) / (n1 - 1)
+    v2 = (q2 / 10000.0 - (s2 / 100.0) * (s2 / 100.0) / n2) / (n2 - 1)
+    tstat = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.t_e4 == math.floor(10000.0 * tstat)
+    # variances must be positive and the statistic finite
+    assert v1 > 0 and v2 > 0
+
+
+def test_association_rules_known_baskets(spark):
+    """Hand-built baskets: 4 users, A&B co-occur for 2 of the 3 A-users
+    and 2 of the 2 B-users; lift > 1 for the coupled pair."""
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "C"),
+        (1, "A"),  # duplicate event: baskets must dedup
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    orig = WQ.t
+    WQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        out = {(r.type_a, r.type_b): r for r in WQ.association_rules(spark, "x").collect()}
+    finally:
+        WQ.t = orig
+    ab = out[("A", "B")]
+    assert (ab.n_ab, ab.n_a, ab.n_b) == (2, 3, 2)
+    assert ab.conf_ab_e4 == (10000 * 2) // 3   # P(B|A) = 2/3
+    assert ab.conf_ba_e4 == 10000              # P(A|B) = 1
+    assert ab.lift_e4 == (10000 * 2 * 4) // (3 * 2)  # lift = 4/3
+    ac = out[("A", "C")]
+    assert (ac.n_ab, ac.n_a, ac.n_b) == (1, 3, 2)
+    assert ("B", "C") not in out  # never co-occur
