@@ -201,3 +201,37 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
         (3, "2024-01-02", 33.0),  # replaced
         (4, "2024-01-03", 40.0),  # untouched
     }
+
+
+def test_compaction_plan_next_fit_semantics(spark):
+    """Hand-built file listing: next-fit must close a bin exactly when the
+    EXCLUSIVE prefix reaches the target, and an oversized file must occupy
+    a bin alone without absorbing its successors' budget."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.plans import lake_queries as LQ
+
+    # one event row per (type, hour) with count = size/128
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # type 'a': hourly file sizes (bytes): 40k, 30k, 70k(oversized), 10k, 20k
+    for hour, size in enumerate([40 * 1024, 30 * 1024, 70 * 1024, 10 * 1024, 20 * 1024]):
+        for i in range(size // 128):
+            rows.append((len(rows), base + dt.timedelta(hours=hour), 1, "a", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts_utc", F.col("ts"))
+    orig = LQ.t
+    LQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        out = {r.bin_id: r for r in LQ.compaction_plan(spark, "x").collect()}
+    finally:
+        LQ.t = orig
+    # target 64k: exclusive prefixes are 0k, 40k, 70k, 140k, 150k
+    # → bins 0, 0, 1, 2, 2
+    assert out[0].n_files == 2 and out[0].total_bytes == 70 * 1024
+    assert out[1].n_files == 1 and out[1].total_bytes == 70 * 1024  # oversized alone
+    assert out[2].n_files == 2 and out[2].total_bytes == 30 * 1024
+    assert (out[0].first_hour, out[0].last_hour) == (out[0].first_hour, out[0].first_hour + 1)
