@@ -413,3 +413,43 @@ def test_change_detector_null_nan_hardening():
     ]])
     assert got == [(7, 10.0, 300.0, 290.0)]
     assert handle.states["last"].get() == (300.0,)
+
+
+def test_streaming_image_decode_pipeline(spark, tmp_path):
+    """The REAL codec path under Structured Streaming: a file-source stream
+    of base64 BMP payloads → decode via the Arrow kernel (stateless
+    mapInPandas works unchanged in a streaming plan) → memory sink. Pins
+    that the multimodal operators are streaming-safe, not batch-only."""
+    import base64
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.operators import multimodal as M
+
+    src = str(tmp_path / "imgs")
+    os.makedirs(src)
+    with open(os.path.join(src, "batch0.json"), "w") as f:
+        for i in (0, 5, 9):
+            payload = base64.b64encode(M.synth_bmp(i, 4, 3)).decode()
+            f.write(json.dumps({"media_id": i, "b64": payload}) + "\n")
+
+    stream = spark.readStream.schema("media_id long, b64 string").json(src)
+    media = stream.select("media_id", F.unbase64("b64").alias("payload"))
+    q = (
+        M.image_decode_stats(media)
+        .writeStream.format("memory")
+        .queryName("img_decode_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    rows = {r.media_id: r for r in spark.sql("SELECT * FROM img_decode_stream").collect()}
+    assert sorted(rows) == [0, 5, 9]
+    for i, r in rows.items():
+        assert (r.width, r.height) == (4, 3)
+        assert r.top_b == (i * 3) % 256  # real decode, not metadata echo
