@@ -2168,19 +2168,35 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     core (Agrawal & Srikant 1994, public literature), not a cross
     product. Supports broadcast onto the pair table."""
     ev = t(spark, sf_dir, "events")
-    b = ev.select("user_id", "event_type").distinct()
+    # ONE shuffle builds the per-user basket (sorted set, bounded by the
+    # type vocabulary); pairs are generated INSIDE the array with
+    # higher-order functions — no basket self-join, so the second shuffle
+    # is straight to the (type_a, type_b) count.
+    bsk = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+    )
+    b = bsk.select("user_id", F.explode("types").alias("event_type"))
     supp = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_u"))
-    tot = b.agg(F.countDistinct("user_id").alias("n_users"))
-    a, c = b.alias("a"), b.alias("c")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.user_id") == F.col("c.user_id"))
-            & (F.col("a.event_type") < F.col("c.event_type")),
+    # the oracle's basket universe includes users whose only events carry a
+    # NULL type (they just never pair) — count users over ALL events
+    tot = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("types"), i + 2, F.greatest(F.size("types") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
         )
+    )
+    pairs = (
+        bsk.select(F.explode(pair_arr).alias("p"))
         .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("c.event_type").alias("type_b"),
+            F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b")
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
