@@ -252,3 +252,86 @@ def test_ppm_decode_matches_raster(width, height, data):
             assert img.rows[r][c] == (
                 raster[base + 2], raster[base + 1], raster[base]
             )
+
+
+@PURE_SETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    width=st.integers(min_value=1, max_value=19),
+    height=st.integers(min_value=1, max_value=13),
+    color_type=st.sampled_from([0, 2, 6]),
+    filter_type=st.integers(min_value=0, max_value=4),
+)
+def test_png_synth_decode_round_trip(seed, width, height, color_type, filter_type):
+    """decode_png must invert synth_png for ANY geometry, color type and
+    scanline filter — the filters are applied forward by the builder and
+    reversed by the decoder (no shared code), with the closed-form pixel
+    rule as referee."""
+    from storm_data_etl_spark.operators import multimodal as M
+
+    img = M.decode_png(M.synth_png(seed, width, height, color_type, filter_type))
+    assert (img.width, img.height) == (width, height)
+    for r in range(height):
+        for c in range(width):
+            v = (seed + 7 * r + 3 * c) % 256
+            expect = (v, (v + 40) % 256, (v + 80) % 256) if color_type in (2, 6) else (v, v, v)
+            assert img.rows[r][c] == expect, (r, c)
+
+
+@PURE_SETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    width=st.integers(min_value=1, max_value=19),
+    height=st.integers(min_value=1, max_value=13),
+    interlaced=st.booleans(),
+)
+def test_gif_synth_decode_round_trip(seed, width, height, interlaced):
+    """decode_gif must invert synth_gif for ANY geometry and interlacing —
+    real LZW decode + palette indirection + 4-pass row re-ordering."""
+    from storm_data_etl_spark.operators import multimodal as M
+
+    img = M.decode_gif(M.synth_gif(seed, width, height, interlaced=interlaced))
+    assert (img.width, img.height) == (width, height)
+    for r in range(height):
+        for c in range(width):
+            i = (seed + 7 * r + 3 * c) % 256
+            assert img.rows[r][c] == ((i * 7 + 3) % 256, (i * 3 + 2) % 256, (i * 5 + 1) % 256)
+
+
+@PURE_SETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_frames=st.integers(min_value=1, max_value=120),
+    channels=st.integers(min_value=1, max_value=3),
+    bits=st.sampled_from([8, 16]),
+)
+def test_wav_synth_decode_round_trip(seed, n_frames, channels, bits):
+    """decode_wav must recover every sample exactly at either bit width
+    (8-bit unsigned centering == 16-bit signed values by construction)."""
+    from storm_data_etl_spark.operators import multimodal as M
+
+    au = M.decode_wav(M.synth_wav(seed, n_frames, channels=channels, bits=bits))
+    assert (au.channels, len(au.frames)) == (channels, n_frames)
+    for i in (0, n_frames // 2, n_frames - 1):
+        for ch in range(channels):
+            assert au.frames[i][ch] == ((seed * 31 + i * 7 + ch * 13) % 201) - 100
+
+
+@PURE_SETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=255),
+    width=st.integers(min_value=1, max_value=20),
+    height=st.integers(min_value=1, max_value=18),
+)
+def test_jpeg_constant_tile_round_trip(seed, width, height):
+    """The full lossy JPEG pipeline must land EXACTLY on the closed-form
+    DC quantization roundtrip for any geometry (partial edge tiles
+    included) — the property the SQL oracle's validity rests on."""
+    from storm_data_etl_spark.operators import jpeg as J
+    from tests.test_jpeg import closed_form_bgr
+
+    rows = J.jpeg_to_image_rows(J.decode_jpeg(J.synth_jpeg(seed, width, height)))
+    for r in (0, height - 1):
+        for c in (0, width - 1, width // 2):
+            idx = (seed + 7 * (r // 8) + 3 * (c // 8)) % 256
+            assert rows[r][c] == closed_form_bgr(idx), (r, c)
