@@ -97,6 +97,7 @@ HEADLINE = [
     "gif_decode_stats",
     "jpeg_decode_stats",
     "video_frame_decode_stats",
+    "mixed_media_decode_stats",
     "audio_decode_stats",
     "ann_pq_topk",
     "ann_ivfpq_topk",

@@ -2051,3 +2051,107 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
     books = S.train_pq_codebooks(emb, dim=64, m=8, k=16, sample_n=512)
     return S.ivfpq_topk(emb, probes, cents, books, k=10, n_probe=3, rerank=64)
+
+
+@register(
+    "mixed_media_decode_stats",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, doc_id % 4 AS fmt,
+             CAST(4 + doc_id % 9 AS INTEGER) AS width,
+             CAST(3 + doc_id % 5 AS INTEGER) AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, fmt, width, height, r.r AS r, c.c AS c,
+             CASE fmt
+               -- BMP: row-constant (b,g,r) = ((s*3+r), (s*5+r), (s*7+r))
+               WHEN 0 THEN (media_id * 3 + r.r) % 256
+               -- PNG: b = (s + 7r + 3c) % 256
+               WHEN 1 THEN (media_id + 7 * r.r + 3 * c.c) % 256
+               -- GIF: palette B of index (s + 7r + 3c) % 256
+               WHEN 2 THEN ((media_id + 7 * r.r + 3 * c.c) % 256 * 7 + 3) % 256
+               -- JPEG: DC quantization roundtrip of the tile color
+               ELSE CAST(greatest(0.0, least(255.0, floor(
+                 floor(8.0 * ((0.299 * (((media_id + 7 * (r.r // 8) + 3 * (c.c // 8)) % 256 * 5 + 1) % 256)
+                               + 0.587 * (((media_id + 7 * (r.r // 8) + 3 * (c.c // 8)) % 256 * 3 + 2) % 256)
+                               + 0.114 * (((media_id + 7 * (r.r // 8) + 3 * (c.c // 8)) % 256 * 7 + 3) % 256)) - 128.0) / 16.0
+                       + 0.5) * 2.0 + 128.0
+                 + 1.772 * (floor(8.0 * ((-0.168736 * (((media_id + 7 * (r.r // 8) + 3 * (c.c // 8)) % 256 * 5 + 1) % 256)
+                                          - 0.331264 * (((media_id + 7 * (r.r // 8) + 3 * (c.c // 8)) % 256 * 3 + 2) % 256)
+                                          + 0.5 * (((media_id + 7 * (r.r // 8) + 3 * (c.c // 8)) % 256 * 7 + 3) % 256)
+                                          + 128.0) - 128.0) / 17.0
+                                  + 0.5) * 2.125)
+                 + 0.5))) AS BIGINT)
+             END AS bb
+      FROM m, unnest(range(0, height)) AS r(r), unnest(range(0, width)) AS c(c)
+    )
+    SELECT media_id,
+           CASE fmt WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                    WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
+           width, height,
+           CAST(max(CASE WHEN r = 0 AND c = 0 THEN bb END) AS INTEGER) AS top_b,
+           CAST((100 * sum(bb)) // (width * height) AS BIGINT) AS mean_b_e2
+    FROM px GROUP BY media_id, fmt, width, height
+    """,
+)
+def mixed_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-corpus decode — the shape a REAL crawled media corpus
+    has: every document becomes a different container (doc_id % 4 cycles
+    BMP / PNG / GIF / JPEG), and ONE pass through the sniff-dispatch
+    registry must identify and correctly decode each format with no
+    per-format branching in the plan. The oracle unifies all four
+    closed-form pixel rules (including JPEG's validated lossy
+    quantization roundtrip) in a single CASE — a wrong sniff, a decoder
+    picking up the wrong payload, or any per-format regression
+    hash-mismatches immediately.
+
+    Scale shape: identical to the single-format decode queries — two
+    narrow Arrow maps, no shuffle; the registry dispatch is per-row
+    inside the kernel."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 4).cast("int").alias("fmt"),
+        (4 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 5).cast("int").alias("h"),
+    )
+
+    fmt_names = {0: "bmp", 1: "png", 2: "gif", 3: "jpeg"}
+
+    def build_and_decode(batches):  # noqa: ANN001
+        from storm_data_etl_spark.operators import jpeg as J
+
+        for pdf in batches:
+            rows = []
+            for mid, fmt, w, h in zip(pdf["media_id"], pdf["fmt"], pdf["w"], pdf["h"]):
+                mid, fmt, w, h = int(mid), int(fmt), int(w), int(h)
+                if fmt == 0:
+                    payload = MM.synth_bmp(mid, w, h)
+                elif fmt == 1:
+                    payload = MM.synth_png(mid, w, h, color_type=2, filter_type=mid % 5)
+                elif fmt == 2:
+                    payload = MM.synth_gif(mid, w, h, interlaced=bool(mid % 2))
+                else:
+                    payload = J.synth_jpeg(mid, w, h)
+                img = MM.decode_image(payload)  # sniff-dispatch, no fmt hint
+                flat_b = [px[0] for row in img.rows for px in row]
+                rows.append(
+                    (
+                        mid,
+                        fmt_names[fmt],
+                        img.width,
+                        img.height,
+                        img.rows[0][0][0],
+                        (100 * sum(flat_b)) // len(flat_b),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "fmt", "width", "height", "top_b", "mean_b_e2"]
+            )
+
+    return docs.mapInPandas(
+        build_and_decode,
+        "media_id long, fmt string, width int, height int, top_b int, mean_b_e2 long",
+    )
