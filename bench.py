@@ -79,6 +79,7 @@ HEADLINE = [
     "kcore_decomposition",
     "spatial_neighbor_join",
     "spatial_cell_density",
+    "points_in_polygon",
     "grouping_sets_counts",
     "exact_percentiles",
     "sorted_neighborhood_pairs",

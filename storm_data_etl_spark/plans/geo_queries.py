@@ -118,3 +118,87 @@ def spatial_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cell_density(pts, RADIUS, weight).select(
         "cx", "cy", "n_points", F.col("weight_sum").cast("long").alias("weight_sum")
     )
+
+
+# =====================================================================
+# Point-in-polygon (ray casting) — containment, the third classic
+# spatial primitive after proximity and density
+# =====================================================================
+
+#: closed ring, (lat, lon) vertices — dyadic-friendly literals
+_POLY = [
+    (27.0, -104.0),
+    (33.0, -103.0),
+    (34.0, -98.0),
+    (29.0, -95.0),
+    (26.0, -100.0),
+]
+_EDGES = [(_POLY[i], _POLY[(i + 1) % len(_POLY)]) for i in range(len(_POLY))]
+
+
+def _sql_crossings() -> str:
+    """The unrolled crossing-number sum — one CASE term per polygon edge,
+    the exact same arithmetic the Spark fold evaluates."""
+    terms = []
+    for (x1, y1), (x2, y2) in _EDGES:
+        terms.append(
+            f"(CASE WHEN ((({y1!r} > lon) <> ({y2!r} > lon)) AND "
+            f"lat < ({x2!r} - {x1!r}) * (lon - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "points_in_polygon",
+    f"""
+    WITH pts AS ({_PTS_SQL}),
+    flagged AS (
+      SELECT k, ({_sql_crossings()}) % 2 = 1 AS inside
+      FROM pts
+    )
+    SELECT inside, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+    FROM flagged GROUP BY inside
+    """,
+)
+def points_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment via the crossing-number (ray-cast)
+    test: a point is inside when a horizontal ray crosses the boundary an
+    odd number of times. The polygon travels as a literal edge array and
+    the test is ONE aggregate fold over it per point — constant per-row
+    work, no shuffle until the final 2-row count, so a 100 TB point table
+    streams through a narrow projection (many-polygon workloads broadcast
+    the polygon table and explode, or pre-block with the same grid keys
+    as the proximity joins). The oracle unrolls the identical per-edge
+    arithmetic, so both engines evaluate the same IEEE ops."""
+    pts = _points(spark, sf_dir)
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for (x1, y1), (x2, y2) in _EDGES
+        ]
+    )
+    crossings = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["y1"] > F.col("lon")) != (e["y2"] > F.col("lon")))
+            & (
+                F.col("lat")
+                < (e["x2"] - e["x1"]) * (F.col("lon") - e["y1"]) / (e["y2"] - e["y1"])
+                + e["x1"]
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        pts.select(F.col("k"), (crossings % 2 == 1).alias("inside"))
+        .groupBy("inside")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("key_sum"))
+    )

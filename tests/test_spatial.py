@@ -91,3 +91,28 @@ def test_cell_density_totals(spark, sf_dir):
     for r in dens:
         assert 25.0 / RADIUS <= r.cx < 36.0 / RADIUS
         assert -106.0 / RADIUS <= r.cy < -93.9 / RADIUS
+
+
+def test_points_in_polygon_known_points(spark):
+    """Hand-placed points against the literal pentagon: centroid inside,
+    far corners outside — pins the ray-cast orientation and edge math."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.plans import geo_queries as G
+
+    # derive_points is replaced by a fixture of known coordinates
+    rows = [
+        (1, 30.0, -100.0),   # deep inside the pentagon
+        (2, 25.1, -105.9),   # far SW, outside
+        (3, 34.9, -94.1),    # far NE, outside
+        (4, 27.5, -103.0),   # inside, near the west edge
+    ]
+    pts = spark.createDataFrame(rows, ["k", "lat", "lon"])
+    orig = G._points
+    G._points = lambda spark_, sf_dir_: pts  # noqa: ARG005
+    try:
+        out = {r.inside: r for r in G.points_in_polygon(spark, "x").collect()}
+    finally:
+        G._points = orig
+    assert out[True].n == 2 and out[True].key_sum == 1 + 4
+    assert out[False].n == 2 and out[False].key_sum == 2 + 3
