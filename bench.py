@@ -99,6 +99,7 @@ HEADLINE = [
     "jpeg_decode_stats",
     "video_frame_decode_stats",
     "mixed_media_decode_stats",
+    "image_dhash_groups",
     "audio_decode_stats",
     "ann_pq_topk",
     "ann_ivfpq_topk",

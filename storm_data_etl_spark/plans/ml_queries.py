@@ -2155,3 +2155,74 @@ def mixed_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_and_decode,
         "media_id long, fmt string, width int, height int, top_b int, mean_b_e2 long",
     )
+
+
+@register(
+    "image_dhash_groups",
+    """
+    WITH m AS (SELECT doc_id, 200 + 8 * (doc_id % 7) AS s FROM documents),
+    cols AS (
+      SELECT doc_id, s, c.c AS c,
+             sum((s + 7 * r.r + 3 * c.c) % 256) AS colsum
+      FROM m, unnest(range(0, 6)) AS r(r), unnest(range(0, 8)) AS c(c)
+      GROUP BY doc_id, s, c.c
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             sum(CASE WHEN a.colsum < b.colsum THEN 1 ELSE 0 END
+                 * CAST(pow(2, a.c) AS BIGINT)) AS dhash
+      FROM cols a JOIN cols b ON b.doc_id = a.doc_id AND b.c = a.c + 1
+      GROUP BY a.doc_id
+    )
+    SELECT CAST(dhash AS BIGINT) AS dhash,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM bits GROUP BY dhash
+    """,
+)
+def image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup WITHOUT embeddings: difference-hash (dHash,
+    the classic public perceptual-hash family) computed from REALLY
+    decoded rasters. Every document renders one of 7 distinct images
+    (seed = doc_id % 7) as a real PNG whose scanline FILTER still varies
+    per doc (doc_id % 5) — so byte-identical payloads are NOT what groups
+    docs; the pipeline must decode through the real unfilter path and
+    hash the pixels. dHash = sign of adjacent column-brightness
+    differences (sums, not means — same denominator, no division), packed
+    into a BIGINT; grouping by it recovers the 7 duplicate classes with
+    exact counts and canonical (min) doc ids.
+
+    Scale shape: one narrow Arrow decode map, one groupBy on the 64-bit
+    hash — the image twin of doc_fingerprint_dedup. Near-dup (Hamming ≤ k)
+    variants reuse the SimHash banding already in operators/dedup.py."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        # seeds sit in the mod-256 wrap zone so the 7 images carry 7
+        # DISTINCT dhashes (a wrap-free gradient hashes identically)
+        (200 + 8 * (F.col("doc_id") % 7)).cast("int").alias("s"),
+        (F.col("doc_id") % 5).cast("int").alias("ft"),
+    )
+
+    def decode_and_hash(batches):  # noqa: ANN001
+        for pdf in batches:
+            rows = []
+            for did, s, ft in zip(pdf["doc_id"], pdf["s"], pdf["ft"]):
+                payload = MM.synth_png(int(s), 8, 6, color_type=2, filter_type=int(ft))
+                img = MM.decode_image(payload)
+                colsums = [
+                    sum(img.rows[r][c][0] for r in range(img.height))
+                    for c in range(img.width)
+                ]
+                dhash = sum(
+                    (1 << c) for c in range(img.width - 1) if colsums[c] < colsums[c + 1]
+                )
+                rows.append((did, dhash))
+            yield _pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    hashed = docs.mapInPandas(decode_and_hash, "doc_id long, dhash long")
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
