@@ -100,6 +100,7 @@ HEADLINE = [
     "video_frame_decode_stats",
     "mixed_media_decode_stats",
     "image_dhash_groups",
+    "audio_fingerprint_groups",
     "audio_decode_stats",
     "ann_pq_topk",
     "ann_ivfpq_topk",

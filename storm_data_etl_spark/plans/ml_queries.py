@@ -2226,3 +2226,67 @@ def image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
     )
+
+
+@register(
+    "audio_fingerprint_groups",
+    """
+    WITH m AS (SELECT doc_id, 100 + 9 * (doc_id % 5) AS s FROM documents),
+    en AS (
+      SELECT doc_id, s, i.i // 6 AS w,
+             sum(((s * 31 + i.i * 7) % 201 - 100)
+                 * ((s * 31 + i.i * 7) % 201 - 100)) AS energy
+      FROM m, unnest(range(0, 48)) AS i(i)
+      GROUP BY doc_id, s, i.i // 6
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             sum(CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END
+                 * CAST(pow(2, a.w) AS BIGINT)) AS fp
+      FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      GROUP BY a.doc_id
+    )
+    SELECT CAST(fp AS BIGINT) AS fp,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc
+    FROM bits GROUP BY fp
+    """,
+)
+def audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio dedup via an acoustic fingerprint over REALLY decoded PCM
+    (the energy-contour sign pattern — the public Chromaprint/Shazam
+    family's core idea at its simplest): every doc renders one of 5
+    distinct 48-frame signals, stored as 16-bit PCM for even docs and
+    8-BIT for odd docs — byte-level fingerprints CANNOT group them; the
+    pipeline must decode both widths to identical centered samples and
+    hash the windowed energy contour (8 windows of 6 frames, sign of
+    adjacent diffs packed into a BIGINT). Grouping recovers the 5
+    duplicate classes with exact counts and canonical ids.
+
+    Scale shape: one narrow Arrow decode map + one groupBy on the packed
+    fingerprint — the audio twin of image_dhash_groups."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        (100 + 9 * (F.col("doc_id") % 5)).cast("int").alias("s"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(16)).otherwise(F.lit(8)).alias("bits"),
+    )
+
+    def decode_and_hash(batches):  # noqa: ANN001
+        for pdf in batches:
+            rows = []
+            for did, s, bits in zip(pdf["doc_id"], pdf["s"], pdf["bits"]):
+                payload = MM.synth_wav(int(s), 48, channels=1, bits=int(bits))
+                au = MM.decode_wav(payload)
+                ch0 = [fr[0] for fr in au.frames]
+                en = [sum(x * x for x in ch0[w : w + 6]) for w in range(0, 48, 6)]
+                fp = sum((1 << i) for i in range(len(en) - 1) if en[i] < en[i + 1])
+                rows.append((did, fp))
+            yield _pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    hashed = docs.mapInPandas(decode_and_hash, "doc_id long, fp long")
+    return hashed.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
