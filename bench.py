@@ -109,6 +109,7 @@ HEADLINE = [
     "bpe_subword_stats",
     "substring_dup_spans",
     "welch_ttest",
+    "holt_trend_forecast",
     "association_rules",
 ]
 

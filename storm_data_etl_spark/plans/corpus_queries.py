@@ -721,3 +721,101 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
         F.coalesce("dup_trigram_tokens", F.lit(0)).alias("dup_trigram_tokens"),
     )
+
+
+# =====================================================================
+# Holt linear-trend smoothing (double exponential; EWMA's trend-aware
+# big sibling — same ordered-fold bit-parity discipline)
+# =====================================================================
+
+@register(
+    "holt_trend_forecast",
+    """
+    WITH lists AS (
+      SELECT event_type,
+             list("value") OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)
+               AS lastv,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    folded AS (
+      SELECT event_type, len(lastv) AS n_window,
+             list_reduce(
+               list_prepend([lastv[1]::DOUBLE, 0.0::DOUBLE],
+                            list_transform(lastv[2:]::DOUBLE[],
+                                           v -> [v, 0.0::DOUBLE])),
+               (acc, x) -> [
+                 0.2::DOUBLE * x[1] + 0.8::DOUBLE * (acc[1] + acc[2]),
+                 0.3::DOUBLE * ((0.2::DOUBLE * x[1]
+                                 + 0.8::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                   + 0.7::DOUBLE * acc[2]
+               ]) AS st
+      FROM lists WHERE rn = 1
+    )
+    SELECT event_type, n_window,
+           CAST(floor(10000 * st[1]) AS BIGINT) AS level_e4,
+           CAST(floor(10000 * st[2]) AS BIGINT) AS trend_e4,
+           CAST(floor(10000 * (st[1] + 3 * st[2])) AS BIGINT) AS forecast3_e4
+    FROM folded
+    """,
+)
+def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, α=0.2, β=0.3)
+    over each event type's trailing 64 values, plus the 3-step-ahead
+    linear forecast — the simplest real forecasting primitive above EWMA
+    (Holt 1957, public literature). State is a 2-element double array
+    folded left over the frame-ordered list with IDENTICAL per-step
+    expressions on both engines (the new level subexpression is inlined
+    twice rather than bound, so the op sequence matches exactly) —
+    bit-identical doubles, no aggregation-order noise. One shuffle on
+    event_type; the collected frame is bounded (64 rows)."""
+    w64 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-63, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.collect_list("value").over(w64).alias("lastv"),
+        )
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ts", "event_id")
+    )
+    tail = F.transform(
+        F.slice("lastv", 2, F.greatest(F.size("lastv") - 1, F.lit(0))),
+        lambda v: F.array(v.cast("double"), F.lit(0.0)),
+    )
+    init = F.array(F.element_at("lastv", 1).cast("double"), F.lit(0.0))
+    newl = lambda acc, x: (  # noqa: E731
+        F.lit(0.2) * F.element_at(x, 1)
+        + F.lit(0.8) * (F.element_at(acc, 1) + F.element_at(acc, 2))
+    )
+    st = F.aggregate(
+        tail,
+        init,
+        lambda acc, x: F.array(
+            newl(acc, x),
+            F.lit(0.3) * (newl(acc, x) - F.element_at(acc, 1))
+            + F.lit(0.7) * F.element_at(acc, 2),
+        ),
+    )
+    return last.select(
+        "event_type",
+        F.size("lastv").alias("n_window"),
+        F.floor(10000 * F.element_at(st, 1)).cast("bigint").alias("level_e4"),
+        F.floor(10000 * F.element_at(st, 2)).cast("bigint").alias("trend_e4"),
+        F.floor(10000 * (F.element_at(st, 1) + 3 * F.element_at(st, 2)))
+        .cast("bigint")
+        .alias("forecast3_e4"),
+    )

@@ -127,3 +127,33 @@ def test_doc_repetition_stats_known_doc(spark):
     assert tuple(got[3][c] for c in ("n_words", "distinct_words", "top_word_count",
                                      "top_bigram_count", "dup_trigram_tokens")) == (0, 0, 0, 0, 0)
     assert (got[4]["n_words"], got[4]["distinct_words"]) == (2, 2)
+
+
+def test_holt_trend_forecast_matches_python_fold(spark, sf_dir):
+    """The Holt state must equal a pure-Python left fold over the same
+    trailing-64 ordered values (identical op order → exact equality)."""
+    import math
+
+    out = {r["event_type"]: r for r in CQ.holt_trend_forecast(spark, sf_dir).collect()}
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    for et, rows in by_type.items():
+        rows.sort()
+        vals = [v for _, _, v in rows][-64:]
+        l, b = float(vals[0]), 0.0
+        for v in vals[1:]:
+            nl = 0.2 * v + 0.8 * (l + b)
+            b = 0.3 * (nl - l) + 0.7 * b
+            l = nl
+        r = out[et]
+        assert r["n_window"] == len(vals)
+        assert r["level_e4"] == math.floor(10000 * l)
+        assert r["trend_e4"] == math.floor(10000 * b)
+        assert r["forecast3_e4"] == math.floor(10000 * (l + 3 * b))
