@@ -110,6 +110,8 @@ HEADLINE = [
     "substring_dup_spans",
     "welch_ttest",
     "holt_trend_forecast",
+    "ks_two_sample",
+    "k_anonymity_audit",
     "association_rules",
 ]
 

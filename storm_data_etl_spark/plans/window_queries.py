@@ -2222,3 +2222,118 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_e4"),
         )
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor("value" / 100) AS BIGINT) AS value_band,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             user_id
+      FROM events WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, value_band, hour, count(*) AS n
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_k,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_class_size
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002, public literature) over the
+    quasi-identifier tuple (event_type, value band, hour): how many
+    equivalence classes exist, how many fall below k=5, how many rows
+    those expose, and the worst class size — the release gate a privacy
+    review runs before publishing event-level data. One groupBy on the
+    quasi-identifier (uniform keys) + a 1-row rollup; hour comes from the
+    UTC-pinned event timestamp so both engines band identically."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    g = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 100).alias("value_band"),
+        F.hour("ts_utc").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0)).alias("classes_below_k"),
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias("rows_at_risk"),
+        F.min("n").alias("min_class_size"),
+    )
+
+
+@register(
+    "ks_two_sample",
+    """
+    WITH q AS (
+      SELECT CAST(floor("value" * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')
+        AND "value" IS NOT NULL
+    ),
+    per_v AS (
+      SELECT v, sum(ia) AS a_cnt, sum(ib) AS b_cnt FROM q GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(a_cnt) OVER (ORDER BY v) AS ca,
+             sum(b_cnt) OVER (ORDER BY v) AS cb
+      FROM per_v
+    ),
+    tot AS (SELECT sum(ia) AS n, sum(ib) AS m FROM q)
+    SELECT CAST(t.n AS BIGINT) AS n, CAST(t.m AS BIGINT) AS m,
+           CAST(max(abs(c.ca * t.m - c.cb * t.n)) AS BIGINT) AS d_num,
+           CAST((1000000 * max(abs(c.ca * t.m - c.cb * t.n))) // (t.n * t.m)
+                AS BIGINT) AS d_e6
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.n, t.m
+    """,
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the click and
+    purchase value distributions — the distribution-drift complement of
+    psi_drift_bins. Values are quantized to integer hundredths, which
+    makes the statistic EXACT integer arithmetic (D = max|i·m − j·n| over
+    the merged support, divided once at the end) AND bounds the
+    cumulative grid by the value DOMAIN rather than the row count — the
+    one ordered window here runs over ≤ |domain| rows no matter how many
+    events exist, so the plan survives scale despite being a global
+    cumulative (same boundedness argument as ewma_last's 20-row frame).
+    Everything before it is a uniform groupBy on the quantized value."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    )
+    q = ev.select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("event_type") == "click").cast("bigint").alias("ia"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("ib"),
+    )
+    per_v = q.groupBy("v").agg(F.sum("ia").alias("a_cnt"), F.sum("ib").alias("b_cnt"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "v",
+        F.sum("a_cnt").over(w).alias("ca"),
+        F.sum("b_cnt").over(w).alias("cb"),
+    )
+    tot = q.agg(F.sum("ia").alias("n"), F.sum("ib").alias("m"))
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "m",
+        F.abs(F.col("ca") * F.col("m") - F.col("cb") * F.col("n")).alias("dd"),
+    )
+    return d.groupBy("n", "m").agg(
+        F.max("dd").alias("d_num"),
+        F.floor((1000000 * F.max("dd")) / (F.col("n") * F.col("m")))
+        .cast("bigint")
+        .alias("d_e6"),
+    )

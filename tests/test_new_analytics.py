@@ -212,3 +212,33 @@ def test_association_rules_known_baskets(spark):
     ac = out[("A", "C")]
     assert (ac.n_ab, ac.n_a, ac.n_b) == (1, 3, 2)
     assert ("B", "C") not in out  # never co-occur
+
+
+def test_ks_two_sample_known_distributions(spark):
+    """A = {1,2,3} clicks vs B = {3,4} purchases → D = 2/3 at v=2."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 1, "click", float(v), "{}") for i, v in enumerate([1, 2, 3])]
+    rows += [(10 + i, base, 1, "purchase", float(v), "{}") for i, v in enumerate([3, 4])]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts_utc", F.col("ts"))
+    orig = WQ.t
+    WQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        out = WQ.ks_two_sample(spark, "x").collect()[0]
+    finally:
+        WQ.t = orig
+    assert (out.n, out.m) == (3, 2)
+    assert out.d_num == 4  # |ca*m - cb*n| at v=200 → |2*2 - 0*3|
+    assert out.d_e6 == 666666
+
+
+def test_k_anonymity_audit_flags_small_classes(spark, sf_dir):
+    out = WQ.k_anonymity_audit(spark, sf_dir).collect()[0]
+    assert out.n_classes > 0
+    assert 0 <= out.classes_below_k <= out.n_classes
+    assert out.min_class_size >= 1
+    # rows_at_risk counts only rows in sub-k classes
+    assert out.rows_at_risk < 5 * (out.classes_below_k + 1)
