@@ -91,6 +91,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "constraint_audit",
     "temperature_sampling_mix",
+    "weighted_corpus_pick",
     "oph_lsh_pairs",
     "cluster_quality_canonical",
     # round-3 additions: real codec decodes, PQ ANN, repetition filter

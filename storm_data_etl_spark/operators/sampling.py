@@ -129,3 +129,36 @@ def weighted_hash_sample(
     w = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
     b = lcg_bucket(id_col, granularity)
     return df.filter(b.cast("double") < w * granularity)
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    group_col: str,
+    k: int,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group —
+    the Efraimidis–Spirakis A-ES scheme (2006, public literature): each
+    row draws key = u^(1/w) with u uniform, and the k largest keys per
+    group are the sample; inclusion probability is proportional to weight
+    with no row ever drawn twice. The uniform comes from the shared LCG
+    (not an RNG), so the same ids + weights select the same rows on any
+    engine, cluster or rerun; ranking uses the monotone-equivalent
+    ln(u)/w (id tie-break) to avoid pow-domain edge cases. One window
+    shuffle on the group key; weights ≤ 0 are excluded (their inclusion
+    probability is 0).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = lcg_bucket(id_col, _LCG_M)  # full-range LCG value in [0, 2^31)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_LCG_M + 1))
+    key = F.log(u) / w.cast("double")  # maximize u^(1/w) ⇔ maximize ln(u)/w
+    win = Window.partitionBy(group_col).orderBy(F.desc("_es_key"), F.asc(id_col))
+    return (
+        df.filter(w > 0)
+        .withColumn("_es_key", key)
+        .withColumn(rank_col, F.row_number().over(win))
+        .filter(F.col(rank_col) <= k)
+        .drop("_es_key")
+    )

@@ -2290,3 +2290,47 @@ def audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
     )
+
+
+@register(
+    "weighted_corpus_pick",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 + 1)
+                / 2147483649.0) / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY es_key DESC, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT source, CAST(sample_rank AS INTEGER) AS sample_rank,
+           doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE sample_rank <= 3
+    """,
+)
+def weighted_corpus_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted pick of 3 documents WITHOUT replacement
+    (operators/sampling.weighted_sample_without_replacement — the
+    Efraimidis–Spirakis scheme with the shared deterministic LCG as the
+    uniform source), weighting by document length: the reproducible
+    "show me k representative-by-weight docs per source" primitive a
+    curation review uses. The oracle replays the identical LCG, log and
+    ranking arithmetic, so selection parity is exact."""
+    from storm_data_etl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    picked = weighted_sample_without_replacement(
+        docs, "doc_id", "n_chars", "source", k=3
+    )
+    return picked.select(
+        "source",
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+        "doc_id",
+        "n_chars",
+    )

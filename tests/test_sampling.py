@@ -85,3 +85,41 @@ def test_weighted_hash_sample_extremes_and_monotonicity(spark, sf_dir):
     low_ids = {r["doc_id"] for r in low.select("doc_id").collect()}
     high_ids = {r["doc_id"] for r in high.select("doc_id").collect()}
     assert low_ids <= high_ids
+
+
+def test_weighted_sample_without_replacement_properties(spark):
+    """A-ES invariants: exactly k per group (when the group has >= k
+    positive-weight rows), no duplicates, zero-weight rows never selected,
+    deterministic across calls, and heavier rows win more often across
+    many disjoint groups (statistical sanity on the fixed LCG)."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.operators.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    rows = []
+    # 200 groups; in each, doc 10*g+1 has weight 50, others weight 1
+    for g in range(200):
+        for j in range(5):
+            rows.append((10 * g + j, f"g{g}", 50.0 if j == 1 else 1.0))
+        rows.append((10 * g + 9, f"g{g}", 0.0))  # never selectable
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "wt"])
+    out = weighted_sample_without_replacement(df, "doc_id", "wt", "grp", k=2).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r.doc_id)
+    assert len(by_grp) == 200
+    heavy_wins = 0
+    for g, ids in by_grp.items():
+        assert len(ids) == 2 and len(set(ids)) == 2
+        assert all(i % 10 != 9 for i in ids)  # zero weight excluded
+        gnum = int(g[1:])
+        if 10 * gnum + 1 in ids:
+            heavy_wins += 1
+    # weight 50 vs four weight-1 rows → P(in top2) ≈ 0.96+; demand > 0.8
+    assert heavy_wins / 200 > 0.8, heavy_wins
+    # deterministic
+    again = {(r.grp, r.doc_id) for r in
+             weighted_sample_without_replacement(df, "doc_id", "wt", "grp", k=2).collect()}
+    assert again == {(r.grp, r.doc_id) for r in out}
