@@ -107,6 +107,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "doc_repetition_stats",
     "compaction_plan",
+    "hilbert_curve_stats",
     "bpe_subword_stats",
     "substring_dup_spans",
     "welch_ttest",

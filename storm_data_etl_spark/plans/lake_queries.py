@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import pii as PII
 from storm_data_etl_spark.functions import text as X
-from storm_data_etl_spark.functions.zorder import interleave_bits, interleave_bits_sql
+from storm_data_etl_spark.functions.zorder import (
+    hilbert_index_sql,
+    interleave_bits,
+    interleave_bits_sql,
+)
 from storm_data_etl_spark.operators import merge as M
 from storm_data_etl_spark.operators.sampling import lcg_bucket_sql
 from storm_data_etl_spark.plans.ml_queries import _SQL_NORM, _sql_jaccard_pairs, _sql_shingles
@@ -2029,4 +2033,48 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_bytes").alias("total_bytes"),
         F.min("file_hour").alias("first_hour"),
         F.max("file_hour").alias("last_hour"),
+    )
+
+
+_H_X = '((CAST(floor("value" * 100) AS BIGINT) % 65536 + 65536) % 65536)'
+_H_Y = "(user_id % 65536)"
+
+
+@register(
+    "hilbert_curve_stats",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {hilbert_index_sql(_H_X, _H_Y, 16)} AS hval
+      FROM events WHERE "value" IS NOT NULL
+    )
+    SELECT event_type, count(*) AS n_rows,
+           min(hval) AS h_min, max(hval) AS h_max,
+           CAST(sum(hval) AS BIGINT) AS h_sum
+    FROM h GROUP BY event_type
+    """,
+)
+def hilbert_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve positions for the (value, user) grid — the
+    locality-better alternative to the Morton layout (zorder_curve_stats):
+    adjacent curve positions are always adjacent cells, so a
+    Hilbert-sorted lake's file envelopes are tighter for box queries.
+    The curve is a pure-integer bit-level fold (functions/zorder.py
+    hilbert_index); the oracle replays the identical fold via
+    list_reduce, pinning every reflect/swap rotation bit-for-bit."""
+    from storm_data_etl_spark.functions.zorder import hilbert_index
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.pmod(F.floor(F.col("value") * 100).cast("bigint"), F.lit(65536))
+    y = F.col("user_id") % 65536
+    h = hilbert_index(x, y, 16)
+    return (
+        ev.select("event_type", h.alias("hval"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("hval").alias("h_min"),
+            F.max("hval").alias("h_max"),
+            F.sum("hval").alias("h_sum"),
+        )
     )

@@ -235,3 +235,47 @@ def test_compaction_plan_next_fit_semantics(spark):
     assert out[1].n_files == 1 and out[1].total_bytes == 70 * 1024  # oversized alone
     assert out[2].n_files == 2 and out[2].total_bytes == 30 * 1024
     assert (out[0].first_hour, out[0].last_hour) == (out[0].first_hour, out[0].first_hour + 1)
+
+
+def test_hilbert_index_matches_reference_and_locality(spark):
+    """The JVM fold must equal the classic xy→d algorithm, and the curve
+    must be a bijection with unit steps on a small grid (the locality
+    property that beats Morton for box queries)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.functions.zorder import hilbert_index
+
+    def ref(x, y, bits):
+        d = 0
+        for b in range(bits - 1, -1, -1):
+            s = 1 << b
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+        return d
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(40)]
+    pts += [(0, 0), (65535, 65535), (0, 65535), (65535, 0)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = [r.d for r in df.select(
+        hilbert_index(F.col("x"), F.col("y"), 16).alias("d")).collect()]
+    assert got == [ref(x, y, 16) for x, y in pts]
+
+    # 8x8 grid: bijection onto 0..63 and every curve step moves to a
+    # 4-neighbor cell (|dx|+|dy| == 1) — Morton fails this property
+    grid = [(x, y) for y in range(8) for x in range(8)]
+    gdf = spark.createDataFrame(grid, ["x", "y"])
+    out = {(r.x, r.y): r.d for r in gdf.select(
+        "x", "y", hilbert_index(F.col("x"), F.col("y"), 3).alias("d")).collect()}
+    assert sorted(out.values()) == list(range(64))
+    by_d = {d: xy for xy, d in out.items()}
+    for d in range(63):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"step {d} not unit"
