@@ -70,8 +70,16 @@ def hilbert_index(x: Column, y: Column, bits: int = 16) -> Column:
     then the conditional reflect+swap rotation) — all JVM bitwise/CASE
     expressions, no UDF, and exactly mirrorable in SQL because every op
     is integer."""
+    # bigint levels: s*s at bits >= 17 overflows IntegerType literals
     levels = F.array(
-        *[F.array(F.lit(1 << b), F.lit(0), F.lit(0)) for b in range(bits - 1, -1, -1)]
+        *[
+            F.array(
+                F.lit(1 << b).cast("bigint"),
+                F.lit(0).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
+            for b in range(bits - 1, -1, -1)
+        ]
     )
     init = F.array(x.cast("bigint"), y.cast("bigint"), F.lit(0).cast("bigint"))
 

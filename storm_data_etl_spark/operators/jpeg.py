@@ -436,6 +436,13 @@ def decode_jpeg(payload: bytes) -> DecodedJpeg:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # multi-scan baseline (each component in its own scan):
+                # decoding only the first scan would silently return a
+                # partial image — defer to PIL via the registry fallback
+                raise NotImplementedError(
+                    "multi-scan baseline JPEG (scan covers a component subset)"
+                )
             scan = []
             for i in range(ns):
                 cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -495,34 +502,61 @@ def _decode_block(reader: _BitReader, comp: dict, pred: int) -> tuple[np.ndarray
 
 def _decode_scan(payload, pos, frame, scan, restart_interval) -> DecodedJpeg:
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
+    # sampling maxima are a FRAME property (T.81 A.1.1) — a one-component
+    # scan of a 4:2:0 frame still sizes that component against the frame
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     if hmax > 2 or vmax > 2:
         raise NotImplementedError("sampling factors beyond 2x2")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-    planes = [
-        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in scan
-    ]
     reader = _BitReader(payload, pos)
-    preds = [0] * len(scan)
-    mcu_index = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                m = reader.align_to_marker()
-                if not (0xD0 <= m <= 0xD7):
-                    raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
-                preds = [0] * len(scan)
-            for ci, comp in enumerate(scan):
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        block, preds[ci] = _decode_block(reader, comp, preds[ci])
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_index += 1
+    if len(scan) == 1:
+        # Non-interleaved scan (T.81 A.2.2): the MCU is ONE data unit and
+        # data units walk the component's OWN block grid in raster order —
+        # not the interleaved MCU walk (which would mis-count blocks for
+        # any subsampled component).
+        comp = scan[0]
+        xi = (w * comp["h"] + hmax - 1) // hmax
+        yi = (h * comp["v"] + vmax - 1) // vmax
+        bw, bh = (xi + 7) // 8, (yi + 7) // 8
+        plane = np.zeros((bh * 8, bw * 8))
+        pred = 0
+        unit = 0
+        for byy in range(bh):
+            for bxx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    m = reader.align_to_marker()
+                    if not (0xD0 <= m <= 0xD7):
+                        raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
+                    pred = 0
+                block, pred = _decode_block(reader, comp, pred)
+                plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = block
+                unit += 1
+        planes = [plane]
+        mcus_x, mcus_y = bw, bh
+    else:
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcus_x = (w + mcu_w - 1) // mcu_w
+        mcus_y = (h + mcu_h - 1) // mcu_h
+        planes = [
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)) for c in scan
+        ]
+        preds = [0] * len(scan)
+        mcu_index = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    m = reader.align_to_marker()
+                    if not (0xD0 <= m <= 0xD7):
+                        raise ValueError(f"expected RST marker, got 0xFF{m:02X}")
+                    preds = [0] * len(scan)
+                for ci, comp in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            block, preds[ci] = _decode_block(reader, comp, preds[ci])
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                mcu_index += 1
     # upsample each plane to full MCU-grid resolution, then crop
     full = []
     for ci, comp in enumerate(scan):

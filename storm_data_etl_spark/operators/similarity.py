@@ -345,6 +345,76 @@ def _argmin_code(slice_col, book_col):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+
+def _encode_pq(vectors: DataFrame, codebooks, id_col: str, vec_col: str) -> DataFrame:
+    """Attach the `_codes` column: unit-normalize, then per-subspace
+    nearest-centroid indices (shared by pq_topk / ivfpq_topk)."""
+    nrm = V.norm(vec_col)
+    unit = F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
+    return (
+        vectors.withColumn("_nrm", F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm))
+        .withColumn("_codes", _pq_codes(unit, codebooks))
+        .drop("_nrm")
+    )
+
+
+def _probe_luts(probes: DataFrame, codebooks) -> DataFrame:
+    """Attach the `_luts` column: per-subspace dot tables of the
+    unit-normalized probe against every sub-centroid."""
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    books = _books_lit(codebooks)
+    pnrm = V.norm("probe_vec")
+    punit = F.transform(F.col("probe_vec"), lambda x: x / F.col("_pnrm"))
+    luts = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            books[j],
+            lambda cb: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_punit"), j * sub + 1, sub), cb, lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    return (
+        probes.withColumn("_pnrm", F.when(pnrm == 0.0, F.lit(1.0)).otherwise(pnrm))
+        .withColumn("_punit", punit)
+        .withColumn("_luts", luts)
+        .drop("_pnrm", "_punit")
+    )
+
+
+def _adc_rerank(scored: DataFrame, k: int, rerank: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared ADC tail: approximate score from codes x LUTs, narrow
+    projection (drop the LUT doubles BEFORE the window shuffle — measured
+    2x), candidate cut, exact-cosine re-rank."""
+    adot = F.aggregate(
+        F.zip_with(
+            F.col("_codes"), F.col("_luts"), lambda cd, lut: F.element_at(lut, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = scored.withColumn("_adot", adot).select(
+        id_col, vec_col, "probe_id", "probe_vec", "_adot"
+    )
+    w1 = Window.partitionBy("probe_id").orderBy(F.desc("_adot"), F.asc(id_col))
+    cand = scored.withColumn("_crank", F.row_number().over(w1)).filter(
+        F.col("_crank") <= rerank
+    )
+    exact = cand.withColumn("cosine", V.cosine(vec_col, "probe_vec"))
+    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+
 def pq_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -370,67 +440,12 @@ def pq_topk(
     (m bytes/vector) is what streams through the scan — pair with IVF cell
     pruning (ivf_topk) for sublinear candidate counts.
     """
-    m = len(codebooks)
-    nrm = V.norm(vec_col)
-    unit = F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
-    encoded = (
-        vectors.withColumn("_nrm", F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm))
-        .withColumn("_codes", _pq_codes(unit, codebooks))
-        .drop("_nrm")
-    )
-    pnrm = V.norm("probe_vec")
-    punit = F.transform(F.col("probe_vec"), lambda x: x / F.col("_pnrm"))
-    sub = len(codebooks[0][0])
-    books = _books_lit(codebooks)
-    luts = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.transform(
-            books[j],
-            lambda cb: F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("_punit"), j * sub + 1, sub),
-                    cb,
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        ),
-    )
-    pb = (
-        probes.withColumn("_pnrm", F.when(pnrm == 0.0, F.lit(1.0)).otherwise(pnrm))
-        .withColumn("_punit", punit)
-        .withColumn("_luts", luts)
-        .drop("_pnrm", "_punit")
-    )
+    encoded = _encode_pq(vectors, codebooks, id_col, vec_col)
+    pb = _probe_luts(probes, codebooks)
     scored = encoded.crossJoin(F.broadcast(pb)).filter(
         F.col(id_col) != F.col("probe_id")
     )
-    # adot = Σ_j luts[j][codes[j]] — one zip over the two m-length arrays
-    adot = F.aggregate(
-        F.zip_with(
-            F.col("_codes"), F.col("_luts"), lambda cd, lut: F.element_at(lut, cd + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    # Drop the LUT/code columns BEFORE the ranking windows: the window
-    # shuffle would otherwise move m·k doubles per candidate row that the
-    # ranking never reads (measured 2× on the bench headline).
-    scored = scored.withColumn("_adot", adot).select(
-        id_col, vec_col, "probe_id", "probe_vec", "_adot"
-    )
-    w1 = Window.partitionBy("probe_id").orderBy(F.desc("_adot"), F.asc(id_col))
-    cand = scored.withColumn("_crank", F.row_number().over(w1)).filter(
-        F.col("_crank") <= rerank
-    )
-    exact = cand.withColumn("cosine", V.cosine(vec_col, "probe_vec"))
-    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _adc_rerank(scored, k, rerank, id_col, vec_col)
 
 
 def ivfpq_topk(
@@ -452,68 +467,18 @@ def ivfpq_topk(
     100 TB vector table: the equality join on cell prunes, the code
     column is what streams, and both training steps are bounded samples.
     """
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    nrm = V.norm(vec_col)
-    unit = F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
-    encoded = (
-        vectors.withColumn("_nrm", F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm))
-        .withColumn("_codes", _pq_codes(unit, codebooks))
-        .withColumn("cell", _nearest_cells(vec_col, centroids, 1)[0]["cell"])
-        .drop("_nrm")
+    encoded = _encode_pq(vectors, codebooks, id_col, vec_col).withColumn(
+        "cell", _nearest_cells(vec_col, centroids, 1)[0]["cell"]
     )
-    pnrm = V.norm("probe_vec")
-    punit = F.transform(F.col("probe_vec"), lambda x: x / F.col("_pnrm"))
-    books = _books_lit(codebooks)
-    luts = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.transform(
-            books[j],
-            lambda cb: F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("_punit"), j * sub + 1, sub), cb, lambda x, y: x * y
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+    pb = _probe_luts(probes, codebooks).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                _nearest_cells("probe_vec", centroids, n_probe), lambda s: s["cell"]
+            )
         ),
-    )
-    pb = (
-        probes.withColumn("_pnrm", F.when(pnrm == 0.0, F.lit(1.0)).otherwise(pnrm))
-        .withColumn("_punit", punit)
-        .withColumn("_luts", luts)
-        .withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    _nearest_cells("probe_vec", centroids, n_probe),
-                    lambda s: s["cell"],
-                )
-            ),
-        )
-        .drop("_pnrm", "_punit")
     )
     scored = encoded.join(F.broadcast(pb), on="cell").filter(
         F.col(id_col) != F.col("probe_id")
     )
-    adot = F.aggregate(
-        F.zip_with(
-            F.col("_codes"), F.col("_luts"), lambda cd, lut: F.element_at(lut, cd + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    scored = scored.withColumn("_adot", adot).select(
-        id_col, vec_col, "probe_id", "probe_vec", "_adot"
-    )
-    w1 = Window.partitionBy("probe_id").orderBy(F.desc("_adot"), F.asc(id_col))
-    cand = scored.withColumn("_crank", F.row_number().over(w1)).filter(
-        F.col("_crank") <= rerank
-    )
-    exact = cand.withColumn("cosine", V.cosine(vec_col, "probe_vec"))
-    w2 = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", id_col, F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _adc_rerank(scored, k, rerank, id_col, vec_col)

@@ -2070,6 +2070,7 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(floor(value * 100) AS BIGINT) AS v
              , event_type
       FROM events WHERE event_type IN ('click', 'purchase')
+        AND "value" IS NOT NULL
     ),
     s AS (
       SELECT
@@ -2101,7 +2102,9 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/variance/t are then closed-form per-row IEEE ops over those six
     integers, floored at 1e4. ONE conditional-aggregate scan — no pivot,
     no second pass, no shuffle beyond the 1-row aggregate."""
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    )
     v = F.floor(F.col("value") * 100).cast("bigint")
     is1 = (F.col("event_type") == "click").cast("bigint")
     is2 = (F.col("event_type") == "purchase").cast("bigint")
@@ -2149,8 +2152,8 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sb.n_u AS BIGINT) AS n_b,
            CAST((10000 * p.n_ab) // sa.n_u AS BIGINT) AS conf_ab_e4,
            CAST((10000 * p.n_ab) // sb.n_u AS BIGINT) AS conf_ba_e4,
-           CAST((10000 * p.n_ab * t.n_users) // (sa.n_u * sb.n_u) AS BIGINT)
-             AS lift_e4
+           CAST(floor((10000.0 * p.n_ab * t.n_users) / (sa.n_u * sb.n_u))
+                AS BIGINT) AS lift_e4
     FROM pairs p
     JOIN supp sa ON p.type_a = sa.event_type
     JOIN supp sb ON p.type_b = sb.event_type
@@ -2214,8 +2217,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.floor(10000 * F.col("n_ab") / F.col("n_a")).cast("bigint").alias("conf_ab_e4"),
             F.floor(10000 * F.col("n_ab") / F.col("n_b")).cast("bigint").alias("conf_ba_e4"),
+            # 10000·n_ab·n_users overflows int64 at cluster scale —
+            # scale in DOUBLE (identical IEEE ops both engines)
             F.floor(
-                (10000 * F.col("n_ab") * F.col("n_users"))
+                (10000.0 * F.col("n_ab") * F.col("n_users"))
                 / (F.col("n_a") * F.col("n_b"))
             )
             .cast("bigint")
@@ -2293,8 +2298,8 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(ia) AS n, sum(ib) AS m FROM q)
     SELECT CAST(t.n AS BIGINT) AS n, CAST(t.m AS BIGINT) AS m,
            CAST(max(abs(c.ca * t.m - c.cb * t.n)) AS BIGINT) AS d_num,
-           CAST((1000000 * max(abs(c.ca * t.m - c.cb * t.n))) // (t.n * t.m)
-                AS BIGINT) AS d_e6
+           CAST(floor(1000000.0 * max(abs(c.ca * t.m - c.cb * t.n))
+                      / (t.n * t.m)) AS BIGINT) AS d_e6
     FROM cum c CROSS JOIN tot t
     GROUP BY t.n, t.m
     """,
@@ -2333,7 +2338,9 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.groupBy("n", "m").agg(
         F.max("dd").alias("d_num"),
-        F.floor((1000000 * F.max("dd")) / (F.col("n") * F.col("m")))
+        # 1e6·d_num can exceed int64 once n·m ~ 1e13 — scale in DOUBLE
+        # (identical IEEE ops both engines; overflow-free to 1e308)
+        F.floor(1000000.0 * F.max("dd") / (F.col("n") * F.col("m")))
         .cast("bigint")
         .alias("d_e6"),
     )

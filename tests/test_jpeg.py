@@ -121,12 +121,11 @@ def _hand_stream(frame_blocks, restart_interval=0):
     return bytes(out)
 
 
-def _headers(sof_comps, sos_comps, dri=0):
+def _headers(sof_comps, sos_comps, dri=0, w=16, h=16):
     out = bytearray(b"\xff\xd8")
     for tq, table in ((0, J.QUANT_LUMA), (1, J.QUANT_CHROMA)):
         zz = bytes(table[J.ZIGZAG[k][0] * 8 + J.ZIGZAG[k][1]] for k in range(64))
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes((tq,)) + zz
-    h, w = 16, 16
     sof = struct.pack(">BHHB", 8, h, w, len(sof_comps))
     for cid, hv, tq in sof_comps:
         sof += bytes((cid, hv, tq))
@@ -235,3 +234,40 @@ def test_registry_dispatch():
     img = M.decode_image(J.synth_jpeg(3, 10, 9))
     assert (img.width, img.height) == (10, 9)
     assert img.rows[0][0] == closed_form_bgr(3)
+
+
+def test_decode_noninterleaved_subsampled_grayscale():
+    """A single-component SCAN walks the component's own block grid in
+    raster order (T.81 A.2.2) — NOT the interleaved MCU walk. 24x16 with
+    declared 2x2 sampling: 6 raster blocks; the interleaved walk would
+    demand 8 and misplace half of them."""
+    dcs = [16, 8, 4, -4, -8, -16]  # 3x2 block grid, distinct bands
+    mcus = [[("y", 0, q)] for q in dcs]
+    stream = _hand_stream(mcus)  # per-block DPCM chain, EOB-only ACs
+    payload = bytes(
+        _headers([(1, 0x22, 0)], [(1, 0x00)], w=24, h=16)
+    ) + stream + b"\xff\xd9"
+    dec = J.decode_jpeg(payload)
+    assert (dec.width, dec.height) == (24, 16)
+    assert (dec.mcus_x, dec.mcus_y) == (3, 2)
+    rows = J.jpeg_to_image_rows(dec)
+    for bi, q in enumerate(dcs):
+        by, bx = divmod(bi, 3)
+        v = min(255, max(0, math.floor(q * 2.0 + 128.0 + 0.5)))
+        assert rows[by * 8][bx * 8] == (v, v, v), (by, bx)
+
+
+def test_multi_scan_baseline_raises_not_implemented():
+    """A 3-component frame whose first scan covers only Y must NOT decode
+    as a grayscale image silently — it defers to the PIL fallback."""
+    import pytest as _pytest
+
+    stream = _hand_stream([[("y", 0, 16)]] * 4)
+    payload = bytes(
+        _headers(
+            [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)],
+            [(1, 0x00)],  # scan lists ONLY component 1
+        )
+    ) + stream + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="multi-scan"):
+        J.decode_jpeg(payload)

@@ -170,7 +170,8 @@ def test_welch_ttest_matches_python_model(spark, sf_dir):
     row = WQ.welch_ttest(spark, sf_dir).collect()[0]
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     vals = {
-        et: [math.floor(r.value * 100) for r in ev.filter(F.col("event_type") == et)
+        et: [math.floor(r.value * 100) for r in ev.filter(
+                 (F.col("event_type") == et) & F.col("value").isNotNull())
              .select("value").collect()]
         for et in ("click", "purchase")
     }
