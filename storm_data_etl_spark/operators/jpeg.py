@@ -502,8 +502,11 @@ def _decode_block(reader: _BitReader, comp: dict, pred: int) -> tuple[np.ndarray
 
 def _decode_scan(payload, pos, frame, scan, restart_interval) -> DecodedJpeg:
     w, h = frame["w"], frame["h"]
-    # sampling maxima are a FRAME property (T.81 A.1.1) — a one-component
-    # scan of a 4:2:0 frame still sizes that component against the frame
+    # sampling maxima are a FRAME property (T.81 A.1.1). NOTE: with the
+    # multi-scan guard in decode_jpeg, a single-component scan here always
+    # belongs to a single-component FRAME (hmax == comp's own factor, so
+    # xi/yi degenerate to w/h); the general ceil(w·h_i/hmax) sizing below
+    # is kept so enabling multi-scan later doesn't silently mis-size.
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     if hmax > 2 or vmax > 2:

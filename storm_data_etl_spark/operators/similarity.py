@@ -346,7 +346,7 @@ def _argmin_code(slice_col, book_col):
 
 
 
-def _encode_pq(vectors: DataFrame, codebooks, id_col: str, vec_col: str) -> DataFrame:
+def _encode_pq(vectors: DataFrame, codebooks, vec_col: str) -> DataFrame:
     """Attach the `_codes` column: unit-normalize, then per-subspace
     nearest-centroid indices (shared by pq_topk / ivfpq_topk)."""
     nrm = V.norm(vec_col)
@@ -440,7 +440,7 @@ def pq_topk(
     (m bytes/vector) is what streams through the scan — pair with IVF cell
     pruning (ivf_topk) for sublinear candidate counts.
     """
-    encoded = _encode_pq(vectors, codebooks, id_col, vec_col)
+    encoded = _encode_pq(vectors, codebooks, vec_col)
     pb = _probe_luts(probes, codebooks)
     scored = encoded.crossJoin(F.broadcast(pb)).filter(
         F.col(id_col) != F.col("probe_id")
@@ -467,7 +467,7 @@ def ivfpq_topk(
     100 TB vector table: the equality join on cell prunes, the code
     column is what streams, and both training steps are bounded samples.
     """
-    encoded = _encode_pq(vectors, codebooks, id_col, vec_col).withColumn(
+    encoded = _encode_pq(vectors, codebooks, vec_col).withColumn(
         "cell", _nearest_cells(vec_col, centroids, 1)[0]["cell"]
     )
     pb = _probe_luts(probes, codebooks).withColumn(

@@ -2101,7 +2101,13 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact BIGINTs on both engines (no accumulation-order float noise);
     mean/variance/t are then closed-form per-row IEEE ops over those six
     integers, floored at 1e4. ONE conditional-aggregate scan — no pivot,
-    no second pass, no shuffle beyond the 1-row aggregate."""
+    no second pass, no shuffle beyond the 1-row aggregate.
+
+    Exactness bound: the int64 sum-of-squares is exact while
+    n · max(v²) < 2^63 — ~9e8 rows per arm at |value| ≤ 1000. Beyond
+    that, recompute with DOUBLE sums (the statistic becomes
+    double-precision) — and note DuckDB widens BIGINT sums to HUGEINT
+    while Spark does not, so the twin queries diverge past the bound."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
     )
@@ -2150,9 +2156,12 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.n_ab AS BIGINT) AS n_ab,
            CAST(sa.n_u AS BIGINT) AS n_a,
            CAST(sb.n_u AS BIGINT) AS n_b,
-           CAST((10000 * p.n_ab) // sa.n_u AS BIGINT) AS conf_ab_e4,
-           CAST((10000 * p.n_ab) // sb.n_u AS BIGINT) AS conf_ba_e4,
-           CAST(floor((10000.0 * p.n_ab * t.n_users) / (sa.n_u * sb.n_u))
+           CAST(floor(1e4 * CAST(p.n_ab AS DOUBLE) / CAST(sa.n_u AS DOUBLE))
+                AS BIGINT) AS conf_ab_e4,
+           CAST(floor(1e4 * CAST(p.n_ab AS DOUBLE) / CAST(sb.n_u AS DOUBLE))
+                AS BIGINT) AS conf_ba_e4,
+           CAST(floor(1e4 * CAST(p.n_ab AS DOUBLE) * CAST(t.n_users AS DOUBLE)
+                      / (CAST(sa.n_u AS DOUBLE) * CAST(sb.n_u AS DOUBLE)))
                 AS BIGINT) AS lift_e4
     FROM pairs p
     JOIN supp sa ON p.type_a = sa.event_type
@@ -2215,13 +2224,19 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
-            F.floor(10000 * F.col("n_ab") / F.col("n_a")).cast("bigint").alias("conf_ab_e4"),
-            F.floor(10000 * F.col("n_ab") / F.col("n_b")).cast("bigint").alias("conf_ba_e4"),
-            # 10000·n_ab·n_users overflows int64 at cluster scale —
-            # scale in DOUBLE (identical IEEE ops both engines)
+            # ALL ratio math in DOUBLE with explicit casts and double
+            # literals: int products overflow int64 at cluster scale, and a
+            # decimal-typed literal (DuckDB parses 10000.0 as DECIMAL)
+            # would round at different points than Spark's double path
+            F.floor(10000.0 * F.col("n_ab").cast("double") / F.col("n_a").cast("double"))
+            .cast("bigint")
+            .alias("conf_ab_e4"),
+            F.floor(10000.0 * F.col("n_ab").cast("double") / F.col("n_b").cast("double"))
+            .cast("bigint")
+            .alias("conf_ba_e4"),
             F.floor(
-                (10000.0 * F.col("n_ab") * F.col("n_users"))
-                / (F.col("n_a") * F.col("n_b"))
+                10000.0 * F.col("n_ab").cast("double") * F.col("n_users").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             )
             .cast("bigint")
             .alias("lift_e4"),
@@ -2297,9 +2312,10 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT sum(ia) AS n, sum(ib) AS m FROM q)
     SELECT CAST(t.n AS BIGINT) AS n, CAST(t.m AS BIGINT) AS m,
-           CAST(max(abs(c.ca * t.m - c.cb * t.n)) AS BIGINT) AS d_num,
-           CAST(floor(1000000.0 * max(abs(c.ca * t.m - c.cb * t.n))
-                      / (t.n * t.m)) AS BIGINT) AS d_e6
+           CAST(floor(1e6 * max(abs(CAST(c.ca AS DOUBLE) * CAST(t.m AS DOUBLE)
+                                    - CAST(c.cb AS DOUBLE) * CAST(t.n AS DOUBLE)))
+                      / (CAST(t.n AS DOUBLE) * CAST(t.m AS DOUBLE)))
+                AS BIGINT) AS d_e6
     FROM cum c CROSS JOIN tot t
     GROUP BY t.n, t.m
     """,
@@ -2331,16 +2347,24 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b_cnt").over(w).alias("cb"),
     )
     tot = q.agg(F.sum("ia").alias("n"), F.sum("ib").alias("m"))
+    # the CDF gap and its normalization run ENTIRELY in double (explicit
+    # casts + double literals): bigint products ca·m overflow int64 once
+    # n,m ~ 3e9, and mixed decimal/double literal typing would make the
+    # two engines round at different points. Beyond 2^53 the statistic is
+    # double-precision — the right semantics for a test statistic.
     d = cum.crossJoin(F.broadcast(tot)).select(
         "n",
         "m",
-        F.abs(F.col("ca") * F.col("m") - F.col("cb") * F.col("n")).alias("dd"),
+        F.abs(
+            F.col("ca").cast("double") * F.col("m").cast("double")
+            - F.col("cb").cast("double") * F.col("n").cast("double")
+        ).alias("dd"),
     )
     return d.groupBy("n", "m").agg(
-        F.max("dd").alias("d_num"),
-        # 1e6·d_num can exceed int64 once n·m ~ 1e13 — scale in DOUBLE
-        # (identical IEEE ops both engines; overflow-free to 1e308)
-        F.floor(1000000.0 * F.max("dd") / (F.col("n") * F.col("m")))
+        F.floor(
+            1000000.0 * F.max("dd")
+            / (F.col("n").cast("double") * F.col("m").cast("double"))
+        )
         .cast("bigint")
         .alias("d_e6"),
     )

@@ -232,7 +232,7 @@ def test_ks_two_sample_known_distributions(spark):
     finally:
         WQ.t = orig
     assert (out.n, out.m) == (3, 2)
-    assert out.d_num == 4  # |ca*m - cb*n| at v=200 → |2*2 - 0*3|
+    # D = |2/3 - 0| at v=200 → floor(1e6 * 4 / 6)
     assert out.d_e6 == 666666
 
 
