@@ -113,6 +113,7 @@ HEADLINE = [
     "welch_ttest",
     "holt_trend_forecast",
     "ks_two_sample",
+    "mad_outliers",
     "k_anonymity_audit",
     "association_rules",
 ]

@@ -2368,3 +2368,67 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("d_e6"),
     )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_type, "value" FROM events WHERE "value" IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, quantile_cont("value", 0.5) AS m
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, abs(v."value" - med.m) AS adev
+      FROM v JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, count(*) AS n,
+           CAST(floor(10000 * max(med.m)) AS BIGINT) AS median_e4,
+           CAST(floor(10000 * max(mad.mad)) AS BIGINT) AS mad_e4,
+           CAST(sum(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad USING (event_type) JOIN med USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    outlier gate that, unlike anomaly_zscore_events, a few extreme points
+    cannot corrupt (median and MAD both have 50% breakdown). Two exact
+    interpolated medians (Spark `percentile` ≡ DuckDB `quantile_cont` —
+    same parity argument as exact_percentiles) with the tiny per-type
+    results broadcast back onto the deviations; flags |v − median| >
+    3·MAD. At 100 TB the medians swap to percentile_approx with the plan
+    shape unchanged."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("adev"), "m"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(10000 * F.max("m")).cast("bigint").alias("median_e4"),
+            F.floor(10000 * F.max("mad")).cast("bigint").alias("mad_e4"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
