@@ -114,6 +114,7 @@ HEADLINE = [
     "holt_trend_forecast",
     "ks_two_sample",
     "mad_outliers",
+    "cms_frequency_estimates",
     "k_anonymity_audit",
     "association_rules",
 ]

@@ -2432,3 +2432,52 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register("cms_frequency_estimates", None)  # xxhash64 rows: no SQL oracle
+def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public literature)
+    over the user_id stream, with per-key frequency estimates read back
+    for the 8 lowest user ids. The sketch is d=4 hash rows × w=256
+    buckets built in ONE groupBy on (row, xxhash64(key, seed_row) % w) —
+    a fixed-size (d·w-cell) mergeable summary no matter how many events
+    stream through, the structure a 1000-executor pre-aggregation ships
+    to the driver instead of a full frequency table. The estimate for a
+    key is min over rows of its bucket count: always ≥ the true count,
+    over by at most ε·N with ε = e/w (pytest pins both properties against
+    exact counts). Rows-only at the gate (xxhash64 is engine-specific);
+    the exact twin is the plain groupBy count it approximates."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+    d, w = 4, 256
+    rows = []
+    for seed in range(d):
+        rows.append(
+            ev.select(
+                F.lit(seed).alias("row"),
+                F.pmod(F.xxhash64(F.col("user_id"), F.lit(seed)), F.lit(w)).alias(
+                    "bucket"
+                ),
+            )
+        )
+    hashed = rows[0]
+    for r in rows[1:]:
+        hashed = hashed.unionByName(r)
+    sketch = hashed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = (
+        ev.select("user_id").distinct().orderBy("user_id").limit(8)
+    )
+    probe_cells = probes.crossJoin(F.broadcast(spark.range(d).withColumnRenamed("id", "row")))
+    probe_cells = probe_cells.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("user_id"), F.col("row").cast("int")), F.lit(w))
+    )
+    est = (
+        probe_cells.join(sketch, ["row", "bucket"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_estimate"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "true_count", "cms_estimate")
+        .orderBy("user_id")
+    )

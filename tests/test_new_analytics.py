@@ -243,3 +243,20 @@ def test_k_anonymity_audit_flags_small_classes(spark, sf_dir):
     assert out.min_class_size >= 1
     # rows_at_risk counts only rows in sub-k classes
     assert out.rows_at_risk < 5 * (out.classes_below_k + 1)
+
+
+def test_cms_estimates_bounded(spark, sf_dir):
+    """CMS guarantees: estimate never undercounts, and with d=4 rows the
+    min-estimate stays within eps*N (eps = e/w) on the deterministic
+    fixture (probabilistic in general, stable here)."""
+    import math
+
+    rows = WQ.cms_frequency_estimates(spark, sf_dir).collect()
+    assert len(rows) == 8
+    n_events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )
+    eps_bound = math.e / 256 * n_events
+    for r in rows:
+        assert r.cms_estimate >= r.true_count
+        assert r.cms_estimate - r.true_count <= eps_bound
