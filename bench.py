@@ -115,6 +115,7 @@ HEADLINE = [
     "ks_two_sample",
     "mad_outliers",
     "cms_frequency_estimates",
+    "benford_digit_audit",
     "k_anonymity_audit",
     "association_rules",
 ]

@@ -2481,3 +2481,57 @@ def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "true_count", "cms_estimate")
         .orderBy("user_id")
     )
+
+
+@register(
+    "benford_digit_audit",
+    """
+    WITH x AS (
+      SELECT CAST(floor(abs("value") * 100) AS BIGINT) AS iv
+      FROM events WHERE "value" IS NOT NULL AND abs("value") * 100 >= 1
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM x
+    ),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           CAST(floor(1e6 * CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+                AS BIGINT) AS observed_e6,
+           CAST(floor(1e6 * log10(1.0 + 1.0 / c.digit)) AS BIGINT) AS benford_e6
+    FROM c CROSS JOIN tot t
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit (Newcomb 1881 / Benford
+    1938, public literature) over the value column — the classic
+    fabricated-data smoke test: naturally-arising magnitudes follow
+    P(d) = log10(1 + 1/d), while invented or truncated numbers don't.
+    The first digit comes from the integer's decimal string (identical
+    on both engines, no float log in the extraction); observed and
+    expected frequencies emit as floored parts-per-million with all
+    ratio math in DOUBLE. One groupBy on the 9-value digit key + a
+    broadcast 1-row total. (The synthetic fixture's uniform-ish values
+    will NOT follow Benford — the query reports the divergence, which
+    is exactly its job.)"""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.abs(F.col("value")) * 100 >= 1)
+    )
+    x = ev.select(
+        F.floor(F.abs(F.col("value")) * 100).cast("bigint").alias("iv")
+    )
+    d = x.select(
+        F.substring(F.col("iv").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.floor(1000000.0 * F.col("n").cast("double") / F.col("total").cast("double"))
+        .cast("bigint")
+        .alias("observed_e6"),
+        F.floor(1000000.0 * F.log10(1.0 + 1.0 / F.col("digit")))
+        .cast("bigint")
+        .alias("benford_e6"),
+    )
