@@ -116,6 +116,7 @@ HEADLINE = [
     "mad_outliers",
     "cms_frequency_estimates",
     "benford_digit_audit",
+    "value_concentration_gini",
     "k_anonymity_audit",
     "association_rules",
 ]

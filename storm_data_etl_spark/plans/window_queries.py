@@ -2535,3 +2535,79 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("benford_e6"),
     )
+
+
+@register(
+    "value_concentration_gini",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(floor("value" * 100) AS BIGINT) AS v
+      FROM events WHERE "value" IS NOT NULL AND "value" >= 0
+    ),
+    g AS (SELECT event_type, v, count(*) AS c FROM q GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v, c,
+             coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS base
+      FROM g
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(c) AS n, sum(v * c) AS s,
+             sum(v * (c * base + c * (c + 1) // 2)) AS t
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(floor(1e6 * (2.0 * CAST(t AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)))
+                AS BIGINT) AS gini_e6
+    FROM agg
+    """,
+)
+def value_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution per event type — the
+    concentration/inequality readout (0 = uniform, →1 = one row carries
+    everything) a traffic or revenue review runs. Exact: values quantize
+    to integer hundredths, ties group on the bounded value DOMAIN (the
+    same scale trick as ks_two_sample — the one ordered window runs over
+    ≤ |domain| rows regardless of row count), and the rank-weighted sum
+    for a tie group of c copies of v starting at cumulative base is the
+    closed form v·(c·base + c(c+1)/2) — integer arithmetic end to end,
+    with the final ratio in DOUBLE (explicit casts both engines)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    q = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    g = q.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.withColumn("base", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = cum.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("s"),
+        F.sum(
+            F.col("v")
+            * (F.col("c") * F.col("base") + F.floor(F.col("c") * (F.col("c") + 1) / 2))
+        ).alias("t"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.floor(
+            1000000.0
+            * (
+                2.0 * F.col("t").cast("double")
+                / (F.col("n").cast("double") * F.col("s").cast("double"))
+                - (F.col("n").cast("double") + 1.0) / F.col("n").cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("gini_e6"),
+    )

@@ -260,3 +260,25 @@ def test_cms_estimates_bounded(spark, sf_dir):
     for r in rows:
         assert r.cms_estimate >= r.true_count
         assert r.cms_estimate - r.true_count <= eps_bound
+
+
+def test_gini_known_distributions(spark):
+    """Uniform values → G ≈ 0; one row carrying everything → G → (n-1)/n."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 1, "flat", 5.0, "{}") for i in range(10)]
+    rows += [(100 + i, base, 1, "spike", 0.01 if i else 1000.0, "{}") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts_utc", F.col("ts"))
+    orig = WQ.t
+    WQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        out = {r.event_type: r for r in WQ.value_concentration_gini(spark, "x").collect()}
+    finally:
+        WQ.t = orig
+    assert out["flat"].gini_e6 == 0  # identical values: perfectly equal
+    # one of ten rows holds ~99.999% of the mass → G ≈ 0.9 - tiny
+    assert out["spike"].gini_e6 > 880000
+    assert out["spike"].n == 10
