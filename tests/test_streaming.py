@@ -453,3 +453,73 @@ def test_streaming_image_decode_pipeline(spark, tmp_path):
     for i, r in rows.items():
         assert (r.width, r.height) == (4, 3)
         assert r.top_b == (i * 3) % 256  # real decode, not metadata echo
+
+
+def test_pipeline_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Exactly-once across restarts: run the pipeline over batch A, STOP
+    the query, add batch B, restart with the SAME checkpoint — the sink
+    must receive batch B's rows exactly once and batch A's rows NOT
+    AGAIN (the checkpoint's committed offsets carry across processes,
+    which is the property the reference implements by committing Kafka
+    offsets after load)."""
+    import json
+    import os
+
+    from storm_data_etl_spark.streaming.pipeline import run_pipeline
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "value string, topic string, partition int, offset long, timestamp timestamp"
+    )
+
+    def write_batch(name, locations):
+        with open(os.path.join(src, name), "w") as f:
+            for i, loc in enumerate(locations):
+                payload = json.dumps(
+                    {
+                        "Time": "1200", "Size": "1.00", "F_Scale": "", "Speed": "",
+                        "Location": loc, "County": "C", "State": "TX",
+                        "Lat": "31.00", "Lon": "-98.00",
+                        "Comments": "x (OUN)", "EventType": "hail",
+                    }
+                )
+                f.write(json.dumps({
+                    "value": payload, "topic": "t", "partition": 0,
+                    "offset": i, "timestamp": "2024-04-26T00:00:00.000Z",
+                }) + "\n")
+
+    collected: list = []
+
+    def sink(df, epoch_id):
+        collected.extend(r.location.name for r in df.select("location").collect())
+
+    def run_once():
+        envelope = spark.readStream.schema(schema).json(src)
+        q = run_pipeline(
+            spark, envelope, checkpoint_dir=ckpt, sink=sink,
+            processed_at="2024-04-27 06:00:00",
+            trigger_interval="100 milliseconds",
+        )
+        try:
+            deadline = 30
+            import time as _t
+            start = _t.time()
+            while _t.time() - start < deadline:
+                if q.lastProgress and q.lastProgress["numInputRows"] == 0 and collected:
+                    break
+                _t.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(10)
+
+    write_batch("a.json", ["AlphaTown", "BetaVille"])
+    run_once()
+    first = sorted(collected)
+    assert first == ["AlphaTown", "BetaVille"]
+
+    write_batch("b.json", ["GammaCity"])
+    run_once()
+    # batch A rows must NOT reappear after the restart
+    assert sorted(collected) == ["AlphaTown", "BetaVille", "GammaCity"]
