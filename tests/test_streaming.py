@@ -523,3 +523,78 @@ def test_pipeline_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     run_once()
     # batch A rows must NOT reappear after the restart
     assert sorted(collected) == ["AlphaTown", "BetaVille", "GammaCity"]
+
+
+def test_windowed_agg_drops_data_later_than_watermark(spark, tmp_path):
+    """Append-mode windowed counts with a 1h watermark: batch 1 carries
+    events at 10:00 and 13:00 (watermark advances to 12:00, closing the
+    10:00-11:00 window); batch 2 then delivers a LATE 10:30 event — it
+    must be DROPPED (its window's state is gone), while a fresh 13:30
+    event still counts. Pins the bounded-state contract the watermark
+    exists for."""
+    import json
+    import os
+    import time as _t
+
+    from storm_data_etl_spark.streaming.windows import windowed_event_counts
+
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for ts, et, v in rows:
+                f.write(json.dumps({"ts_utc": ts, "event_type": et, "value": v}) + "\n")
+
+    stream = spark.readStream.schema(
+        "ts_utc timestamp, event_type string, value double"
+    ).json(src)
+    out = windowed_event_counts(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_drop_windows")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        write("b1.json", [
+            ("2024-04-26 10:00:00", "hail", 1.0),
+            ("2024-04-26 10:10:00", "hail", 1.0),
+            ("2024-04-26 13:00:00", "hail", 1.0),
+        ])
+        deadline = _t.time() + 45
+        # append mode emits the 10:00 window once the watermark passes it
+        while _t.time() < deadline:
+            rows = spark.sql("SELECT * FROM late_drop_windows").collect()
+            if rows:
+                break
+            _t.sleep(0.4)
+        first = {(str(r.window_start), r.n) for r in
+                 spark.sql("SELECT * FROM late_drop_windows").collect()}
+        assert ("2024-04-26 10:00:00", 2) in first  # closed with BOTH on-time rows
+
+        # a late 10:30 arrival (90 min behind the 13:00 max) + a fresh one
+        write("b2.json", [
+            ("2024-04-26 10:30:00", "hail", 1.0),   # LATE: must be dropped
+            ("2024-04-26 13:30:00", "hail", 1.0),
+            ("2024-04-26 16:00:00", "hail", 1.0),   # advances watermark past 13:00
+        ])
+        deadline = _t.time() + 45
+        while _t.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM late_drop_windows WHERE window_start = '2024-04-26 13:00:00'"
+            ).collect()
+            if rows:
+                break
+            _t.sleep(0.4)
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+    final = {(str(r.window_start), r.n) for r in
+             spark.sql("SELECT * FROM late_drop_windows").collect()}
+    # the 10:00 window was NEVER re-emitted with the late row counted
+    assert ("2024-04-26 10:00:00", 2) in final
+    assert ("2024-04-26 10:00:00", 3) not in final
+    # the 13:00 window closed with both its rows
+    assert ("2024-04-26 13:00:00", 2) in final
