@@ -2449,19 +2449,18 @@ def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact twin is the plain groupBy count it approximates."""
     ev = t(spark, sf_dir, "events").select("user_id")
     d, w = 4, 256
-    rows = []
-    for seed in range(d):
-        rows.append(
-            ev.select(
-                F.lit(seed).alias("row"),
-                F.pmod(F.xxhash64(F.col("user_id"), F.lit(seed)), F.lit(w)).alias(
-                    "bucket"
-                ),
+    # ONE scan: per input row, all d (row, bucket) cells via posexplode
+    # (a d-way union would re-scan the source d times when uncached)
+    hashed = ev.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("user_id"), F.lit(s_)), F.lit(w))
+                    for s_ in range(d)
+                ]
             )
-        )
-    hashed = rows[0]
-    for r in rows[1:]:
-        hashed = hashed.unionByName(r)
+        ).alias("row", "bucket")
+    )
     sketch = hashed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
     probes = (
         ev.select("user_id").distinct().orderBy("user_id").limit(8)
@@ -2555,14 +2554,15 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT event_type,
              sum(c) AS n, sum(v * c) AS s,
-             sum(v * (c * base + c * (c + 1) // 2)) AS t
+             sum(v * (c * base + (c * (c + 1)) // 2)) AS t
       FROM cum GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           CAST(floor(1e6 * (2.0 * CAST(t AS DOUBLE)
-                             / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
-                             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)))
-                AS BIGINT) AS gini_e6
+           CAST(CASE WHEN s = 0 THEN 0 ELSE
+             floor(1e6 * (2.0 * CAST(t AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                          - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)))
+           END AS BIGINT) AS gini_e6
     FROM agg
     """,
 )
@@ -2574,8 +2574,16 @@ def value_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     same scale trick as ks_two_sample — the one ordered window runs over
     ≤ |domain| rows regardless of row count), and the rank-weighted sum
     for a tie group of c copies of v starting at cumulative base is the
-    closed form v·(c·base + c(c+1)/2) — integer arithmetic end to end,
-    with the final ratio in DOUBLE (explicit casts both engines)."""
+    closed form v·(c·base + c(c+1) div 2) — integer arithmetic end to
+    end (integer div, not float, for the triangular term), the final
+    ratio in DOUBLE (explicit casts both engines), and all-zero groups
+    emit gini 0 (perfect equality) instead of 0/0.
+
+    Exactness bound: the rank-weighted int64 accumulator t ~ v·n² per
+    group is exact while it stays under 2^63 (≈3e6 rows per type at
+    v ≤ 1e6); beyond that ANSI Spark fails loudly while DuckDB widens
+    to HUGEINT — recompute with double sums (order noise returns) or
+    coarser value buckets at that scale."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & (F.col("value") >= 0)
     )
@@ -2592,20 +2600,22 @@ def value_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cum.groupBy("event_type").agg(
         F.sum("c").alias("n"),
         F.sum(F.col("v") * F.col("c")).alias("s"),
-        F.sum(
-            F.col("v")
-            * (F.col("c") * F.col("base") + F.floor(F.col("c") * (F.col("c") + 1) / 2))
-        ).alias("t"),
+        # (c*(c+1)) div 2 — INTEGER division; float `/` loses exactness
+        # past 2^53 and would hash-diverge from DuckDB's `//`
+        F.sum(F.expr("v * (c * base + (c * (c + 1)) div 2)")).alias("t"),
     )
     return agg.select(
         "event_type",
         "n",
-        F.floor(
-            1000000.0
-            * (
-                2.0 * F.col("t").cast("double")
-                / (F.col("n").cast("double") * F.col("s").cast("double"))
-                - (F.col("n").cast("double") + 1.0) / F.col("n").cast("double")
+        F.when(F.col("s") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                1000000.0
+                * (
+                    2.0 * F.col("t").cast("double")
+                    / (F.col("n").cast("double") * F.col("s").cast("double"))
+                    - (F.col("n").cast("double") + 1.0) / F.col("n").cast("double")
+                )
             )
         )
         .cast("bigint")

@@ -542,9 +542,13 @@ def test_windowed_agg_drops_data_later_than_watermark(spark, tmp_path):
     os.makedirs(src)
 
     def write(name, rows):
-        with open(os.path.join(src, name), "w") as f:
+        # write OUTSIDE the watched dir, then rename: the file source can
+        # list a just-created empty file, mark it seen, and never re-read
+        tmp = os.path.join(str(tmp_path), name + ".tmp")
+        with open(tmp, "w") as f:
             for ts, et, v in rows:
                 f.write(json.dumps({"ts_utc": ts, "event_type": et, "value": v}) + "\n")
+        os.rename(tmp, os.path.join(src, name))
 
     stream = spark.readStream.schema(
         "ts_utc timestamp, event_type string, value double"
