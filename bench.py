@@ -106,6 +106,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "doc_repetition_stats",
+    "feature_hash_vectors",
     "compaction_plan",
     "hilbert_curve_stats",
     "bpe_subword_stats",

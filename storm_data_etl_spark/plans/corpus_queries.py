@@ -819,3 +819,62 @@ def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("forecast3_e4"),
     )
+
+
+# =====================================================================
+# Feature hashing (the "hashing trick", Weinberger et al. 2009 — public
+# literature): text → fixed-width sparse vectors with NO vocabulary
+# table, the stateless featurizer upstream of similarity / clustering
+# =====================================================================
+
+@register(
+    "feature_hash_vectors",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                            list_transform(string_split(tok, ''),
+                                           c -> ascii(c)::BIGINT)),
+               (acc, c) -> (acc * 31 + c) % 2147483648
+             ) % 64 AS feature
+      FROM toks
+    )
+    SELECT doc_id, CAST(feature AS INTEGER) AS feature,
+           count(*) AS n_tokens
+    FROM hashed GROUP BY doc_id, feature
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: every token maps to one of 64 feature slots via
+    a polynomial rolling hash over its characters — a fixed-width sparse
+    bag-of-words vector with no vocabulary table, no training, and no
+    driver state (the featurizer that feeds clustering / similarity when
+    embeddings are unavailable). Output is the exploded sparse form
+    (doc, feature, count). The hash is a char-code fold with IDENTICAL
+    integer ops on both engines (probed: 'spark' → 109638365 on Spark,
+    DuckDB and Python alike), so the oracle pins every slot assignment.
+
+    Scale shape: one narrow split/explode + one groupBy on (doc_id,
+    feature) — uniform composite key, no vocabulary broadcast, nothing
+    driver-side. Dim 64 is the gate-friendly width; production widths
+    (2^18+) change one literal."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split("text", " +"), "")).alias("tok"),
+    )
+    h = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(2147483648)),
+    )
+    hashed = toks.select("doc_id", F.pmod(h, F.lit(64)).cast("int").alias("feature"))
+    return hashed.groupBy("doc_id", "feature").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
