@@ -107,6 +107,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "doc_repetition_stats",
     "feature_hash_vectors",
+    "text_cluster_sizes",
     "compaction_plan",
     "hilbert_curve_stats",
     "bpe_subword_stats",

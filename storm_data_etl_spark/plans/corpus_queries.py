@@ -878,3 +878,53 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id", "feature").agg(
         F.count(F.lit(1)).alias("n_tokens")
     )
+
+
+@register("text_cluster_sizes", None)  # k-means training: no SQL twin
+def text_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end unsupervised TEXT clustering with no external model:
+    documents → 64-slot hashing-trick count vectors (one conditional-sum
+    pass, no vocabulary) → deterministic k-means (the same bounded-sample
+    trainer IVF uses) → every doc assigned to its nearest centroid via
+    the broadcast-codebook JVM expressions. Emits per-cluster sizes and
+    canonical (min) doc ids. Rows-only at the gate (iterative training
+    has no SQL twin); pytest pins determinism and that the assignment is
+    the true argmin.
+
+    Scale shape: featurize = narrow + 1 groupBy(doc); training cost is
+    constant (sample-bounded); assignment is a narrow map over the
+    vectors; final count is a tiny aggregate on the 8-value cluster key."""
+    from storm_data_etl_spark.operators import similarity as S
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_remove(F.split("text", " +"), "")).alias("tok"),
+    )
+    h = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(2147483648)),
+    )
+    hashed = toks.select("doc_id", F.pmod(h, F.lit(64)).cast("int").alias("feature"))
+    vecs = hashed.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("feature") == i, 1).otherwise(0)).cast("double")
+                for i in range(64)
+            ]
+        ).alias("embedding")
+    )
+    vecs = vecs.withColumnRenamed("doc_id", "vec_id")
+    cents = S.train_ivf_centroids(vecs, dim=64, n_centroids=8, sample_n=512)
+    assigned = vecs.withColumn(
+        "cluster", S._nearest_cells("embedding", cents, 1)[0]["cell"]
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("vec_id").alias("canonical_doc"),
+        )
+        .orderBy("cluster")
+    )

@@ -157,3 +157,12 @@ def test_holt_trend_forecast_matches_python_fold(spark, sf_dir):
         assert r["level_e4"] == math.floor(10000 * l)
         assert r["trend_e4"] == math.floor(10000 * b)
         assert r["forecast3_e4"] == math.floor(10000 * (l + 3 * b))
+
+
+def test_text_cluster_sizes_deterministic_and_total(spark, sf_dir):
+    a = CQ.text_cluster_sizes(spark, sf_dir).collect()
+    b = CQ.text_cluster_sizes(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # deterministic
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in a) == n_docs  # every doc assigned once
+    assert 1 <= len(a) <= 8
