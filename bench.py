@@ -60,6 +60,7 @@ HEADLINE = [
     "cdc_upsert_merge",
     "decontaminate_benchmark",
     "bm25_keyword_search",
+    "phrase_search_positional",
     "hypertable_rollup",
     "session_window_agg",
     "sliding_window_counts",

@@ -928,3 +928,67 @@ def text_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# =====================================================================
+# Positional phrase search (the inverted-index phrase operator BM25's
+# bag-of-words scoring cannot express)
+# =====================================================================
+
+_PHRASE = ("slow", "hash", "batch")
+
+
+@register(
+    "phrase_search_positional",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(w) AS tok,
+             unnest(range(1, len(w) + 1)) AS p
+      FROM toks
+    ),
+    t0 AS (SELECT doc_id, p FROM pos WHERE tok = '{_PHRASE[0]}'),
+    t1 AS (SELECT doc_id, p FROM pos WHERE tok = '{_PHRASE[1]}'),
+    t2 AS (SELECT doc_id, p FROM pos WHERE tok = '{_PHRASE[2]}'),
+    hits AS (
+      SELECT t0.doc_id, t0.p AS start_pos
+      FROM t0
+      JOIN t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+      JOIN t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2
+    )
+    SELECT doc_id, count(*) AS n_occurrences,
+           CAST(min(start_pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('slow hash batch') via positional posting
+    intersection — the inverted-index operator behind quoted queries,
+    which bag-of-words scoring (bm25_keyword_search) cannot express.
+    Postings are built ONLY for the phrase's terms (the filter pushes to
+    the token stream before any join — at 100 TB this is the difference
+    between joining three term posting lists and joining the corpus), and
+    adjacency is two equi-joins on (doc, position). Emits per-doc
+    occurrence counts and the first match position; the oracle replays
+    the identical positional algebra, and pytest cross-checks against the
+    naive contains() scan."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.array_remove(F.split("text", " +"), "")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    t0 = toks.filter(F.col("tok") == _PHRASE[0]).select("doc_id", F.col("p").alias("pa"))
+    t1 = toks.filter(F.col("tok") == _PHRASE[1]).select("doc_id", F.col("p").alias("pb"))
+    t2 = toks.filter(F.col("tok") == _PHRASE[2]).select("doc_id", F.col("p").alias("pc"))
+    hits = (
+        t0.join(t1, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .join(t2, "doc_id")
+        .filter(F.col("pc") == F.col("pa") + 2)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pa").alias("first_pos"),
+    )

@@ -166,3 +166,26 @@ def test_text_cluster_sizes_deterministic_and_total(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in a) == n_docs  # every doc assigned once
     assert 1 <= len(a) <= 8
+
+
+def test_phrase_search_agrees_with_naive_contains(spark, sf_dir):
+    """The positional-index method must find exactly the docs a naive
+    substring scan finds (token-boundary-safe: pad the text with spaces)."""
+    got = {r.doc_id: r for r in CQ.phrase_search_positional(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    phrase = " ".join(CQ._PHRASE)
+    naive = {}
+    for d in docs:
+        toks = [w for w in (d.text or "").split(" ") if w]
+        n = sum(
+            1
+            for i in range(len(toks) - 2)
+            if tuple(toks[i : i + 3]) == CQ._PHRASE
+        )
+        if n:
+            naive[d.doc_id] = n
+        # sanity that the phrase really appears as a substring too
+        if n:
+            assert phrase in " ".join(toks)
+    assert {k: v.n_occurrences for k, v in got.items()} == naive
+    assert naive, "fixture should contain the phrase at least once"
