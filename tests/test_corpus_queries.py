@@ -188,4 +188,24 @@ def test_phrase_search_agrees_with_naive_contains(spark, sf_dir):
         if n:
             assert phrase in " ".join(toks)
     assert {k: v.n_occurrences for k, v in got.items()} == naive
-    assert naive, "fixture should contain the phrase at least once"
+
+    # the sf0.001 fixture may not contain the phrase at all — exercise the
+    # positive path on a handcrafted corpus regardless of fixture content
+    hand = spark.createDataFrame(
+        [
+            (1, "x slow hash batch y slow hash batch"),  # two occurrences
+            (2, "slow hash batch"),                      # at the very start
+            (3, "slow hash other batch"),                # near miss
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    orig = CQ.t
+    CQ.t = lambda spark_, sf_dir_, name: hand  # noqa: ARG005
+    try:
+        hits = {r.doc_id: r for r in CQ.phrase_search_positional(spark, "x").collect()}
+    finally:
+        CQ.t = orig
+    assert hits[1].n_occurrences == 2 and hits[1].first_pos == 2
+    assert hits[2].n_occurrences == 1 and hits[2].first_pos == 1
+    assert 3 not in hits and 4 not in hits
