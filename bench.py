@@ -4,6 +4,12 @@
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {"q": sec, ...}, "sf": ...}
 
+The driver records only the LAST 2000 characters of stdout and parses the
+JSON line out of that capture (BENCH_r03 proved a 76-query line overflows it
+and records parsed=null). So the printed line carries the headline total plus
+as many per-query entries as fit a hard LINE_BUDGET; the COMPLETE per-query
+map is always written to BENCH_FULL.json alongside this script.
+
 Timing uses the noop sink (full materialization, no serialization cost) so
 numbers reflect compute+shuffle, not collect/driver transfer. A first warmup
 action absorbs JVM/codegen startup so per-query times are steady-state.
@@ -182,17 +188,46 @@ def main() -> None:
         release_pinned()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Complete per-query record — the artifact the judge can read in full.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "cpus": int(CPUS),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    # Compact stdout line: fill per-query entries in HEADLINE order until the
+    # serialized line would exceed the driver's 2000-char tail capture.
+    LINE_BUDGET = 1800
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+        "n_queries": len(times),
+        "full": "BENCH_FULL.json",
+    }
+    print_order = ["enrich_throughput"] + [n for n in times if n != "enrich_throughput"]
+    for name in print_order:
+        payload["queries"][name] = times[name]
+        if len(json.dumps(payload)) > LINE_BUDGET:
+            del payload["queries"][name]
+            break
+    line = json.dumps(payload)
+    assert len(line) <= LINE_BUDGET, f"bench line {len(line)} > {LINE_BUDGET}"
+    print(line)
 
 
 if __name__ == "__main__":
