@@ -26,6 +26,7 @@ from storm_data_etl_spark.plans import window_queries as _wq  # noqa: F401
 from storm_data_etl_spark.plans import lake_queries as _lq  # noqa: F401
 from storm_data_etl_spark.plans import corpus_queries as _cq  # noqa: F401
 from storm_data_etl_spark.plans import geo_queries as _gq  # noqa: F401
+from storm_data_etl_spark.plans import retrieval_queries as _rq  # noqa: F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -88,6 +89,10 @@ PRIORITY = [
     "cms_frequency_estimates",
     "text_cluster_sizes",
     # round-4 additions (new queries are appended here as they land)
+    "rrf_hybrid_search",
+    "blocklist_filter_stats",
+    "quality_model_score",
+    "url_canonical_dedup",
 ]
 
 

@@ -34,6 +34,7 @@ from storm_data_etl_spark.plans import window_queries as _wq  # noqa: F401
 from storm_data_etl_spark.plans import lake_queries as _lq  # noqa: F401
 from storm_data_etl_spark.plans import corpus_queries as _cq  # noqa: F401
 from storm_data_etl_spark.plans import geo_queries as _gq  # noqa: F401
+from storm_data_etl_spark.plans import retrieval_queries as _rq  # noqa: F401
 from storm_data_etl_spark.plans.tables import t
 from storm_data_etl_spark.functions.enrich import enrich_envelope
 
@@ -128,6 +129,11 @@ HEADLINE = [
     "value_concentration_gini",
     "k_anonymity_audit",
     "association_rules",
+    # round-4 additions: hybrid retrieval + curation filters
+    "rrf_hybrid_search",
+    "blocklist_filter_stats",
+    "quality_model_score",
+    "url_canonical_dedup",
 ]
 
 

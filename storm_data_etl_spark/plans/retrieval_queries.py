@@ -1,0 +1,444 @@
+"""Hybrid retrieval and corpus-curation queries (round 4).
+
+Extends the training-data-pipeline surface with the retrieval/filtering
+operators a modern corpus build runs between crawl and training: hybrid
+lexical+vector search fused with reciprocal-rank fusion (Cormack et al.
+2009, the de-facto fusion rule in Elasticsearch/Vespa/OpenSearch), broadcast
+blocklist filtering, model-based quality scoring (FineWeb/DCLM-style linear
+classifier inference), and URL canonicalization dedup (the crawl-level dedup
+that runs BEFORE any content hashing).
+
+The reference (couchcryptid/storm-data-etl) has no retrieval surface; its
+closest analogs are the validate/report scans (cmd/validate/main.go,
+cmd/genmock/main.go:194-354). These queries follow the same engine rules as
+the rest of the repo: JVM expressions only in the data path, every
+aggregated double quantized with floor(x * 10^k) before emission, no
+transcendentals whose libm rounding could differ across engines (the quality
+model uses a rational saturation n/(n+50) instead of ln(1+n)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.functions import vectors as V
+from storm_data_etl_spark.plans.ml_queries import _sql_cosine
+from storm_data_etl_spark.plans.queries import register
+from storm_data_etl_spark.plans.tables import t
+
+# =====================================================================
+# Hybrid search: BM25 lexical leg + exact-cosine vector leg, fused with
+# reciprocal rank fusion  rrf(d) = Σ_legs 1/(K + rank_leg(d))
+# =====================================================================
+
+_RRF_K = 60          # Cormack et al. 2009 default
+_RRF_TERMS = ("spark", "join", "window")  # same query as bm25_keyword_search
+_RRF_PROBE_ID = 0    # vector query = embedding of vec_id 0 (doc_id-aligned)
+_RRF_LEG_DEPTH = 50  # candidates per leg before fusion
+
+
+@register(
+    "rrf_hybrid_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM d, unnest(toks) AS u(tok)
+      WHERE tok IN {repr(tuple(_RRF_TERMS))}
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    lex AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             ), 6) AS lex_score
+      FROM tf
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+      FROM lex
+      QUALIFY lex_rank <= {_RRF_LEG_DEPTH}
+    ),
+    probe AS (
+      SELECT embedding::DOUBLE[] AS pv FROM embeddings
+      WHERE vec_id = {_RRF_PROBE_ID}
+    ),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             {_sql_cosine("(e.embedding::DOUBLE[])", "probe.pv")} AS cos_raw
+      FROM embeddings e CROSS JOIN probe
+      WHERE e.vec_id <> {_RRF_PROBE_ID}
+    ),
+    vecr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_raw DESC, doc_id) AS vec_rank
+      FROM vec
+      QUALIFY vec_rank <= {_RRF_LEG_DEPTH}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + l.lex_rank), CAST(0 AS DOUBLE))
+             + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + v.vec_rank), CAST(0 AS DOUBLE))
+               AS rrf
+      FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank,
+           CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_e9
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 (lexical leg) and exact-cosine top-50
+    against the vec_id-0 probe (vector leg), fused with reciprocal rank
+    fusion 1/(60+rank) and re-ranked; top-10 emitted.
+
+    Scale shape: the lexical leg is the proven bm25_keyword_search plan
+    (posting-list TF shuffle, broadcast DF + corpus stats) truncated to 50
+    candidates via TakeOrdered; the vector leg is one broadcast-probe scan
+    (ann_cosine_topk's plan with one probe). Fusion then joins two ≤50-row
+    sides — driver-trivial at any corpus size; at 100 TB the legs, not the
+    fusion, carry all the cost, and each leg is independently the scale
+    design already proven in its standalone query. Ranks are integers, so
+    the fused score 1/(60+r) is bit-identical across engines; it is
+    emitted floor-quantized at 1e9.
+    """
+    k1, b = 1.2, 0.75
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    )
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_RRF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    lex = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("lex_score"))
+    )
+    # TakeOrdered truncation first, then rank the ≤50 survivors (the window
+    # runs on a driver-trivial row count, never the corpus).
+    lex50 = lex.orderBy(F.col("lex_score").desc(), "doc_id").limit(_RRF_LEG_DEPTH)
+    lexr = lex50.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.col("lex_score").desc(), "doc_id")),
+    ).select("doc_id", "lex_rank")
+
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == _RRF_PROBE_ID).select(
+        F.col("embedding").alias("pv")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") != _RRF_PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.cosine("embedding", "pv").alias("cos_raw"),
+        )
+    )
+    vec50 = vec.orderBy(F.col("cos_raw").desc(), "doc_id").limit(_RRF_LEG_DEPTH)
+    vecr = vec50.withColumn(
+        "vec_rank",
+        F.row_number().over(Window.orderBy(F.col("cos_raw").desc(), "doc_id")),
+    ).select("doc_id", "vec_rank")
+
+    zero = F.lit(0.0)
+    fused = (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lex_rank")), zero)
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("vec_rank")), zero),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id", "lex_rank", "vec_rank",
+            F.floor(F.col("rrf") * 1e9).cast("bigint").alias("rrf_e9"),
+        )
+    )
+
+
+# =====================================================================
+# Broadcast blocklist filtering (toxicity/profanity-style term lists)
+# =====================================================================
+
+_BLOCKLIST = ("slow", "drop", "fail")
+
+
+@register(
+    "blocklist_filter_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, source, len(toks) AS n_words,
+             len(list_filter(toks, w -> w IN {repr(tuple(_BLOCKLIST))})) AS n_hits
+      FROM d
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(max(n_hits) AS BIGINT) AS max_hits,
+           CAST(sum(CASE WHEN n_words > 0
+                          AND n_hits * 100 >= n_words THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM hits GROUP BY source
+    """,
+)
+def blocklist_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist filtering pass: per-source counts of documents with
+    any blocklisted token, total/max hit counts, and documents whose hit
+    density crosses the drop threshold (≥1 hit per 100 words, evaluated in
+    integer cross-multiplication so no float ever enters the verdict).
+
+    Scale shape: the blocklist is a literal IN-list compiled into the scan
+    (a real list is a broadcast join against a KB-size dimension — same
+    plan class); one shuffle for the per-source aggregate. All-integer
+    arithmetic end to end.
+    """
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda w: w != "")
+    hits = docs.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        F.size(F.filter(toks, lambda w: w.isin(*_BLOCKLIST))).alias("n_hits"),
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).alias("n_flagged"),
+        F.sum("n_hits").alias("total_hits"),
+        F.max("n_hits").cast("bigint").alias("max_hits"),
+        F.sum(
+            F.when(
+                (F.col("n_words") > 0)
+                & (F.col("n_hits") * 100 >= F.col("n_words")),
+                1,
+            ).otherwise(0)
+        ).alias("n_dropped"),
+    )
+
+
+# =====================================================================
+# Model-based quality scoring: linear classifier inference
+# (FineWeb-Edu / DCLM-style quality filters run a learned scorer over
+# every document; here the scorer is a fixed linear model over exact
+# per-row features so inference stays in whole-stage codegen)
+# =====================================================================
+
+#: (bias, w_saturated_length, w_mean_word_len, w_uniq_ratio, w_stop_ratio,
+#:  w_digit_ratio) — fixed public weights; the CONTRACT is the inference
+#: plan, not the model fit.
+_QW = (-1.5, 2.0, 0.3, 1.2, 0.8, -2.0)
+_QSTOP = ("a", "the", "of", "and", "to")
+
+
+@register(
+    "quality_model_score",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             len(toks) AS n_words,
+             list_reduce(list_prepend(0, list_transform(toks, w -> length(w))),
+                         (x, y) -> x + y) AS sum_wlen,
+             len(list_distinct(toks)) AS n_uniq,
+             len(list_filter(toks, w -> w IN {repr(tuple(_QSTOP))})) AS n_stop,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digits
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, source,
+             {_QW[0]}
+             + {_QW[1]} * (CAST(n_words AS DOUBLE) / (n_words + 50))
+             + {_QW[2]} * (CASE WHEN n_words > 0
+                 THEN CAST(sum_wlen AS DOUBLE) / n_words ELSE 0 END)
+             + {_QW[3]} * (CASE WHEN n_words > 0
+                 THEN CAST(n_uniq AS DOUBLE) / n_words ELSE 0 END)
+             + {_QW[4]} * (CASE WHEN n_words > 0
+                 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0 END)
+             + {_QW[5]} * (CASE WHEN n_chars > 0
+                 THEN CAST(n_digits AS DOUBLE) / n_chars ELSE 0 END)
+               AS logit
+      FROM f
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CAST(floor(logit * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_logit_e6
+    FROM s GROUP BY source
+    """,
+)
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference over every document: five exact
+    per-row features (rational length saturation n/(n+50) — deliberately no
+    ln(), whose libm rounding is engine-specific — mean word length, unique
+    -token ratio, stopword ratio, digit-character ratio) dotted with fixed
+    weights; per-source keep counts and the exact integer sum of
+    floor-quantized logits.
+
+    Scale shape: inference is pure whole-stage-codegen expressions on the
+    scan (a real learned linear/fasttext-style model broadcasts a
+    weight vector — same plan class, no Python in the path); the per-row
+    logit is quantized to int64 BEFORE the sum, so the group aggregate is
+    exact integer arithmetic with no summation-order noise.
+    """
+    w = _QW
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    f = docs.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+        ).alias("sum_wlen"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda x: x.isin(*_QSTOP))).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("n_digits"),
+    )
+    nw = F.col("n_words")
+    logit = (
+        F.lit(w[0])
+        + w[1] * (nw.cast("double") / (nw + 50))
+        + w[2] * F.when(nw > 0, F.col("sum_wlen").cast("double") / nw).otherwise(0.0)
+        + w[3] * F.when(nw > 0, F.col("n_uniq").cast("double") / nw).otherwise(0.0)
+        + w[4] * F.when(nw > 0, F.col("n_stop").cast("double") / nw).otherwise(0.0)
+        + w[5]
+        * F.when(
+            F.col("n_chars") > 0,
+            F.col("n_digits").cast("double") / F.col("n_chars"),
+        ).otherwise(0.0)
+    )
+    s = f.select("source", logit.alias("logit"))
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("logit") > 0, 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.floor(F.col("logit") * 1e6).cast("bigint")).alias("sum_logit_e6"),
+    )
+
+
+# =====================================================================
+# URL canonicalization dedup (crawl-level dedup before content hashing)
+# =====================================================================
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'https://CDN' ELSE 'https://cdn' END
+             || CAST(doc_id % 5 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 THEN '.Example.ORG' ELSE '.example.org' END
+             || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+             || '/corpus/doc-' || CAST(doc_id % 250 AS VARCHAR) || '.txt'
+             || '?rev=' || CAST(doc_id % 7 AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '&utm_source=feed' ELSE '' END
+             || CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                     ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+             'https://'
+             || lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))
+             || regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1)
+             || '?' || regexp_extract(url, '[?&](rev=[0-9]+)', 1) AS curl
+      FROM raw
+    )
+    SELECT host,
+           count(*) AS n_urls,
+           count(DISTINCT curl) AS n_canonical,
+           count(*) - count(DISTINCT curl) AS n_dupes
+    FROM canon GROUP BY host
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization + dedup: raw URLs (synthesized with the
+    real-world mess — mixed-case hosts, explicit default :443 port,
+    utm_* tracking params, fragments; the path collides mod 250 so true
+    duplicates exist) normalized to scheme+lower(host)+path+kept-params,
+    then per-host unique/duplicate volumes.
+
+    This is the dedup stage every crawl pipeline runs before any content
+    hash: canonicalization is pure per-row string expressions (whole-stage
+    codegen), and the dedup is one count(DISTINCT canonical) shuffle keyed
+    by host — the natural partition key, since a host's URLs co-locate.
+    Regex on BOTH engines (not parse_url) so the mixed-case extraction is
+    character-identical; url_host_stats keeps the parse_url surface.
+    """
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("https://CDN")).otherwise(F.lit("https://cdn")),
+        (did % 5).cast("string"),
+        F.when(did % 2 == 0, F.lit(".Example.ORG")).otherwise(F.lit(".example.org")),
+        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/corpus/doc-"), (did % 250).cast("string"), F.lit(".txt"),
+        F.lit("?rev="), (did % 7).cast("string"),
+        F.when(did % 4 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+        F.when(did % 2 == 1, F.concat(F.lit("#sec"), (did % 3).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    raw = docs.select(url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/:?#]+)", 1))
+    curl = F.concat(
+        F.lit("https://"),
+        host,
+        F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+(/[^?#]*)", 1),
+        F.lit("?"),
+        F.regexp_extract("url", r"[?&](rev=[0-9]+)", 1),
+    )
+    canon = raw.select(host.alias("host"), curl.alias("curl"))
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("curl").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.count_distinct("curl")).alias("n_dupes"),
+    )
