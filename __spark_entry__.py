@@ -33,66 +33,74 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #: Curated head of the registry: the driver's correctness gate samples the
 #: first entries of queries() in order, so each round front-loads queries
 #: that have NOT yet been through the gate (never_gated() below tracks the
-#: set explicitly from the CORRECTNESS_r*.json records). Rounds 1-3
-#: hash-proved 139 distinct queries (see CORRECTNESS_r*.json); this round-4
-#: head is all 43 remaining never-gated queries — 36 oracle-backed (verified
-#: by the local gate replica tools/oracle_check.py at sf0.01 before
-#: rotation) plus the 7 rows-only-by-design entries (LSH/PQ/sketch/BPE —
-#: err=no_oracle is their designed evidence tier, recorded once then rotated
-#: out) — followed by this round's new queries.
+#: set explicitly from the CORRECTNESS_r*.json records). Rounds 1-4
+#: hash-proved all 174 oracle-backed queries and recorded the 13
+#: rows-only-by-design entries' weaker evidence tier once each, so
+#: never_gated() is empty entering round 5. This round-5 head is the 3 new
+#: exactness-regime queries (IVF full-probe / LSH zero-plane / collision-free
+#: CMS — each provably identical to its exact oracle, certifying the
+#: approximate machinery itself; verified by the local gate replica
+#: tools/oracle_check.py at sf0.001 and sf0.01 before rotation), followed by
+#: 47 RE-VERIFICATION slots: the oracle-backed queries whose last driver
+#: hash-pass is oldest (round 1), so gate evidence stays fresh instead of
+#: resting on round-1 records forever.
 PRIORITY = [
-    # round-3 continuation operators, never sampled by the gate
-    "collation_join_sort",
-    "oph_dedup_verified",
-    "cluster_quality_canonical",
-    "incremental_corpus_dedup",
-    "temperature_sampling_mix",
-    "payload_byte_profile",
-    "png_decode_stats",
-    "gif_decode_stats",
-    "jpeg_decode_stats",
-    "video_frame_decode_stats",
-    "audio_decode_stats",
-    "substring_dup_spans",
-    "mixed_media_decode_stats",
-    "image_dhash_groups",
-    "audio_fingerprint_groups",
-    "weighted_corpus_pick",
-    "multitouch_attribution",
-    "ansi_safe_division",
-    "welch_ttest",
-    "association_rules",
-    "k_anonymity_audit",
-    "ks_two_sample",
-    "mad_outliers",
-    "benford_digit_audit",
-    "value_concentration_gini",
-    "constraint_audit",
-    "entity_match_scores",
-    "corpus_snapshot_diff",
-    "compaction_plan",
-    "hilbert_curve_stats",
-    "url_host_stats",
-    "doc_repetition_stats",
-    "holt_trend_forecast",
-    "feature_hash_vectors",
-    "phrase_search_positional",
-    "points_in_polygon",
-    # rows-only by design (no SQL twin — approximate/sketch/training ops);
-    # one gate pass records their rows-only evidence tier, then never_gated()
-    # rotates them out permanently.
-    "oph_lsh_pairs",
-    "ann_pq_topk",
-    "bpe_subword_stats",
-    "ann_ivfpq_topk",
-    "hll_distinct_rollup",
-    "cms_frequency_estimates",
-    "text_cluster_sizes",
-    # round-4 additions (new queries are appended here as they land)
-    "rrf_hybrid_search",
-    "blocklist_filter_stats",
-    "quality_model_score",
-    "url_canonical_dedup",
+    # round-5 additions: exactness-regime oracle twins for the sketch/ANN
+    # machinery (never gated yet)
+    "ann_ivf_fullprobe_topk",
+    "ann_lsh_fullcover_topk",
+    "cms_exact_regime",
+    # re-verification backlog: hash-passed in round 1 only — refresh their
+    # records (oldest-first, then alphabetical; computed from
+    # CORRECTNESS_r*.json)
+    "ann_cosine_topk",
+    "anti_join_missing",
+    "bounding_box",
+    "conditional_counts",
+    "containment_near_dup",
+    "count_parity",
+    "cross_source_overlap",
+    "dedup_cluster_assign",
+    "dedup_first_wins",
+    "distinct_count",
+    "doc_quality_filter",
+    "doc_quality_scores",
+    "embedding_near_dup_exact",
+    "embedding_norm_stats",
+    "embedding_quantize_error",
+    "enum_membership",
+    "filter_compound",
+    "filter_disjunctive",
+    "first_per_group",
+    "global_max",
+    "jaccard_prefix_filtered",
+    "join_field_compare",
+    "join_multiway",
+    "lang_id_distribution",
+    "minhash_dedup_verified",
+    "ngram_jaccard_pairs",
+    "null_presence",
+    "semi_join",
+    "set_except",
+    "set_intersect",
+    "top_groups",
+    "top_unshipped",
+    "union_by_name",
+    # re-verification continued: round-2 vintage
+    "asof_join",
+    "bigram_lm_score",
+    "binary_payload_stats",
+    "bm25_keyword_search",
+    "bpe_token_budget",
+    "cdc_upsert_merge",
+    "corpus_after_dedup",
+    "cube_counts",
+    "curation_funnel",
+    "decontaminate_benchmark",
+    "doc_chunking",
+    "doc_fingerprint_dedup",
+    "doc_token_stats",
+    "gapfill_forward_fill",
 ]
 
 

@@ -213,8 +213,9 @@ def main() -> None:
             sort_keys=True,
         )
 
-    # Compact stdout line: fill per-query entries in HEADLINE order until the
-    # serialized line would exceed the driver's 2000-char tail capture.
+    # Compact stdout line: fill per-query entries (enrich_throughput first,
+    # then insertion order), skipping any entry that would push the
+    # serialized line over the driver's 2000-char tail capture.
     LINE_BUDGET = 1800
     payload = {
         "metric": "headline_queries_total",
@@ -229,8 +230,9 @@ def main() -> None:
     for name in print_order:
         payload["queries"][name] = times[name]
         if len(json.dumps(payload)) > LINE_BUDGET:
+            # keep trying later (shorter) names — a single long name must
+            # not end the fill while budget remains
             del payload["queries"][name]
-            break
     line = json.dumps(payload)
     assert len(line) <= LINE_BUDGET, f"bench line {len(line)} > {LINE_BUDGET}"
     print(line)

@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 #: end-of-word sentinel (standard BPE: lets merges distinguish suffixes).
 EOW = "</w>"
 
+#: hard cap on the driver-side word-frequency table: ~100k short rows is
+#: megabytes; anything a caller "needs" beyond this belongs in a
+#: distributed algorithm, not a bigger collect().
+MAX_DRIVER_VOCAB = 100_000
+
 
 def _word_symbols(word: str) -> tuple[str, ...]:
     return tuple(word) + (EOW,)
@@ -49,6 +54,12 @@ def train_bpe_merges(
     adjacent symbol pair, ties broken by lexicographically smallest pair —
     so the same corpus always yields the same merges on any engine.
     """
+    if top_words > MAX_DRIVER_VOCAB:
+        raise ValueError(
+            f"top_words={top_words} exceeds the driver-safe cap "
+            f"{MAX_DRIVER_VOCAB}: the vocab table is collect()ed — at 100 TB "
+            "an unbounded request here is a driver OOM, not a bigger model"
+        )
     rows = (
         docs.select(F.explode(F.split(F.col(text_col), " +")).alias("w"))
         .filter(F.col("w") != "")

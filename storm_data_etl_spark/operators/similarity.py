@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import vectors as V
 
+#: hard cap on driver-side training samples (IVF centroids / PQ codebooks):
+#: 65k × 64-dim doubles is ~33 MB on the driver — plenty for k-means on a
+#: handful of centroids. A larger "sample" is a driver OOM at 100 TB, not a
+#: better codebook; callers needing more should train distributed.
+MAX_TRAIN_SAMPLE = 65_536
+
+
+def _check_sample_n(sample_n: int) -> None:
+    if sample_n > MAX_TRAIN_SAMPLE:
+        raise ValueError(
+            f"sample_n={sample_n} exceeds the driver-safe training-sample "
+            f"cap {MAX_TRAIN_SAMPLE}: the sample is collect()ed to the driver"
+        )
+
 
 def _deterministic_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Pseudo-random unit hyperplanes from a fixed LCG (no RNG state shared
@@ -164,6 +178,7 @@ def train_ivf_centroids(
     """
     import numpy as np
 
+    _check_sample_n(sample_n)
     rows = (
         vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")
@@ -276,6 +291,7 @@ def train_pq_codebooks(
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    _check_sample_n(sample_n)
     sub = dim // m
     rows = (
         vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))

@@ -470,6 +470,70 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, probes, dim=64, k=10, n_planes=8)
 
 
+# Exactness-regime oracle for the approximate-ANN machinery: identical to
+# ann_cosine_topk's brute-force SQL (plus the NOT NULL guard the kernels
+# need). In the full-probe / zero-plane configurations below, IVF and LSH
+# provably degenerate to brute force, so the SAME exact oracle certifies the
+# cell-assignment / bucket-join / window-rerank plumbing itself — not just
+# its recall bounds.
+_ANN_EXACT_ORACLE = f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS probe_vec
+      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+    ),
+    pairs AS (
+      SELECT p.probe_id, e.vec_id, e.embedding::DOUBLE[] AS ev, p.probe_vec
+      FROM embeddings e, probes p
+      WHERE e.vec_id <> p.probe_id AND e.embedding IS NOT NULL
+    ),
+    scored AS (
+      SELECT probe_id, vec_id, {_sql_cosine('ev', 'probe_vec')} AS cos_raw
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ann_ivf_fullprobe_topk", _ANN_EXACT_ORACLE)
+def ann_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF run in its exactness regime: n_probe == n_centroids means every
+    probe scans EVERY cell, and since cells partition the vectors and
+    in-cell distances are exact cosines, the result is provably identical
+    to brute force regardless of centroid quality. This hash-gates the
+    whole IVF pipeline — sampled k-means training, literal-codebook cell
+    assignment, probe explode, cell equality-join, per-probe window rerank
+    — against the exact SQL oracle, complementing ann_ivf_topk whose
+    pruned (n_probe=3) form is approximate by design and rows-only."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    if not emb.limit(1).count():
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cosine double, rank int"
+        )
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    centroids = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
+    return S.ivf_topk(emb, probes, centroids, k=10, n_probe=len(centroids))
+
+
+@register("ann_lsh_fullcover_topk", _ANN_EXACT_ORACLE)
+def ann_lsh_fullcover_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH run in its exactness regime: zero planes puts every
+    vector in bucket 0, so the bucket equality-join degenerates to the
+    exact candidate set and the result is provably brute force. This
+    hash-gates the LSH plumbing (sign packing, bucket join, in-bucket
+    cosine, window rerank) against the exact SQL oracle, complementing
+    ann_lsh_topk whose 8-plane form is approximate by design."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    return S.lsh_bucketed_topk(emb, probes, dim=64, k=10, n_planes=0)
+
+
 @register("ann_ivf_topk", None)  # approximate by design: no exact oracle
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the same probes — the trained-codebook

@@ -2483,6 +2483,61 @@ def cms_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_exact_regime",
+    """
+    SELECT abs(user_id) % 61 AS key61,
+           count(*) AS true_count,
+           count(*) AS cms_estimate
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def cms_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch run in its exactness regime, hash-gated against the
+    plain groupBy oracle. Keys are folded to abs(user_id) % 61 (domain
+    0..60) and each of the d=4 rows buckets by key*(s+1) mod 61 — 61 is
+    prime and s+1 ∈ {1..4} is coprime to it, so every row's bucket map is
+    injective on the key domain: zero collisions, and min-over-rows is
+    provably the exact count. The SAME sketch pipeline as
+    cms_frequency_estimates (posexplode to (row, bucket) cells, one
+    groupBy, min-over-rows probe join) executes end to end; only the hash
+    family differs, so a hash match certifies the CMS machinery itself —
+    complementing the xxhash64 form whose estimates are rows-only by
+    design with pytest ε·N bounds."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.pmod(F.abs(F.col("user_id")), F.lit(61)).alias("key61"))
+    )
+    d, w = 4, 61
+    hashed = ev.select(
+        F.col("key61"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.col("key61") * F.lit(s_ + 1), F.lit(w))
+                    for s_ in range(d)
+                ]
+            )
+        ).alias("row", "bucket"),
+    ).select("row", "bucket")
+    sketch = hashed.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = ev.select("key61").distinct()
+    probe_cells = probes.crossJoin(
+        F.broadcast(spark.range(d).withColumnRenamed("id", "row"))
+    ).withColumn(
+        "bucket", F.pmod(F.col("key61") * (F.col("row") + 1), F.lit(w))
+    )
+    est = (
+        probe_cells.join(sketch, ["row", "bucket"], "left")
+        .groupBy("key61")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_estimate"))
+    )
+    exact = ev.groupBy("key61").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(exact, "key61").select("key61", "true_count", "cms_estimate")
+
+
+@register(
     "benford_digit_audit",
     """
     WITH x AS (

@@ -25,6 +25,11 @@ BATCH_SIZE_BUCKETS = (1, 5, 10, 25, 50, 100)
 BATCH_DURATION_BUCKETS_MS = (10, 50, 100, 500, 1000, 5000, 10000)
 
 
+#: overflow pseudo-bound for observations above the top bucket (Prometheus
+#: +Inf bucket; exposition needs it so histogram _count is conserved)
+HIST_INF = -1
+
+
 @dataclass
 class MetricsSnapshot:
     consumed_total: int = 0
@@ -34,6 +39,8 @@ class MetricsSnapshot:
     batches: int = 0
     batch_size_hist: dict[int, int] = field(default_factory=dict)
     batch_duration_hist_ms: dict[int, int] = field(default_factory=dict)
+    batch_size_sum: int = 0
+    batch_duration_sum_ms: int = 0
 
 
 class PipelineMetricsListener(StreamingQueryListener):
@@ -57,16 +64,26 @@ class PipelineMetricsListener(StreamingQueryListener):
         with self._lock:
             self._m.consumed_total += rows
             self._m.batches += 1
+            self._m.batch_size_sum += rows
+            self._m.batch_duration_sum_ms += duration
             for b in BATCH_SIZE_BUCKETS:
                 if rows <= b:
                     self._m.batch_size_hist[b] = self._m.batch_size_hist.get(b, 0) + 1
                     break
+            else:  # above the top bound → +Inf overflow bucket
+                self._m.batch_size_hist[HIST_INF] = (
+                    self._m.batch_size_hist.get(HIST_INF, 0) + 1
+                )
             for b in BATCH_DURATION_BUCKETS_MS:
                 if duration <= b:
                     self._m.batch_duration_hist_ms[b] = (
                         self._m.batch_duration_hist_ms.get(b, 0) + 1
                     )
                     break
+            else:
+                self._m.batch_duration_hist_ms[HIST_INF] = (
+                    self._m.batch_duration_hist_ms.get(HIST_INF, 0) + 1
+                )
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         with self._lock:
@@ -94,4 +111,6 @@ class PipelineMetricsListener(StreamingQueryListener):
                 batches=self._m.batches,
                 batch_size_hist=dict(self._m.batch_size_hist),
                 batch_duration_hist_ms=dict(self._m.batch_duration_hist_ms),
+                batch_size_sum=self._m.batch_size_sum,
+                batch_duration_sum_ms=self._m.batch_duration_sum_ms,
             )

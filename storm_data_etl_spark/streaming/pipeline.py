@@ -93,6 +93,7 @@ def run_pipeline(
     processed_at: str | None = None,
     dead_letter_path: str | None = None,
     dead_letter_sink: Callable[[DataFrame, int], None] | None = None,
+    metrics=None,
 ) -> StreamingQuery:
     """ST1: the continuous pipeline as a foreachBatch streaming query.
 
@@ -100,11 +101,21 @@ def run_pipeline(
     with a single source read — the exact structure of the reference's
     extract→transform→load loop, with offset commit after load handled by
     the checkpoint.
+
+    ``metrics`` (a PipelineMetricsListener) mirrors the reference's in-loop
+    counter increments (pipeline.go's MessagesProduced / TransformErrors):
+    the batch is persisted for the extra count action, bounded by the
+    micro-batch size — the standard multi-action foreachBatch pattern.
     """
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         good_parsed, dead = split_poison(batch_df)
         good = enrich_raw(good_parsed, processed_at=processed_at)
+        if metrics is not None:
+            good = good.persist()
+            metrics.record_produced(good.count())
+            dead = dead.persist()
+            metrics.record_transform_errors(dead.count())
         if sink is not None:
             sink(good, epoch_id)
         elif kafka_brokers and output_topic:
@@ -125,6 +136,9 @@ def run_pipeline(
                 .write.mode("append")
                 .json(dead_letter_path)
             )
+        if metrics is not None:
+            good.unpersist()
+            dead.unpersist()
 
     return (
         envelope_stream.writeStream.foreachBatch(process_batch)

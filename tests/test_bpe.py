@@ -109,3 +109,12 @@ def test_registered_query_runs(spark, sf_dir):
         # subword count is bounded by characters+1 and below by words
         assert r.n_words <= r.n_subwords
         assert r.compression_e3 >= 1000
+
+
+def test_vocab_collect_is_capped(spark):
+    """top_words is a driver collect() bound — an oversized request must
+    raise before any job runs (driver-OOM guard at 100 TB)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver-safe"):
+        B.train_bpe_merges(_corpus_df(spark), top_words=B.MAX_DRIVER_VOCAB + 1)

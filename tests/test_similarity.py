@@ -168,6 +168,24 @@ def test_pq_rejects_indivisible_dim(spark):
         S.train_pq_codebooks(df, dim=10, m=4)
 
 
+def test_training_sample_collect_is_capped(spark):
+    """An oversized sample_n must raise BEFORE touching the cluster — the
+    training sample is a driver collect(), so the cap is what stands
+    between a careless caller and a driver OOM at 100 TB."""
+    data = _vectors(n=4, dim=8)
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="driver-safe"):
+        S.train_ivf_centroids(df, dim=8, sample_n=S.MAX_TRAIN_SAMPLE + 1)
+    with _pytest.raises(ValueError, match="driver-safe"):
+        S.train_pq_codebooks(df, dim=8, m=2, sample_n=S.MAX_TRAIN_SAMPLE + 1)
+    # at the cap itself, training proceeds (sample smaller than cap is fine)
+    assert S.train_ivf_centroids(
+        df, dim=8, n_centroids=2, sample_n=S.MAX_TRAIN_SAMPLE
+    )
+
+
 def test_ivfpq_topk_recall_and_full_scan_identity(spark):
     data = _vectors(n=100, dim=16)
     df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
