@@ -134,6 +134,12 @@ HEADLINE = [
     "blocklist_filter_stats",
     "quality_model_score",
     "url_canonical_dedup",
+    # round-5 additions: exactness-regime sketch/ANN twins + data-selection
+    "ann_ivf_fullprobe_topk",
+    "ann_lsh_fullcover_topk",
+    "cms_exact_regime",
+    "dsir_importance_weights",
+    "ngram_novelty_scores",
 ]
 
 

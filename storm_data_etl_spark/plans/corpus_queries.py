@@ -992,3 +992,176 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("pa").alias("first_pos"),
     )
+
+
+# =====================================================================
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public literature)
+# =====================================================================
+
+@register(
+    "dsir_importance_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+    dw AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+    rawc AS (SELECT word, count(*) AS cr FROM tok GROUP BY word),
+    tgtc AS (
+      SELECT tok.word, count(*) AS ct
+      FROM tok JOIN documents d ON d.doc_id = tok.doc_id
+      WHERE d.lang = 'en' GROUP BY tok.word
+    ),
+    tots AS (
+      SELECT (SELECT sum(cr) FROM rawc) AS nr,
+             (SELECT coalesce(sum(ct), 0) FROM tgtc) AS nt,
+             (SELECT count(*) FROM rawc) AS v
+    ),
+    ratio AS (
+      SELECT r.word,
+             ln((coalesce(t.ct, 0) + 1)::DOUBLE / (tots.nt + tots.v))
+             - ln((r.cr + 1)::DOUBLE / (tots.nr + tots.v)) AS lr
+      FROM rawc r LEFT JOIN tgtc t ON t.word = r.word CROSS JOIN tots
+    )
+    SELECT dw.doc_id,
+           CAST(sum(dw.c) AS BIGINT) AS n_tokens,
+           CAST(floor(10000 * sum(dw.c * ratio.lr) / sum(dw.c)) AS BIGINT)
+             AS dsir_e4
+    FROM dw JOIN ratio ON ratio.word = dw.word
+    GROUP BY dw.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: mean per-token log-likelihood
+    ratio ln(p_target/p_raw) under add-one-smoothed unigram LMs, with the
+    English subcorpus as the target distribution — the data-selection
+    score used to resample a raw crawl toward a target domain (Xie et al.
+    2023). High = looks like the target; the resampling step itself is the
+    existing weighted_corpus_pick operator.
+
+    Scale shape: three word-keyed aggregations (per-doc·word counts, raw
+    counts, target counts) — all map-side partial over uniform keys — then
+    one join of the per-doc·word table against the vocabulary-bounded
+    ratio table (broadcastable until the vocab outgrows the cap, then AQE
+    shuffle-hash) and a doc-keyed final sum. No all-pairs anywhere; linear
+    in corpus size. ln() appears only in per-word ratios; the aggregated
+    double emits floor-quantized at 1e4 per the repo rule (same accepted
+    libm knife-edge as bigram_lm_score)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", "lang", X.tokens("text").alias("w"))
+    )
+    tok = toks.select("doc_id", "lang", F.explode("w").alias("word"))
+    dw = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    rawc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    tgtc = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = rawc.agg(
+        F.sum("cr").alias("nr"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        F.broadcast(tgtc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")))
+    )
+    ratio = (
+        rawc.join(tgtc, "word", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "word",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + F.col("v"))
+                )
+                - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    return (
+        dw.join(ratio, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.floor(10000 * F.sum(F.col("c") * F.col("lr")) / F.sum("c"))
+            .cast("bigint")
+            .alias("dsir_e4"),
+        )
+    )
+
+
+# =====================================================================
+# N-gram novelty (memorization / boilerplate inverse-signal)
+# =====================================================================
+
+@register(
+    "ngram_novelty_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             w[r.i] || ' ' || w[r.i + 1] || ' ' || w[r.i + 2] AS ng
+      FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+    ),
+    dc AS (SELECT ng, count(*) AS n_docs FROM g GROUP BY ng)
+    SELECT g.doc_id,
+           count(*) AS n_distinct_ngrams,
+           CAST(sum(CASE WHEN dc.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(floor(10000.0 * sum(CASE WHEN dc.n_docs = 1 THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) AS novelty_e4
+    FROM g JOIN dc USING (ng)
+    GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the share of a doc's DISTINCT word
+    trigrams that appear in no other document. Low novelty = boilerplate /
+    near-duplicate / template text (the curation inverse of the Lee et al.
+    substring-dup signal); high = unique content worth keeping.
+
+    Integer arithmetic end to end — no transcendentals, exact cross-engine.
+    Scale shape: trigrams build JVM-side from shifted-slice zip_with (no
+    self-join), distinct on (doc_id, ngram) and the ngram doc-frequency
+    count are the two shuffles, both keyed on uniformly-hashed text keys;
+    the df table joins back ngram-keyed, then one doc-keyed sum. Linear in
+    corpus size; docs with <3 tokens drop out identically on both engines
+    (no trigrams to count)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", X.tokens("text").alias("w"))
+    )
+    n3 = F.greatest(F.size("w") - 2, F.lit(0))
+    tri = F.zip_with(
+        F.slice("w", 1, n3),
+        F.zip_with(
+            F.slice("w", 2, n3), F.slice("w", 3, n3),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    g = (
+        toks.select("doc_id", F.explode(tri).alias("ng"))
+        .distinct()
+    )
+    dc = g.groupBy("ng").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        g.join(dc, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).alias("n_novel"),
+            F.floor(
+                10000.0
+                * F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).cast("bigint").alias("novelty_e4"),
+        )
+    )

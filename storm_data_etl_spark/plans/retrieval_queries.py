@@ -12,9 +12,11 @@ The reference (couchcryptid/storm-data-etl) has no retrieval surface; its
 closest analogs are the validate/report scans (cmd/validate/main.go,
 cmd/genmock/main.go:194-354). These queries follow the same engine rules as
 the rest of the repo: JVM expressions only in the data path, every
-aggregated double quantized with floor(x * 10^k) before emission, no
-transcendentals whose libm rounding could differ across engines (the quality
-model uses a rational saturation n/(n+50) instead of ln(1+n)).
+aggregated double quantized with floor(x * 10^k) before emission, and no
+transcendentals on any cross-engine COMPARISON path except the BM25 ln()
+inside rrf_hybrid_search, which is fenced behind a floor-quantized integer
+rank key (see its docstring for the accepted knife-edge risk); the quality
+model uses a rational saturation n/(n+50) instead of ln(1+n).
 """
 
 from __future__ import annotations
@@ -56,11 +58,11 @@ _RRF_LEG_DEPTH = 50  # candidates per leg before fusion
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     lex AS (
       SELECT tf.doc_id,
-             round(sum(
+             CAST(floor(1e6 * sum(
                ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
                * tf.tf * (1.2 + 1)
                / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-             ), 6) AS lex_score
+             )) AS BIGINT) AS lex_q
       FROM tf
       JOIN df ON df.term = tf.term
       JOIN dl ON dl.doc_id = tf.doc_id
@@ -69,7 +71,7 @@ _RRF_LEG_DEPTH = 50  # candidates per leg before fusion
     ),
     lexr AS (
       SELECT doc_id,
-             row_number() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+             row_number() OVER (ORDER BY lex_q DESC, doc_id) AS lex_rank
       FROM lex
       QUALIFY lex_rank <= {_RRF_LEG_DEPTH}
     ),
@@ -116,6 +118,17 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     design already proven in its standalone query. Ranks are integers, so
     the fused score 1/(60+r) is bit-identical across engines; it is
     emitted floor-quantized at 1e9.
+
+    Cross-engine determinism: the BM25 term weight uses ln(), whose libm
+    rounding MAY differ between engines in the last ulp — so the lexical
+    leg ranks on the floor-quantized integer floor(1e6·score), not the raw
+    double (integers order identically once equal). The accepted residual
+    risk is a raw score landing within ~1 ulp of an exact 1e-6 multiple
+    where the floors themselves could disagree — quantization narrows the
+    divergence window from "any rank-adjacent pair" to that knife edge; it
+    cannot close it while ln() is in the formula. The vector leg needs no
+    such guard: its cosine fold is bit-identical by construction
+    (_sql_cosine docstring).
     """
     k1, b = 1.2, 0.75
     docs = (
@@ -143,14 +156,16 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 6).alias("lex_score"))
+        # rank key is the floor-quantized INTEGER score (see docstring: the
+        # only ln() in the repo's oracle-backed surface hides behind it)
+        .agg(F.floor(F.sum("term_score") * 1e6).cast("bigint").alias("lex_q"))
     )
     # TakeOrdered truncation first, then rank the ≤50 survivors (the window
     # runs on a driver-trivial row count, never the corpus).
-    lex50 = lex.orderBy(F.col("lex_score").desc(), "doc_id").limit(_RRF_LEG_DEPTH)
+    lex50 = lex.orderBy(F.col("lex_q").desc(), "doc_id").limit(_RRF_LEG_DEPTH)
     lexr = lex50.withColumn(
         "lex_rank",
-        F.row_number().over(Window.orderBy(F.col("lex_score").desc(), "doc_id")),
+        F.row_number().over(Window.orderBy(F.col("lex_q").desc(), "doc_id")),
     ).select("doc_id", "lex_rank")
 
     emb = t(spark, sf_dir, "embeddings")

@@ -33,14 +33,27 @@ def write_json_lines(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
-def write_json_array(df: DataFrame, path: str) -> None:
+def write_json_array(df: DataFrame, path: str, go_compat: bool = False) -> None:
     """S6 parity sink: single indented JSON array file.
 
     Collects to the driver — fixture-scale only (the reference's fixtures
     are ≤ a few thousand rows); the 100 TB path is write_json_lines.
+
+    ``go_compat=True`` reproduces Go's ``json.MarshalIndent(v, "", "  ")``
+    byte conventions (cmd/genmock/main.go:182-192) on top of the shared
+    2-space indent + trailing newline: HTML-unsafe characters escape as
+    \\u003c \\u003e \\u0026 (Go escapes them by default) while non-ASCII
+    stays raw UTF-8 (Python's default would \\u-escape it). Key order is
+    the DataFrame column order either way — match the reference's struct
+    field order when byte parity matters.
     """
     rows = [json.loads(r) for r in df.toJSON().collect()]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    text = json.dumps(rows, indent=2, ensure_ascii=not go_compat)
+    if go_compat:
+        text = (
+            text.replace("&", "\\u0026").replace("<", "\\u003c").replace(">", "\\u003e")
+        )
     with open(path, "w") as f:
-        json.dump(rows, f, indent=2)
+        f.write(text)
         f.write("\n")

@@ -209,3 +209,91 @@ def test_phrase_search_agrees_with_naive_contains(spark, sf_dir):
     assert hits[1].n_occurrences == 2 and hits[1].first_pos == 2
     assert hits[2].n_occurrences == 1 and hits[2].first_pos == 1
     assert 3 not in hits and 4 not in hits
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_dsir_prefers_target_like_docs(spark, monkeypatch):
+    """The defining DSIR property: a doc written in the target (en)
+    vocabulary must outscore a doc written in the non-target vocabulary,
+    because its tokens are relatively more frequent under p_target than
+    under p_raw."""
+    rows = [
+        (1, "the cat sat on the mat", "en", "s", 22),
+        (2, "the dog ran to the park", "en", "s", 23),
+        (3, "der hund lief zum park", "de", "s", 22),
+        (4, "the cat ran to the mat", "de", "s", 22),  # en-vocab, labeled de
+    ]
+    monkeypatch.setattr(CQ, "t", lambda *_a: _docs_df(spark, rows))
+    got = {r["doc_id"]: r for r in CQ.dsir_importance_weights(spark, "x").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # en-vocab docs (1, 2, 4) all beat the pure-de doc 3 — including doc 4,
+    # whose LABEL is de but whose tokens are target-like (DSIR scores
+    # content, not labels).
+    assert min(got[1]["dsir_e4"], got[2]["dsir_e4"], got[4]["dsir_e4"]) > got[3]["dsir_e4"]
+    assert got[1]["n_tokens"] == 6
+
+
+def test_dsir_matches_python_model(spark, monkeypatch):
+    import math as _math
+
+    rows = [
+        (1, "a b a", "en", "s", 5),
+        (2, "b c", "de", "s", 3),
+    ]
+    monkeypatch.setattr(CQ, "t", lambda *_a: _docs_df(spark, rows))
+    got = {r["doc_id"]: r for r in CQ.dsir_importance_weights(spark, "x").collect()}
+
+    toks = {1: ["a", "b", "a"], 2: ["b", "c"]}
+    raw: dict[str, int] = {}
+    tgt: dict[str, int] = {}
+    for d, ws in toks.items():
+        for w in ws:
+            raw[w] = raw.get(w, 0) + 1
+            if d == 1:  # lang == en
+                tgt[w] = tgt.get(w, 0) + 1
+    nr, nt, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    for d, ws in toks.items():
+        s = sum(
+            _math.log((tgt.get(w, 0) + 1) / (nt + v))
+            - _math.log((raw[w] + 1) / (nr + v))
+            for w in ws
+        )
+        assert got[d]["dsir_e4"] == _math.floor(10000 * s / len(ws))
+        assert got[d]["n_tokens"] == len(ws)
+
+
+def test_ngram_novelty_handcrafted(spark, monkeypatch):
+    rows = [
+        (1, "alpha beta gamma delta", "en", "s", 22),   # shares all tris with 2
+        (2, "alpha beta gamma delta", "en", "s", 22),   # exact dup of 1
+        (3, "unique words entirely here", "en", "s", 26),  # all-novel
+        (4, "alpha beta gamma epsilon", "en", "s", 24),  # 1 shared, 1 novel
+        (5, "too short", "en", "s", 9),                  # <3 tokens → absent
+    ]
+    monkeypatch.setattr(CQ, "t", lambda *_a: _docs_df(spark, rows))
+    got = {r["doc_id"]: r for r in CQ.ngram_novelty_scores(spark, "x").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # dup pair: every trigram appears in the other doc → novelty 0
+    assert got[1]["novelty_e4"] == 0 and got[2]["novelty_e4"] == 0
+    assert got[3]["novelty_e4"] == 10000 and got[3]["n_novel"] == 2
+    # doc 4: 'alpha beta gamma' shared (docs 1,2,4), 'beta gamma epsilon' novel
+    assert (got[4]["n_distinct_ngrams"], got[4]["n_novel"]) == (2, 1)
+    assert got[4]["novelty_e4"] == 5000
+
+
+def test_repeated_ngram_within_one_doc_still_novel(spark, monkeypatch):
+    """doc-frequency counts DISTINCT docs: a trigram repeated inside one doc
+    is still corpus-novel (the DISTINCT before the df groupBy is what a
+    naive explode-count would get wrong)."""
+    rows = [(1, "x y z x y z x y z", "en", "s", 17)]
+    monkeypatch.setattr(CQ, "t", lambda *_a: _docs_df(spark, rows))
+    got = CQ.ngram_novelty_scores(spark, "x").collect()
+    assert len(got) == 1
+    r = got[0]
+    # trigrams: x y z (×3 positions), y z x (×2), z x y (×2) → 3 distinct
+    assert (r["n_distinct_ngrams"], r["n_novel"], r["novelty_e4"]) == (3, 3, 10000)

@@ -67,6 +67,29 @@ def test_json_array_roundtrip(spark, tmp_path):
     assert back.collect()[0].Size == "125"
 
 
+def test_json_array_go_compat_byte_conventions(spark, tmp_path):
+    """go_compat mode reproduces Go json.MarshalIndent byte conventions
+    (genmock writeJSON, cmd/genmock/main.go:182-192): 2-space indent,
+    trailing newline, HTML chars escaped as \\u003c/\\u003e/\\u0026, and
+    non-ASCII kept raw UTF-8 — so a regenerated fixture diffs clean against
+    a reference-generated one."""
+    df = spark.createDataFrame(
+        [("1510", "125", "", "", "A<B>&C", "Córdoba", "TX", "31.0", "-98.0",
+          "x (SJT)", "hail")],
+        RAW_SCHEMA,
+    )
+    p = str(tmp_path / "fixture_go.json")
+    write_json_array(df, p, go_compat=True)
+    text = open(p, encoding="utf-8").read()
+    assert text.endswith("]\n")
+    assert '"A\\u003cB\\u003e\\u0026C"' in text     # Go HTML-escapes these
+    assert "Córdoba" in text                         # but not non-ASCII
+    assert "\\u00f3" not in text
+    assert json.loads(text)[0]["Location"] == "A<B>&C"  # values unchanged
+    # and the file still roundtrips through the array source
+    assert read_raw_fixture(spark, p).collect()[0].County == "Córdoba"
+
+
 def test_serialize_events_wire_format(spark):
     raw = spark.createDataFrame(
         [("1510", "125", "", "", "8 ESE Chappel", "San Saba", "TX", "31.02", "-98.44",
