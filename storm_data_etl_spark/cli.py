@@ -92,7 +92,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
 
 def cmd_etl(args: argparse.Namespace) -> int:
     from storm_data_etl_spark.sources.kafka import read_kafka_stream
-    from storm_data_etl_spark.streaming.pipeline import run_pipeline
+    from storm_data_etl_spark.streaming.pipeline import ReadinessListener, run_pipeline
 
     spark = _spark("etl")
     if args.brokers:
@@ -127,6 +127,31 @@ def cmd_etl(args: argparse.Namespace) -> int:
         def sink(batch_df, epoch_id):  # noqa: F811
             batch_df.write.mode("append").parquet(out_dir)
 
+    # Observability: /healthz /readyz /metrics, the reference's HTTP_ADDR
+    # surface (cmd/etl/main.go:35, config.go HTTP_ADDR default :8080).
+    # --http-port 0 picks an ephemeral port; --http-port -1 disables.
+    srv = None
+    metrics = None
+    http_port = args.http_port
+    if http_port is None:
+        env_addr = os.environ.get("HTTP_ADDR")
+        if env_addr:
+            http_port = int(env_addr.rsplit(":", 1)[-1])
+    if http_port is not None and http_port >= 0:
+        from storm_data_etl_spark.streaming.http_observability import (
+            ObservabilityServer,
+        )
+        from storm_data_etl_spark.streaming.metrics import PipelineMetricsListener
+
+        ready = ReadinessListener()
+        metrics = PipelineMetricsListener()
+        spark.streams.addListener(ready)
+        spark.streams.addListener(metrics)
+        srv = ObservabilityServer(
+            lambda: ready.ready, metrics=metrics, host="0.0.0.0", port=http_port
+        ).start()
+        print(f"observability: http://0.0.0.0:{srv.port} (/healthz /readyz /metrics)")
+
     query = run_pipeline(
         spark,
         envelope,
@@ -136,12 +161,15 @@ def cmd_etl(args: argparse.Namespace) -> int:
         output_topic=args.sink_topic,
         trigger_interval=args.flush_interval,
         dead_letter_path=args.dead_letter,
+        metrics=metrics,
     )
     try:
         query.awaitTermination(args.timeout if args.timeout > 0 else None)
     finally:
         if query.isActive:
             query.stop()
+        if srv is not None:
+            srv.shutdown()
     return 0
 
 
@@ -217,6 +245,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=env.get("BATCH_FLUSH_INTERVAL", "500 milliseconds"),
     )
     e.add_argument("--timeout", type=int, default=0, help="seconds; 0 = run forever")
+    e.add_argument(
+        "--http-port",
+        type=int,
+        default=None,
+        help="observability port (/healthz /readyz /metrics); 0 = ephemeral,"
+        " -1 = disabled; defaults to $HTTP_ADDR's port if set, else off",
+    )
     e.set_defaults(fn=cmd_etl)
 
     l = sub.add_parser("list", help="list the analytics query catalog")

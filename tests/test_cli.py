@@ -104,3 +104,96 @@ def test_cli_explain_unknown(capsys):
     from storm_data_etl_spark.cli import main
 
     assert main(["explain", "no_such_query"]) == 2
+
+
+def test_cli_etl_http_observability(spark, tmp_path, monkeypatch):
+    """--http-port 0 serves the reference's probe surface during an etl
+    run: healthz live from start, readyz flipping 503→200 once the stream
+    has processed rows, metrics exposing the pipeline counters."""
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    from storm_data_etl_spark.streaming import http_observability as HO
+
+    created: list = []
+    real_cls = HO.ObservabilityServer
+
+    class Recording(real_cls):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            created.append(self)
+
+    monkeypatch.setattr(HO, "ObservabilityServer", Recording)
+
+    src = tmp_path / "envelopes"
+    src.mkdir()
+    record = {
+        "Time": "1510", "Size": "125", "F_Scale": "", "Speed": "",
+        "Location": "8 ESE Chappel", "County": "San Saba", "State": "TX",
+        "Lat": "31.02", "Lon": "-98.44", "Comments": "Hail. (SJT)",
+        "EventType": "hail",
+    }
+    envelope = {
+        "key": None,
+        "value": json.dumps(record).encode().decode(),
+        "topic": "storm.raw",
+        "partition": 0,
+        "offset": 0,
+        "timestamp": "2024-04-26T00:00:00.000Z",
+    }
+    (src / "batch0.json").write_text(json.dumps(envelope))
+
+    def _get(url):
+        try:
+            with urllib.request.urlopen(url, timeout=3) as r:
+                return r.status, r.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    probes: dict = {}
+
+    def probe():
+        deadline = time.time() + 30
+        while not created and time.time() < deadline:
+            time.sleep(0.1)
+        if not created:
+            return
+        base = f"http://127.0.0.1:{created[0].port}"
+        probes["healthz"] = _get(f"{base}/healthz")
+        # poll readyz until it flips (the stream needs a batch or two)
+        while time.time() < deadline:
+            code, _ = _get(f"{base}/readyz")
+            if code == 200:
+                probes["readyz"] = code
+                break
+            time.sleep(0.3)
+        # then wait until the produced counter lands in /metrics
+        while time.time() < deadline:
+            _, body = _get(f"{base}/metrics")
+            if "storm_etl_messages_produced_total 1" in body:
+                probes["metrics"] = body
+                break
+            time.sleep(0.3)
+
+    watcher = threading.Thread(target=probe, daemon=True)
+    watcher.start()
+    rc = main(
+        [
+            "etl",
+            "--source-json", str(src),
+            "--out", str(tmp_path / "enriched"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--timeout", "25",
+            "--http-port", "0",
+        ]
+    )
+    watcher.join(timeout=10)
+    assert rc == 0
+    assert created, "ObservabilityServer was never constructed"
+    assert probes.get("healthz", (None,))[0] == 200
+    assert probes.get("readyz") == 200
+    body = probes.get("metrics", "")
+    assert "storm_etl_messages_produced_total 1" in body
+    assert "storm_etl_transform_errors_total 0" in body
