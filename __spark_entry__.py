@@ -36,13 +36,14 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #: set explicitly from the CORRECTNESS_r*.json records). Rounds 1-4
 #: hash-proved all 174 oracle-backed queries and recorded the 13
 #: rows-only-by-design entries' weaker evidence tier once each, so
-#: never_gated() is empty entering round 5. This round-5 head is the 5 new
-#: queries — 3 exactness-regime twins (IVF full-probe / LSH zero-plane /
-#: collision-free CMS — each provably identical to its exact oracle,
-#: certifying the approximate machinery itself) plus DSIR importance
-#: weights and n-gram novelty scores, all verified by the local gate
-#: replica tools/pandas_parity_check.py at sf0.001 and sf0.01 before
-#: rotation — followed by 45 RE-VERIFICATION slots: the oracle-backed
+#: never_gated() is empty entering round 5. This round-5 head is the 6 new
+#: queries — 4 exactness-regime twins (IVF full-probe, sampled- and
+#: distributed-trained / LSH zero-plane / collision-free CMS — each
+#: provably identical to its exact oracle, certifying the approximate
+#: machinery itself) plus DSIR importance weights and n-gram novelty
+#: scores, all verified by the local gate replica
+#: tools/pandas_parity_check.py at sf0.001 and sf0.01 before rotation —
+#: followed by RE-VERIFICATION slots: the oracle-backed
 #: queries whose last driver hash-pass is oldest (round 1, then round 2),
 #: so gate evidence stays fresh instead of resting on round-1 records
 #: forever.
@@ -51,6 +52,7 @@ PRIORITY = [
     # machinery, plus DSIR importance weights and n-gram novelty (never
     # gated yet)
     "ann_ivf_fullprobe_topk",
+    "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",
     "cms_exact_regime",
     "dsir_importance_weights",

@@ -136,6 +136,7 @@ HEADLINE = [
     "url_canonical_dedup",
     # round-5 additions: exactness-regime sketch/ANN twins + data-selection
     "ann_ivf_fullprobe_topk",
+    "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",
     "cms_exact_regime",
     "dsir_importance_weights",

@@ -203,6 +203,114 @@ def train_ivf_centroids(
     return [[float(v) for v in c] for c in cent]
 
 
+def train_ivf_centroids_distributed(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fully distributed Lloyd's k-means over the WHOLE table — the
+    no-sample-cap counterpart of train_ivf_centroids for when the training
+    distribution must see every vector, not a bounded sample.
+
+    Per iteration the cluster does all the O(N) work and the driver only
+    ever holds k rows:
+      - assignment: squared-L2 argmin against the literal centroid array
+        (pure JVM expressions, ties to the lowest cell index);
+      - update: posexplode to (cell, pos, x) and ONE map-side-combinable
+        groupBy — the textbook distributed k-means shuffle, k·dim rows out
+        of any partition regardless of N;
+      - collect k (cell, per-dim sums, count) rows (k·dim doubles — the
+        same bounded driver traffic the reference's own loop state has);
+      - empty cells reseed from the points farthest from their assigned
+        centroid (distance desc, id asc — deterministic, and distinct
+        points per empty cell, unlike the sampled trainer's shared-point
+        reseed).
+
+    Init spreads k seeds across the id range without a global sort (a
+    row_number window would single-partition 100 TB): bucket each row by
+    floor((id−min_id)·k/span) and take the min-id vector per bucket — one
+    map-side-combinable groupBy. Buckets can be empty under clustered ids;
+    the iteration-1 empty-cell reseed fills those. Determinism note:
+    centroid floats depend on floating-point summation order, which Spark
+    does not fix across partitionings, so centroids are deterministic only
+    up to last-ulp sum noise; downstream exactness (ivf_topk with
+    n_probe = k ≡ brute force) holds for ANY centroids, which is what the
+    gate certifies.
+    """
+    base = vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+    bounds = base.agg(
+        F.count(F.lit(1)).alias("n"), F.min("i").alias("lo"), F.max("i").alias("hi")
+    ).collect()[0]
+    n = bounds["n"]
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty table")
+    k = min(n_centroids, n)
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = max(int(hi) - int(lo) + 1, 1)
+    bucket = F.least(
+        F.floor((F.col("i") - F.lit(lo)) * k / F.lit(span)), F.lit(k - 1)
+    )
+    init_rows = (
+        base.withColumn("b", bucket)
+        .groupBy("b")
+        .agg(F.min(F.struct("i", "v")).alias("seed"))
+        .orderBy("b")
+        .collect()
+    )
+    cent = [[float(x) for x in r.seed.v] for r in init_rows]
+    # Clustered ids can leave buckets empty: pad back to k by repeating the
+    # first seed — argmin ties go to the lowest cell index, so every padded
+    # copy is empty after the first assignment and the empty-cell reseed
+    # replaces it with a distinct farthest point (restores full k when the
+    # table has ≥ k distinct vectors and iters ≥ 1).
+    while len(cent) < k:
+        cent.append(list(cent[0]))
+
+    for _ in range(iters):
+        nearest = _nearest_cells(vec_col, cent, 1)[0]
+        assigned = vectors.select(
+            F.col(id_col).alias("i"),
+            F.col(vec_col).alias("v"),
+            nearest["cell"].alias("cell"),
+            nearest["d"].alias("d2"),
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        )
+        cells = (
+            sums.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+                F.max("c").alias("c"),
+            )
+            .collect()
+        )
+        got = {
+            int(r["cell"]): [p["s"] / r["c"] for p in r["ps"]] for r in cells
+        }
+        empty = [c for c in range(k) if c not in got]
+        if empty:
+            far = (
+                assigned.orderBy(F.col("d2").desc(), F.col("i").asc())
+                .select("v")
+                .limit(len(empty))
+                .collect()
+            )
+            for c, r in zip(empty, far):
+                got[c] = [float(x) for x in r.v]
+            # fewer distinct points than empty cells (degenerate tiny
+            # tables): keep the stale centroid rather than crash
+            for c in empty[len(far):]:
+                got[c] = cent[c]
+        cent = [got[c] for c in range(k)]
+    return [[float(x) for x in c] for c in cent]
+
+
 def _nearest_cells(vec_col: str, centroids: list[list[float]], n: int):
     """Array of the ``n`` nearest centroid indices (squared-L2, index
     tie-break), as pure JVM expressions over the literal codebook."""

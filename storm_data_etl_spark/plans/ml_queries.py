@@ -521,6 +521,25 @@ def ann_ivf_fullprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, probes, centroids, k=10, n_probe=len(centroids))
 
 
+@register("ann_ivf_distributed_topk", _ANN_EXACT_ORACLE)
+def ann_ivf_distributed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with FULLY DISTRIBUTED k-means training (no bounded-sample
+    collect — the whole table trains; driver traffic is k rows per Lloyd
+    iteration), then full-probe search so the result is provably brute
+    force and the exact oracle hash-gates the entire distributed-training
+    + assignment + join pipeline. The pruned production form reuses the
+    same centroids with n_probe < k; its recall rides the same pytest as
+    ann_ivf_topk."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    if not emb.limit(1).count():
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cosine double, rank int"
+        )
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    centroids = S.train_ivf_centroids_distributed(emb, dim=64, n_centroids=8, iters=3)
+    return S.ivf_topk(emb, probes, centroids, k=10, n_probe=len(centroids))
+
+
 @register("ann_lsh_fullcover_topk", _ANN_EXACT_ORACLE)
 def ann_lsh_fullcover_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane LSH run in its exactness regime: zero planes puts every

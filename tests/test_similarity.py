@@ -207,3 +207,71 @@ def test_ivfpq_topk_recall_and_full_scan_identity(spark):
         for r in S.ivfpq_topk(df, probes, cents, books, k=5, n_probe=4, rerank=100).collect()
     }
     assert full == {(r.probe_id, r.vec_id, r.rank) for r in exact}
+
+
+def test_distributed_kmeans_properties(spark):
+    """Distributed Lloyd training: right shape, distinct centroids,
+    deterministic given integer-valued inputs (every partial sum exact →
+    no summation-order noise), and full-probe search over its centroids is
+    IDENTICAL to brute force (the property the gate certifies)."""
+    random.seed(11)
+    data = [
+        (i, [float(random.randint(-8, 8)) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    cents = S.train_ivf_centroids_distributed(df, dim=8, n_centroids=4, iters=3)
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+    assert len({tuple(c) for c in cents}) == 4  # distinct
+    assert cents == S.train_ivf_centroids_distributed(
+        df, dim=8, n_centroids=4, iters=3
+    )
+    probes = S.make_probes(df, [0, 1])
+    exact = S.brute_force_topk(df, probes, k=5).collect()
+    full = S.ivf_topk(df, probes, cents, k=5, n_probe=4).collect()
+    assert [(r.probe_id, r.vec_id, r.rank) for r in full] == [
+        (r.probe_id, r.vec_id, r.rank) for r in exact
+    ]
+
+
+def test_distributed_kmeans_matches_python_model(spark):
+    """Exact parity with a pure-Python replica of the same algorithm on
+    integer-valued vectors (exact float sums ⇒ order-independent): id-range
+    bucket init, argmin assignment with lowest-index ties, mean update,
+    farthest-point reseed."""
+    data = [(i, [float((7 * i) % 5), float((3 * i) % 4)]) for i in range(12)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    k, iters = 3, 2
+    got = S.train_ivf_centroids_distributed(df, dim=2, n_centroids=k, iters=iters)
+
+    ids = [i for i, _ in data]
+    vecs = {i: v for i, v in data}
+    lo, hi = min(ids), max(ids)
+    span = max(hi - lo + 1, 1)
+    seeds: dict[int, int] = {}
+    for i in sorted(ids):
+        b = min((i - lo) * k // span, k - 1)
+        seeds.setdefault(b, i)
+    cent = [list(vecs[seeds[b]]) for b in sorted(seeds)]
+    while len(cent) < k:
+        cent.append(list(cent[0]))
+    for _ in range(iters):
+        assign: dict[int, int] = {}
+        d2s: dict[int, float] = {}
+        for i in ids:
+            ds = [sum((a - b) ** 2 for a, b in zip(vecs[i], c)) for c in cent]
+            assign[i] = ds.index(min(ds))
+            d2s[i] = min(ds)
+        new = []
+        empties = []
+        for c in range(k):
+            members = [vecs[i] for i in ids if assign[i] == c]
+            if members:
+                new.append([sum(col) / len(members) for col in zip(*members)])
+            else:
+                new.append(None)
+                empties.append(c)
+        far = sorted(ids, key=lambda i: (-d2s[i], i))[: len(empties)]
+        for c, i in zip(empties, far):
+            new[c] = list(vecs[i])
+        cent = new
+    assert got == cent
