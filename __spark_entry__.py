@@ -55,8 +55,12 @@ PRIORITY = [
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",
     "cms_exact_regime",
+    "bloom_exact_regime",
     "dsir_importance_weights",
     "ngram_novelty_scores",
+    # rows-only by design (xxhash64 Bloom positions): records its one-time
+    # weaker evidence tier, then never_gated() rotates it out
+    "bloom_cross_dedup",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

@@ -139,6 +139,8 @@ HEADLINE = [
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",
     "cms_exact_regime",
+    "bloom_exact_regime",
+    "bloom_cross_dedup",
     "dsir_importance_weights",
     "ngram_novelty_scores",
 ]

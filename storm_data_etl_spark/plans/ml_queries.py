@@ -2417,3 +2417,100 @@ def weighted_corpus_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
     )
+
+
+# =====================================================================
+# Bloom-filter cross-corpus membership (Bloom 1970)
+# =====================================================================
+
+@register("bloom_cross_dedup", None)  # xxhash64 positions: no SQL oracle
+def bloom_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup triage with a Bloom filter: insert the text of
+    the src0/src1 documents, test everything else, and reconcile the flags
+    against the exact semi-join in the SAME result — per source: doc count,
+    bloom-flagged count, exact-duplicate count, and false positives
+    (flagged − exact; never negative because Bloom has no false negatives,
+    which this output makes auditable row by row).
+
+    Scale shape: the filter is a ≤ m-row distinct-positions table built in
+    one map-side-combinable aggregation and BROADCAST to the probe side —
+    the 100 TB win over decontaminate-by-join is that the big probe corpus
+    never shuffles; only distinct probe keys hash locally against the
+    broadcast positions. Rows-only at the gate (xxhash64 positions);
+    tests/test_bloom.py pins no-false-negatives and the FPR formula, and
+    bloom_exact_regime hash-gates the same machinery exactly."""
+    from storm_data_etl_spark.operators import bloom as B
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    inserted = docs.filter(F.col("source").isin("src0", "src1"))
+    probes = docs.filter(~F.col("source").isin("src0", "src1"))
+    m, k = 1 << 14, 4
+    positions = B.bloom_build(inserted, "text", m_bits=m, k_hashes=k)
+    flagged = B.bloom_might_contain(
+        probes, "text", positions, m_bits=m, k_hashes=k, flag_col="maybe_dup"
+    )
+    exact = inserted.select(F.col("text").alias("_t")).distinct()
+    joined = flagged.join(
+        F.broadcast(exact), flagged["text"] == exact["_t"], "left"
+    ).withColumn("is_dup", F.col("_t").isNotNull())
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("maybe_dup").cast("int")).alias("n_flagged"),
+            F.sum(F.col("is_dup").cast("int")).alias("n_exact_dup"),
+            F.sum((F.col("maybe_dup") & ~F.col("is_dup")).cast("int")).alias(
+                "n_false_pos"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "bloom_exact_regime",
+    """
+    WITH d AS (
+      SELECT doc_id, source, abs(doc_id) % 61 AS key61 FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    a AS (SELECT DISTINCT key61 FROM d WHERE source = 'src0')
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN a.key61 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_member
+    FROM d LEFT JOIN a ON a.key61 = d.key61
+    GROUP BY d.source
+    """,
+)
+def bloom_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter run in its exactness regime, hash-gated against the
+    plain semi-join oracle: keys fold to abs(doc_id) % 61 and the position
+    map is the IDENTITY on that domain (m = 61, k = 1) — injective, so a
+    probe key's position is set iff the key itself was inserted: zero
+    false positives, and membership ≡ exact set membership. The SAME
+    build/probe pipeline as bloom_cross_dedup executes end to end (distinct
+    positions, broadcast join, all-positions-matched test); only the hash
+    family differs, so a hash match certifies the Bloom machinery itself."""
+    from storm_data_etl_spark.operators import bloom as B
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "source", F.pmod(F.abs(F.col("doc_id")), F.lit(61)).alias("key61")
+        )
+    )
+    identity = lambda col, m, k: F.array(F.pmod(col, F.lit(m)))  # noqa: E731
+    positions = B.bloom_build(
+        d.filter(F.col("source") == "src0"), "key61", m_bits=61, k_hashes=1,
+        position_fn=identity,
+    )
+    flagged = B.bloom_might_contain(
+        d, "key61", positions, m_bits=61, k_hashes=1,
+        flag_col="member", position_fn=identity,
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("member").cast("int")).cast("bigint").alias("n_member"),
+    )
