@@ -58,6 +58,8 @@ PRIORITY = [
     "bloom_exact_regime",
     "dsir_importance_weights",
     "ngram_novelty_scores",
+    "max_dup_gram_bracket",
+    "skewed_agg_salted",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

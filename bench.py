@@ -143,6 +143,8 @@ HEADLINE = [
     "bloom_cross_dedup",
     "dsir_importance_weights",
     "ngram_novelty_scores",
+    "max_dup_gram_bracket",
+    "skewed_agg_salted",
 ]
 
 

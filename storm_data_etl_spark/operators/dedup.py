@@ -999,3 +999,53 @@ def substring_dup_spans(
         F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
         F.coalesce("dup_coverage_chars", F.lit(0)).alias("dup_coverage_chars"),
     )
+
+
+def dup_length_bracket(
+    docs: DataFrame,
+    lengths: tuple[int, ...] = (16, 32, 64, 128),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Largest duplicated-substring length bracket per document: for each
+    L in ``lengths``, a doc "hits" L when ANY of its L-grams occurs ≥ 2
+    times in the corpus; emitted is the max hitting L (0 = no bracket
+    hit). The doubling-bracket answer to "how LONG is the longest copied
+    span?" that suffix arrays give exactly — dup-gram presence is monotone
+    decreasing in L, so the bracket brackets the true maximum, at the cost
+    of one linear gram pass per length instead of a monolithic
+    (non-distributable) suffix array. Each pass is the proven
+    substring_dup_spans plan shape: gram explosion, count aggregate and
+    semi join keyed on the gram, then a distinct per doc.
+    """
+    hits = None
+    for L in lengths:
+        n_pos = F.length(text_col) - L + 1
+        grams = docs.select(
+            F.col(id_col),
+            F.explode(F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))).alias("pos"),
+            F.col(text_col),
+        ).select(
+            id_col, F.expr(f"substring({text_col}, pos, {L})").alias("gram")
+        )
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select("gram")
+        )
+        h = (
+            grams.join(dup, "gram", "left_semi")
+            .select(id_col)
+            .distinct()
+            .withColumn("dup_len", F.lit(L))
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    per = hits.groupBy(id_col).agg(F.max("dup_len").alias("max_dup_len"))
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col, F.coalesce("max_dup_len", F.lit(0)).alias("max_dup_len")
+        )
+    )

@@ -2514,3 +2514,69 @@ def bloom_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("member").cast("int")).cast("bigint").alias("n_member"),
     )
+
+
+@register(
+    "max_dup_gram_bracket",
+    """
+    WITH h AS (
+      SELECT doc_id, max(len) AS max_dup_len FROM (
+        SELECT g.doc_id, 16 AS len
+        FROM (SELECT doc_id, substr(text, p.p, 16) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(len(text) - 16 + 1, 0) + 1)) AS p(p)) g
+        JOIN (SELECT gram FROM (SELECT substr(text, p.p, 16) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(len(text) - 16 + 1, 0) + 1)) AS p(p))
+              GROUP BY gram HAVING count(*) >= 2) d USING (gram)
+        GROUP BY g.doc_id
+        UNION ALL
+        SELECT g.doc_id, 32 AS len
+        FROM (SELECT doc_id, substr(text, p.p, 32) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(len(text) - 32 + 1, 0) + 1)) AS p(p)) g
+        JOIN (SELECT gram FROM (SELECT substr(text, p.p, 32) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(len(text) - 32 + 1, 0) + 1)) AS p(p))
+              GROUP BY gram HAVING count(*) >= 2) d USING (gram)
+        GROUP BY g.doc_id
+        UNION ALL
+        SELECT g.doc_id, 64 AS len
+        FROM (SELECT doc_id, substr(text, p.p, 64) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(len(text) - 64 + 1, 0) + 1)) AS p(p)) g
+        JOIN (SELECT gram FROM (SELECT substr(text, p.p, 64) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(len(text) - 64 + 1, 0) + 1)) AS p(p))
+              GROUP BY gram HAVING count(*) >= 2) d USING (gram)
+        GROUP BY g.doc_id
+        UNION ALL
+        SELECT g.doc_id, 128 AS len
+        FROM (SELECT doc_id, substr(text, p.p, 128) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(len(text) - 128 + 1, 0) + 1)) AS p(p)) g
+        JOIN (SELECT gram FROM (SELECT substr(text, p.p, 128) AS gram
+              FROM documents,
+                   unnest(range(1, greatest(len(text) - 128 + 1, 0) + 1)) AS p(p))
+              GROUP BY gram HAVING count(*) >= 2) d USING (gram)
+        GROUP BY g.doc_id
+      ) u GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.max_dup_len, 0) AS INTEGER) AS max_dup_len
+    FROM documents d LEFT JOIN h USING (doc_id)
+    """,
+)
+def max_dup_gram_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated-substring length BRACKET per document (16/32/64/
+    128 chars): the doubling-search companion to substring_dup_spans that
+    answers "how long is the longest copied span?" without a suffix array.
+    Four linear gram passes (dup presence is monotone in L, so the max
+    hitting bracket lower-bounds the true maximum length); each pass is
+    the proven gram-explode → count ≥ 2 → semi-join plan, gram keys
+    near-uniform. Cites Lee et al. 2022 §4 (ExactSubstr) for the target
+    semantics; reference repo has no text surface (extension op)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.dup_length_bracket(docs, lengths=(16, 32, 64, 128)).withColumn(
+        "max_dup_len", F.col("max_dup_len").cast("int")
+    )

@@ -2676,3 +2676,54 @@ def value_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_e6"),
     )
+
+
+@register(
+    "skewed_agg_salted",
+    """
+    SELECT CASE WHEN user_id % 10 < 9 THEN 'hot'
+                ELSE 'cold-' || CAST(user_id AS VARCHAR) END AS bucket,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS max_cents,
+           CAST(min(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS min_cents
+    FROM events WHERE user_id IS NOT NULL AND "value" IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a deliberately hot key: 90% of
+    rows share one bucket ('hot'), the shape that funnels a plain groupBy
+    into a single reducer at 100 TB. operators/skew.two_phase_agg splits
+    the hot key across 32 salt sub-keys for the partial aggregate, then
+    re-aggregates ≤ 32 partials per key — both shuffles uniform. Salting
+    is provably result-invariant for decomposable aggregates, so the
+    oracle is the PLAIN single-phase GROUP BY: a hash match certifies the
+    equivalence, not just the plumbing. Values quantize to integer cents
+    BEFORE summing (exact integer arithmetic — no float summation-order
+    noise between the salted and plain forms or between engines)."""
+    from storm_data_etl_spark.operators.skew import two_phase_agg
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.when(F.pmod(F.col("user_id"), F.lit(10)) < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold-"), F.col("user_id").cast("string")))
+            .alias("bucket"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.col("event_id"),
+        )
+    )
+    return two_phase_agg(
+        ev,
+        ["bucket"],
+        {
+            "n_events": ("count", "cents"),
+            "sum_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents"),
+            "min_cents": ("min", "cents"),
+        },
+        buckets=32,
+        salt_from="event_id",
+    )

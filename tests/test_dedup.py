@@ -378,3 +378,26 @@ def test_substring_dup_spans_within_one_doc(spark):
     out = substring_dup_spans(df, gram_len=10).collect()[0]
     assert out.n_dup_positions == 2  # both copies of the 10-gram
     assert out.dup_coverage_chars == 20
+
+
+def test_dup_length_bracket(spark):
+    from storm_data_etl_spark.operators.dedup import dup_length_bracket
+
+    copied = "X" * 40  # a 40-char run shared by docs 1 and 2
+    rows = [
+        (1, "prefix one " + copied + " suffix aaa"),
+        (2, "prefix two " + copied + " suffix bbb"),
+        (3, "entirely original text with no repeats anywhere at all ok"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["max_dup_len"]
+        for r in dup_length_bracket(df, lengths=(16, 32, 64)).collect()
+    }
+    # the shared 40-char run: every 16- and 32-gram inside it duplicates,
+    # no 64-gram can (the surrounding text differs) → bracket = 32
+    assert got[1] == 32 and got[2] == 32
+    # NOTE: doc 3 shares no 16-gram with others; doc 4 is shorter than the
+    # smallest gram → both 0
+    assert got[3] == 0 and got[4] == 0

@@ -131,3 +131,47 @@ def test_approx_top_k_exact_when_capacity_exceeds_cardinality(spark):
     assert [(r.item, r["count"]) for r in got] == [
         ("click", 50), ("view", 30), ("purchase", 20)
     ]
+
+
+def test_two_phase_agg_equals_plain_groupby(spark):
+    """Salting must be result-invariant for decomposable aggregates —
+    asserted against the plain groupBy on a skewed fixture (one key holds
+    90% of rows), for several bucket counts including 1 (degenerate)."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.operators.skew import two_phase_agg
+
+    rows = [("hot" if i % 10 else f"cold{i}", i, i * 3 % 17) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "rid", "v"])
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mx"], r["mn"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"), F.sum("v").alias("s"),
+            F.max("v").alias("mx"), F.min("v").alias("mn"),
+        )
+        .collect()
+    }
+    for buckets in (1, 4, 32):
+        salted = {
+            r["k"]: (r["n"], r["s"], r["mx"], r["mn"])
+            for r in two_phase_agg(
+                df,
+                ["k"],
+                {"n": ("count", "v"), "s": ("sum", "v"),
+                 "mx": ("max", "v"), "mn": ("min", "v")},
+                buckets=buckets,
+                salt_from="rid",
+            ).collect()
+        }
+        assert salted == plain, buckets
+
+
+def test_two_phase_agg_rejects_non_decomposable(spark):
+    import pytest as _pytest
+
+    from storm_data_etl_spark.operators.skew import two_phase_agg
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    with _pytest.raises(ValueError, match="not decomposable"):
+        two_phase_agg(df, ["k"], {"m": ("median", "v")})
