@@ -1,33 +1,86 @@
-"""Skew-mitigation primitives: salted two-phase aggregation.
+"""Skew-handling utilities: salted two-stage aggregation.
 
-The classic hot-key problem: a groupBy whose key distribution is heavily
-skewed sends one key's entire volume to one reducer — at 100 TB that task
-runs for hours while the rest of the stage idles. Salting splits the hot
-key across ``buckets`` sub-keys for a PARTIAL aggregate, then re-aggregates
-the ≤ buckets partials per key — both shuffles are uniform.
+AQE's skew-join splitting covers joins; skewed *aggregations* with
+heavy-state functions (collect/distinct style) still bottleneck on the hot
+key's single reducer. Salting splits each key into `salt` subkeys, pre-
+aggregates per subkey (map-side parallel), then merges per key — classic
+two-stage combine, expressed declaratively so Catalyst fuses both stages.
 
-Only works for decomposable aggregates (sum/count/min/max, and anything
-built from them like avg = sum/count); the salt is provably
-result-invariant for those, which is why the demo query
-(window_queries.skewed_agg_salted) can be hash-gated against the plain
-GROUP BY oracle.
-
-Spark's AQE can split skewed partitions at shuffle-join boundaries, but a
-skewed AGGREGATE key (this module's case) still funnels into one task
-after map-side combine when one key dominates many partitions' output;
-explicit salting is the standing fix.
+For algebraic aggregates (count/sum/min/max) Spark's partial aggregation
+already does this implicitly; salting is for the non-algebraic cases
+(exact distinct per hot key, collect_set) or for window-free dedup counts.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_distinct_count(
+    df: DataFrame,
+    key: str | Column,
+    value: str | Column,
+    salt: int = 16,
+    out_name: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct-count per key, skew-safe.
+
+    Stage 1 shuffles on (key, hash(value) % salt) — a hot key's values
+    spread over `salt` reducers, each computing a partial distinct set.
+    Stage 2 merges the per-salt distinct counts (disjoint by construction:
+    the same value always lands in the same salt bucket, so partial
+    distincts never overlap and the merge is a plain sum).
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    salted = df.select(
+        k.alias("_k"), v.alias("_v"), F.pmod(F.xxhash64(v), F.lit(salt)).alias("_salt")
+    )
+    partial = salted.groupBy("_k", "_salt").agg(
+        F.countDistinct("_v").alias("_partial")
+    )
+    return (
+        partial.groupBy("_k")
+        .agg(F.sum("_partial").alias(out_name))
+        .withColumnRenamed("_k", key if isinstance(key, str) else "key")
+    )
+
+
+def salted_top_values(
+    df: DataFrame,
+    key: str | Column,
+    value: str | Column,
+    n: int,
+    salt: int = 16,
+) -> DataFrame:
+    """Top-n most frequent values per key, skew-safe: counts aggregate in
+    two stages ((key, value) is already fine-grained; the explicit salt
+    handles the degenerate key+value hot pair), then a per-key window
+    selects n. Returns (key, value, count, rank)."""
+    k = F.col(key) if isinstance(key, str) else key
+    v = F.col(value) if isinstance(value, str) else value
+    counts = (
+        df.select(k.alias("_k"), v.alias("_v"), F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).alias("_salt"))
+        .groupBy("_k", "_v", "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_k", "_v")
+        .agg(F.sum("_c").alias("count"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_k").orderBy(F.desc("count"), F.asc("_v"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select(F.col("_k").alias("key"), F.col("_v").alias("value"), "count", "rank")
+    )
+
+
 #: decomposable aggregate → (partial expr-builder, final expr-builder)
-_DECOMPOSABLE: dict[str, tuple[Callable[[str], Column], Callable[[str], Column]]] = {
+_DECOMPOSABLE = {
     "sum": (lambda c: F.sum(c), lambda c: F.sum(c)),
     "count": (lambda c: F.count(c), lambda c: F.sum(c)),
     "min": (lambda c: F.min(c), lambda c: F.min(c)),
@@ -37,13 +90,18 @@ _DECOMPOSABLE: dict[str, tuple[Callable[[str], Column], Callable[[str], Column]]
 
 def two_phase_agg(
     df: DataFrame,
-    key_cols: list[str],
+    key_cols: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     buckets: int = 32,
     salt_from: str | None = None,
 ) -> DataFrame:
     """Salted two-phase aggregation: groupBy(key + salt) partials, then
-    groupBy(key) finals.
+    groupBy(key) finals — the general-form companion to the specialized
+    helpers above, for when a SET of plain algebraic aggregates must run
+    skew-safe in one pass (Spark's implicit partial aggregation usually
+    covers these; the explicit form exists for hot keys whose combined
+    map-output still funnels one reducer, and as the oracle-provable demo
+    of salt invariance — see plans/window_queries.skewed_agg_salted).
 
     ``aggs`` maps output column name → (function, input column) with
     function one of sum/count/min/max. ``salt_from`` names a column whose
