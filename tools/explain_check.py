@@ -430,6 +430,45 @@ def main() -> int:
         n_ex = len(_re.findall(r"[+:]- Exchange", p))
         check(f"{q}_no_shuffle", n_ex <= 1, f"(exchanges: {n_ex}, input split only)")
 
+    # 44. Salted two-phase aggregation: BOTH aggregation phases present —
+    # ≥4 HashAggregate nodes (partial+final × two groupBys) and two
+    # Exchanges (on (key, salt) then (key)); never collapsed back into a
+    # single-phase plan that would reintroduce the hot-key funnel.
+    p = plan_of(qs["skewed_agg_salted"](spark, sf_dir))
+    check(
+        "skewed_agg_two_phases",
+        len(_re.findall(r"[+:]- HashAggregate", p)) >= 4,
+        "(partial+final for both phases)",
+    )
+    check(
+        "skewed_agg_two_exchanges",
+        len(_re.findall(r"[+:]- Exchange", p)) >= 2,
+        "(key+salt shuffle, then key shuffle)",
+    )
+
+    # 45. Bloom membership: the positions table must join BROADCAST — the
+    # whole point is that the probe corpus never shuffles for the test.
+    p = plan_of(qs["bloom_cross_dedup"](spark, sf_dir))
+    check(
+        "bloom_positions_broadcast",
+        "BroadcastHashJoin" in p,
+        "(positions side broadcast)",
+    )
+
+    # 46. DSIR: the per-doc·word table joins the vocabulary-bounded ratio
+    # table; no cartesian anywhere, aggregates partial.
+    p = plan_of(qs["dsir_importance_weights"](spark, sf_dir))
+    check(
+        "dsir_no_cartesian",
+        "CartesianProduct" not in p,
+        "(word-keyed joins only)",
+    )
+    check(
+        "dsir_partial_agg",
+        len(_re.findall(r"[+:]- HashAggregate", p)) >= 2,
+        "(map-side partials)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
