@@ -51,6 +51,7 @@ PRIORITY = [
     # round-5 additions: exactness-regime oracle twins for the sketch/ANN
     # machinery, plus DSIR importance weights and n-gram novelty (never
     # gated yet)
+    "boilerplate_chunk_removal",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

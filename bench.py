@@ -145,6 +145,7 @@ HEADLINE = [
     "ngram_novelty_scores",
     "max_dup_gram_bracket",
     "skewed_agg_salted",
+    "boilerplate_chunk_removal",
 ]
 
 

@@ -1165,3 +1165,117 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("novelty_e4"),
         )
     )
+
+
+# =====================================================================
+# Boilerplate chunk removal (CCNet/RefinedWeb line-wise dedup)
+# =====================================================================
+
+#: Pseudo-line width in tokens. The reference corpus stores documents as a
+#: single line, so the CCNet unit ("line") is re-expressed as non-overlapping
+#: 10-token chunks — the same granularity RefinedWeb uses for its line-wise
+#: pass when lines are absent or pathological.
+_BOILER_CHUNK = 10
+#: A chunk is boilerplate when it appears verbatim in at least this many
+#: distinct documents (CCNet removes lines duplicated across the corpus;
+#: threshold > 2 keeps legitimate two-doc overlaps).
+_BOILER_DF = 3
+
+
+@register(
+    "boilerplate_chunk_removal",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    chunks AS (
+      SELECT doc_id,
+             r.i AS chunk_idx,
+             w[r.i * {_BOILER_CHUNK} + 1 : r.i * {_BOILER_CHUNK} + {_BOILER_CHUNK}] AS chunk
+      FROM docs, unnest(range(0, CAST(ceil(len(w) / {_BOILER_CHUNK}.0) AS BIGINT))) AS r(i)
+    ),
+    keyed AS (
+      SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_md5
+      FROM chunks
+    ),
+    df AS (
+      SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs
+      FROM keyed GROUP BY chunk_md5
+    )
+    SELECT k.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN df.n_docs >= {_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(sum(CASE WHEN df.n_docs >= {_BOILER_DF} THEN 0 ELSE k.n_tokens END) AS BIGINT) AS tokens_kept,
+           CAST(floor(1000000.0 * sum(CASE WHEN df.n_docs >= {_BOILER_DF} THEN 0 ELSE k.n_tokens END)
+                / sum(k.n_tokens)) AS BIGINT) AS kept_frac_e6
+    FROM keyed k JOIN df USING (chunk_md5)
+    GROUP BY k.doc_id
+    """,
+)
+def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate REMOVAL (not just detection): segment each
+    document into non-overlapping 10-token pseudo-lines, count each
+    chunk's document frequency corpus-wide, drop chunks that recur in >= 3
+    distinct docs, and report per-doc what survives (chunk counts, kept
+    token mass, kept fraction). This is the applied counterpart of
+    repeated_ngram_contamination — that query scores the signal; this one
+    executes the curation step CCNet/RefinedWeb run on every crawl.
+
+    Plan: explode is narrow (chunk boundaries computed per row with
+    sequence+slice inside the scan stage); the chunk table is pinned since
+    it feeds both the df aggregate and the join-back; the only shuffles
+    are on chunk_md5 (uniform — md5 of content) and doc_id (uniform).
+    At 100 TB the df table is the cross-corpus state; it is itself
+    bounded by distinct-chunk cardinality and the join stays hash-keyed —
+    no skew hazard because verbatim-duplicated chunks are exactly what the
+    df threshold caps. md5 chunk keys pin cross-engine parity."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("words"))
+    )
+    n = F.size("words")
+    n_chunks = F.ceil(n / float(_BOILER_CHUNK)).cast("bigint")
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            "words",
+        )
+        .select(
+            "doc_id",
+            F.slice(
+                "words", F.col("chunk_idx") * _BOILER_CHUNK + 1, _BOILER_CHUNK
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+    )
+    keyed = _pin(keyed)  # feeds both the df aggregate and the join-back
+    df = keyed.groupBy("chunk_md5").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    boiler = F.col("n_docs") >= _BOILER_DF
+    return (
+        keyed.join(df, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(boiler, 1).otherwise(0)).alias("n_boiler"),
+            F.sum(F.when(boiler, 0).otherwise(F.col("n_tokens"))).alias(
+                "tokens_kept"
+            ),
+            F.floor(
+                1000000.0
+                * F.sum(F.when(boiler, 0).otherwise(F.col("n_tokens")))
+                / F.sum("n_tokens")
+            )
+            .cast("bigint")
+            .alias("kept_frac_e6"),
+        )
+    )

@@ -297,3 +297,42 @@ def test_repeated_ngram_within_one_doc_still_novel(spark, monkeypatch):
     r = got[0]
     # trigrams: x y z (×3 positions), y z x (×2), z x y (×2) → 3 distinct
     assert (r["n_distinct_ngrams"], r["n_novel"], r["novelty_e4"]) == (3, 3, 10000)
+
+
+def test_boilerplate_chunk_removal_handcrafted(spark, monkeypatch):
+    """A 10-token chunk shared verbatim by >= 3 docs is removed; the rest
+    survives. Doc 4 shares nothing and keeps 100%; the tail chunk (shorter
+    than 10 tokens) counts with its real token mass."""
+    boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # one full chunk, 3-doc df
+    rows = [
+        (1, boiler + " a b c", "en", "s", 40),
+        (2, boiler + " d e", "en", "s", 38),
+        (3, boiler, "en", "s", 35),
+        (4, "p q r s t u v w x y z1 z2", "en", "s", 30),
+    ]
+    monkeypatch.setattr(CQ, "t", lambda *_a: _docs_df(spark, rows))
+    got = {r["doc_id"]: r for r in CQ.boilerplate_chunk_removal(spark, "x").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # docs 1-3: chunk 0 is the shared boilerplate → removed; tails kept
+    assert (got[1]["n_chunks"], got[1]["n_boiler"], got[1]["tokens_kept"]) == (2, 1, 3)
+    assert got[1]["kept_frac_e6"] == 3 * 1_000_000 // 13
+    assert (got[2]["n_chunks"], got[2]["n_boiler"], got[2]["tokens_kept"]) == (2, 1, 2)
+    # doc 3 is pure boilerplate → everything removed
+    assert (got[3]["n_boiler"], got[3]["tokens_kept"], got[3]["kept_frac_e6"]) == (1, 0, 0)
+    # doc 4: 12 tokens → chunks of 10+2, nothing shared → kept 100%
+    assert (got[4]["n_chunks"], got[4]["n_boiler"], got[4]["tokens_kept"]) == (2, 0, 12)
+    assert got[4]["kept_frac_e6"] == 1_000_000
+
+
+def test_boilerplate_two_doc_overlap_survives(spark, monkeypatch):
+    """df == 2 is below the >= 3 threshold: a chunk shared by only two docs
+    is legitimate overlap, not boilerplate (CCNet keeps it)."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        (1, shared, "en", "s", 35),
+        (2, shared + " tail", "en", "s", 40),
+    ]
+    monkeypatch.setattr(CQ, "t", lambda *_a: _docs_df(spark, rows))
+    got = {r["doc_id"]: r for r in CQ.boilerplate_chunk_removal(spark, "x").collect()}
+    assert got[1]["n_boiler"] == 0 and got[1]["kept_frac_e6"] == 1_000_000
+    assert got[2]["n_boiler"] == 0 and got[2]["tokens_kept"] == 11
