@@ -52,6 +52,7 @@ PRIORITY = [
     # machinery, plus DSIR importance weights and n-gram novelty (never
     # gated yet)
     "boilerplate_chunk_removal",
+    "asof_join_tolerance",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

@@ -146,6 +146,7 @@ HEADLINE = [
     "max_dup_gram_bracket",
     "skewed_agg_salted",
     "boilerplate_chunk_removal",
+    "asof_join_tolerance",
 ]
 
 

@@ -30,6 +30,7 @@ def as_of_join(
     right_ts: str,
     right_payload: Sequence[str],
     prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For every left row: the latest right row with right_ts <= left_ts and
     equal key columns. Right payload columns appear as {prefix}{col};
@@ -39,16 +40,26 @@ def as_of_join(
     ASOF JOIN ... ON l.ts >= r.ts). When several right rows share one
     timestamp the one latest in (ts, payload-order) wins — pass a
     deterministic payload ordering column if that matters.
+
+    ``tolerance_seconds`` bounds the lookback (pandas ``merge_asof``
+    tolerance semantics): a match older than left_ts - tolerance comes
+    back NULL. Because the carried row is already the LATEST prior right
+    row, a single post-filter is exact — any earlier row is farther away,
+    so no second-chance scan exists. The bound costs one comparison per
+    row on top of the same one-shuffle plan.
     """
     on = list(on)
     lcols = left.columns
+    rstruct = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_payload]
+    )
     tagged_l = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[c for c in lcols if c not in on]).alias("_lpayload"),
         F.lit(None).cast(
-            right.select(F.struct(*right_payload).alias("s")).schema["s"].dataType
+            right.select(rstruct.alias("s")).schema["s"].dataType
         ).alias("_rpayload"),
     )
     tagged_r = right.select(
@@ -60,7 +71,7 @@ def as_of_join(
             .schema["s"]
             .dataType
         ).alias("_lpayload"),
-        F.struct(*right_payload).alias("_rpayload"),
+        rstruct.alias("_rpayload"),
     )
     unioned = tagged_l.unionByName(tagged_r)
     # Right rows sort before left rows at equal _ts (_is_left 0 < 1) so a
@@ -73,6 +84,17 @@ def as_of_join(
     carried = unioned.withColumn(
         "_last_r", F.last("_rpayload", ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        # Integer-microsecond arithmetic: exact, and works for TIMESTAMP_NTZ
+        # (which cannot cast to double). The cast to TIMESTAMP is a no-op
+        # reinterpretation under the session's pinned-UTC invariant, and the
+        # *difference* is timezone-invariant regardless.
+        lus = F.unix_micros(F.col("_ts").cast("timestamp"))
+        rus = F.unix_micros(F.col("_last_r._rts").cast("timestamp"))
+        within = (lus - rus) <= int(round(tolerance_seconds * 1_000_000))
+        carried = carried.withColumn(
+            "_last_r", F.when(within, F.col("_last_r"))
+        )
     out = carried.filter(F.col("_is_left") == 1).select(
         *on,
         F.col("_ts").alias(left_ts),

@@ -479,6 +479,68 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    signups AS (
+      SELECT user_id, ts, event_id AS signup_event_id FROM events
+      WHERE event_type = 'signup'
+    ),
+    j AS (
+      SELECT c.user_id, c.event_id, c.ts AS cts, s.ts AS sts,
+             s.signup_event_id
+      FROM clicks c ASOF LEFT JOIN signups s
+        ON c.user_id = s.user_id AND c.ts >= s.ts
+    )
+    SELECT user_id, event_id,
+           CASE WHEN epoch_us(cts) - epoch_us(sts) <= 3600000000
+                THEN signup_event_id END AS asof_signup_event_id,
+           CASE WHEN epoch_us(cts) - epoch_us(sts) <= 3600000000
+                THEN epoch_us(cts) - epoch_us(sts) END AS signup_age_us
+    FROM j
+    """,
+)
+def asof_join_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)
+    semantics): each click matches its most recent prior signup ONLY if
+    that signup is within the last hour; staler matches come back NULL.
+    Same union + carry-forward single-shuffle plan as asof_join — the
+    bound is one post-comparison on the carried row, exact because the
+    carried row is already the latest prior (anything earlier is farther).
+    The oracle is DuckDB's native ASOF JOIN with the same post-filter;
+    the age column and the tolerance compare are both integer
+    microseconds (unix_micros / epoch_us) — exact-integer cross-engine
+    parity, no float boundary anywhere."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id"), F.col("ts").alias("signup_ts")
+    )
+    joined = as_of_join(
+        clicks,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["signup_event_id", "signup_ts"],
+        tolerance_seconds=3600.0,
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "asof_signup_event_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_signup_ts").cast("timestamp"))
+        ).alias("signup_age_us"),
+    )
+
+
+@register(
     "hourly_event_counts",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

@@ -188,3 +188,52 @@ def test_bucketed_range_join_wide_interval_narrow_buckets(spark):
         points, intervals, "ts", "start_ts", "end_ts", bucket_width_s=60
     )
     assert out.count() == 24
+
+
+def test_as_of_join_tolerance_semantics(spark):
+    """tolerance_seconds bounds the lookback: the latest prior match older
+    than the tolerance comes back NULL; a match exactly AT the bound (<=)
+    still matches; rows with no prior stay NULL as before."""
+    quotes = spark.createDataFrame(
+        [("A", _ts(9), 100.0), ("B", _ts(10), 50.0)],
+        "sym string, qts timestamp, price double",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", _ts(8), 1),       # before any quote → NULL
+            ("A", _ts(9, 30), 2),   # 30 min old → within 1h
+            ("A", _ts(10), 3),      # exactly 3600s old → boundary, matches
+            ("A", _ts(11), 4),      # 2h old → outside tolerance → NULL
+            ("B", _ts(10), 5),      # simultaneous (age 0) → matches
+        ],
+        "sym string, tts timestamp, trade_id int",
+    )
+    out = {
+        r["trade_id"]: r["asof_price"]
+        for r in as_of_join(
+            trades,
+            quotes,
+            on=["sym"],
+            left_ts="tts",
+            right_ts="qts",
+            right_payload=["price"],
+            tolerance_seconds=3600.0,
+        ).collect()
+    }
+    assert out == {1: None, 2: 100.0, 3: 100.0, 4: None, 5: 50.0}
+
+
+def test_as_of_join_no_tolerance_unchanged(spark):
+    """Default (no tolerance) still carries arbitrarily old matches — the
+    new parameter must not perturb the base semantics."""
+    quotes = spark.createDataFrame(
+        [("A", _ts(1), 99.0)], "sym string, qts timestamp, price double"
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts(23), 1)], "sym string, tts timestamp, trade_id int"
+    )
+    row = as_of_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        right_payload=["price"],
+    ).collect()[0]
+    assert row["asof_price"] == 99.0
