@@ -469,6 +469,37 @@ def main() -> int:
         "(map-side partials)",
     )
 
+    # 47. Boilerplate chunk removal: no cartesian; the chunk table is
+    # pinned (InMemoryTableScan feeds both the df aggregate and the
+    # join-back) and aggregates run partial+final.
+    p = plan_of(qs["boilerplate_chunk_removal"](spark, sf_dir))
+    check(
+        "boilerplate_no_cartesian",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+        "(chunk_md5-keyed joins only)",
+    )
+    check(
+        "boilerplate_chunk_pin_reused",
+        len(_re.findall(r"[+:]- InMemoryTableScan", p)) >= 2,
+        "(pinned chunk table scanned by both consumers)",
+    )
+
+    # 48. Tolerance as-of join: same single-shuffle union+window plan as
+    # the unbounded as-of join — the tolerance bound must not introduce a
+    # join node or extra exchange (one Exchange for the key window; AQE
+    # may add coalesce reads but no second shuffle of the union).
+    # Count only hashpartitioning exchanges: the fixture's single-row-group
+    # parquet gets a RoundRobin input-split repartition per scan (pure
+    # parallelism, no key movement) — the KEY shuffle must be exactly the
+    # one window exchange on user_id.
+    p = plan_of(qs["asof_join_tolerance"](spark, sf_dir))
+    n_hash = len(_re.findall(r"Arguments: hashpartitioning", p))
+    check(
+        "asof_tolerance_single_shuffle",
+        n_hash == 1 and "Join" not in p,
+        f"(hash exchanges: {n_hash}, no join node; window carry only)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
