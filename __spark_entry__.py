@@ -53,6 +53,7 @@ PRIORITY = [
     # gated yet)
     "boilerplate_chunk_removal",
     "asof_join_tolerance",
+    "sequence_packing_stats",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

@@ -147,6 +147,7 @@ HEADLINE = [
     "skewed_agg_salted",
     "boilerplate_chunk_removal",
     "asof_join_tolerance",
+    "sequence_packing_stats",
 ]
 
 

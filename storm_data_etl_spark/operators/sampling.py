@@ -11,9 +11,10 @@ ship as primitives:
 
 - **token-budget shard packing** — assign documents to contiguous training
   shards so each shard holds ~``budget`` tokens: a prefix-sum over a stable
-  ordering, shard = floor(exclusive_prefix_sum / budget). One shuffle
-  (the global ordering window). At cluster scale, order within a partition
-  key (e.g. source) instead of globally to keep the window per-key.
+  ordering, shard = floor(exclusive_prefix_sum / budget). Built on the
+  two-phase distributed prefix sum (`global_prefix_sum`): range shuffle +
+  per-partition scan + broadcast partition offsets — never the bare
+  global window whose single task caps throughput at one core.
 
 No reference analog (the reference has no sampling surface); part of the
 beyond-reference training-data family (SURVEY §7 step 7).
@@ -90,6 +91,56 @@ def stratified_hash_sample(
     return df.filter(b < rate)
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable EXCLUSIVE prefix sum of ``value_col`` over the global
+    ``order_cols`` order (must be a unique key).
+
+    A bare ``Window.orderBy(...)`` computes this in ONE task — the textbook
+    non-scalable scan. This is the classic two-phase distributed scan
+    (mirroring dedup.global_rank): range-partition on the order columns,
+    per-partition exclusive cumsum (parallel), then add each partition's
+    offset — the sum of all earlier partitions — via a broadcast join of a
+    #partitions-row table. One range shuffle + one tiny aggregate job;
+    every stage parallel; result identical to the single-task window.
+
+    Same pinning caveat as global_rank: one materialization is pinned so
+    the offset table and the row scan cannot disagree on _pid under AQE;
+    callers release it via session.release_pinned().
+    """
+    from storm_data_etl_spark.session import pin as _pin
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    part = part.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    part = _pin(part)
+    sums = part.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    # ~num_partitions rows: a single-task window here is fine by design.
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn(
+        "_off", F.coalesce(F.sum("_psum").over(wo), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_local"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     token_col: str,
@@ -102,13 +153,13 @@ def pack_token_shards(
     Rows are taken in ``order_col`` order; a row belongs to shard
     floor(exclusive-prefix-sum / budget), i.e. a shard closes once the
     tokens BEFORE the next row reach the budget. A single over-budget row
-    occupies a shard alone rather than being dropped."""
-    w = (
-        Window.orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return df.withColumn(shard_col, F.floor(prefix / F.lit(budget)))
+    occupies a shard alone rather than being dropped. The prefix sum is
+    the two-phase distributed form (global_prefix_sum), not a single-task
+    global window."""
+    pref = global_prefix_sum(df, token_col, [order_col], out_col="_prefix")
+    return pref.withColumn(
+        shard_col, F.floor(F.col("_prefix") / F.lit(budget))
+    ).drop("_prefix")
 
 
 def weighted_hash_sample(

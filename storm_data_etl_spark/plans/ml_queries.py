@@ -1113,6 +1113,88 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pref AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS s
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, s, s + n_tok AS e,
+             CAST(floor(s / 256.0) AS BIGINT) AS f,
+             CAST(floor((s + n_tok - 1) / 256.0) AS BIGINT) AS l
+      FROM pref
+    ),
+    x AS (
+      SELECT doc_id, s, e, r.seq AS seq_id
+      FROM spans, unnest(range(f, l + 1)) AS r(seq)
+    )
+    SELECT seq_id, count(*) AS n_docs,
+           CAST(sum(least(e, (seq_id + 1) * 256)
+                    - greatest(s, seq_id * 256)) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN s >= seq_id * 256 AND e <= (seq_id + 1) * 256
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs
+    FROM x GROUP BY seq_id
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pretraining sequence packing: concatenate the corpus in
+    doc_id order and cut it into fixed 256-token sequences, reporting per
+    sequence how many documents it spans, its token fill, and how many
+    documents sit fully inside it (vs. crossing a boundary) — the
+    packing-efficiency / attention-boundary audit run before training.
+
+    The global token offset per document is the two-phase distributed
+    prefix sum (operators/sampling.global_prefix_sum): range shuffle +
+    parallel per-partition scan + broadcast #partitions-row offsets —
+    NEVER the one-task global window. A document spanning k sequences
+    explodes into k rows (k = n_tok/256 + 2, bounded), and the final
+    aggregate shuffles on seq_id — uniform by construction."""
+    S = 256
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        )
+    )
+    pref = SP.global_prefix_sum(docs, "n_tok", ["doc_id"], out_col="s")
+    spans = pref.select(
+        "doc_id",
+        F.col("s").cast("bigint").alias("s"),
+        (F.col("s") + F.col("n_tok")).cast("bigint").alias("e"),
+        F.floor(F.col("s") / F.lit(float(S))).cast("bigint").alias("f"),
+        F.floor((F.col("s") + F.col("n_tok") - 1) / F.lit(float(S)))
+        .cast("bigint")
+        .alias("l"),
+    )
+    x = spans.select(
+        "doc_id", "s", "e", F.explode(F.sequence("f", "l")).alias("seq_id")
+    )
+    lo = F.col("seq_id") * S
+    hi = (F.col("seq_id") + 1) * S
+    return x.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.least("e", hi) - F.greatest("s", lo)).cast("bigint").alias(
+            "n_tokens"
+        ),
+        F.sum(
+            F.when((F.col("s") >= lo) & (F.col("e") <= hi), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_full_docs"),
+    )
+
+
+@register(
     "sorted_neighborhood_pairs",
     f"""
     WITH norm AS (

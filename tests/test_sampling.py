@@ -123,3 +123,63 @@ def test_weighted_sample_without_replacement_properties(spark):
     again = {(r.grp, r.doc_id) for r in
              weighted_sample_without_replacement(df, "doc_id", "wt", "grp", k=2).collect()}
     assert again == {(r.grp, r.doc_id) for r in out}
+
+
+def test_global_prefix_sum_matches_python_model(spark):
+    """Two-phase distributed prefix sum == single-threaded fold, across a
+    row count that forces many range partitions and non-contiguous ids."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i * 3 + 1, rng.randrange(1, 500)) for i in range(997)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id int, v int").repartition(13)
+    got = {
+        r.doc_id: r.prefix_sum
+        for r in SP.global_prefix_sum(df, "v", ["doc_id"], num_partitions=11).collect()
+    }
+    acc = 0
+    for did, v in sorted(rows):
+        assert got[did] == acc, (did, got[did], acc)
+        acc += v
+    from storm_data_etl_spark.session import release_pinned
+
+    release_pinned()
+
+
+def test_global_prefix_sum_single_row_and_empty(spark):
+    df = spark.createDataFrame([(5, 42)], "doc_id int, v int")
+    assert SP.global_prefix_sum(df, "v", ["doc_id"]).collect()[0].prefix_sum == 0
+    empty = spark.createDataFrame([], "doc_id int, v int")
+    assert SP.global_prefix_sum(empty, "v", ["doc_id"]).count() == 0
+    from storm_data_etl_spark.session import release_pinned
+
+    release_pinned()
+
+
+def test_sequence_packing_handcrafted(spark, monkeypatch):
+    """Three docs of 300/200/100 tokens, S=256. Offsets: doc1 [0,300)
+    spans seqs 0-1; doc2 [300,500) fits inside seq 1; doc3 [500,600)
+    starts before the 512 boundary so it crosses seqs 1-2."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    rows = [
+        (1, " ".join(["w"] * 300), "en", "s", 300),
+        (2, " ".join(["w"] * 200), "en", "s", 200),
+        (3, " ".join(["w"] * 100), "en", "s", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(MQ, "t", lambda *_a: df)
+    got = {r.seq_id: r for r in MQ.sequence_packing_stats(spark, "x").collect()}
+    # spans: doc1 [0,300) seqs 0-1; doc2 [300,500) seq 1; doc3 [500,600) seqs 1-2
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_docs, got[0].n_tokens, got[0].n_full_docs) == (1, 256, 0)
+    assert (got[1].n_docs, got[1].n_tokens, got[1].n_full_docs) == (3, 256, 1)
+    assert (got[2].n_docs, got[2].n_tokens, got[2].n_full_docs) == (1, 88, 0)
+    # total tokens conserved
+    assert sum(r.n_tokens for r in got.values()) == 600
+    from storm_data_etl_spark.session import release_pinned
+
+    release_pinned()

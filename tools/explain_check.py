@@ -500,6 +500,22 @@ def main() -> int:
         f"(hash exchanges: {n_hash}, no join node; window carry only)",
     )
 
+    # 49. Sequence packing: the prefix sum must be the two-phase form —
+    # range partitioning on the order key plus a broadcast offsets join —
+    # never a partition-less global window (whose single task would cap
+    # the scan at one core).
+    p = plan_of(qs["sequence_packing_stats"](spark, sf_dir))
+    check(
+        "seq_packing_range_partition",
+        "rangepartitioning" in p.lower(),
+        "(range shuffle on the order key)",
+    )
+    check(
+        "seq_packing_offsets_broadcast",
+        "BroadcastHashJoin" in p,
+        "(#partitions-row offset table broadcast)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
