@@ -54,6 +54,7 @@ PRIORITY = [
     "boilerplate_chunk_removal",
     "asof_join_tolerance",
     "sequence_packing_stats",
+    "padding_efficiency_stats",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

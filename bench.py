@@ -148,6 +148,7 @@ HEADLINE = [
     "boilerplate_chunk_removal",
     "asof_join_tolerance",
     "sequence_packing_stats",
+    "padding_efficiency_stats",
 ]
 
 

@@ -10,7 +10,7 @@ IS oracle-checked here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import text as X
@@ -1191,6 +1191,102 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_full_docs"),
+    )
+
+
+@register(
+    "padding_efficiency_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    banded AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok < 64 THEN 0 WHEN n_tok < 128 THEN 1
+                  WHEN n_tok < 256 THEN 2 ELSE 3 END AS band,
+             doc_id % 8 AS sub
+      FROM toks
+    ),
+    batched AS (
+      SELECT band, sub, n_tok,
+             CAST(floor((row_number() OVER (
+               PARTITION BY band, sub ORDER BY doc_id
+             ) - 1) / 32.0) AS BIGINT) AS batch_id
+      FROM banded
+    ),
+    per_batch AS (
+      SELECT band, sub, batch_id, count(*) AS n_rows,
+             max(n_tok) AS mx, CAST(sum(n_tok) AS BIGINT) AS useful
+      FROM batched GROUP BY band, sub, batch_id
+    )
+    SELECT band,
+           CAST(sum(n_rows) AS BIGINT) AS n_docs,
+           count(*) AS n_batches,
+           CAST(sum(useful) AS BIGINT) AS useful_tokens,
+           CAST(sum(mx * n_rows - useful) AS BIGINT) AS padded_tokens,
+           CAST(floor(1000000.0 * sum(mx * n_rows - useful)
+                / sum(mx * n_rows)) AS BIGINT) AS padding_frac_e6
+    FROM per_batch GROUP BY band
+    """,
+)
+def padding_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic-batching audit: group documents into four
+    token-length bands, form deterministic 32-row batches inside each
+    band, pad every batch to its own max length, and report per band the
+    useful vs padded token mass — the before/after evidence for why
+    inference and training loaders bucket by length.
+
+    Skew-safe window shape: batch formation partitions by (band, sub)
+    where sub = doc_id % 8, so no single band funnels into one task the
+    way PARTITION BY band alone would — batches never needed global
+    contiguity, only same-band membership, so sub-bucketing changes
+    nothing semantically while keeping every window partition bounded.
+    The final aggregate shuffles on the tiny (band, sub, batch) keys."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        )
+    )
+    banded = docs.select(
+        "doc_id",
+        "n_tok",
+        F.when(F.col("n_tok") < 64, 0)
+        .when(F.col("n_tok") < 128, 1)
+        .when(F.col("n_tok") < 256, 2)
+        .otherwise(3)
+        .alias("band"),
+        (F.col("doc_id") % 8).alias("sub"),
+    )
+    w = Window.partitionBy("band", "sub").orderBy("doc_id")
+    batched = banded.select(
+        "band",
+        "sub",
+        "n_tok",
+        F.floor((F.row_number().over(w) - 1) / 32.0).cast("bigint").alias(
+            "batch_id"
+        ),
+    )
+    per_batch = batched.groupBy("band", "sub", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("n_tok").alias("mx"),
+        F.sum("n_tok").cast("bigint").alias("useful"),
+    )
+    pad = F.col("mx") * F.col("n_rows") - F.col("useful")
+    return per_batch.groupBy("band").agg(
+        F.sum("n_rows").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("useful").cast("bigint").alias("useful_tokens"),
+        F.sum(pad).cast("bigint").alias("padded_tokens"),
+        F.floor(
+            1000000.0 * F.sum(pad) / F.sum(F.col("mx") * F.col("n_rows"))
+        )
+        .cast("bigint")
+        .alias("padding_frac_e6"),
     )
 
 

@@ -183,3 +183,28 @@ def test_sequence_packing_handcrafted(spark, monkeypatch):
     from storm_data_etl_spark.session import release_pinned
 
     release_pinned()
+
+
+def test_padding_efficiency_handcrafted(spark, monkeypatch):
+    """Uniform-length docs pad to zero; one straggler pads its whole batch
+    up to its own length."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    # 8 docs of 10 tokens (band 0, one per sub-bucket → 8 batches of 1,
+    # zero padding) + 2 docs of 100 and 120 tokens in band 1.
+    rows = [(i, " ".join(["w"] * 10), "en", "s", 10) for i in range(8)]
+    rows += [
+        (8, " ".join(["w"] * 100), "en", "s", 100),   # sub 0
+        (16, " ".join(["w"] * 120), "en", "s", 120),  # sub 0, same batch
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(MQ, "t", lambda *_a: df)
+    got = {r.band: r for r in MQ.padding_efficiency_stats(spark, "x").collect()}
+    assert set(got) == {0, 1}
+    assert (got[0].n_docs, got[0].padded_tokens) == (8, 0)
+    # band 1: one batch of [100, 120] → pad 100 → 120 costs 20
+    assert (got[1].n_docs, got[1].n_batches) == (2, 1)
+    assert (got[1].useful_tokens, got[1].padded_tokens) == (220, 20)
+    assert got[1].padding_frac_e6 == 1_000_000 * 20 // 240
