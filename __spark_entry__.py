@@ -55,6 +55,7 @@ PRIORITY = [
     "asof_join_tolerance",
     "sequence_packing_stats",
     "padding_efficiency_stats",
+    "unicode_nfc_audit",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

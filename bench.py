@@ -149,6 +149,7 @@ HEADLINE = [
     "asof_join_tolerance",
     "sequence_packing_stats",
     "padding_efficiency_stats",
+    "unicode_nfc_audit",
 ]
 
 

@@ -1279,3 +1279,60 @@ def boilerplate_chunk_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_frac_e6"),
         )
     )
+
+
+# =====================================================================
+# Unicode NFC normalization audit
+# =====================================================================
+
+@register(
+    "unicode_nfc_audit",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN nfc_normalize(text) <> text
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_non_nfc,
+           CAST(sum(length(nfc_normalize(text))) AS BIGINT) AS nfc_chars
+    FROM documents GROUP BY source
+    """,
+)
+def unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit per source: how many documents are
+    NOT in NFC form (decomposed accents, compatibility leftovers) and the
+    corpus character count after normalization — the check every dedup
+    pipeline runs BEFORE fingerprinting, since 'é' and 'e'+U+0301 hash
+    differently while reading identically.
+
+    Catalyst has no UAX#15 normalizer, so this is the documented
+    Arrow-batch escape hatch (same pattern as the media decoders): one
+    mapInPandas pass computes per-doc (changed, nfc_chars) JVM→Arrow→
+    pandas, never row-at-a-time Python, and the aggregate shuffles on
+    source. The oracle is DuckDB's native nfc_normalize — two independent
+    UAX#15 implementations (Python unicodedata vs DuckDB/utf8proc) must
+    agree on every document."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in batches:
+            txt = pdf["text"].fillna("")
+            norm = txt.map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "changed": (norm != txt).astype("int32"),
+                    "nfc_chars": norm.str.len().astype("int64"),
+                }
+            )
+
+    per = docs.mapInPandas(run, "source string, changed int, nfc_chars long")
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("changed").cast("bigint").alias("n_non_nfc"),
+        F.sum("nfc_chars").cast("bigint").alias("nfc_chars"),
+    )

@@ -336,3 +336,32 @@ def test_boilerplate_two_doc_overlap_survives(spark, monkeypatch):
     got = {r["doc_id"]: r for r in CQ.boilerplate_chunk_removal(spark, "x").collect()}
     assert got[1]["n_boiler"] == 0 and got[1]["kept_frac_e6"] == 1_000_000
     assert got[2]["n_boiler"] == 0 and got[2]["tokens_kept"] == 11
+
+
+def test_unicode_nfc_audit_positive_path(spark, monkeypatch):
+    """Decomposed accents and compatibility chars flag as non-NFC; the
+    Python unicodedata pass must agree with DuckDB's utf8proc on both the
+    flag and the normalized length."""
+    import duckdb
+
+    rows = [
+        (1, "café latte", "fr", "s", 12),   # e + combining acute
+        (2, "café latte", "fr", "s", 11),         # precomposed é
+        (3, "plain ascii", "en", "s", 11),
+        (4, "Å ring", "sv", "t", 7),        # A + combining ring
+    ]
+    monkeypatch.setattr(CQ, "t", lambda *_a: _docs_df(spark, rows))
+    got = {r["source"]: r for r in CQ.unicode_nfc_audit(spark, "x").collect()}
+    assert (got["s"].n_docs, got["s"].n_non_nfc) == (3, 1)
+    assert (got["t"].n_docs, got["t"].n_non_nfc) == (1, 1)
+    # cross-check every doc against DuckDB's implementation
+    con = duckdb.connect()
+    for _id, txt, _l, _src, _n in rows:
+        nfc, ln = con.execute(
+            "SELECT nfc_normalize(?) <> ?, length(nfc_normalize(?))",
+            [txt, txt, txt],
+        ).fetchone()
+        import unicodedata
+
+        assert nfc == (unicodedata.normalize("NFC", txt) != txt)
+        assert ln == len(unicodedata.normalize("NFC", txt))
