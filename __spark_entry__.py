@@ -56,6 +56,7 @@ PRIORITY = [
     "sequence_packing_stats",
     "padding_efficiency_stats",
     "unicode_nfc_audit",
+    "bpe_zero_merge_regime",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

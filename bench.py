@@ -150,6 +150,7 @@ HEADLINE = [
     "sequence_packing_stats",
     "padding_efficiency_stats",
     "unicode_nfc_audit",
+    "bpe_zero_merge_regime",
 ]
 
 

@@ -2250,6 +2250,39 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_zero_merge_regime",
+    """
+    WITH words AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(regexp_split_to_array(text, ' +')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    )
+    SELECT source, count(*) AS n_words,
+           CAST(sum(length(w) + 1) AS BIGINT) AS n_subwords,
+           CAST(floor(1000.0 * sum(length(w) + 1) / count(*)) AS BIGINT)
+             AS compression_e3
+    FROM words GROUP BY source
+    """,
+)
+def bpe_zero_merge_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE exactness regime: with ZERO merges, segmentation provably
+    degenerates to characters + the end-of-word marker, so n_subwords =
+    Σ(len(word) + 1) — a closed form DuckDB can compute. This hash-gates
+    everything in the BPE dataflow EXCEPT the merge loop itself (the JVM
+    word explode, the Arrow-batched segment_words_df pass — which really
+    executes, char-splitting every distinct word in Python — the
+    broadcast join-back, and the per-source aggregate); the merge loop
+    carries pytest parity against an independent reference
+    implementation. Same exactness-twin pattern as
+    ann_ivf_fullprobe_topk / cms_exact_regime / bloom_exact_regime."""
+    from storm_data_etl_spark.operators import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    return B.bpe_corpus_stats(docs, merges=[])
+
+
+@register(
     "substring_dup_spans",
     """
     WITH g AS (

@@ -118,3 +118,16 @@ def test_vocab_collect_is_capped(spark):
 
     with _pytest.raises(ValueError, match="driver-safe"):
         B.train_bpe_merges(_corpus_df(spark), top_words=B.MAX_DRIVER_VOCAB + 1)
+
+
+def test_zero_merge_segmentation_is_characters(spark):
+    """With no learned merges every word segments to its characters plus
+    the end-of-word marker — the closed form the bpe_zero_merge_regime
+    gate entry relies on."""
+    from storm_data_etl_spark.operators.bpe import segment_word, segment_words_df
+
+    assert segment_word("hello", {}) == ["h", "e", "l", "l", "o", "</w>"]
+    assert segment_word("a", {}) == ["a", "</w>"]
+    words = spark.createDataFrame([("spark",), ("x",)], ["w"])
+    got = {r.w: r.n_subwords for r in segment_words_df(words, []).collect()}
+    assert got == {"spark": 6, "x": 2}
