@@ -57,6 +57,7 @@ PRIORITY = [
     "padding_efficiency_stats",
     "unicode_nfc_audit",
     "bpe_zero_merge_regime",
+    "mann_whitney_u",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

@@ -151,6 +151,7 @@ HEADLINE = [
     "padding_efficiency_stats",
     "unicode_nfc_audit",
     "bpe_zero_merge_regime",
+    "mann_whitney_u",
 ]
 
 

@@ -2354,6 +2354,99 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mann_whitney_u",
+    """
+    WITH q AS (
+      SELECT CAST(floor("value" * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')
+        AND "value" IS NOT NULL
+    ),
+    per_v AS (
+      SELECT v, CAST(sum(ia) AS BIGINT) AS a_cnt,
+             CAST(sum(ib) AS BIGINT) AS b_cnt,
+             CAST(count(*) AS BIGINT) AS t
+      FROM q GROUP BY v
+    ),
+    cum AS (
+      SELECT a_cnt, b_cnt, t,
+             CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS below
+      FROM per_v
+    ),
+    tot AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+                   CAST(sum(ib) AS BIGINT) AS n_b FROM q)
+    SELECT tot.n_a, tot.n_b,
+           CAST(sum(a_cnt * (2 * below + t + 1)) - tot.n_a * (tot.n_a + 1)
+                AS BIGINT) AS u2_a,
+           CAST(sum(b_cnt * (2 * below + t + 1)) - tot.n_b * (tot.n_b + 1)
+                AS BIGINT) AS u2_b,
+           CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+    FROM cum CROSS JOIN tot
+    GROUP BY tot.n_a, tot.n_b
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between the click and
+    purchase value distributions — the nonparametric location test
+    completing the drift family (welch_ttest assumes normality;
+    ks_two_sample measures shape; this one ranks). Values quantize to
+    integer hundredths like ks_two_sample, making every quantity EXACT
+    integer arithmetic: with `below` the count of smaller observations
+    and t the tie-group size, twice the average midrank is
+    2*below + t + 1, so 2*R_A = Σ a_cnt·(2·below+t+1) and
+    u2_a = 2·R_A − n_a(n_a+1) is 2×U_A with no float anywhere; the tie
+    correction Σ(t³−t) is emitted for the caller's variance formula.
+    Sanity identity u2_a + u2_b = 2·n_a·n_b is pinned in pytest. The one
+    ordered window runs over the quantized value DOMAIN (≤ |support|
+    rows regardless of event count — same boundedness argument as
+    ks_two_sample); everything else is a uniform groupBy. Integer paths
+    overflow only past n ~ 3e9 rows per side, the same documented bound
+    as ks."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    )
+    q = ev.select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("event_type") == "click").cast("bigint").alias("ia"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("ib"),
+    )
+    per_v = q.groupBy("v").agg(
+        F.sum("ia").alias("a_cnt"),
+        F.sum("ib").alias("b_cnt"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "a_cnt",
+        "b_cnt",
+        "t",
+        (F.sum("t").over(w) - F.col("t")).alias("below"),
+    )
+    tot = q.agg(F.sum("ia").alias("n_a"), F.sum("ib").alias("n_b"))
+    rank2 = 2 * F.col("below") + F.col("t") + 1
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            (
+                F.sum(F.col("a_cnt") * rank2) - F.col("n_a") * (F.col("n_a") + 1)
+            )
+            .cast("bigint")
+            .alias("u2_a"),
+            (
+                F.sum(F.col("b_cnt") * rank2) - F.col("n_b") * (F.col("n_b") + 1)
+            )
+            .cast("bigint")
+            .alias("u2_b"),
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+
+
+@register(
     "ks_two_sample",
     """
     WITH q AS (

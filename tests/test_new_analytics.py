@@ -282,3 +282,32 @@ def test_gini_known_distributions(spark):
     # one of ten rows holds ~99.999% of the mass → G ≈ 0.9 - tiny
     assert out["spike"].gini_e6 > 880000
     assert out["spike"].n == 10
+
+
+def test_mann_whitney_u_known_values_and_identity(spark, sf_dir):
+    """Handcrafted A={1,2,3} vs B={3,4}: midranks 1,2,3.5,3.5,5 →
+    R_A=6.5, U_A=0.5 → u2_a=1; the tie at 3 contributes t³−t=6. Also pin
+    the U_A + U_B = n_a·n_b identity on the real fixture."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 1, "click", float(v), "{}") for i, v in enumerate([1, 2, 3])]
+    rows += [(10 + i, base, 1, "purchase", float(v), "{}") for i, v in enumerate([3, 4])]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts_utc", F.col("ts"))
+    orig = WQ.t
+    WQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        out = WQ.mann_whitney_u(spark, "x").collect()[0]
+    finally:
+        WQ.t = orig
+    assert (out.n_a, out.n_b) == (3, 2)
+    assert out.u2_a == 1   # 2×U_A = 2·(6.5 − 6)
+    assert out.u2_b == 11  # 2×U_B = 2·(n_a·n_b − U_A) = 2·5.5
+    assert out.u2_a + out.u2_b == 2 * out.n_a * out.n_b
+    assert out.tie_term == 6
+
+    real = WQ.mann_whitney_u(spark, sf_dir).collect()[0]
+    assert real.u2_a + real.u2_b == 2 * real.n_a * real.n_b
+    assert real.tie_term >= 0
