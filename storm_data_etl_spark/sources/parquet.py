@@ -13,11 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: Columnar lake formats Spark ships natively — both support partition
+#: pruning, predicate pushdown, and column projection through the same
+#: DataSource V1/V2 machinery, so the layout arguments below hold for
+#: either. Parquet is the default; ORC is offered for stacks standardized
+#: on it (Hive-heritage warehouses).
+LAKE_FORMATS = ("parquet", "orc")
+
+
 def write_events_partitioned(
     enriched: DataFrame,
     path: str,
     mode: str = "overwrite",
     target_file_rows: int | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Write enriched storm events partitioned by event date and type.
 
@@ -27,7 +36,11 @@ def write_events_partitioned(
     - Within a partition, rows are repartitioned by id hash so file counts
       stay bounded (small-files problem) — at cluster scale tune
       target_file_rows to the row-group sweet spot (~128 MB files).
+    - ``fmt`` selects the columnar container (see LAKE_FORMATS); the
+      layout is format-agnostic.
     """
+    if fmt not in LAKE_FORMATS:
+        raise ValueError(f"fmt must be one of {LAKE_FORMATS}, got {fmt!r}")
     out = enriched.withColumn("bucket_date", F.to_date("time_bucket"))
     if target_file_rows:
         # files per partition ≈ partition_rows / target_file_rows
@@ -35,14 +48,19 @@ def write_events_partitioned(
     (
         out.write.mode(mode)
         .partitionBy("bucket_date", "event_type")
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 
-def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
+def read_events_partitioned(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
     """Read the partitioned lake back; date/type filters prune partitions
     (verify via .explain → PartitionFilters)."""
-    return spark.read.parquet(path)
+    if fmt not in LAKE_FORMATS:
+        raise ValueError(f"fmt must be one of {LAKE_FORMATS}, got {fmt!r}")
+    return spark.read.format(fmt).load(path)
 
 
 def write_bucketed(

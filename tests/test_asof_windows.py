@@ -237,3 +237,34 @@ def test_as_of_join_no_tolerance_unchanged(spark):
         right_payload=["price"],
     ).collect()[0]
     assert row["asof_price"] == 99.0
+
+
+def test_partitioned_sink_orc_roundtrip_and_prune(spark, tmp_path):
+    """The lake layout is format-agnostic: the ORC container round-trips
+    the same rows and prunes partitions exactly like parquet."""
+    import pytest
+
+    from storm_data_etl_spark.functions.enrich import enrich_raw
+    from storm_data_etl_spark.plans.enrich_queries import BASE_TS, golden_df
+    from storm_data_etl_spark.sources.parquet import (
+        read_events_partitioned,
+        write_events_partitioned,
+    )
+
+    enriched = enrich_raw(
+        golden_df(spark).withColumn("_base_ts", F.lit(BASE_TS).cast("timestamp")),
+        processed_at="2024-04-27 06:00:00",
+    )
+    path = str(tmp_path / "lake_orc")
+    write_events_partitioned(enriched, path, fmt="orc")
+    back = read_events_partitioned(spark, path, fmt="orc")
+    assert back.count() == enriched.count()
+    pruned = back.filter(
+        (F.col("event_type") == "hail") & (F.col("bucket_date") == "2024-04-26")
+    )
+    assert pruned.count() == 8
+    # unknown formats are rejected, not silently written
+    with pytest.raises(ValueError):
+        write_events_partitioned(enriched, path, fmt="avro")
+    with pytest.raises(ValueError):
+        read_events_partitioned(spark, path, fmt="csvx")
