@@ -58,6 +58,7 @@ PRIORITY = [
     "unicode_nfc_audit",
     "bpe_zero_merge_regime",
     "mann_whitney_u",
+    "approx_percentile_regime",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

@@ -152,6 +152,7 @@ HEADLINE = [
     "unicode_nfc_audit",
     "bpe_zero_merge_regime",
     "mann_whitney_u",
+    "approx_percentile_regime",
 ]
 
 

@@ -2447,6 +2447,41 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_regime",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           quantile_disc("value", 0.25) AS q25,
+           quantile_disc("value", 0.50) AS q50,
+           quantile_disc("value", 0.75) AS q75,
+           quantile_disc("value", 0.99) AS q99
+    FROM events WHERE "value" IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def approx_percentile_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness regime for Spark's percentile_approx (the GK/quantile-
+    summary sketch): with accuracy = 10^6 the rank error ε·n = n/accuracy
+    stays below one rank for any group under ~500k rows, so the sketch
+    returns the EXACT discrete quantile — hash-gated here against
+    DuckDB's quantile_disc. This certifies the swap docs/SCALE.md
+    prescribes at 100 TB (exact percentile() → percentile_approx): the
+    approximate operator users run at scale is the thing being verified,
+    in a configuration provably identical to exact. No arithmetic
+    touches the values (both engines return actual data elements), so
+    float parity is bit-trivial. One shuffle on event_type; the sketch
+    is mergeable (map-side partials)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", 0.25, 1_000_000).alias("q25"),
+        F.percentile_approx("value", 0.50, 1_000_000).alias("q50"),
+        F.percentile_approx("value", 0.75, 1_000_000).alias("q75"),
+        F.percentile_approx("value", 0.99, 1_000_000).alias("q99"),
+    )
+
+
+@register(
     "ks_two_sample",
     """
     WITH q AS (

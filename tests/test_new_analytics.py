@@ -311,3 +311,24 @@ def test_mann_whitney_u_known_values_and_identity(spark, sf_dir):
     real = WQ.mann_whitney_u(spark, sf_dir).collect()[0]
     assert real.u2_a + real.u2_b == 2 * real.n_a * real.n_b
     assert real.tie_term >= 0
+
+
+def test_approx_percentile_exact_regime_vs_exact(spark, sf_dir):
+    """In the exactness regime (accuracy >> n) percentile_approx must
+    equal the exact percentile for every group and quantile."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+    )
+    approx = WQ.approx_percentile_regime(spark, sf_dir).collect()
+    for r in approx:
+        vals = sorted(
+            x.value
+            for x in ev.filter(F.col("event_type") == r.event_type).collect()
+        )
+        import math
+
+        for p, got in ((0.25, r.q25), (0.5, r.q50), (0.75, r.q75), (0.99, r.q99)):
+            # discrete quantile: smallest element with cum fraction >= p
+            idx = max(0, math.ceil(p * len(vals)) - 1)
+            assert got == vals[idx], (r.event_type, p, got, vals[idx])
