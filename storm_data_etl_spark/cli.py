@@ -136,7 +136,17 @@ def cmd_etl(args: argparse.Namespace) -> int:
     if http_port is None:
         env_addr = os.environ.get("HTTP_ADDR")
         if env_addr:
-            http_port = int(env_addr.rsplit(":", 1)[-1])
+            # Go listen-address forms: ":8080", "host:8080", "[::1]:8080".
+            # A port-less or bare-IPv6 address has no usable port — reject
+            # it loudly rather than crash with int('localhost') or silently
+            # bind port 1 from '::1'.
+            host, sep, port_s = env_addr.rpartition(":")
+            if not sep or not port_s.isdigit() or (":" in host and not host.startswith("[")):
+                raise SystemExit(
+                    f"HTTP_ADDR={env_addr!r}: expected a listen address with "
+                    "an explicit port (':8080', 'host:8080', '[::1]:8080')"
+                )
+            http_port = int(port_s)
     if http_port is not None and http_port >= 0:
         from storm_data_etl_spark.streaming.http_observability import (
             ObservabilityServer,

@@ -73,8 +73,17 @@ def bloom_might_contain(
     k_hashes: int = 4,
     flag_col: str = "might_contain",
     position_fn=None,
+    broadcast_positions: bool = True,
 ) -> DataFrame:
     """Flag each probe row with whether its key is (maybe) in the filter.
+
+    ``broadcast_positions`` (default True) hints the set-positions table
+    broadcast — right whenever the filter is driver-shippable (up to tens
+    of millions of set bits). For a filter sized to a genuinely huge
+    corpus pass False: the join then falls back to AQE's choice
+    (shuffle-hash on the uniform position key), trading the
+    never-shuffle-the-probe property for not building a multi-GB
+    broadcast relation on the driver.
 
     A key tests positive iff all k of its positions are set. Membership is
     computed once per DISTINCT key (identical keys are identically present
@@ -95,8 +104,9 @@ def bloom_might_contain(
     n_pos = exploded.groupBy("_bloom_key").agg(
         F.count(F.lit(1)).alias("_bloom_npos")
     )
+    pos_side = F.broadcast(positions) if broadcast_positions else positions
     hits = (
-        exploded.join(F.broadcast(positions), "pos")
+        exploded.join(pos_side, "pos")
         .groupBy("_bloom_key")
         .agg(F.count(F.lit(1)).alias("_bloom_hits"))
     )

@@ -225,9 +225,10 @@ def train_ivf_centroids_distributed(
       - collect k (cell, per-dim sums, count) rows (k·dim doubles — the
         same bounded driver traffic the reference's own loop state has);
       - empty cells reseed from the points farthest from their assigned
-        centroid (distance desc, id asc — deterministic, and distinct
-        points per empty cell, unlike the sampled trainer's shared-point
-        reseed).
+        centroid (distance desc, id asc — deterministic, one distinct ROW
+        per empty cell; byte-identical duplicate vectors in the table can
+        still seed two cells with the same value, in which case the loser
+        re-empties and reseeds on the next iteration).
 
     Init spreads k seeds across the id range without a global sort (a
     row_number window would single-partition 100 TB): bucket each row by
@@ -261,6 +262,14 @@ def train_ivf_centroids_distributed(
         .collect()
     )
     cent = [[float(x) for x in r.seed.v] for r in init_rows]
+    # dim is load-bearing, not advisory: a mismatch between the declared
+    # dimensionality and the stored vectors corrupts every distance —
+    # fail on the driver-side seeds instead of silently training garbage.
+    bad = [len(c) for c in cent if len(c) != dim]
+    if bad:
+        raise ValueError(
+            f"dim={dim} but seed vectors have length(s) {sorted(set(bad))}"
+        )
     # Clustered ids can leave buckets empty: pad back to k by repeating the
     # first seed — argmin ties go to the lowest cell index, so every padded
     # copy is empty after the first assignment and the empty-cell reseed

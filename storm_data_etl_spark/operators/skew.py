@@ -111,6 +111,13 @@ def two_phase_agg(
     function is associative-decomposable, so re-aggregating partials
     cannot change the value.
     """
+    if not aggs:
+        raise ValueError("two_phase_agg needs at least one aggregate")
+    if "_salt" in df.columns:
+        raise ValueError(
+            "input already has a '_salt' column — it would be clobbered by "
+            "the salting stage; rename it first"
+        )
     unknown = [f for f, _ in aggs.values() if f not in _DECOMPOSABLE]
     if unknown:
         raise ValueError(

@@ -1157,7 +1157,7 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEVER the one-task global window. A document spanning k sequences
     explodes into k rows (k = n_tok/256 + 2, bounded), and the final
     aggregate shuffles on seq_id — uniform by construction."""
-    S = 256
+    SEQ_LEN = 256  # keep distinct from the module alias S (operators.similarity)
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.trim(F.col("text")) != "")
@@ -1171,16 +1171,16 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("s").cast("bigint").alias("s"),
         (F.col("s") + F.col("n_tok")).cast("bigint").alias("e"),
-        F.floor(F.col("s") / F.lit(float(S))).cast("bigint").alias("f"),
-        F.floor((F.col("s") + F.col("n_tok") - 1) / F.lit(float(S)))
+        F.floor(F.col("s") / F.lit(float(SEQ_LEN))).cast("bigint").alias("f"),
+        F.floor((F.col("s") + F.col("n_tok") - 1) / F.lit(float(SEQ_LEN)))
         .cast("bigint")
         .alias("l"),
     )
     x = spans.select(
         "doc_id", "s", "e", F.explode(F.sequence("f", "l")).alias("seq_id")
     )
-    lo = F.col("seq_id") * S
-    hi = (F.col("seq_id") + 1) * S
+    lo = F.col("seq_id") * SEQ_LEN
+    hi = (F.col("seq_id") + 1) * SEQ_LEN
     return x.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.least("e", hi) - F.greatest("s", lo)).cast("bigint").alias(

@@ -2871,7 +2871,7 @@ def value_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skewed_agg_salted",
     """
-    SELECT CASE WHEN user_id % 10 < 9 THEN 'hot'
+    SELECT CASE WHEN abs(user_id) % 10 < 9 THEN 'hot'
                 ELSE 'cold-' || CAST(user_id AS VARCHAR) END AS bucket,
            count(*) AS n_events,
            CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
@@ -2898,7 +2898,10 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
         .select(
-            F.when(F.pmod(F.col("user_id"), F.lit(10)) < 9, F.lit("hot"))
+            # abs() % matches the SQL twin for NEGATIVE ids too (Spark pmod
+            # vs SQL % disagree below zero — the repo convention is abs()
+            # on both sides, as in cms_exact_regime / bloom_exact_regime).
+            F.when(F.pmod(F.abs(F.col("user_id")), F.lit(10)) < 9, F.lit("hot"))
             .otherwise(F.concat(F.lit("cold-"), F.col("user_id").cast("string")))
             .alias("bucket"),
             F.floor(F.col("value") * 100).cast("bigint").alias("cents"),

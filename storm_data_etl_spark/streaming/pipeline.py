@@ -111,34 +111,45 @@ def run_pipeline(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         good_parsed, dead = split_poison(batch_df)
         good = enrich_raw(good_parsed, processed_at=processed_at)
+        # Persist in try/finally: a sink failure must not leak the cached
+        # micro-batch across the retry (Spark re-runs the epoch). Counters
+        # increment AFTER the main-sink write succeeds, mirroring the
+        # reference's count-after-produce loop (pipeline.go increments
+        # MessagesProduced only once the Kafka produce returns) — counting
+        # first would double-count every retried epoch.
         if metrics is not None:
             good = good.persist()
-            metrics.record_produced(good.count())
             dead = dead.persist()
-            metrics.record_transform_errors(dead.count())
-        if sink is not None:
-            sink(good, epoch_id)
-        elif kafka_brokers and output_topic:
-            from storm_data_etl_spark.sources.kafka import write_kafka_batch
+        try:
+            if sink is not None:
+                sink(good, epoch_id)
+            elif kafka_brokers and output_topic:
+                from storm_data_etl_spark.sources.kafka import write_kafka_batch
 
-            write_kafka_batch(serialize_events(good), kafka_brokers, output_topic)
-        if dead_letter_sink is not None:
-            dead_letter_sink(dead, epoch_id)
-        if dead_letter_path:
-            (
-                dead.select(
-                    F.col("timestamp"),
-                    F.col("topic"),
-                    F.col("partition"),
-                    F.col("offset"),
-                    F.col("value").cast("string").alias("raw_value"),
+                write_kafka_batch(
+                    serialize_events(good), kafka_brokers, output_topic
                 )
-                .write.mode("append")
-                .json(dead_letter_path)
-            )
-        if metrics is not None:
-            good.unpersist()
-            dead.unpersist()
+            if metrics is not None:
+                metrics.record_produced(good.count())
+                metrics.record_transform_errors(dead.count())
+            if dead_letter_sink is not None:
+                dead_letter_sink(dead, epoch_id)
+            if dead_letter_path:
+                (
+                    dead.select(
+                        F.col("timestamp"),
+                        F.col("topic"),
+                        F.col("partition"),
+                        F.col("offset"),
+                        F.col("value").cast("string").alias("raw_value"),
+                    )
+                    .write.mode("append")
+                    .json(dead_letter_path)
+                )
+        finally:
+            if metrics is not None:
+                good.unpersist()
+                dead.unpersist()
 
     return (
         envelope_stream.writeStream.foreachBatch(process_batch)

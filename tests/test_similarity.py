@@ -275,3 +275,23 @@ def test_distributed_kmeans_matches_python_model(spark):
             new[c] = list(vecs[i])
         cent = new
     assert got == cent
+
+
+def test_distributed_ivf_rejects_dim_mismatch(spark):
+    """The declared dim is validated against the seed vectors instead of
+    silently training on mismatched arrays."""
+    import pytest
+
+    from storm_data_etl_spark.operators.similarity import (
+        train_ivf_centroids_distributed,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim=3"):
+        train_ivf_centroids_distributed(vecs, dim=3, n_centroids=2, iters=1)
+    # correct dim still trains
+    cents = train_ivf_centroids_distributed(vecs, dim=2, n_centroids=2, iters=1)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)

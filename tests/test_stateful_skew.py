@@ -212,3 +212,18 @@ def test_streaming_running_stats_cross_batch(spark, tmp_path):
     assert (u1.n, u1.total, u1.vmin, u1.vmax, u1.ewma) == (3, 32.0, 2.0, 20.0, 8.5)
     u2 = latest[2]
     assert (u2.n, u2.total, u2.vmin, u2.vmax, u2.ewma) == (1, 7.0, 7.0, 7.0, 7.0)
+
+
+def test_two_phase_agg_guards(spark):
+    """Empty agg dict and a pre-existing _salt column are rejected loudly
+    instead of raising bare StopIteration / silently clobbering."""
+    import pytest
+
+    from storm_data_etl_spark.operators.skew import two_phase_agg
+
+    df = spark.createDataFrame([(1, 2)], ["k", "v"])
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        two_phase_agg(df, ["k"], {})
+    salted = df.withColumnRenamed("v", "_salt")
+    with pytest.raises(ValueError, match="_salt"):
+        two_phase_agg(salted, ["k"], {"m": ("max", "_salt")})
