@@ -335,3 +335,78 @@ def test_jpeg_constant_tile_round_trip(seed, width, height):
         for c in (0, width - 1, width // 2):
             idx = (seed + 7 * (r // 8) + 3 * (c // 8)) % 256
             assert rows[r][c] == closed_form_bgr(idx), (r, c)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (with and without tolerance) vs pandas merge_asof — the
+# canonical implementation of the semantics this operator re-expresses.
+# ---------------------------------------------------------------------------
+
+_asof_rights = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(min_value=0, max_value=500),  # unique-ified below
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=20,
+)
+_asof_lefts = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(min_value=0, max_value=500),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(_asof_lefts, _asof_rights, st.sampled_from([None, 0, 7, 60]))
+def test_as_of_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
+    import datetime as dt
+
+    import pandas as pd
+
+    from storm_data_etl_spark.operators.asof import as_of_join
+
+    base = dt.datetime(2024, 1, 1)
+    # unique (key, ts) on the right so tie-order semantics can't differ
+    seen = set()
+    rrows = []
+    for k, sec, payload in rights:
+        if (k, sec) in seen:
+            continue
+        seen.add((k, sec))
+        rrows.append((k, base + dt.timedelta(seconds=sec), payload))
+    lrows = [
+        (k, base + dt.timedelta(seconds=sec), i)
+        for i, (k, sec) in enumerate(lefts)
+    ]
+    ldf = spark.createDataFrame(lrows, "k string, lts timestamp, lid int")
+    if rrows:
+        rdf = spark.createDataFrame(rrows, "k string, rts timestamp, payload int")
+    else:
+        rdf = spark.createDataFrame([], "k string, rts timestamp, payload int")
+    got = {
+        r.lid: r.asof_payload
+        for r in as_of_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            right_payload=["payload"],
+            tolerance_seconds=float(tol) if tol is not None else None,
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["k", "lts", "lid"]).sort_values("lts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "rts", "payload"]).astype(
+        {"k": "object", "rts": "datetime64[ns]", "payload": "float64"}
+    ).sort_values("rts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k",
+        tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+        for r in merged.itertuples()
+    }
+    assert got == want
