@@ -410,3 +410,64 @@ def test_as_of_join_matches_pandas_merge_asof(spark, lefts, rights, tol):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate chunk removal vs a pure-Python model.
+# ---------------------------------------------------------------------------
+
+_boiler_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=35),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(_boiler_docs)
+def test_boilerplate_chunk_removal_matches_python_model(spark, docs):
+    import math
+
+    from storm_data_etl_spark.plans import corpus_queries as CQ
+
+    rows = [
+        (i, " ".join(words), "en", "s", len(" ".join(words)))
+        for i, words in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = CQ.t
+    CQ.t = lambda *_a: df  # noqa: ARG005
+    try:
+        got = {
+            r.doc_id: (r.n_chunks, r.n_boiler, r.tokens_kept, r.kept_frac_e6)
+            for r in CQ.boilerplate_chunk_removal(spark, "x").collect()
+        }
+    finally:
+        CQ.t = orig
+
+    # Python model: 10-token chunks, df = distinct docs per chunk, df>=3 drops
+    chunks_by_doc = {}
+    for i, words in enumerate(docs):
+        if not words:
+            continue
+        chunks_by_doc[i] = [
+            tuple(words[j : j + 10]) for j in range(0, len(words), 10)
+        ]
+    df_count = {}
+    for i, chs in chunks_by_doc.items():
+        for ch in set(chs):
+            df_count[ch] = df_count.get(ch, 0) + 1
+    want = {}
+    for i, chs in chunks_by_doc.items():
+        n_boiler = sum(1 for ch in chs if df_count[ch] >= 3)
+        kept = sum(len(ch) for ch in chs if df_count[ch] < 3)
+        total = sum(len(ch) for ch in chs)
+        want[i] = (
+            len(chs),
+            n_boiler,
+            kept,
+            math.floor(1_000_000 * kept / total),
+        )
+    assert got == want
