@@ -516,6 +516,40 @@ def main() -> int:
         "(#partitions-row offset table broadcast)",
     )
 
+    # 50. Padding audit: the batch-formation window must partition by
+    # BOTH band and sub (the skew-safety point — 32 bounded partitions,
+    # not 4 giant ones).
+    p = plan_of(qs["padding_efficiency_stats"](spark, sf_dir))
+    check(
+        "padding_window_subbucketed",
+        bool(_re.search(r"hashpartitioning\(band\S*, sub", p)),
+        "(window keyed (band, sub))",
+    )
+
+    # 51. NFC audit: exactly one Arrow-batch Python pass, then JVM
+    # aggregation with map-side partials.
+    p = plan_of(qs["unicode_nfc_audit"](spark, sf_dir))
+    check(
+        "nfc_single_arrow_pass",
+        len(_re.findall(r"[+:]- MapInPandas", p)) == 1,
+        "(one mapInPandas node)",
+    )
+    check(
+        "nfc_partial_agg",
+        len(_re.findall(r"[+:]- HashAggregate", p)) >= 2,
+        "(partial+final per-source agg)",
+    )
+
+    # 52. Mann-Whitney: the only nested-loop join is the broadcast of the
+    # 1-row totals; the histogram path is pure aggregation.
+    p = plan_of(qs["mann_whitney_u"](spark, sf_dir))
+    check(
+        "mwu_only_total_broadcast",
+        "CartesianProduct" not in p
+        and len(_re.findall(r"[+:]- BroadcastNestedLoopJoin", p)) <= 1,
+        "(1-row totals broadcast only)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
