@@ -63,6 +63,7 @@ PRIORITY = [
     "bpe_zero_merge_regime",
     "mann_whitney_u",
     "approx_percentile_regime",
+    "l_diversity_audit",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

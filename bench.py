@@ -153,6 +153,7 @@ HEADLINE = [
     "bpe_zero_merge_regime",
     "mann_whitney_u",
     "approx_percentile_regime",
+    "l_diversity_audit",
 ]
 
 

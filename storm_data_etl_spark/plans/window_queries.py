@@ -2354,6 +2354,62 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l_diversity_audit",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor("value" / 100) AS BIGINT) AS value_band,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             user_id
+      FROM events WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, value_band, hour,
+             count(*) AS n,
+             count(DISTINCT user_id) AS l
+      FROM q GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_l,
+           CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(l) AS BIGINT) AS min_diversity
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, public literature)
+    — k-anonymity's successor check: a class can hold >= k rows and STILL
+    leak if every row shares one sensitive value. Over the same
+    quasi-identifier tuple as k_anonymity_audit, count DISTINCT sensitive
+    values (user_id here) per equivalence class and report classes below
+    l=3 plus the rows they expose. Same 1-shuffle shape as k-anonymity;
+    the distinct-count adds one dedup pass keyed on the same uniform
+    quasi-identifier."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    g = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 100).alias("value_band"),
+        F.hour("ts_utc").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("l"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).alias("classes_below_l"),
+        F.sum(F.when(F.col("l") < 3, F.col("n")).otherwise(0)).alias("rows_at_risk"),
+        F.min("l").alias("min_diversity"),
+    )
+
+
+@register(
     "mann_whitney_u",
     """
     WITH q AS (

@@ -332,3 +332,26 @@ def test_approx_percentile_exact_regime_vs_exact(spark, sf_dir):
             # discrete quantile: smallest element with cum fraction >= p
             idx = max(0, math.ceil(p * len(vals)) - 1)
             assert got == vals[idx], (r.event_type, p, got, vals[idx])
+
+
+def test_l_diversity_handcrafted(spark):
+    """A class with many rows but one distinct user is k-safe yet
+    l-unsafe — the case that motivates l-diversity over k-anonymity."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 5)
+    rows = [(i, base, 7, "click", 50.0, "{}") for i in range(10)]       # 10 rows, 1 user
+    rows += [(100 + i, base, i, "view", 50.0, "{}") for i in range(4)]  # 4 rows, 4 users
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts_utc", F.col("ts"))
+    orig = WQ.t
+    WQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        out = WQ.l_diversity_audit(spark, "x").collect()[0]
+    finally:
+        WQ.t = orig
+    assert out.n_classes == 2
+    assert out.classes_below_l == 1      # the single-user click class
+    assert out.rows_at_risk == 10        # all 10 of its rows
+    assert out.min_diversity == 1
