@@ -916,6 +916,14 @@ def text_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding")
     )
     vecs = vecs.withColumnRenamed("doc_id", "vec_id")
+    if vecs.isEmpty():
+        # An empty corpus has nothing to cluster; the trainer (rightly)
+        # refuses an empty table, so return the empty result directly
+        # instead of crashing — consistent with every other query's
+        # empty-input contract (tools/empty_input_check.py).
+        return spark.createDataFrame(
+            [], "cluster int, n_docs bigint, canonical_doc bigint"
+        )
     cents = S.train_ivf_centroids(vecs, dim=64, n_centroids=8, sample_n=512)
     assigned = vecs.withColumn(
         "cluster", S._nearest_cells("embedding", cents, 1)[0]["cell"]
