@@ -64,6 +64,7 @@ PRIORITY = [
     "mann_whitney_u",
     "approx_percentile_regime",
     "l_diversity_audit",
+    "pii_luhn_audit",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

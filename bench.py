@@ -154,6 +154,7 @@ HEADLINE = [
     "mann_whitney_u",
     "approx_percentile_regime",
     "l_diversity_audit",
+    "pii_luhn_audit",
 ]
 
 

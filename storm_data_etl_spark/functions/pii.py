@@ -43,3 +43,29 @@ def redact(col) -> Column:
     for _, pattern, token in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def luhn_valid(col) -> Column:
+    """True iff the digit string passes the Luhn mod-10 checksum — the
+    false-positive gate real PII scrubbers apply to card-number candidates
+    (a 16-digit match that fails Luhn is almost never a card). Pure JVM
+    expressions: reverse the string, double every second digit from the
+    right (subtracting 9 above 9), sum mod 10 == 0. Non-digit input
+    yields false (filter on a digits-only regex first). The DuckDB twin
+    expresses the identical arithmetic with list_transform over an index
+    range — see plans/lake_queries.pii_luhn_audit."""
+    c = _c(col)
+    ds = F.filter(F.split(F.reverse(c), ""), lambda ch: ch != F.lit(""))
+    term = F.transform(
+        ds,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            F.when(F.ascii(ch) * 2 - 96 > 9, F.ascii(ch) * 2 - 96 - 9).otherwise(
+                F.ascii(ch) * 2 - 96
+            ),
+        ).otherwise(F.ascii(ch) - 48),
+    )
+    total = F.aggregate(term, F.lit(0), lambda acc, x: acc + x)
+    return (
+        c.rlike(r"^\d{2,}$") & (F.pmod(total, F.lit(10)) == 0)
+    )

@@ -317,6 +317,58 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pii_luhn_audit",
+    """
+    WITH cand AS (
+      SELECT source,
+             lpad(CAST((doc_id * 48271 + 12345) % 10000000000000000
+                       AS VARCHAR), 16, '0') AS c
+      FROM documents
+    ),
+    r AS (SELECT source, reverse(c) AS rev FROM cand),
+    scored AS (
+      SELECT source,
+             list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN (i - 1) % 2 = 1 THEN
+                 CASE WHEN 2 * CAST(substring(rev, i, 1) AS INT) > 9
+                      THEN 2 * CAST(substring(rev, i, 1) AS INT) - 9
+                      ELSE 2 * CAST(substring(rev, i, 1) AS INT) END
+               ELSE CAST(substring(rev, i, 1) AS INT) END)) % 10 = 0 AS ok
+      FROM r
+    )
+    SELECT source, count(*) AS n_candidates,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
+    FROM scored GROUP BY source
+    """,
+)
+def pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation of card-number candidates — the
+    false-positive gate real PII scrubbers apply after the 16-digit regex
+    (a digit string failing Luhn is almost never a card, so it should not
+    be redacted). The corpus carries no card numbers, so candidates are
+    synthesized deterministically from doc_id (same injection pattern as
+    pii_redaction_stats); ~10% pass Luhn, exercising both branches. The
+    checksum (functions.pii.luhn_valid) is pure JVM array expressions —
+    transform-with-index + aggregate — and the DuckDB twin computes the
+    identical doubled-digit arithmetic via list_transform over an index
+    range. Narrow: one scan, one per-source aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    cand = F.lpad(
+        F.pmod(F.col("doc_id") * 48271 + 12345, F.lit(10_000_000_000_000_000))
+        .cast("string"),
+        16,
+        "0",
+    )
+    scored = docs.select("source", PII.luhn_valid(cand).alias("ok"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias(
+            "n_luhn_valid"
+        ),
+    )
+
+
 # =====================================================================
 # Z-order curve (multi-dimensional layout key)
 # =====================================================================

@@ -279,3 +279,40 @@ def test_hilbert_index_matches_reference_and_locality(spark):
     for d in range(63):
         (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, f"step {d} not unit"
+
+
+def test_luhn_valid_known_numbers(spark):
+    """Classic Luhn vectors: industry test card numbers pass, off-by-one
+    and non-digit strings fail, and a Python-model sweep agrees."""
+    from storm_data_etl_spark.functions.pii import luhn_valid
+
+    def py_luhn(s: str) -> bool:
+        if not s.isdigit() or len(s) < 2:
+            return False
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    cases = [
+        "4111111111111111",   # Visa test number — valid
+        "5500005555555559",   # MC test number — valid
+        "4111111111111112",   # off by one — invalid
+        "1234567812345678",   # invalid
+        "0000000000000000",   # degenerate but Luhn-valid
+        "411111111111111a",   # non-digit — invalid
+        "79927398713",        # canonical Luhn example — valid
+        "7",                  # too short
+    ]
+    # deterministic synthetic sweep widens coverage beyond the vectors
+    cases += [str(1_000_000_000_000_000 + 48271 * i) for i in range(50)]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    got = {r.s: r.v for r in df.select("s", luhn_valid("s").alias("v")).collect()}
+    for c in cases:
+        assert got[c] == py_luhn(c), c
+    assert got["4111111111111111"] and not got["4111111111111112"]
