@@ -65,6 +65,7 @@ PRIORITY = [
     "approx_percentile_regime",
     "l_diversity_audit",
     "pii_luhn_audit",
+    "domain_blocklist_audit",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

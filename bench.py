@@ -155,6 +155,7 @@ HEADLINE = [
     "approx_percentile_regime",
     "l_diversity_audit",
     "pii_luhn_audit",
+    "domain_blocklist_audit",
 ]
 
 

@@ -1344,3 +1344,94 @@ def unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("changed").cast("bigint").alias("n_non_nfc"),
         F.sum("nfc_chars").cast("bigint").alias("nfc_chars"),
     )
+
+
+# =====================================================================
+# Domain-suffix blocklist (crawl-level filtering with subdomain
+# inheritance — the PSL suffix-set pattern)
+# =====================================================================
+
+#: A host is blocked iff it EQUALS a rule or ends with "." + rule — the
+#: public-suffix-list matching convention crawl filters use, so a rule
+#: "ads.net" takes every subdomain with it but never "badads.net".
+_DOMAIN_RULES = ("ads.net", "tracker1.net")
+
+
+@register(
+    "domain_blocklist_audit",
+    """
+    WITH urls AS (
+      SELECT doc_id, source,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+               WHEN 1 THEN 'www.site' || CAST(doc_id % 5 AS VARCHAR) || '.ads.net'
+               ELSE 'tracker' || CAST(doc_id % 5 AS VARCHAR) || '.net'
+             END AS host
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source,
+             len(list_intersect(
+               list_transform(range(1, len(string_split(host, '.')) + 1),
+                 i -> array_to_string(string_split(host, '.')[i:], '.')),
+               ['ads.net', 'tracker1.net'])) > 0 AS blocked
+      FROM urls
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked
+    FROM flagged GROUP BY source
+    """,
+)
+def domain_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-suffix blocklist filtering with subdomain inheritance (the
+    public-suffix-list matching convention): a rule blocks the exact host
+    AND every subdomain under it, never a lookalike suffix ('badads.net'
+    survives 'ads.net'). Hosts are synthesized deterministically (the
+    fixture has no URLs) to exercise all three branches: suffix-inherited
+    blocks, exact-host blocks (tracker1.net only when doc_id%5 == 1), and
+    clean hosts.
+
+    Plan: each host expands to its <=4 dotted suffixes JVM-side
+    (transform over a sequence + slice/array_join — narrow) and the rule
+    check is arrays-overlap against the literal rule set, so the whole
+    audit fuses into one codegen stage with a tiny per-source aggregate.
+    With a million-rule list the same shape swaps the literal for a
+    broadcast join on the exploded suffix — the blocklist_filter_stats
+    pattern — without touching the suffix generation."""
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("cdn"), (did % 5).cast("string"), F.lit(".example.org")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("www.site"), (did % 5).cast("string"), F.lit(".ads.net")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("tracker"), (did % 5).cast("string"), F.lit(".net"))
+        )
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    blocked = F.arrays_overlap(
+        suffixes, F.array(*[F.lit(r) for r in _DOMAIN_RULES])
+    )
+    return (
+        docs.select("source", blocked.alias("blocked"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked"),
+        )
+    )

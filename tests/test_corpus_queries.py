@@ -365,3 +365,32 @@ def test_unicode_nfc_audit_positive_path(spark, monkeypatch):
 
         assert nfc == (unicodedata.normalize("NFC", txt) != txt)
         assert ln == len(unicodedata.normalize("NFC", txt))
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    """PSL matching: a rule blocks the exact host and every subdomain,
+    never a lookalike suffix — pinned on handcrafted hosts through the
+    same suffix-expansion expressions the query uses."""
+    from pyspark.sql import functions as F
+
+    from storm_data_etl_spark.plans.corpus_queries import _DOMAIN_RULES
+
+    hosts = [
+        ("ads.net", True),            # exact rule
+        ("www.x.ads.net", True),      # subdomain inherits
+        ("badads.net", False),        # lookalike suffix must NOT match
+        ("tracker1.net", True),       # exact rule
+        ("tracker2.net", False),      # sibling host
+        ("net", False),               # bare TLD
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], ["host"])
+    labels = F.split("host", r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(labels, i, n), ".")
+    )
+    blocked = F.arrays_overlap(
+        suffixes, F.array(*[F.lit(r) for r in _DOMAIN_RULES])
+    )
+    got = {r.host: r.b for r in df.select("host", blocked.alias("b")).collect()}
+    assert got == dict(hosts)
