@@ -66,6 +66,7 @@ PRIORITY = [
     "l_diversity_audit",
     "pii_luhn_audit",
     "domain_blocklist_audit",
+    "rolling_median_7d",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

@@ -156,6 +156,7 @@ HEADLINE = [
     "l_diversity_audit",
     "pii_luhn_audit",
     "domain_blocklist_audit",
+    "rolling_median_7d",
 ]
 
 

@@ -2354,6 +2354,57 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_median_7d",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE "value" IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(d AS TIMESTAMP) AS day,
+           cents,
+           quantile_disc(cents, 0.5) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7_cents
+    FROM daily
+    """,
+)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily per-type value totals — the robust
+    companion to moving_avg_7d (a single spike day drags a mean but not a
+    median). The median runs as percentile_approx in its exactness
+    regime (accuracy 1e6 over <= 7-element frames — provably the exact
+    discrete median, the same certified equivalence as
+    approx_percentile_regime) so the oracle is DuckDB's quantile_disc
+    window verbatim. Daily totals quantize to integer cents before
+    summing, making every value exact-integer. One shuffle for the daily
+    aggregate; the window partitions by event_type over day counts —
+    bounded frames, no global window."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts_utc")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.percentile_approx("cents", 0.5, 1_000_000).over(w).alias("med7_cents"),
+    )
+
+
+@register(
     "l_diversity_audit",
     """
     WITH q AS (

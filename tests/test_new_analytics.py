@@ -355,3 +355,30 @@ def test_l_diversity_handcrafted(spark):
     assert out.classes_below_l == 1      # the single-user click class
     assert out.rows_at_risk == 10        # all 10 of its rows
     assert out.min_diversity == 1
+
+
+def test_rolling_median_robust_to_spike(spark):
+    """A single spike day moves the rolling mean but not the median —
+    the property that motivates the robust variant."""
+    import datetime as dt
+
+    rows = []
+    for i, v in enumerate([10.0, 10.0, 10.0, 999.0, 10.0, 10.0, 10.0]):
+        rows.append((i, dt.datetime(2024, 1, 1 + i), 1, "click", v, "{}"))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts_utc", F.col("ts"))
+    orig = WQ.t
+    WQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        out = sorted(
+            WQ.rolling_median_7d(spark, "x").collect(), key=lambda r: r.day
+        )
+    finally:
+        WQ.t = orig
+    # day 7 frame holds [1000,1000,1000,99900,1000,1000,1000] cents
+    assert out[-1].med7_cents == 1000
+    assert out[3].cents == 99900  # the spike itself is present
+    # the growing frame always holds a 1000-cent majority, so the
+    # discrete median is 1000 on every day — including the spike day
+    assert all(r.med7_cents == 1000 for r in out)
