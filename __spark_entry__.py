@@ -67,6 +67,7 @@ PRIORITY = [
     "pii_luhn_audit",
     "domain_blocklist_audit",
     "rolling_median_7d",
+    "group_split_leakage_audit",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

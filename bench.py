@@ -157,6 +157,7 @@ HEADLINE = [
     "pii_luhn_audit",
     "domain_blocklist_audit",
     "rolling_median_7d",
+    "group_split_leakage_audit",
 ]
 
 

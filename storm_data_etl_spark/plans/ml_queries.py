@@ -1291,6 +1291,67 @@ def padding_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_split_leakage_audit",
+    f"""
+    WITH schemes AS (
+      SELECT user_id, event_id,
+             CASE WHEN {SP.lcg_bucket_sql('user_id')} < 80 THEN 'train'
+                  ELSE 'eval' END AS by_user,
+             CASE WHEN {SP.lcg_bucket_sql('event_id')} < 80 THEN 'train'
+                  ELSE 'eval' END AS by_row
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id,
+             count(DISTINCT by_user) AS n_splits_user,
+             count(DISTINCT by_row) AS n_splits_row
+      FROM schemes GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_splits_user > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaky_users_by_user,
+           CAST(sum(CASE WHEN n_splits_row > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaky_users_by_row
+    FROM per_user
+    """,
+)
+def group_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval GROUP-leakage audit: split the event log two ways — by
+    hashing the group key (user_id) and by hashing the row key
+    (event_id) — and count users whose rows land in both splits. The
+    user-keyed scheme is provably leak-free (every row of a user hashes
+    identically), which the audit certifies as an exact zero, while the
+    row-keyed scheme leaks nearly every multi-event user — the
+    quantified argument for group-aware splitting before training a
+    per-user model. Both schemes use the shared deterministic LCG
+    (sampling.lcg_bucket — identical arithmetic in the oracle), so the
+    result is engine- and partitioning-independent. One shuffle on
+    user_id; everything else is narrow."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    by_user = F.when(SP.lcg_bucket("user_id") < 80, "train").otherwise("eval")
+    by_row = F.when(SP.lcg_bucket("event_id") < 80, "train").otherwise("eval")
+    per_user = (
+        ev.select(
+            "user_id", by_user.alias("by_user"), by_row.alias("by_row")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count_distinct("by_user").alias("n_splits_user"),
+            F.count_distinct("by_row").alias("n_splits_row"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n_splits_user") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("leaky_users_by_user"),
+        F.sum(F.when(F.col("n_splits_row") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("leaky_users_by_row"),
+    )
+
+
+@register(
     "sorted_neighborhood_pairs",
     f"""
     WITH norm AS (

@@ -208,3 +208,14 @@ def test_padding_efficiency_handcrafted(spark, monkeypatch):
     assert (got[1].n_docs, got[1].n_batches) == (2, 1)
     assert (got[1].useful_tokens, got[1].padded_tokens) == (220, 20)
     assert got[1].padding_frac_e6 == 1_000_000 * 20 // 240
+
+
+def test_group_split_leakage_audit_semantics(spark, sf_dir):
+    """The user-keyed split is exactly leak-free; the row-keyed split
+    leaks (multi-event users land in both splits on this fixture)."""
+    from storm_data_etl_spark.plans.ml_queries import group_split_leakage_audit
+
+    r = group_split_leakage_audit(spark, sf_dir).collect()[0]
+    assert r.n_users > 0
+    assert r.leaky_users_by_user == 0
+    assert r.leaky_users_by_row > 0
