@@ -36,16 +36,18 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #: set explicitly from the CORRECTNESS_r*.json records). Rounds 1-4
 #: hash-proved all 174 oracle-backed queries and recorded the 13
 #: rows-only-by-design entries' weaker evidence tier once each, so
-#: never_gated() is empty entering round 5. This round-5 head is the 18
-#: new entries: 7 exactness-regime twins certifying the approximate
+#: never_gated() is empty entering round 5. This round-5 head is the 23
+#: new entries: 8 exactness-regime twins certifying the approximate
 #: machinery itself in configurations provably identical to an exact
 #: oracle (IVF full-probe, distributed-k-means IVF, LSH zero-plane,
 #: collision-free CMS, sparse Bloom, zero-merge BPE, high-accuracy
-#: percentile_approx), the training-pipeline additions (DSIR weights,
-#: n-gram novelty, dup-span bracketing, boilerplate chunk removal,
-#: sequence packing, padding audit, NFC audit), the salted two-phase
-#: aggregation, tolerance as-of join, Mann-Whitney U, and the rows-only
-#: bloom_cross_dedup — all verified by the local gate replica
+#: percentile_approx — whose window form rolling_median_7d also gates),
+#: the training-pipeline additions (DSIR weights, n-gram novelty,
+#: dup-span bracketing, boilerplate chunk removal, sequence packing,
+#: padding audit, NFC audit, group-leakage audit), the privacy/PII pair
+#: (l-diversity, Luhn), the domain-suffix blocklist, the salted
+#: two-phase aggregation, tolerance as-of join, Mann-Whitney U, and the
+#: rows-only bloom_cross_dedup — all verified by the local gate replica
 #: tools/pandas_parity_check.py at sf0.001 AND sf0.01 before rotation —
 #: followed by RE-VERIFICATION slots: the oracle-backed
 #: queries whose last driver hash-pass is oldest (round 1, then round 2),
