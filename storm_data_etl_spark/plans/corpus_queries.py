@@ -16,7 +16,7 @@ differs between Spark (shortest-decimal-string) and DuckDB (binary value).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import text as X
@@ -916,11 +916,15 @@ def text_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding")
     )
     vecs = vecs.withColumnRenamed("doc_id", "vec_id")
-    if vecs.isEmpty():
-        # An empty corpus has nothing to cluster; the trainer (rightly)
-        # refuses an empty table, so return the empty result directly
-        # instead of crashing — consistent with every other query's
-        # empty-input contract (tools/empty_input_check.py).
+    # Empty-corpus guard on the NARROW token stream, not on `vecs`: vecs
+    # is the groupBy output, so isEmpty() there would execute the whole
+    # featurize shuffle once just to check — the token scan short-circuits
+    # at the first row, and vecs is empty iff toks is (a doc with no
+    # tokens contributes no rows). The trainer (rightly) refuses an empty
+    # table, so return the empty result directly instead of crashing —
+    # consistent with every other query's empty-input contract
+    # (tools/empty_input_check.py).
+    if toks.isEmpty():
         return spark.createDataFrame(
             [], "cluster int, n_docs bigint, canonical_doc bigint"
         )
@@ -1357,9 +1361,28 @@ def unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOMAIN_RULES = ("ads.net", "tracker1.net")
 
 
+_RULES_SQL = "[" + ", ".join(f"'{r}'" for r in _DOMAIN_RULES) + "]"
+
+
+def _host_blocked(host) -> Column:
+    """True iff the host equals a _DOMAIN_RULES entry or ends with
+    '.' + one — the PSL suffix-inheritance check, as the shared
+    expression the query AND its semantics test both run (so a regression
+    in the production expression cannot hide behind a test-local copy)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    return F.arrays_overlap(
+        suffixes, F.array(*[F.lit(r) for r in _DOMAIN_RULES])
+    )
+
+
 @register(
     "domain_blocklist_audit",
-    """
+    f"""
     WITH urls AS (
       SELECT doc_id, source,
              CASE CAST(doc_id % 3 AS INTEGER)
@@ -1374,7 +1397,7 @@ _DOMAIN_RULES = ("ads.net", "tracker1.net")
              len(list_intersect(
                list_transform(range(1, len(string_split(host, '.')) + 1),
                  i -> array_to_string(string_split(host, '.')[i:], '.')),
-               ['ads.net', 'tracker1.net'])) > 0 AS blocked
+               {_RULES_SQL})) > 0 AS blocked
       FROM urls
     )
     SELECT source, count(*) AS n_docs,
@@ -1416,17 +1439,8 @@ def domain_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("tracker"), (did % 5).cast("string"), F.lit(".net"))
         )
     )
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    suffixes = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(labels, i, n), "."),
-    )
-    blocked = F.arrays_overlap(
-        suffixes, F.array(*[F.lit(r) for r in _DOMAIN_RULES])
-    )
     return (
-        docs.select("source", blocked.alias("blocked"))
+        docs.select("source", _host_blocked(host).alias("blocked"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

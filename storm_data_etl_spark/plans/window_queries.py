@@ -2367,7 +2367,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            cents,
            quantile_disc(cents, 0.5) OVER (
              PARTITION BY event_type ORDER BY d
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
            ) AS med7_cents
     FROM daily
     """,
@@ -2379,10 +2379,13 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime (accuracy 1e6 over <= 7-element frames — provably the exact
     discrete median, the same certified equivalence as
     approx_percentile_regime) so the oracle is DuckDB's quantile_disc
-    window verbatim. Daily totals quantize to integer cents before
-    summing, making every value exact-integer. One shuffle for the daily
-    aggregate; the window partitions by event_type over day counts —
-    bounded frames, no global window."""
+    window verbatim. The frame is a CALENDAR range (day-number
+    rangeBetween −6..0, matching moving_avg_7d's RANGE semantics) — a
+    row frame over observed days would silently span weeks for sparse
+    event types with gap days. Daily totals quantize to integer cents
+    before summing, making every value exact-integer. One shuffle for
+    the daily aggregate; the window partitions by event_type over day
+    counts — bounded frames, no global window."""
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts_utc")).alias("day")
@@ -2391,10 +2394,12 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    daily = daily.withColumn("_day_num", day_num)
     w = (
         Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-6, Window.currentRow)
+        .orderBy("_day_num")
+        .rangeBetween(-6, Window.currentRow)
     )
     return daily.select(
         "event_type",

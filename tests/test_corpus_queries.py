@@ -373,7 +373,7 @@ def test_domain_blocklist_suffix_semantics(spark):
     same suffix-expansion expressions the query uses."""
     from pyspark.sql import functions as F
 
-    from storm_data_etl_spark.plans.corpus_queries import _DOMAIN_RULES
+    from storm_data_etl_spark.plans.corpus_queries import _host_blocked
 
     hosts = [
         ("ads.net", True),            # exact rule
@@ -384,13 +384,10 @@ def test_domain_blocklist_suffix_semantics(spark):
         ("net", False),               # bare TLD
     ]
     df = spark.createDataFrame([(h,) for h, _ in hosts], ["host"])
-    labels = F.split("host", r"\.")
-    n = F.size(labels)
-    suffixes = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(labels, i, n), ".")
-    )
-    blocked = F.arrays_overlap(
-        suffixes, F.array(*[F.lit(r) for r in _DOMAIN_RULES])
-    )
-    got = {r.host: r.b for r in df.select("host", blocked.alias("b")).collect()}
+    got = {
+        r.host: r.b
+        for r in df.select(
+            "host", _host_blocked(F.col("host")).alias("b")
+        ).collect()
+    }
     assert got == dict(hosts)

@@ -382,3 +382,28 @@ def test_rolling_median_robust_to_spike(spark):
     # the growing frame always holds a 1000-cent majority, so the
     # discrete median is 1000 on every day — including the spike day
     assert all(r.med7_cents == 1000 for r in out)
+
+
+def test_rolling_median_calendar_frame_excludes_gap_days(spark):
+    """The frame is calendar days, not observed rows: a value 20 days ago
+    must NOT sit in today's 7-day window even when it is the previous
+    observed row (sparse event types with outage gaps)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "click", 999.0, "{}"),   # 20 days before
+        (2, dt.datetime(2024, 1, 21), 1, "click", 10.0, "{}"),
+        (3, dt.datetime(2024, 1, 22), 1, "click", 20.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts_utc", F.col("ts"))
+    orig = WQ.t
+    WQ.t = lambda spark_, sf_dir_, name: df  # noqa: ARG005
+    try:
+        out = {r.day.day: r.med7_cents for r in WQ.rolling_median_7d(spark, "x").collect()}
+    finally:
+        WQ.t = orig
+    assert out[1] == 99900            # its own singleton frame
+    assert out[21] == 1000            # Jan 1 is outside the 7-day range
+    assert out[22] == 1000            # median of {1000, 2000} -> lower
