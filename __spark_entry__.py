@@ -70,6 +70,7 @@ PRIORITY = [
     "domain_blocklist_audit",
     "rolling_median_7d",
     "group_split_leakage_audit",
+    "mixture_epoch_plan",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

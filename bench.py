@@ -158,6 +158,7 @@ HEADLINE = [
     "domain_blocklist_audit",
     "rolling_median_7d",
     "group_split_leakage_audit",
+    "mixture_epoch_plan",
 ]
 
 

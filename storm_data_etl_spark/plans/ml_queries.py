@@ -2862,3 +2862,96 @@ def max_dup_gram_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_length_bracket(docs, lengths=(16, 32, 64, 128)).withColumn(
         "max_dup_len", F.col("max_dup_len").cast("int")
     )
+
+
+# =====================================================================
+# Mixture epoch planning (pretraining data-mix budgeting)
+# =====================================================================
+
+#: Target mixture in integer PARTS per source family (exact arithmetic —
+#: parts, not float weights): high-value sources get 3 parts, mid 2,
+#: everything else 1. One epoch draws parts_i * T units from source i,
+#: where T is capped by the scarcest source relative to its parts.
+_MIX_PARTS = {"src0": 3, "src1": 3, "src2": 3, "src3": 2, "src4": 2}
+
+
+@register(
+    "mixture_epoch_plan",
+    r"""
+    WITH avail AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+                  AS BIGINT) AS tokens_available,
+             CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 3
+                         WHEN 'src2' THEN 3 WHEN 'src3' THEN 2
+                         WHEN 'src4' THEN 2 ELSE 1 END AS parts
+      FROM documents WHERE trim(text) <> ''
+      GROUP BY source
+    ),
+    cap AS (
+      SELECT min(tokens_available // parts) AS t_units FROM avail
+    )
+    SELECT a.source, a.tokens_available, a.parts,
+           CAST(a.parts * c.t_units AS BIGINT) AS tokens_at_cap,
+           CAST(floor(1000000.0 * (a.parts * c.t_units)
+                / a.tokens_available) AS BIGINT) AS sampling_rate_e6,
+           a.tokens_available // a.parts = c.t_units AS binding
+    FROM avail a CROSS JOIN cap c
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture planning: given integer target PARTS per source
+    and the measured token mass of each, compute the largest single-epoch
+    no-replacement draw honoring the mixture — T = min_i floor(avail_i /
+    parts_i) units, tokens_at_cap_i = parts_i * T — plus each source's
+    implied sampling rate and whether it is the BINDING constraint (the
+    scarce source that caps the whole epoch; everything else gets
+    down-sampled to stay on-mixture). The planner every multi-source
+    pretraining run executes before temperature/stratified sampling
+    draws the actual rows (those operators live in sampling.py).
+
+    All-integer arithmetic (parts, floor division) so parity is exact.
+    Plan: one per-source aggregate (uniform key), a 1-row min broadcast
+    back over the 20-row source table — nothing scales with corpus size
+    except the first aggregate, which is map-side partial."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        )
+    )
+    parts = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(p))
+            for s, p in _MIX_PARTS.items()
+        ],
+        F.lit(1),
+    )
+    avail = docs.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("tokens_available")
+    ).withColumn("parts", parts)
+    cap = avail.agg(
+        F.min(F.floor(F.col("tokens_available") / F.col("parts"))).alias(
+            "t_units"
+        )
+    )
+    joined = avail.crossJoin(F.broadcast(cap))
+    tokens_at_cap = (F.col("parts") * F.col("t_units")).cast("bigint")
+    return joined.select(
+        "source",
+        "tokens_available",
+        "parts",
+        tokens_at_cap.alias("tokens_at_cap"),
+        F.floor(
+            1000000.0 * (F.col("parts") * F.col("t_units"))
+            / F.col("tokens_available")
+        )
+        .cast("bigint")
+        .alias("sampling_rate_e6"),
+        (
+            F.floor(F.col("tokens_available") / F.col("parts"))
+            == F.col("t_units")
+        ).alias("binding"),
+    )

@@ -219,3 +219,29 @@ def test_group_split_leakage_audit_semantics(spark, sf_dir):
     assert r.n_users > 0
     assert r.leaky_users_by_user == 0
     assert r.leaky_users_by_row > 0
+
+
+def test_mixture_epoch_plan_semantics(spark, monkeypatch):
+    """The scarce 3-part source binds the epoch; every source's cap is
+    parts * T with T set by the binding source; rates never exceed 1."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    # src0: 3 parts, 90 tokens -> 30 units; src5: 1 part, 100 -> 100 units
+    # src3: 2 parts, 100 -> 50 units.  T = 30, bound by src0.
+    rows = [
+        (1, " ".join(["w"] * 90), "en", "src0", 90),
+        (2, " ".join(["w"] * 100), "en", "src3", 100),
+        (3, " ".join(["w"] * 100), "en", "src5", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(MQ, "t", lambda *_a: df)
+    got = {r.source: r for r in MQ.mixture_epoch_plan(spark, "x").collect()}
+    assert got["src0"].binding and not got["src3"].binding and not got["src5"].binding
+    assert (got["src0"].tokens_at_cap, got["src3"].tokens_at_cap, got["src5"].tokens_at_cap) == (90, 60, 30)
+    assert got["src0"].sampling_rate_e6 == 1_000_000
+    assert got["src3"].sampling_rate_e6 == 600_000
+    assert got["src5"].sampling_rate_e6 == 300_000
+    for r in got.values():
+        assert r.tokens_at_cap <= r.tokens_available
