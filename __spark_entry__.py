@@ -71,6 +71,7 @@ PRIORITY = [
     "rolling_median_7d",
     "group_split_leakage_audit",
     "mixture_epoch_plan",
+    "corpus_profile",
     "ann_ivf_fullprobe_topk",
     "ann_ivf_distributed_topk",
     "ann_lsh_fullcover_topk",

@@ -159,6 +159,7 @@ HEADLINE = [
     "rolling_median_7d",
     "group_split_leakage_audit",
     "mixture_epoch_plan",
+    "corpus_profile",
 ]
 
 

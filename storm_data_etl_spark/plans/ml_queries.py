@@ -2955,3 +2955,74 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("t_units")
         ).alias("binding"),
     )
+
+
+# =====================================================================
+# Corpus profile (one-row dataset card)
+# =====================================================================
+
+@register(
+    "corpus_profile",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    base AS (
+      SELECT d.doc_id, d.lang, d.source,
+             length(coalesce(d.text, '')) AS n_chars_txt,
+             CASE WHEN trim(coalesce(d.text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END
+               AS n_tok,
+             md5({_SQL_NORM}) AS fp,
+             CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q_e4
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars_txt) AS BIGINT) AS total_chars,
+           count(DISTINCT fp) AS n_unique_fingerprints,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           CAST(sum(q_e4) // count(*) AS BIGINT) AS mean_quality_e4
+    FROM base
+    """,
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card for the document corpus: doc/source/language
+    counts, token and character mass, exact-dup rate (content
+    fingerprints), and mean heuristic quality — the summary block a data
+    release publishes and a pipeline asserts against between snapshots.
+
+    Float discipline: quality is converted to an integer e4 PER ROW
+    (identical doubles on both engines make any deterministic per-row
+    function agree), then summed and floor-divided — never a double
+    avg(), whose summation order differs across engines. One scan, one
+    global aggregate; the distinct counts are the only shuffles and all
+    key on uniform values (at 100 TB swap count(DISTINCT fp) for
+    approx_count_distinct, the documented exact→approx trade)."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars_txt"),
+        F.when(F.trim(F.coalesce(F.col("text"), F.lit(""))) == "", 0)
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_tok"),
+        X.fingerprint("text").alias("fp"),
+        F.floor(X.quality_score("text") * 10000 + 0.5)
+        .cast("bigint")
+        .alias("q_e4"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars_txt").cast("bigint").alias("total_chars"),
+        F.count_distinct("fp").alias("n_unique_fingerprints"),
+        (F.count(F.lit(1)) - F.count_distinct("fp"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.floor(F.sum("q_e4") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_quality_e4"),
+    )

@@ -391,3 +391,20 @@ def test_domain_blocklist_suffix_semantics(spark):
         ).collect()
     }
     assert got == dict(hosts)
+
+
+def test_corpus_profile_invariants(spark, sf_dir):
+    """The card's internal identities: dup count = docs - unique
+    fingerprints; totals match direct recomputation; quality mean sits in
+    the score's [0, 1] range."""
+    from storm_data_etl_spark.plans.ml_queries import corpus_profile
+
+    r = corpus_profile(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert r.n_docs == n
+    assert r.n_exact_dups == r.n_docs - r.n_unique_fingerprints >= 0
+    total_chars = sum(len(row.text or "") for row in docs.collect())
+    assert r.total_chars == total_chars
+    assert 0 <= r.mean_quality_e4 <= 10000
+    assert r.n_sources == docs.select("source").distinct().count()
