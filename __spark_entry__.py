@@ -27,6 +27,7 @@ from storm_data_etl_spark.plans import lake_queries as _lq  # noqa: F401
 from storm_data_etl_spark.plans import corpus_queries as _cq  # noqa: F401
 from storm_data_etl_spark.plans import geo_queries as _gq  # noqa: F401
 from storm_data_etl_spark.plans import retrieval_queries as _rq  # noqa: F401
+from storm_data_etl_spark.plans import sft_queries as _sft  # noqa: F401
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -81,6 +82,12 @@ PRIORITY = [
     "ngram_novelty_scores",
     "max_dup_gram_bracket",
     "skewed_agg_salted",
+    # round-5 continuation: SFT / data-loading pipeline family (never gated)
+    "chat_template_render_stats",
+    "warc_ingest_stats",
+    "epoch_shuffle_plan",
+    "tokenizer_fertility_by_lang",
+    "rlhf_preference_pair_stats",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

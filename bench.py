@@ -35,6 +35,7 @@ from storm_data_etl_spark.plans import lake_queries as _lq  # noqa: F401
 from storm_data_etl_spark.plans import corpus_queries as _cq  # noqa: F401
 from storm_data_etl_spark.plans import geo_queries as _gq  # noqa: F401
 from storm_data_etl_spark.plans import retrieval_queries as _rq  # noqa: F401
+from storm_data_etl_spark.plans import sft_queries as _sft  # noqa: F401
 from storm_data_etl_spark.plans.tables import t
 from storm_data_etl_spark.functions.enrich import enrich_envelope
 
@@ -160,6 +161,11 @@ HEADLINE = [
     "group_split_leakage_audit",
     "mixture_epoch_plan",
     "corpus_profile",
+    "chat_template_render_stats",
+    "warc_ingest_stats",
+    "epoch_shuffle_plan",
+    "tokenizer_fertility_by_lang",
+    "rlhf_preference_pair_stats",
 ]
 
 

@@ -47,6 +47,18 @@ def lcg_bucket_sql(id_expr: str, n_buckets: int = 100) -> str:
     )
 
 
+def lcg_value(id_col: Column | str) -> Column:
+    """Full-range LCG value in [0, 2^31) — the deterministic shuffle key a
+    reproducible data-loader epoch orders by (lcg_bucket with the modulus
+    itself as the bucket count)."""
+    return lcg_bucket(id_col, _LCG_M)
+
+
+def lcg_value_sql(id_expr: str) -> str:
+    """SQL twin of :func:`lcg_value` (same arithmetic, any ANSI engine)."""
+    return lcg_bucket_sql(id_expr, _LCG_M)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,443 @@
+"""Post-training / data-loading pipeline queries: SFT chat assembly, crawl
+container ingestion, reproducible epoch sharding, tokenizer fertility, and
+preference-pair auditing.
+
+These extend the reference's analytics surface (SURVEY.md §2) with the
+operations the fine-tuning end of a training-data pipeline needs, in the
+same oracle-gated style as the rest of the registry: every computed column
+aliased identically in the Spark plan and the DuckDB SQL, floats quantized
+to integers per row before any cross-engine aggregate.
+
+Deterministic constructions (threads, pairs, shards, files) derive from
+doc_id arithmetic and the shared LCG (operators/sampling.py) so both
+engines rebuild the identical structure from the raw `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from storm_data_etl_spark.functions import text as X
+from storm_data_etl_spark.operators import sampling as SP
+from storm_data_etl_spark.operators import warc as W
+from storm_data_etl_spark.plans.ml_queries import _SQL_QUALITY_CTES
+from storm_data_etl_spark.plans.queries import register
+from storm_data_etl_spark.plans.tables import t
+
+#: SQL twin of X.token_count (whitespace tokens of trimmed text, 0 for empty).
+_SQL_NTOK = (
+    "CASE WHEN trim(coalesce(text, '')) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+
+# =====================================================================
+# SFT chat-template assembly + audit
+# =====================================================================
+
+@register(
+    "chat_template_render_stats",
+    f"""
+    WITH turns AS (
+      SELECT doc_id // 4 AS thread_id,
+             doc_id % 4 AS turn_idx,
+             CASE WHEN {SP.lcg_bucket_sql('doc_id')} < 50
+                  THEN 'user' ELSE 'assistant' END AS role,
+             coalesce(text, '') AS body,
+             {_SQL_NTOK} AS n_tok
+      FROM documents
+    ),
+    pieces AS (
+      SELECT thread_id, turn_idx, role, n_tok,
+             '<|' || role || '|>' || body || '<|end|>' AS piece
+      FROM turns
+    )
+    SELECT thread_id,
+           count(*) AS n_turns,
+           CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_user_turns,
+           CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_asst_turns,
+           arg_min(role, turn_idx) AS first_role,
+           bool_and(role = CASE WHEN turn_idx % 2 = 0
+                                THEN 'user' ELSE 'assistant' END)
+             AS valid_alternation,
+           CAST(sum(CASE WHEN role = 'user' THEN n_tok ELSE 0 END) AS BIGINT)
+             AS prompt_tokens,
+           CAST(sum(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END) AS BIGINT)
+             AS completion_tokens,
+           md5(string_agg(piece, '' ORDER BY turn_idx)) AS render_md5
+    FROM pieces GROUP BY thread_id
+    """,
+)
+def chat_template_render_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat assembly: group documents into 4-turn threads (thread_id =
+    doc_id div 4), assign roles by the shared LCG (so alternation is NOT
+    guaranteed and the audit has real signal), render the chat-template
+    string <|role|>body<|end|> per turn in turn order, and emit per thread:
+    turn/role counts, the first role, whether the thread is a VALID
+    alternating user-first conversation, the loss-mask token accounting
+    (prompt tokens = user turns, completion tokens = assistant turns — the
+    mass the loss actually trains on), and the md5 of the fully rendered
+    conversation (pins exact ordered assembly, not just counts).
+
+    Scale shape: one scan, one shuffle on uniform thread_id; the rendered
+    string is hashed inside the aggregate (array_sort over ≤4 collected
+    turns), so no wide row ever crosses the shuffle un-hashed. At 100 TB
+    thread grouping is the same single hash-agg; nothing is driver-side."""
+    docs = t(spark, sf_dir, "documents")
+    role = F.when(SP.lcg_bucket("doc_id") < 50, F.lit("user")).otherwise(
+        F.lit("assistant")
+    )
+    body = F.coalesce(F.col("text"), F.lit(""))
+    turns = docs.select(
+        F.expr("doc_id div 4").alias("thread_id"),
+        (F.col("doc_id") % 4).alias("turn_idx"),
+        role.alias("role"),
+        F.concat(F.lit("<|"), role, F.lit("|>"), body, F.lit("<|end|>")).alias(
+            "piece"
+        ),
+        X.token_count(body).alias("n_tok"),
+    )
+    expected = F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant")
+    ordered_pieces = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("turn_idx").alias("i"), F.col("piece").alias("p")))
+        ),
+        lambda x: x["p"],
+    )
+    return turns.groupBy("thread_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_asst_turns"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.bool_and(F.col("role") == expected).alias("valid_alternation"),
+        F.sum(F.when(F.col("role") == "user", F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("prompt_tokens"),
+        F.sum(F.when(F.col("role") == "assistant", F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("completion_tokens"),
+        F.md5(F.array_join(ordered_pieces, "")).alias("render_md5"),
+    )
+
+
+# =====================================================================
+# WARC-style crawl container ingest (build → parse → reconcile)
+# =====================================================================
+
+@register(
+    "warc_ingest_stats",
+    """
+    WITH r AS (
+      SELECT doc_id % 16 AS file_id, doc_id, source,
+             strlen(coalesce(text, '')) AS payload_bytes,
+             md5(coalesce(text, '')) AS pm
+      FROM documents
+    )
+    SELECT file_id,
+           count(*) AS n_records,
+           CAST(sum(payload_bytes) AS BIGINT) AS total_payload_bytes,
+           count(DISTINCT source) AS n_distinct_hosts,
+           md5(string_agg(pm, '' ORDER BY doc_id)) AS payload_digest,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST(0 AS BIGINT) AS n_parse_errors
+    FROM r GROUP BY file_id
+    """,
+)
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-container ingestion under oracle: build spec-conformant
+    WARC/1.1-style record bytes per document (operators/warc.record_expr —
+    pure Catalyst string expression), concatenate them in doc_id order into
+    16 container files, then split the files back into records with the
+    INDEPENDENT byte-level parser (warc.parse_records: header scan +
+    Content-Length framing, no shared code with the builder) and reconcile
+    per file: record count, payload byte mass, distinct hosts recovered
+    from the URIs, an order-pinned digest of per-record payload md5s, the
+    doc-id range recovered from record IDs, and the parse-error count. The
+    oracle predicts every value closed-form from the construction, so a
+    parser that misframes a single record (wrong Content-Length handling,
+    payload-delimiter scanning, header-order assumptions) hash-mismatches.
+
+    Scale shape: build is codegen'd; the only shuffles key on file_id
+    (uniform by construction) — one to assemble containers, one to
+    reconcile parsed records. The parse itself is a shuffle-free
+    Arrow-batched map. On a real crawl the build stage is replaced by a
+    binaryFile scan of .warc segments; parser and reconcile are unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    rec = W.record_expr(F.col("doc_id"), F.col("source"), F.col("text"))
+    blobs = (
+        docs.select(
+            (F.col("doc_id") % 16).alias("file_id"),
+            F.col("doc_id"),
+            rec.alias("rec"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id").alias("i"),
+                                    F.col("rec").alias("r"),
+                                )
+                            )
+                        ),
+                        lambda x: x["r"],
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("blob")
+        )
+    )
+    parsed = W.parse_records(blobs)
+    ok = F.col("parse_ok")
+    ordered_md5s = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ok,
+                    F.struct(
+                        F.col("doc_id").alias("i"), F.col("payload_md5").alias("m")
+                    ),
+                )
+            )
+        ),
+        lambda x: x["m"],
+    )
+    return parsed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("payload_bytes").cast("bigint").alias("total_payload_bytes"),
+        F.count_distinct(F.when(ok, F.col("host"))).alias("n_distinct_hosts"),
+        F.md5(F.array_join(ordered_md5s, "")).alias("payload_digest"),
+        F.min(F.when(ok, F.col("doc_id"))).alias("min_doc_id"),
+        F.max(F.when(ok, F.col("doc_id"))).alias("max_doc_id"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("bigint").alias("n_parse_errors"),
+    )
+
+
+# =====================================================================
+# Reproducible epoch shuffle / shard plan
+# =====================================================================
+
+@register(
+    "epoch_shuffle_plan",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {SP.lcg_value_sql('doc_id')} AS k,
+             {_SQL_NTOK} AS n_tok
+      FROM documents
+    )
+    SELECT k % 16 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(k) AS min_key,
+           max(k) AS max_key,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id))
+             AS order_digest
+    FROM keyed GROUP BY shard
+    """,
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible data-loader epoch plan: every document gets a
+    deterministic shuffle key (full-range LCG of doc_id — same arithmetic
+    in the oracle), is hash-assigned to one of 16 shards (key mod 16, the
+    WebDataset convention), and is ordered within its shard by (key,
+    doc_id). Emits per shard: document count and token mass (balance
+    audit), the key range, and an md5 digest of the exact within-shard
+    document order — the thing two independent runs (or two engines) must
+    agree on for training to be reproducible.
+
+    Scale shape: one scan + one shuffle on the 16 uniform shard keys; the
+    order digest hashes inside the aggregate. In production the same plan
+    becomes repartition(shard).sortWithinPartitions(key, doc_id) writing
+    shard files — identical distribution, no new machinery; shard count
+    scales with corpus size while this audit form stays the verification."""
+    docs = t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.col("doc_id"),
+        SP.lcg_value("doc_id").alias("k"),
+        X.token_count("text").alias("n_tok"),
+    )
+    ordered_ids = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("k").alias("k"), F.col("doc_id").alias("d")))
+        ),
+        lambda x: x["d"].cast("string"),
+    )
+    return keyed.groupBy((F.col("k") % 16).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.md5(F.array_join(ordered_ids, ",")).alias("order_digest"),
+    )
+
+
+# =====================================================================
+# Tokenizer fertility by language
+# =====================================================================
+
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH s AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS words,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS subtoks,
+             length(text) AS chars
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           CAST(sum(subtoks) AS BIGINT) AS total_subtokens,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(subtoks) * 10000 // sum(words) AS BIGINT) AS fertility_e4,
+           CAST(sum(chars) * 10000 // sum(subtoks) AS BIGINT)
+             AS chars_per_subtoken_e4
+    FROM s GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-evaluation fertility table: per language, how many
+    BPE-ish subword units the pre-tokenizer produces per whitespace word
+    (fertility — the metric a multilingual tokenizer is judged by) and how
+    many characters each subword carries. High fertility on a language
+    means its text costs disproportionate sequence length. Ratios are
+    emitted as integer e4 floor-divisions of exact integer sums — never a
+    cross-engine double division.
+
+    Scale shape: one scan, all counting inside whole-stage codegen
+    (regexp_count / regexp_split), one tiny hash-agg on lang."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    )
+    totals = (
+        docs.select(
+            "lang",
+            X.token_count("text").alias("words"),
+            X.bpe_ish_token_count("text").alias("subtoks"),
+            F.length("text").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").cast("bigint").alias("total_words"),
+            F.sum("subtoks").cast("bigint").alias("total_subtokens"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    return totals.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_subtokens",
+        "total_chars",
+        F.expr("total_subtokens * 10000 div total_words").alias("fertility_e4"),
+        F.expr("total_chars * 10000 div total_subtokens").alias(
+            "chars_per_subtoken_e4"
+        ),
+    )
+
+
+# =====================================================================
+# Preference-pair (RLHF) construction audit
+# =====================================================================
+
+@register(
+    "rlhf_preference_pair_stats",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    base AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q_e4,
+             {_SQL_NTOK} AS n_tok
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    pairs AS (
+      SELECT a.source, a.q_e4 AS qa, b.q_e4 AS qb,
+             a.n_tok AS ta, b.n_tok AS tb
+      FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+    )
+    SELECT source,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN qa = qb THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+           CAST(sum(CASE WHEN qa > qb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_wins,
+           CAST(sum(CASE WHEN qb > qa THEN 1 ELSE 0 END) AS BIGINT) AS n_b_wins,
+           CAST(sum(abs(qa - qb)) // count(*) AS BIGINT) AS mean_margin_e4,
+           CAST(sum(CASE WHEN (qa > qb AND ta > tb) OR (qb > qa AND tb > ta)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_winner_longer
+    FROM pairs GROUP BY source
+    """,
+)
+def rlhf_preference_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction audit: pair consecutive documents
+    (chosen/rejected candidates for the same implicit prompt), score each
+    side with the heuristic quality model (per-row integer e4), and report
+    per prompt-side source: pair count, tie rate (unusable pairs), win
+    balance between sides (position-bias check), mean quality margin, and
+    how often the WINNER is also the LONGER side — the length-bias signal
+    reward-model data audits look for before training.
+
+    Formulation: instead of a self-join, one shuffle on pair_id with
+    min_by/max_by(side) reconstructs both sides of each pair — half the
+    scan cost of the SQL twin's a×b join and no join at all; incomplete
+    trailing pairs are dropped on both engines (count = 2 filter ≡ inner
+    join). Second tiny shuffle on source."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("doc_id"),
+        F.col("source"),
+        F.floor(X.quality_score("text") * 10000 + 0.5).cast("bigint").alias("q_e4"),
+        X.token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"),
+        F.expr("doc_id div 2").alias("pair"),
+        (F.col("doc_id") % 2).alias("side"),
+    )
+    pairs = (
+        base.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min_by("source", "side").alias("source"),
+            F.min_by("q_e4", "side").alias("qa"),
+            F.max_by("q_e4", "side").alias("qb"),
+            F.min_by("n_tok", "side").alias("ta"),
+            F.max_by("n_tok", "side").alias("tb"),
+        )
+        .filter(F.col("cnt") == 2)
+    )
+    qa, qb, ta, tb = (F.col(c) for c in ("qa", "qb", "ta", "tb"))
+    agged = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(qa == qb, 1).otherwise(0)).cast("bigint").alias("n_ties"),
+        F.sum(F.when(qa > qb, 1).otherwise(0)).cast("bigint").alias("n_a_wins"),
+        F.sum(F.when(qb > qa, 1).otherwise(0)).cast("bigint").alias("n_b_wins"),
+        F.sum(F.abs(qa - qb)).cast("bigint").alias("sum_margin"),
+        F.sum(
+            F.when(((qa > qb) & (ta > tb)) | ((qb > qa) & (tb > ta)), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_winner_longer"),
+    )
+    # Integer `div`, never a cross-engine double division (DuckDB twin: //).
+    return agged.select(
+        "source",
+        "n_pairs",
+        "n_ties",
+        "n_a_wins",
+        "n_b_wins",
+        F.expr("sum_margin div n_pairs").alias("mean_margin_e4"),
+        "n_winner_longer",
+    )
