@@ -550,6 +550,63 @@ def main() -> int:
         "(1-row totals broadcast only)",
     )
 
+    # 53. Chat render: ONE hash shuffle, on thread_id only (the render md5
+    # hashes inside the aggregate — no wide row crosses a second shuffle).
+    p = plan_of(qs["chat_template_render_stats"](spark, sf_dir))
+    check(
+        "chat_single_thread_shuffle",
+        {k.split("#")[0] for k in _re.findall(r"hashpartitioning\(([\w#]+)", p)}
+        == {"thread_id"},
+        "(only thread_id hash exchange)",
+    )
+
+    # 54. WARC ingest: exactly one Arrow parse pass; every hash shuffle keys
+    # on file_id (assemble + reconcile), nothing else.
+    p = plan_of(qs["warc_ingest_stats"](spark, sf_dir))
+    check(
+        "warc_single_arrow_parse",
+        len(_re.findall(r"[+:]- MapInArrow", p)) == 1,
+        "(one mapInArrow node)",
+    )
+    check(
+        "warc_file_id_shuffles_only",
+        {k.split("#")[0] for k in _re.findall(r"hashpartitioning\(([\w#]+)", p)}
+        == {"file_id"},
+        "(all hash exchanges on file_id)",
+    )
+
+    # 55. Epoch shuffle plan: one hash shuffle (the shard key expression).
+    p = plan_of(qs["epoch_shuffle_plan"](spark, sf_dir))
+    check(
+        "epoch_single_shard_shuffle",
+        {k.split("#")[0] for k in _re.findall(r"hashpartitioning\(([\w#]+)", p)}
+        == {"_groupingexpression"},
+        "(one shard-expression hash exchange)",
+    )
+
+    # 56. Fertility: pure codegen counting — no Python nodes, map-side
+    # partial aggregation on lang.
+    p = plan_of(qs["tokenizer_fertility_by_lang"](spark, sf_dir))
+    check(
+        "fertility_no_python",
+        "MapInPandas" not in p and "BatchEvalPython" not in p and "MapInArrow" not in p,
+        "(JVM-only)",
+    )
+    check(
+        "fertility_partial_agg",
+        len(_re.findall(r"[+:]- HashAggregate", p)) >= 2,
+        "(partial+final lang agg)",
+    )
+
+    # 57. Preference pairs: the min_by/max_by formulation must plan NO join
+    # (the SQL twin's a×b self-join is the thing we avoided).
+    p = plan_of(qs["rlhf_preference_pair_stats"](spark, sf_dir))
+    check(
+        "rlhf_no_join",
+        "Join" not in p and "CartesianProduct" not in p,
+        "(pair groupBy, not self-join)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
