@@ -88,6 +88,9 @@ PRIORITY = [
     "epoch_shuffle_plan",
     "tokenizer_fertility_by_lang",
     "rlhf_preference_pair_stats",
+    "stupid_backoff_trigram_score",
+    "quality_threshold_sweep",
+    "hard_negative_mining",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

@@ -166,6 +166,9 @@ HEADLINE = [
     "epoch_shuffle_plan",
     "tokenizer_fertility_by_lang",
     "rlhf_preference_pair_stats",
+    "stupid_backoff_trigram_score",
+    "quality_threshold_sweep",
+    "hard_negative_mining",
 ]
 
 

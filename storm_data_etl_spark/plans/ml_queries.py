@@ -3026,3 +3026,186 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_quality_e4"),
     )
+
+
+# =====================================================================
+# Quality-threshold sweep (curation operating-curve)
+# =====================================================================
+
+@register(
+    "quality_threshold_sweep",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    qd AS (
+      SELECT CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q_e4,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    bk AS (SELECT q_e4 // 1000 AS b, count(*) AS nb,
+                  CAST(sum(n_tok) AS BIGINT) AS tb
+           FROM qd GROUP BY q_e4 // 1000),
+    grid AS (SELECT r.r AS b FROM unnest(range(0, 11)) AS r(r)),
+    cum AS (
+      SELECT g.b,
+             CAST(sum(coalesce(bk.nb, 0)) OVER (
+               ORDER BY g.b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_docs_kept,
+             CAST(sum(coalesce(bk.tb, 0)) OVER (
+               ORDER BY g.b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tokens_kept
+      FROM grid g LEFT JOIN bk ON bk.b = g.b
+    ),
+    tot AS (SELECT count(*) AS td, CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tt
+            FROM qd)
+    SELECT b * 1000 AS threshold_e4,
+           n_docs_kept, tokens_kept,
+           CASE WHEN td = 0 THEN 0 ELSE n_docs_kept * 10000 // td END
+             AS pct_docs_e4,
+           CASE WHEN tt = 0 THEN 0 ELSE tokens_kept * 10000 // tt END
+             AS pct_tokens_e4
+    FROM cum CROSS JOIN tot
+    """,
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation operating curve: for every quality threshold 0.0 … 1.0
+    (step 0.1, as integer e4), how many documents and how much token mass
+    survive a `quality >= threshold` filter — the table a pipeline owner
+    reads to pick the cut-off (FineWeb/DataComp-style classifier-score
+    sweeps).
+
+    Scale shape — the point of this formulation: the corpus is scanned
+    ONCE into an 11-bucket histogram (uniform hash-agg), and the sweep is
+    a cumulative window over those 11 bounded rows — NOT a thresholds ×
+    corpus multiply, which would scan 11× at 100 TB. The single-partition
+    window is over ≤11 rows, and the 1-row totals broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    qd = docs.select(
+        F.floor(X.quality_score("text") * 10000 + 0.5).cast("bigint").alias("q_e4"),
+        X.token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"),
+    )
+    bk = (
+        qd.select(F.expr("q_e4 div 1000").alias("b"), "n_tok")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum("n_tok").cast("bigint").alias("tb"),
+        )
+    )
+    grid = spark.range(0, 11).select(F.col("id").alias("b"))
+    w = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        grid.join(bk, "b", "left")
+        .select(
+            "b",
+            F.sum(F.coalesce(F.col("nb"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("n_docs_kept"),
+            F.sum(F.coalesce(F.col("tb"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )
+    # Totals are the threshold-0 cumulative row — recovered with a second
+    # bounded window over the same 11 rows, so the corpus is scanned
+    # exactly once (a separate totals aggregate would re-scan: Spark does
+    # not share subtrees across join branches without an explicit cache).
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = cum.select(
+        "b",
+        "n_docs_kept",
+        "tokens_kept",
+        F.max("n_docs_kept").over(w_all).alias("td"),
+        F.max("tokens_kept").over(w_all).alias("tt"),
+    )
+    return tot.select(
+        (F.col("b") * 1000).alias("threshold_e4"),
+        "n_docs_kept",
+        "tokens_kept",
+        F.when(F.col("td") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("n_docs_kept * 10000 div td"))
+        .alias("pct_docs_e4"),
+        F.when(F.col("tt") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("tokens_kept * 10000 div tt"))
+        .alias("pct_tokens_e4"),
+    )
+
+
+# =====================================================================
+# Hard-negative mining for embedding/reranker training
+# =====================================================================
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS probe_vec,
+             label AS probe_label
+      FROM embeddings
+      WHERE vec_id < 8 AND embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    pairs AS (
+      SELECT p.probe_id, p.probe_label, e.vec_id, e.label AS neg_label,
+             e.embedding::DOUBLE[] AS ev, p.probe_vec
+      FROM embeddings e, probes p
+      WHERE e.embedding IS NOT NULL AND e.label IS NOT NULL
+        AND e.label <> p.probe_label
+    ),
+    scored AS (
+      SELECT probe_id, probe_label, vec_id, neg_label,
+             {{cos}} AS cos_raw
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT probe_id, probe_label, vec_id, neg_label, cos_raw,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cos_raw DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT probe_id, probe_label, vec_id, neg_label,
+           round(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """.format(cos=_sql_cosine("ev", "probe_vec")),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding / reranker training:
+    for each probe vector, the 5 most-similar vectors with a DIFFERENT
+    label — maximally confusing wrong-class examples, the negatives that
+    actually move a contrastive loss (easy random negatives teach
+    nothing). Deterministic ties on vec_id.
+
+    Scale shape: broadcast probes × one full scan (identical to the
+    brute-force ANN baseline), label filter applied before scoring so
+    same-class pairs never pay the dot product; per-probe top-5 via a
+    window over the probe's candidate set. At 100 TB the scan path swaps
+    for the IVF/LSH-bucketed variants (operators/similarity.py) with the
+    same label-exclusion predicate pushed into the bucket join."""
+    emb = t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("label").alias("probe_label"),
+    )
+    scored = (
+        emb.select("vec_id", F.col("label").alias("neg_label"), "embedding")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("neg_label") != F.col("probe_label"))
+        .withColumn("cos_raw", V.cosine("embedding", "probe_vec"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "probe_id",
+            "probe_label",
+            "vec_id",
+            "neg_label",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -408,3 +408,42 @@ def test_corpus_profile_invariants(spark, sf_dir):
     assert r.total_chars == total_chars
     assert 0 <= r.mean_quality_e4 <= 10000
     assert r.n_sources == docs.select("source").distinct().count()
+
+
+def test_stupid_backoff_leg_accounting(spark, sf_dir):
+    """Per-leg counts must partition the trigram count; held-out scoring
+    must actually exercise the backoff chain (a self-scored corpus never
+    would); scores are mean log-probs (strictly negative)."""
+    from storm_data_etl_spark.plans.corpus_queries import (
+        stupid_backoff_trigram_score,
+    )
+
+    rows = stupid_backoff_trigram_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_tri_hits"] + r["n_bigram_backoffs"] + r["n_unigram_backoffs"]
+            == r["n_trigrams"]
+        )
+        assert r["sb_score_e4"] < 0
+    # Held-out docs must contain trigrams the 80% split never saw.
+    assert sum(r["n_bigram_backoffs"] + r["n_unigram_backoffs"] for r in rows) > 0
+    # Every scored doc is an eval-split doc with >= 3 tokens.
+    lcg = lambda i: ((i % 2**31) * 1103515245 + 12345) % 2**31 % 100  # noqa: E731
+    assert all(lcg(r["doc_id"]) >= 80 for r in rows)
+
+
+def test_quality_threshold_sweep_monotone(spark, sf_dir):
+    from storm_data_etl_spark.plans.ml_queries import quality_threshold_sweep
+
+    rows = sorted(
+        quality_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["threshold_e4"],
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert [r["threshold_e4"] for r in rows] == [i * 1000 for i in range(11)]
+    assert rows[0]["n_docs_kept"] == docs and rows[0]["pct_docs_e4"] == 10000
+    for lo, hi in zip(rows[1:], rows):
+        assert lo["n_docs_kept"] <= hi["n_docs_kept"]
+        assert lo["tokens_kept"] <= hi["tokens_kept"]
+    assert all(0 <= r["pct_docs_e4"] <= 10000 for r in rows)

@@ -295,3 +295,21 @@ def test_distributed_ivf_rejects_dim_mismatch(spark):
     # correct dim still trains
     cents = train_ivf_centroids_distributed(vecs, dim=2, n_centroids=2, iters=1)
     assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+
+
+def test_hard_negatives_are_wrong_class_and_ranked(spark, sf_dir):
+    """Every mined negative carries a label different from its probe's;
+    ranks are dense 1..5 per probe with cosine non-increasing."""
+    from storm_data_etl_spark.plans.ml_queries import hard_negative_mining
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r["neg_label"] != r["probe_label"]
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert len(by_probe) == 8
+    for recs in by_probe.values():
+        recs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in recs] == list(range(1, len(recs) + 1))
+        cosines = [r["cosine"] for r in recs]
+        assert cosines == sorted(cosines, reverse=True)

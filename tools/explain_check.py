@@ -607,6 +607,37 @@ def main() -> int:
         "(pair groupBy, not self-join)",
     )
 
+    # 58. Stupid-backoff trigram: every LM-table join broadcasts (the
+    # tables are vocabulary-bounded) — no sort-merge join in the plan.
+    p = plan_of(qs["stupid_backoff_trigram_score"](spark, sf_dir))
+    check(
+        "sb_trigram_broadcast_lm_joins",
+        "SortMergeJoin" not in p and len(_re.findall(r"[+:]- BroadcastHashJoin", p)) >= 4,
+        "(vocab-bounded tables broadcast)",
+    )
+
+    # 59. Threshold sweep: the cumulative window runs over the 11-bucket
+    # histogram, not the corpus — at most 2 parquet scans of documents
+    # (buckets; totals derive from the histogram) and a broadcast of the
+    # 1-row totals.
+    p = plan_of(qs["quality_threshold_sweep"](spark, sf_dir))
+    check(
+        "sweep_histogram_form",
+        len(_re.findall(r"[+:]- Scan parquet", p)) <= 1
+        and len(_re.findall(r"[+:]- Window", p)) == 2,
+        "(one corpus scan, two bounded 11-row windows)",
+    )
+
+    # 60. Hard negatives: broadcast probes only — one nested-loop
+    # broadcast, never a CartesianProduct.
+    p = plan_of(qs["hard_negative_mining"](spark, sf_dir))
+    check(
+        "hard_neg_broadcast_probes",
+        "CartesianProduct" not in p
+        and len(_re.findall(r"[+:]- BroadcastNestedLoopJoin", p)) == 1,
+        "(probes broadcast once)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
