@@ -91,6 +91,8 @@ PRIORITY = [
     "stupid_backoff_trigram_score",
     "quality_threshold_sweep",
     "hard_negative_mining",
+    "xml_feed_parse_stats",
+    "dp_noise_histogram",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

@@ -169,6 +169,8 @@ HEADLINE = [
     "stupid_backoff_trigram_score",
     "quality_threshold_sweep",
     "hard_negative_mining",
+    "xml_feed_parse_stats",
+    "dp_noise_histogram",
 ]
 
 

@@ -3209,3 +3209,64 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# =====================================================================
+# Differentially-private histogram release (deterministic Laplace)
+# =====================================================================
+
+@register(
+    "dp_noise_histogram",
+    f"""
+    WITH c AS (
+      SELECT event_type, count(*) AS true_count
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, true_count,
+             row_number() OVER (ORDER BY event_type) AS rk
+      FROM c
+    ),
+    u AS (
+      SELECT event_type, true_count,
+             (({SP.lcg_value_sql('rk')}) + 1) / 2147483649.0 AS uu
+      FROM r
+    )
+    SELECT event_type, true_count,
+           CAST(floor((true_count
+                       + CASE WHEN uu < 0.5 THEN ln(2 * uu)
+                              ELSE -ln(2 * (1 - uu)) END) * 10000) AS BIGINT)
+             AS noised_count_e4
+    FROM u
+    """,
+)
+def dp_noise_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release: per-type event counts
+    with Laplace(1/ε) noise at ε=1 — the mechanism a pipeline uses to
+    publish usage statistics without exposing individual contribution.
+    Noise is drawn by inverse-CDF from the shared deterministic LCG
+    (seeded by the type's alphabetic rank), so the release is
+    reproducible and the oracle replays it exactly; a production release
+    swaps the LCG for a CSPRNG and drops true_count from the output —
+    this audit form emits both so the noise magnitude is inspectable.
+
+    Scale shape: one map-side-combined count shuffle; the rank window
+    runs over the distinct types only (bounded), never the events."""
+    c = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    w = Window.orderBy("event_type")
+    r = c.select("event_type", "true_count", F.row_number().over(w).alias("rk"))
+    uu = (SP.lcg_value("rk") + 1) / F.lit(2147483649.0)
+    noise = F.when(uu < 0.5, F.log(2 * uu)).otherwise(-F.log(2 * (1 - uu)))
+    return r.select(
+        "event_type",
+        "true_count",
+        F.floor((F.col("true_count") + noise) * 10000)
+        .cast("bigint")
+        .alias("noised_count_e4"),
+    )

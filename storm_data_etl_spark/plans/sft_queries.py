@@ -441,3 +441,128 @@ def rlhf_preference_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_margin div n_pairs").alias("mean_margin_e4"),
         "n_winner_longer",
     )
+
+
+# =====================================================================
+# XML feed ingestion (Spark 4 native from_xml, construction oracle)
+# =====================================================================
+
+#: First-3-words item title, shared by builder and oracle prediction.
+_SQL_TITLE3 = (
+    "array_to_string(list_slice("
+    "regexp_split_to_array(trim(coalesce(text, '')), '\\s+'), 1, 3), ' ')"
+)
+
+
+@register(
+    "xml_feed_parse_stats",
+    f"""
+    WITH items AS (
+      SELECT source, doc_id, lang,
+             length(coalesce(text, '')) AS len,
+             {_SQL_TITLE3} AS title
+      FROM documents
+      WHERE source IS NOT NULL AND doc_id IS NOT NULL AND lang IS NOT NULL
+    )
+    SELECT source,
+           count(*) AS n_items,
+           CAST(sum(len) AS BIGINT) AS total_len,
+           count(DISTINCT lang) AS n_langs,
+           md5(string_agg(title, '|' ORDER BY doc_id)) AS title_digest
+    FROM items GROUP BY source
+    """,
+)
+def xml_feed_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed/sitemap ingestion under oracle: render each source's documents
+    as an RSS-like XML channel (items in doc_id order, titles
+    XML-escaped), then parse the channels back with Spark 4's NATIVE
+    from_xml (schema-projected struct/array extraction, entity
+    unescaping) and reconcile per source: item count, byte mass, distinct
+    languages, and an order-pinned digest of the parsed titles. The
+    oracle predicts every value closed-form from `documents`, so a parser
+    that drops items, misorders arrays, or fails to unescape entities
+    hash-mismatches — certifying the XML source path end-to-end without
+    DuckDB needing any XML support. Rows with a NULL source, doc_id, or
+    lang are dropped before rendering on both engines — a feed cannot
+    carry a null identity, and concat's null-propagation would otherwise
+    drop them implicitly and asymmetrically (whole channel vs single
+    item; caught by the null-injection audit).
+
+    Scale shape: build and parse are both per-channel row expressions
+    (whole-stage codegen; from_xml is a JVM expression, not a UDF); the
+    only shuffles key on source. On a real crawl the build stage is
+    replaced by spark.read.format('xml') over feed files; the
+    reconciliation is unchanged."""
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("doc_id").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    title3 = F.array_join(
+        F.slice(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"), 1, 3),
+        " ",
+    )
+    esc = title3
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    item = F.concat(
+        F.lit("<item><id>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><lang>"),
+        F.col("lang"),
+        F.lit("</lang><len>"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("string"),
+        F.lit("</len><title>"),
+        esc,
+        F.lit("</title></item>"),
+    )
+    channels = (
+        docs.select(F.col("source"), F.col("doc_id"), item.alias("item"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<channel><src>"),
+                F.col("source"),
+                F.lit("</src>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id").alias("i"),
+                                    F.col("item").alias("x"),
+                                )
+                            )
+                        ),
+                        lambda s: s["x"],
+                    ),
+                    "",
+                ),
+                F.lit("</channel>"),
+            ).alias("xml")
+        )
+    )
+    parsed = channels.select(
+        F.from_xml(
+            "xml",
+            "src string, item array<struct<id: bigint, lang: string, "
+            "len: bigint, title: string>>",
+        ).alias("p")
+    ).select(F.col("p.src").alias("source"), F.explode("p.item").alias("it"))
+    ordered_titles = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("it.id").alias("i"),
+                    F.coalesce(F.col("it.title"), F.lit("")).alias("t"),
+                )
+            )
+        ),
+        lambda s: s["t"],
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("it.len").cast("bigint").alias("total_len"),
+        F.count_distinct("it.lang").alias("n_langs"),
+        F.md5(F.array_join(ordered_titles, "|")).alias("title_digest"),
+    )

@@ -123,3 +123,38 @@ def test_rlhf_pair_accounting(spark, sf_dir):
         assert r["n_ties"] + r["n_a_wins"] + r["n_b_wins"] == r["n_pairs"]
         assert r["n_winner_longer"] <= r["n_a_wins"] + r["n_b_wins"]
         assert r["mean_margin_e4"] >= 0
+
+
+def test_xml_feed_roundtrip_counts(spark, sf_dir):
+    rows = SQ.xml_feed_parse_stats(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.filter("source is not null and doc_id is not null and lang is not null").count()
+    assert sum(r["n_items"] for r in rows) == n
+    assert all(r["n_langs"] >= 1 for r in rows)
+
+
+def test_xml_feed_unescapes_entities(spark, monkeypatch):
+    """A title containing XML-special characters must survive the
+    escape → from_xml → unescape roundtrip into the digest."""
+    df = spark.createDataFrame(
+        [(1, "a&b <c> d e", "en", "s1", 11), (2, "plain words here", "en", "s1", 16)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(SQ, "t", lambda *_: df)
+    row = SQ.xml_feed_parse_stats(spark, "ignored").collect()[0]
+    expected = hashlib.md5("a&b <c> d|plain words here".encode()).hexdigest()
+    assert row["n_items"] == 2
+    assert row["title_digest"] == expected
+
+
+def test_dp_noise_bounded_and_deterministic(spark, sf_dir):
+    from storm_data_etl_spark.plans.ml_queries import dp_noise_histogram
+
+    a = sorted(dp_noise_histogram(spark, sf_dir).collect(), key=lambda r: r["event_type"])
+    b = sorted(dp_noise_histogram(spark, sf_dir).collect(), key=lambda r: r["event_type"])
+    assert [r["noised_count_e4"] for r in a] == [r["noised_count_e4"] for r in b]
+    for r in a:
+        noise = r["noised_count_e4"] / 10000 - r["true_count"]
+        # Laplace(1) inverse-CDF of a u bounded away from {0,1} by 1/2^31.
+        assert abs(noise) <= 22.5
+        assert noise != 0.0

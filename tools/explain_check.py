@@ -638,6 +638,31 @@ def main() -> int:
         "(probes broadcast once)",
     )
 
+    # 61. XML feed: build+parse are pure JVM expressions (from_xml is an
+    # expression, not a UDF) — no Python nodes; all shuffles on source.
+    p = plan_of(qs["xml_feed_parse_stats"](spark, sf_dir))
+    check(
+        "xml_feed_jvm_only",
+        "MapInPandas" not in p and "BatchEvalPython" not in p and "MapInArrow" not in p,
+        "(from_xml stays JVM-side)",
+    )
+    check(
+        "xml_feed_source_shuffles_only",
+        {k.split("#")[0] for k in _re.findall(r"hashpartitioning\(([\w#]+)", p)}
+        == {"source"},
+        "(all hash exchanges on source)",
+    )
+
+    # 62. DP histogram: the rank window runs over the distinct types (after
+    # the count agg), never the raw events — window sits above HashAggregate.
+    p = plan_of(qs["dp_noise_histogram"](spark, sf_dir))
+    check(
+        "dp_window_over_types_only",
+        len(_re.findall(r"[+:]- Window", p)) == 1
+        and len(_re.findall(r"[+:]- HashAggregate", p)) >= 2,
+        "(bounded window above partial+final count)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
