@@ -93,6 +93,11 @@ PRIORITY = [
     "hard_negative_mining",
     "xml_feed_parse_stats",
     "dp_noise_histogram",
+    # round-5 continuation: decorrelated-subquery join patterns (TPC-H
+    # Q2/Q17/Q11 shapes — never gated)
+    "min_cost_supplier",
+    "correlated_avg_filter",
+    "having_global_share",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

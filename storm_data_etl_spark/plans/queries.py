@@ -823,3 +823,167 @@ def collation_join_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("segment").cast("string collate UTF8_LCASE"))
     )
+
+
+# =====================================================================
+# Decorrelated-subquery join patterns (TPC-H Q2 / Q11 / Q17 shapes)
+# =====================================================================
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, cost,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY cost, l_suppkey) AS rn
+      FROM cost
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, round(b.cost, 2) AS min_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1 AND p.p_size >= 46
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style correlated-min decorrelation: for each large part
+    (p_size >= 46), the supplier offering the cheapest observed line price,
+    deterministic tie-break on s_suppkey. The classic correlated scalar
+    subquery (WHERE cost = (SELECT min(cost) ... WHERE partkey = outer))
+    is decorrelated into per-group aggregation: one hash agg to
+    (partkey, suppkey) min-cost, then ONE more partial-aggregated hash agg
+    of min(struct(cost, suppkey)) per partkey — lexicographic struct min
+    gives (min cost, then min suppkey) in a single pass, so no window and
+    no second shuffle of the pre-aggregated rows beyond the partkey
+    re-key. Winner rows then join part (partkey-keyed, filter pushed to
+    the part scan) and broadcast-join the supplier dim.
+
+    Scale shape: lineitem is touched once; both aggs are map-side partial;
+    at 100 TB the (partkey,suppkey) agg dominates and shuffles the already
+    partially-combined state, not raw rows. No correlated per-row probe
+    ever exists. Covers SURVEY §2.5 join surface; extends J2
+    (cmd/genmock/main.go:321-354) to the min-join-back pattern."""
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min(F.struct("cost", "l_suppkey")).alias("w"))
+        .select(
+            "l_partkey",
+            F.col("w.cost").alias("cost"),
+            F.col("w.l_suppkey").alias("l_suppkey"),
+        )
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") >= 46)
+    s = t(spark, sf_dir, "supplier")
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_name", F.round("cost", 2).alias("min_cost")
+        )
+    )
+
+
+@register(
+    "correlated_avg_filter",
+    """
+    WITH pa AS (
+      SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq, count(*) AS nq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND CAST(l.l_quantity AS BIGINT) * 2 * pa.nq < pa.sq
+    """,
+)
+def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style correlated-average filter: revenue from small-lot
+    orders (quantity below half the part's average quantity) for one
+    brand. Decorrelated into a per-part aggregate joined back to the fact;
+    the threshold compare is EXACT integer arithmetic
+    (2 * qty * n < sum_qty, quantities are integral) instead of the
+    spec's 0.5*avg double — a boundary row can never flip between engines.
+
+    Scale shape: the per-part agg shuffles partially-combined (sum,count)
+    states; the join back to lineitem is partkey-keyed on both sides so
+    AQE can plan it shuffle-hash; the brand filter pushes to the part scan
+    and prunes the agg side via the join. One final 1-row global agg.
+    Extends F6/A3 (conditional aggregation, cmd/genmock/main.go:218-226)
+    to the correlated form."""
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+        F.count(F.lit(1)).alias("nq"),
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    small = (
+        li.join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+                F.col("l_partkey") == F.col("pa_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity").cast("bigint") * 2 * F.col("nq") < F.col("sq"))
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@register(
+    "having_global_share",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(val) AS total, count(*) AS n_parts FROM pv)
+    SELECT pv.l_partkey,
+           round(CAST(pv.val AS DOUBLE), 2) AS part_value,
+           CAST(floor(1000000 * CAST(pv.val AS DOUBLE)
+                      / CAST(tot.total AS DOUBLE)) AS BIGINT) AS share_e6
+    FROM pv, tot
+    WHERE pv.val * tot.n_parts * 2 > 3 * tot.total
+    """,
+)
+def having_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-style HAVING-against-global-scalar: parts whose line value
+    exceeds 1.5x the mean per-part value — a scale-free threshold (Q11's
+    absolute fraction degenerates to all-or-nothing as part cardinality
+    grows). Sums are carried in exact DECIMAL(18,2) (prices are exact
+    hundredths), so the threshold compare 2*val*n_parts > 3*total is exact
+    integer-scaled decimal arithmetic on both engines; the emitted share
+    is one floor on an identical IEEE quotient.
+
+    Scale shape: one partkey hash agg (map-side partial), then the 1-row
+    global total re-aggregates the partial states and broadcast-crossjoins
+    back — the fact table is scanned ONCE (the agg result is reused for
+    both legs), and the broadcast is a single row, never a shuffle.
+    Extends A4 (global max, cmd/genmock/main.go:243-249) to the
+    global-share HAVING pattern."""
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val")
+    )
+    tot = pv.agg(F.sum("val").alias("total"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * F.col("n_parts") * 2 > 3 * F.col("total"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 2).alias("part_value"),
+            F.floor(
+                1000000 * F.col("val").cast("double") / F.col("total").cast("double")
+            ).cast("bigint").alias("share_e6"),
+        )
+    )

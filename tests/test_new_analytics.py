@@ -407,3 +407,66 @@ def test_rolling_median_calendar_frame_excludes_gap_days(spark):
     assert out[1] == 99900            # its own singleton frame
     assert out[21] == 1000            # Jan 1 is outside the 7-day range
     assert out[22] == 1000            # median of {1000, 2000} -> lower
+
+
+# ---------------------------------------------------------------------
+# Decorrelated-subquery join patterns (Q2/Q17/Q11 shapes)
+# ---------------------------------------------------------------------
+
+def _write_tpch(spark, path, lineitem, part, supplier):
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+    spark.createDataFrame(
+        part, "p_partkey long, p_name string, p_brand string, p_size int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/part.parquet")
+    spark.createDataFrame(
+        supplier, "s_suppkey long, s_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/supplier.parquet")
+
+
+def test_min_cost_supplier_tiebreak(spark, tmp_path):
+    """Two suppliers tie on the min price -> the lower suppkey wins (the
+    struct-min tie-break), and a cheaper line elsewhere drives the min."""
+    _write_tpch(
+        spark,
+        str(tmp_path),
+        [
+            (1, 100, 7, 1.0, 50.0),
+            (2, 100, 3, 1.0, 50.0),   # tie with supplier 7 -> 3 wins
+            (3, 100, 7, 1.0, 80.0),   # non-min line ignored
+            (4, 200, 9, 1.0, 10.0),   # part filtered out by p_size
+        ],
+        [(100, "big part", "Brand#4", 50), (200, "small part", "Brand#4", 1)],
+        [(3, "s-three"), (7, "s-seven"), (9, "s-nine")],
+    )
+    rows = Q.min_cost_supplier(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.p_partkey == 100 and r.s_name == "s-three" and r.min_cost == 50.0
+
+
+def test_correlated_avg_filter_strict_boundary(spark, tmp_path):
+    """qty exactly at half the part average is EXCLUDED (strict <), and the
+    integer-arithmetic form matches the float threshold semantics."""
+    # part 100 (Brand#4): quantities 2, 4, 6 -> avg 4, half-avg 2.
+    #   qty 2 == boundary -> excluded; nothing below -> n_small counts 0...
+    # part 200 (Brand#4): quantities 1, 9 -> avg 5, half 2.5 -> qty 1 kept.
+    _write_tpch(
+        spark,
+        str(tmp_path),
+        [
+            (1, 100, 1, 2.0, 100.0),
+            (2, 100, 1, 4.0, 100.0),
+            (3, 100, 1, 6.0, 100.0),
+            (4, 200, 1, 1.0, 70.0),
+            (5, 200, 1, 9.0, 100.0),
+        ],
+        [(100, "a", "Brand#4", 10), (200, "b", "Brand#4", 10)],
+        [(1, "s")],
+    )
+    r = Q.correlated_avg_filter(spark, str(tmp_path)).collect()[0]
+    assert r.n_small == 1
+    assert r.avg_yearly == 10.0  # 70.0 / 7
