@@ -98,6 +98,9 @@ PRIORITY = [
     "min_cost_supplier",
     "correlated_avg_filter",
     "having_global_share",
+    # round-5 continuation: time-series diagnostics (never gated)
+    "acf_lag_profile",
+    "weekday_seasonality_index",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

@@ -3032,3 +3032,170 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=32,
         salt_from="event_id",
     )
+
+
+# =====================================================================
+# Time-series diagnostics: autocorrelation + weekday seasonality
+# =====================================================================
+
+@register(
+    "acf_lag_profile",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.day_num - b.day_num AS lag,
+             a.cnt AS x, b.cnt AS y
+      FROM daily a JOIN daily b
+        ON a.day_num - b.day_num BETWEEN 1 AND 7
+    ),
+    s AS (
+      SELECT lag, count(*) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs, sx, sy, sxy,
+           CASE WHEN (n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) > 0
+                THEN CAST(floor(
+                       10000.0 * (n_pairs * sxy - sx * sy)
+                       / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                              * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+                     ) AS BIGINT)
+           END AS acf_e4
+    FROM s
+    """,
+)
+def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged autocorrelation profile of the daily event-count series
+    (lags 1-7): the diagnostic that picks seasonality periods and
+    change-detection windows for a telemetry stream. Per lag, the Pearson
+    correlation of (count_t, count_{t-lag}) pairs — carried as EXACT
+    integer sums (counts are integers; n*sxy - sx*sy is exact), with one
+    floor on an identical IEEE sqrt/division at emission. The exact
+    integer sums are emitted alongside so the correlation is auditable.
+
+    Scale shape: the raw scan collapses to one row per DAY in the first
+    map-side-partial agg (a 100 TB stream is still ~3650 rows/decade), so
+    the lag self-join runs on a trivially broadcastable aggregate —
+    calendar-exact on day numbers (a day gap shrinks n_pairs rather than
+    silently pairing non-adjacent days, which a row-offset lag() would).
+    No window over the raw table exists. Extends the A1 family
+    (cmd/genmock/main.go:204-215) to temporal diagnostics."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts_utc"), F.lit("1970-01-01")).alias("day_num")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select(F.col("day_num").alias("a_day"), F.col("cnt").alias("x"))
+    b = daily.select(F.col("day_num").alias("b_day"), F.col("cnt").alias("y"))
+    pairs = a.join(
+        F.broadcast(b), (F.col("a_day") - F.col("b_day")).between(1, 7)
+    ).select((F.col("a_day") - F.col("b_day")).alias("lag"), "x", "y")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "lag",
+        "n_pairs",
+        "sx",
+        "sy",
+        "sxy",
+        F.when(
+            vx * vy > 0,
+            F.floor(
+                10000.0 * cov / F.sqrt(vx.cast("double") * vy.cast("double"))
+            ).cast("bigint"),
+        ).alias("acf_e4"),
+    )
+
+
+@register(
+    "weekday_seasonality_index",
+    """
+    WITH ev AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events
+    ),
+    wd AS (
+      SELECT (day_num + 4) % 7 AS weekday,
+             count(*) AS n_events,
+             count(DISTINCT day_num) AS n_days
+      FROM ev GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_events) AS BIGINT) AS total_events,
+             CAST(sum(n_days) AS BIGINT) AS total_days
+      FROM wd
+    )
+    SELECT weekday,
+           CASE weekday WHEN 0 THEN 'sun' WHEN 1 THEN 'mon' WHEN 2 THEN 'tue'
+                        WHEN 3 THEN 'wed' WHEN 4 THEN 'thu' WHEN 5 THEN 'fri'
+                        ELSE 'sat' END AS weekday_name,
+           n_events, n_days,
+           CAST(floor(100 * n_events / n_days) AS BIGINT) AS mean_daily_e2,
+           CAST(floor(10000 * (n_events * total_days)
+                      / (n_days * total_events)) AS BIGINT) AS index_e4
+    FROM wd, tot
+    """,
+)
+def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index: each weekday's mean daily event count
+    relative to the overall mean (10000 = flat). Weekday derives from pure
+    epoch-day arithmetic ((days_since_1970 + 4) % 7, 1970-01-01 being a
+    Thursday) — no engine-specific DOW convention can diverge. The index
+    is exact integer arithmetic end to end: floor(1e4 * n_events *
+    total_days / (n_days * total_events)) on BIGINTs.
+
+    Scale shape: one map-side-partial agg to at most 7 rows (the distinct
+    day count per weekday is a tiny exact distinct within each group),
+    then a 1-row broadcast total. Nothing global-sorted, nothing
+    collected."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts_utc"), F.lit("1970-01-01")).alias("day_num")
+    )
+    wd = ev.groupBy(((F.col("day_num") + 4) % 7).alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("day_num").alias("n_days"),
+    )
+    tot = wd.agg(
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.sum("n_days").cast("bigint").alias("total_days"),
+    )
+    name = (
+        F.when(F.col("weekday") == 0, "sun")
+        .when(F.col("weekday") == 1, "mon")
+        .when(F.col("weekday") == 2, "tue")
+        .when(F.col("weekday") == 3, "wed")
+        .when(F.col("weekday") == 4, "thu")
+        .when(F.col("weekday") == 5, "fri")
+        .otherwise("sat")
+    )
+    return wd.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        name.alias("weekday_name"),
+        "n_events",
+        "n_days",
+        F.floor(100 * F.col("n_events") / F.col("n_days"))
+        .cast("bigint")
+        .alias("mean_daily_e2"),
+        F.floor(
+            10000
+            * (F.col("n_events") * F.col("total_days"))
+            / (F.col("n_days") * F.col("total_events"))
+        )
+        .cast("bigint")
+        .alias("index_e4"),
+    )

@@ -470,3 +470,65 @@ def test_correlated_avg_filter_strict_boundary(spark, tmp_path):
     r = Q.correlated_avg_filter(spark, str(tmp_path)).collect()[0]
     assert r.n_small == 1
     assert r.avg_yearly == 10.0  # 70.0 / 7
+
+
+def test_acf_alternating_series(spark, tmp_path):
+    """A strictly alternating daily count series has lag-1 ACF == -1 and
+    lag-2 ACF == +1 (exact integer arithmetic -> exactly -10000/10000)."""
+    rows = []
+    eid = 0
+    for day in range(10):  # counts alternate 1, 3, 1, 3, ...
+        for _ in range(1 if day % 2 == 0 else 3):
+            rows.append(
+                (eid, dt.datetime(2024, 3, 1 + day, 12), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    out = {r.lag: r for r in WQ.acf_lag_profile(spark, str(tmp_path)).collect()}
+    assert out[1].acf_e4 == -10000
+    assert out[2].acf_e4 == 10000
+    assert out[1].n_pairs == 9 and out[2].n_pairs == 8
+
+
+def test_acf_gap_days_shrink_pairs(spark, tmp_path):
+    """Calendar-exact pairing: a missing day removes its pairs instead of
+    pairing non-adjacent days (the row-offset lag() failure mode)."""
+    rows = []
+    eid = 0
+    for day in [1, 2, 4, 5]:  # day 3 missing
+        for _ in range(day):
+            rows.append(
+                (eid, dt.datetime(2024, 3, day, 12), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    out = {r.lag: r.n_pairs for r in WQ.acf_lag_profile(spark, str(tmp_path)).collect()}
+    assert out[1] == 2  # (2,1) and (5,4) — never (4,2)
+    assert out[2] == 1  # only (4,2); (3,1) and (5,3) need the missing day
+    assert out[3] == 2  # (4,1) and (5,2)
+
+
+def test_weekday_seasonality_flat_and_spiked(spark, tmp_path):
+    """Two Mondays at 30 events/day vs five other days at 10/day: the
+    Monday index is exactly 60*7/(2*110) of the flat baseline."""
+    rows = []
+    eid = 0
+    # 2024-03-04 and 2024-03-11 are Mondays
+    days = [(dt.date(2024, 3, 4), 30), (dt.date(2024, 3, 11), 30),
+            (dt.date(2024, 3, 5), 10), (dt.date(2024, 3, 6), 10),
+            (dt.date(2024, 3, 7), 10), (dt.date(2024, 3, 8), 10),
+            (dt.date(2024, 3, 9), 10)]
+    for d, n in days:
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(d.year, d.month, d.day, 9), 1, "x", 1.0, "{}")
+            )
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    out = {r.weekday_name: r for r in
+           WQ.weekday_seasonality_index(spark, str(tmp_path)).collect()}
+    assert out["mon"].n_events == 60 and out["mon"].n_days == 2
+    assert out["mon"].mean_daily_e2 == 3000
+    # index = (60 * 7) / (2 * 110) = 1.9090... -> 19090
+    assert out["mon"].index_e4 == 19090
+    assert out["tue"].index_e4 == 6363  # floor(1e4 * 10 * 7 / 110)
