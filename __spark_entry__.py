@@ -101,6 +101,11 @@ PRIORITY = [
     # round-5 continuation: time-series diagnostics (never gated)
     "acf_lag_profile",
     "weekday_seasonality_index",
+    # round-5 continuation: training-pipeline batch (never gated)
+    "span_corruption_plan",
+    "toolcall_trace_audit",
+    "bitext_length_ratio_filter",
+    "curriculum_schedule_plan",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

@@ -15,7 +15,7 @@ engines rebuild the identical structure from the raw `documents` table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import text as X
@@ -565,4 +565,362 @@ def xml_feed_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("it.len").cast("bigint").alias("total_len"),
         F.count_distinct("it.lang").alias("n_langs"),
         F.md5(F.array_join(ordered_titles, "|")).alias("title_digest"),
+    )
+
+
+# =====================================================================
+# T5-style span-corruption planning
+# =====================================================================
+
+@register(
+    "span_corruption_plan",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_NTOK} AS n_tok FROM documents
+    ),
+    eligible AS (
+      SELECT doc_id, n_tok,
+             greatest(1, n_tok * 15 // 100 // 3) AS n_spans
+      FROM d WHERE n_tok >= 8
+    ),
+    spans AS (
+      SELECT e.doc_id, e.n_tok, e.n_spans, k.k AS k,
+             (k.k * e.n_tok) // e.n_spans AS seg_start,
+             ((k.k + 1) * e.n_tok) // e.n_spans
+               - (k.k * e.n_tok) // e.n_spans AS seg_len
+      FROM eligible e, unnest(range(0, e.n_spans)) AS k(k)
+    ),
+    placed AS (
+      SELECT doc_id, n_tok, n_spans, k,
+             least(3, seg_len) AS span_len,
+             seg_start
+               + ({SP.lcg_value_sql('doc_id * 131 + k')})
+                 % (seg_len - least(3, seg_len) + 1) AS start
+      FROM spans
+    )
+    SELECT doc_id, n_tok, n_spans,
+           CAST(sum(span_len) AS BIGINT) AS masked_tokens,
+           CAST((10000 * sum(span_len)) // n_tok AS BIGINT) AS corruption_e4,
+           md5(string_agg(start || ':' || span_len, ',' ORDER BY k))
+             AS spans_md5
+    FROM placed GROUP BY doc_id, n_tok, n_spans
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption plan (Raffel et al. 2020 §3.1.4): for each
+    document with >= 8 whitespace tokens, place ~15% corruption mass as
+    ~3-token mask spans. Spans are STRATIFIED — span k lives inside token
+    segment [k*n/s, (k+1)*n/s), offset by the shared LCG — so spans are
+    disjoint by construction and the masked mass is a closed form both
+    engines rebuild identically (sampled-then-merged spans would need an
+    interval-union pass; the stratified form is what production span
+    corruption uses to bound per-doc variance anyway). Emits per doc the
+    span count, exact masked-token mass, corruption rate in exact integer
+    e4, and an md5 over the ordered (start:len) list — the digest pins
+    every placement, not just the total.
+
+    Scale shape: one scan; the explode factor is n_tok/20 (a 15%/3-token
+    plan), far below the token count, and re-aggregates on doc_id — the
+    shuffle carries one small row per span. No window, no driver work."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", X.token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok")
+    ).filter(F.col("n_tok") >= 8)
+    e = d.withColumn(
+        "n_spans", F.greatest(F.lit(1), F.expr("n_tok * 15 div 100 div 3"))
+    )
+    spans = e.select(
+        "doc_id",
+        "n_tok",
+        "n_spans",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("k", "_k2"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "n_spans",
+        "k",
+        F.expr("(k * n_tok) div n_spans").alias("seg_start"),
+        F.expr("((k + 1) * n_tok) div n_spans - (k * n_tok) div n_spans").alias(
+            "seg_len"
+        ),
+    )
+    placed = spans.select(
+        "doc_id",
+        "n_tok",
+        "n_spans",
+        "k",
+        F.least(F.lit(3), F.col("seg_len")).alias("span_len"),
+        (
+            F.col("seg_start")
+            + F.pmod(
+                SP.lcg_value(F.col("doc_id") * 131 + F.col("k")),
+                F.col("seg_len") - F.least(F.lit(3), F.col("seg_len")) + 1,
+            )
+        ).alias("start"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("k").alias("k"),
+                    F.concat_ws(
+                        ":",
+                        F.col("start").cast("string"),
+                        F.col("span_len").cast("string"),
+                    ).alias("s"),
+                )
+            )
+        ),
+        lambda x: x["s"],
+    )
+    return placed.groupBy("doc_id", "n_tok", "n_spans").agg(
+        F.sum("span_len").cast("bigint").alias("masked_tokens"),
+        F.expr("(10000 * sum(span_len)) div n_tok").cast("bigint").alias(
+            "corruption_e4"
+        ),
+        F.md5(F.array_join(ordered, ",")).alias("spans_md5"),
+    )
+
+
+# =====================================================================
+# Agentic tool-call trace validation
+# =====================================================================
+
+@register(
+    "toolcall_trace_audit",
+    """
+    WITH tr AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 1
+                             WHEN 'purchase' THEN -1 ELSE 0 END AS delta
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, delta,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS depth
+      FROM tr
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_calls,
+           CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_results,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           CAST(min(depth) AS BIGINT) AS min_depth,
+           CAST(sum(CASE WHEN delta = -1 AND depth < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_results,
+           CAST(greatest(sum(delta), 0) AS BIGINT) AS unclosed_calls,
+           (min(depth) >= 0 AND sum(delta) = 0) AS is_valid
+    FROM d GROUP BY user_id
+    """,
+)
+def toolcall_trace_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agentic-trace validation for tool-use SFT data: treating each user's
+    event stream as a tool-call trace ('click' opens a call, 'purchase'
+    closes one, everything else is narration), audit bracket balance the
+    way a tool-call linter must before traces enter a training mix: a
+    running depth (the classic parenthesis-matching scan as a window
+    prefix sum), orphan results (a close with no open — depth dips below
+    zero), unclosed calls at end-of-trace, and max nesting depth. A trace
+    is valid iff depth never goes negative and ends at zero.
+
+    Scale shape: ONE shuffle on user_id serves both the ordered prefix-sum
+    window and the final per-user aggregate (same key, Spark reuses the
+    partitioning); rows never leave their partition afterwards. Extends
+    the sessionization family (window_queries.sessionize) to bracket
+    semantics."""
+    ev = t(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "purchase", -1)
+        .otherwise(0)
+    )
+    tr = ev.select("user_id", "ts_ns", "event_id", delta.alias("delta"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = tr.withColumn("depth", F.sum("delta").over(w))
+    return d.groupBy("user_id").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_calls"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_results"),
+        F.max("depth").cast("bigint").alias("max_depth"),
+        F.min("depth").cast("bigint").alias("min_depth"),
+        F.sum(F.when((F.col("delta") == -1) & (F.col("depth") < 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphan_results"),
+        F.greatest(F.sum("delta"), F.lit(0)).cast("bigint").alias("unclosed_calls"),
+        ((F.min("depth") >= 0) & (F.sum("delta") == 0)).alias("is_valid"),
+    )
+
+
+# =====================================================================
+# Parallel-corpus (bitext) length-ratio filtering
+# =====================================================================
+
+@register(
+    "bitext_length_ratio_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_SQL_NTOK} AS n_tok FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id // 2 AS pair_id,
+             max(CASE WHEN doc_id % 2 = 0 THEN lang END) AS src_lang,
+             max(CASE WHEN doc_id % 2 = 1 THEN lang END) AS tgt_lang,
+             max(CASE WHEN doc_id % 2 = 0 THEN n_tok END) AS src_tok,
+             max(CASE WHEN doc_id % 2 = 1 THEN n_tok END) AS tgt_tok,
+             count(*) AS n_sides
+      FROM d GROUP BY doc_id // 2
+    ),
+    flagged AS (
+      SELECT src_lang, tgt_lang,
+             CASE WHEN src_tok = 0 OR tgt_tok = 0 THEN 'empty'
+                  WHEN src_tok > 2 * tgt_tok OR tgt_tok > 2 * src_tok
+                    THEN 'ratio'
+                  ELSE 'kept' END AS verdict,
+             src_tok, tgt_tok
+      FROM pairs WHERE n_sides = 2
+    )
+    SELECT src_lang, tgt_lang,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN verdict = 'empty' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(sum(CASE WHEN verdict = 'ratio' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ratio_drop,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN src_tok ELSE 0 END)
+                AS BIGINT) AS kept_src_tokens,
+           CAST(sum(CASE WHEN verdict = 'kept' THEN tgt_tok ELSE 0 END)
+                AS BIGINT) AS kept_tgt_tokens
+    FROM flagged GROUP BY src_lang, tgt_lang
+    """,
+)
+def bitext_length_ratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-translation bitext cleaning (the Moses clean-corpus-n rule):
+    adjacent documents form a translation pair (even doc_id = source side,
+    odd = target), and a pair survives iff both sides are non-empty and
+    the token-length ratio is within 2:1 — the standard misalignment
+    heuristic. Integer token counts make the ratio test exact (src <=
+    2*tgt AND tgt <= 2*src), so no boundary pair can flip between
+    engines. Emits the per-language-pair operating stats a bitext
+    curation run reports: pair counts, kept/empty/ratio-dropped, and the
+    surviving token mass per side.
+
+    Scale shape: one shuffle keyed on pair_id (uniform by construction)
+    builds the pairs via conditional min/max aggregation — never a
+    self-join of the corpus against itself — then a tiny lang-pair agg.
+    At 100 TB the pair agg carries two small ints per doc."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        X.token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"),
+    )
+    even = F.col("doc_id") % 2 == 0
+    pairs = (
+        d.groupBy(F.expr("doc_id div 2").alias("pair_id"))
+        .agg(
+            F.max(F.when(even, F.col("lang"))).alias("src_lang"),
+            F.max(F.when(~even, F.col("lang"))).alias("tgt_lang"),
+            F.max(F.when(even, F.col("n_tok"))).alias("src_tok"),
+            F.max(F.when(~even, F.col("n_tok"))).alias("tgt_tok"),
+            F.count(F.lit(1)).alias("n_sides"),
+        )
+        .filter(F.col("n_sides") == 2)
+    )
+    verdict = (
+        F.when((F.col("src_tok") == 0) | (F.col("tgt_tok") == 0), "empty")
+        .when(
+            (F.col("src_tok") > 2 * F.col("tgt_tok"))
+            | (F.col("tgt_tok") > 2 * F.col("src_tok")),
+            "ratio",
+        )
+        .otherwise("kept")
+    )
+    flagged = pairs.select(
+        "src_lang", "tgt_lang", verdict.alias("verdict"), "src_tok", "tgt_tok"
+    )
+    kept = F.col("verdict") == "kept"
+    return flagged.groupBy("src_lang", "tgt_lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((F.col("verdict") == "empty").cast("int"))
+        .cast("bigint")
+        .alias("n_empty"),
+        F.sum((F.col("verdict") == "ratio").cast("int"))
+        .cast("bigint")
+        .alias("n_ratio_drop"),
+        F.sum(F.when(kept, F.col("src_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_src_tokens"),
+        F.sum(F.when(kept, F.col("tgt_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tgt_tokens"),
+    )
+
+
+# =====================================================================
+# Curriculum schedule planning
+# =====================================================================
+
+@register(
+    "curriculum_schedule_plan",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             least(3, n_chars // 150) AS phase,
+             {_SQL_NTOK} AS n_tok,
+             {SP.lcg_value_sql('doc_id')} AS shuffle_key
+      FROM documents
+    )
+    SELECT phase,
+           shuffle_key % 8 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           md5(string_agg(doc_id, ',' ORDER BY shuffle_key, doc_id))
+             AS order_md5
+    FROM d GROUP BY phase, shuffle_key % 8
+    """,
+)
+def curriculum_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: documents are banded into 4 difficulty
+    phases by length (shortest first — the classic easy-to-hard length
+    curriculum), then each phase is split into 8 loader shards by the
+    shared LCG, with the exact within-shard order (LCG key, then doc_id)
+    pinned by an md5 digest. A trainer consuming phase-by-phase,
+    shard-by-shard reproduces byte-identical batch order from this plan.
+
+    Scale shape: phase assignment is arithmetic (no global quantile sort —
+    fixed length bands), and digests are per (phase, shard), so every
+    ordered aggregation is bounded by corpus/32 and the shuffle key
+    (phase, shard) is uniform by LCG construction. The same tree-digest
+    trick as epoch_shuffle_plan; nothing global-sorts."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.least(F.lit(3), F.expr("n_chars div 150")).alias("phase"),
+        X.token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"),
+        SP.lcg_value("doc_id").alias("shuffle_key"),
+    )
+    ordered_ids = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("shuffle_key").alias("sk"),
+                    F.col("doc_id").alias("id"),
+                )
+            )
+        ),
+        lambda x: x["id"].cast("string"),
+    )
+    return d.groupBy("phase", F.pmod(F.col("shuffle_key"), F.lit(8)).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.md5(F.array_join(ordered_ids, ",")).alias("order_md5"),
     )

@@ -158,3 +158,125 @@ def test_dp_noise_bounded_and_deterministic(spark, sf_dir):
         # Laplace(1) inverse-CDF of a u bounded away from {0,1} by 1/2^31.
         assert abs(noise) <= 22.5
         assert noise != 0.0
+
+
+# ---------------------------------------------------------------------
+# Span corruption / tool-call traces / bitext / curriculum
+# ---------------------------------------------------------------------
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _lcg_value(i: int) -> int:
+    return ((i % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M
+
+
+def test_span_corruption_python_replica(spark, sf_dir):
+    """Full Python replica of the stratified placement on the real corpus:
+    spans must be disjoint, inside the doc, and digest-identical."""
+    rows = SQ.span_corruption_plan(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: (r.text or "")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    checked = 0
+    for r in rows:
+        n_tok = len(docs[r.doc_id].split())
+        assert n_tok >= 8 and r.n_tok == n_tok
+        n_spans = max(1, n_tok * 15 // 100 // 3)
+        assert r.n_spans == n_spans
+        spans = []
+        for k in range(n_spans):
+            seg_start = k * n_tok // n_spans
+            seg_len = (k + 1) * n_tok // n_spans - seg_start
+            span_len = min(3, seg_len)
+            off = _lcg_value(r.doc_id * 131 + k) % (seg_len - span_len + 1)
+            spans.append((seg_start + off, span_len))
+        # disjoint + in-bounds
+        for (s1, l1), (s2, _l2) in zip(spans, spans[1:]):
+            assert s1 + l1 <= s2
+        assert spans[-1][0] + spans[-1][1] <= n_tok
+        assert r.masked_tokens == sum(l for _, l in spans)
+        digest = hashlib.md5(
+            ",".join(f"{s}:{l}" for s, l in spans).encode()
+        ).hexdigest()
+        assert r.spans_md5 == digest
+        checked += 1
+    assert checked > 100
+
+
+def test_toolcall_trace_handcrafted(spark, tmp_path):
+    """Orphan result, unclosed call, and a perfectly bracketed trace."""
+    import datetime as dt
+
+    def ev(eid, user, typ):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0, eid), user, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: call result call call result result -> valid, depth 2
+        ev(1, 1, "click"), ev(2, 1, "purchase"), ev(3, 1, "click"),
+        ev(4, 1, "click"), ev(5, 1, "purchase"), ev(6, 1, "purchase"),
+        # user 2: result first (orphan), then call -> invalid, unclosed 0...
+        ev(7, 2, "purchase"), ev(8, 2, "click"),
+        # user 3: two calls never closed
+        ev(9, 3, "click"), ev(10, 3, "view"), ev(11, 3, "click"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.user_id: r for r in SQ.toolcall_trace_audit(spark, str(tmp_path)).collect()}
+    assert out[1].is_valid and out[1].max_depth == 2 and out[1].n_orphan_results == 0
+    assert not out[2].is_valid and out[2].n_orphan_results == 1
+    assert out[2].min_depth == -1 and out[2].unclosed_calls == 0
+    assert not out[3].is_valid and out[3].unclosed_calls == 2 and out[3].n_results == 0
+
+
+def test_bitext_ratio_boundary(spark, tmp_path):
+    """Exactly 2:1 is KEPT (<=); 2:1 plus one token is dropped; an empty
+    side is counted as empty, not ratio."""
+    _write_docs(spark, str(tmp_path), [
+        (0, "a b c d", "en", "s", 7),        # 4 tokens
+        (1, "x y", "fr", "s", 3),            # 2 tokens -> exactly 2:1, kept
+        (2, "a b c d e", "en", "s", 9),      # 5 tokens
+        (3, "x y", "fr", "s", 3),            # 2 -> 5 > 4, ratio drop
+        (4, "", "en", "s", 0),               # empty side
+        (5, "x", "fr", "s", 1),
+    ])
+    out = {(r.src_lang, r.tgt_lang): r
+           for r in SQ.bitext_length_ratio_filter(spark, str(tmp_path)).collect()}
+    r = out[("en", "fr")]
+    assert r.n_pairs == 3 and r.n_kept == 1 and r.n_ratio_drop == 1 and r.n_empty == 1
+    assert r.kept_src_tokens == 4 and r.kept_tgt_tokens == 2
+
+
+def test_curriculum_phase_bands_and_digest(spark, tmp_path):
+    """Band boundaries at 150-char multiples, capped at phase 3; the shard
+    digest replays the (lcg, doc_id) order."""
+    docs = [
+        (0, "one two", "en", "s", 149),    # phase 0
+        (1, "three", "en", "s", 150),      # phase 1
+        (2, "four five six", "en", "s", 449),   # phase 2
+        (3, "seven", "en", "s", 1000),     # phase 3 (capped)
+        (4, "eight nine", "en", "s", 600), # phase 3
+    ]
+    _write_docs(spark, str(tmp_path), docs)
+    out = SQ.curriculum_schedule_plan(spark, str(tmp_path)).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r.phase, []).append(r)
+    assert {p: sum(r.n_docs for r in rs) for p, rs in by_phase.items()} == {
+        0: 1, 1: 1, 2: 1, 3: 2,
+    }
+    # replay phase 3's digests
+    p3 = {(r.shard): r for r in by_phase[3]}
+    mine = {}
+    for doc_id in (3, 4):
+        sk = _lcg_value(doc_id)
+        mine.setdefault(sk % 8, []).append((sk, doc_id))
+    for shard, members in mine.items():
+        ids = ",".join(str(i) for _, i in sorted(members))
+        assert p3[shard].order_md5 == hashlib.md5(ids.encode()).hexdigest()
