@@ -106,6 +106,7 @@ PRIORITY = [
     "toolcall_trace_audit",
     "bitext_length_ratio_filter",
     "curriculum_schedule_plan",
+    "mojibake_audit",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

@@ -1655,3 +1655,94 @@ def domain_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_blocked"),
         )
     )
+
+
+# =====================================================================
+# Mojibake / encoding-damage audit
+# =====================================================================
+
+@register(
+    "mojibake_audit",
+    """
+    WITH corrupted AS (
+      SELECT source,
+             coalesce(text, '')
+               || CASE WHEN doc_id % 11 = 0 THEN chr(65533) ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN chr(195) || chr(169)
+                       ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END AS txt
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source,
+             contains(txt, chr(65533)) AS has_repl,
+             contains(txt, chr(195) || chr(169)) AS has_double,
+             regexp_matches(txt,
+               '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]') AS has_ctrl,
+             length(txt) - length(replace(txt, chr(65533), ''))
+               AS n_repl_chars
+      FROM corrupted
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN has_repl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_replacement,
+           CAST(sum(CASE WHEN has_double THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_double_encoded,
+           CAST(sum(CASE WHEN has_ctrl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_control,
+           CAST(sum(CASE WHEN NOT (has_repl OR has_double OR has_ctrl)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(sum(n_repl_chars) AS BIGINT) AS total_repl_chars
+    FROM flagged GROUP BY source
+    """,
+)
+def mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit — the crawl-hygiene scan every web-corpus
+    pipeline runs before training: U+FFFD replacement characters (a
+    decoder already gave up), the 'Ã©'-class UTF-8-read-as-Latin-1
+    double-encoding digraphs, and C0 control characters that survive in
+    broken extractions. The corpus twin is corrupted DETERMINISTICALLY
+    (doc_id % 11/13/17 append U+FFFD / 'Ã©' / BEL), so both engines build
+    an identical damaged corpus and the detector's hit set is pinned
+    exactly — the construction certifies the detector, the detector runs
+    unchanged on real data.
+
+    Scale shape: one scan, all detection in whole-stage-codegen string
+    expressions (contains + one compiled character-class regex), one
+    map-side-partial agg on source. No Python, no explode."""
+    base = F.coalesce(F.col("text"), F.lit(""))
+    txt = F.concat(
+        base,
+        F.when(F.col("doc_id") % 11 == 0, F.lit("�")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("Ã©")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("\x07")).otherwise(F.lit("")),
+    )
+    d = t(spark, sf_dir, "documents").select("source", txt.alias("txt"))
+    flagged = d.select(
+        "source",
+        F.col("txt").contains("�").alias("has_repl"),
+        F.col("txt").contains("Ã©").alias("has_double"),
+        F.col("txt").rlike("[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]").alias("has_ctrl"),
+        (
+            F.length("txt") - F.length(F.replace(F.col("txt"), F.lit("�")))
+        ).alias("n_repl_chars"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_repl").cast("int")).cast("bigint").alias("n_replacement"),
+        F.sum(F.col("has_double").cast("int"))
+        .cast("bigint")
+        .alias("n_double_encoded"),
+        F.sum(F.col("has_ctrl").cast("int")).cast("bigint").alias("n_control"),
+        F.sum(
+            (~(F.col("has_repl") | F.col("has_double") | F.col("has_ctrl"))).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum("n_repl_chars").cast("bigint").alias("total_repl_chars"),
+    )

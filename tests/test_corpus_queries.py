@@ -447,3 +447,32 @@ def test_quality_threshold_sweep_monotone(spark, sf_dir):
         assert lo["n_docs_kept"] <= hi["n_docs_kept"]
         assert lo["tokens_kept"] <= hi["tokens_kept"]
     assert all(0 <= r["pct_docs_e4"] <= 10000 for r in rows)
+
+
+def test_mojibake_audit_construction_counts(spark, sf_dir):
+    """The deterministic corruption makes expected per-source counts a
+    closed form over doc_ids; clean docs must have no detector hits."""
+    from storm_data_etl_spark.plans import corpus_queries as CQ
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    exp = {}
+    for r in docs:
+        e = exp.setdefault(r.source, [0, 0, 0, 0])
+        e[0] += 1
+        if r.doc_id % 11 == 0:
+            e[1] += 1
+        if r.doc_id % 13 == 0:
+            e[2] += 1
+        if r.doc_id % 17 == 0:
+            e[3] += 1
+    out = {r.source: r for r in CQ.mojibake_audit(spark, sf_dir).collect()}
+    assert set(out) == set(exp)
+    for src, (n, n11, n13, n17) in exp.items():
+        r = out[src]
+        assert r.n_docs == n
+        # base corpus is clean -> detector hits equal injected corruption
+        assert r.n_replacement == n11 and r.total_repl_chars == n11
+        assert r.n_double_encoded == n13
+        assert r.n_control == n17
