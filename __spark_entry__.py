@@ -107,6 +107,8 @@ PRIORITY = [
     "bitext_length_ratio_filter",
     "curriculum_schedule_plan",
     "mojibake_audit",
+    "snapshot_retention_plan",
+    "encoding_dictionary_plan",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

@@ -2130,3 +2130,184 @@ def hilbert_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hval").alias("h_sum"),
         )
     )
+
+
+# =====================================================================
+# Snapshot retention (time-travel expiry) planning
+# =====================================================================
+
+@register(
+    "snapshot_retention_plan",
+    """
+    WITH v AS (
+      SELECT event_id % 200 AS file_id,
+             epoch_us(ts) * 1000 AS ts_ns,
+             event_id,
+             100 + event_id % 900 AS size_bytes
+      FROM events
+    ),
+    cutoff AS (
+      SELECT max(ts_ns) - CAST(604800 AS BIGINT) * 1000000000 AS keep_after FROM v
+    ),
+    marked AS (
+      SELECT file_id, ts_ns, size_bytes,
+             row_number() OVER (PARTITION BY file_id
+                                ORDER BY ts_ns DESC, event_id DESC) AS rn,
+             keep_after
+      FROM v, cutoff
+    )
+    SELECT file_id,
+           count(*) AS n_versions,
+           CAST(sum(CASE WHEN rn = 1 OR ts_ns >= keep_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN rn > 1 AND ts_ns < keep_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_expire,
+           CAST(sum(CASE WHEN rn > 1 AND ts_ns < keep_after
+                         THEN size_bytes ELSE 0 END) AS BIGINT)
+             AS reclaimed_bytes,
+           CAST(max(ts_ns) AS BIGINT) AS latest_ts_ns
+    FROM marked GROUP BY file_id
+    """,
+)
+def snapshot_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot expiry plan (the Iceberg expire_snapshots /
+    Delta VACUUM decision): each event is a committed version of one of
+    200 table files; a version is retained iff it is the file's CURRENT
+    version (always kept, however old — dropping it would lose data, not
+    history) or it committed within the 7-day time-travel window ending
+    at the table's latest commit. Emits the per-file expiry plan: version
+    counts, keep/expire split, reclaimable bytes, latest commit.
+
+    Scale shape: one shuffle on file_id serves both the currency
+    row_number window and the per-file aggregate (same key); the global
+    cutoff is a 1-row broadcast. A real manifest listing is exactly this
+    shape with file_id = partition path. Extends the lake family
+    (compaction_plan, cdc_upsert_merge) with the retention leg."""
+    v = t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 200).alias("file_id"),
+        F.col("ts_ns"),
+        "event_id",
+        (100 + F.col("event_id") % 900).alias("size_bytes"),
+    )
+    cutoff = v.agg(
+        (F.max("ts_ns") - F.lit(7 * 86400 * 1_000_000_000)).alias("keep_after")
+    )
+    w = Window.partitionBy("file_id").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    marked = v.crossJoin(F.broadcast(cutoff)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    keep = (F.col("rn") == 1) | (F.col("ts_ns") >= F.col("keep_after"))
+    return marked.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_keep"),
+        F.sum((~keep).cast("int")).cast("bigint").alias("n_expire"),
+        F.sum(F.when(~keep, F.col("size_bytes")).otherwise(0))
+        .cast("bigint")
+        .alias("reclaimed_bytes"),
+        F.max("ts_ns").cast("bigint").alias("latest_ts_ns"),
+    )
+
+
+# =====================================================================
+# Column-encoding (dictionary vs plain) planning
+# =====================================================================
+
+@register(
+    "encoding_dictionary_plan",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             count(DISTINCT event_type) AS d_type,
+             CAST(sum(length(event_type)) AS BIGINT) AS len_type,
+             count(DISTINCT props) AS d_props,
+             CAST(sum(length(props)) AS BIGINT) AS len_props,
+             count(DISTINCT user_id) AS d_user,
+             count(DISTINCT "value") AS d_value
+      FROM events
+    ),
+    cols AS (
+      SELECT 'event_type' AS column_name, n, d_type AS n_distinct,
+             (100 * len_type) // n AS avg_len_e2 FROM s
+      UNION ALL
+      SELECT 'props', n, d_props, (100 * len_props) // n FROM s
+      UNION ALL
+      SELECT 'user_id', n, d_user, 800 FROM s
+      UNION ALL
+      SELECT 'value', n, d_value, 800 FROM s
+    )
+    SELECT column_name, n AS n_values, n_distinct,
+           CAST((1000 * n_distinct) // n AS BIGINT) AS distinct_permille,
+           CASE WHEN 20 * n_distinct < n THEN 'dictionary' ELSE 'plain' END
+             AS encoding
+    FROM cols
+    """,
+)
+def encoding_dictionary_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding planner — the Parquet writer's dictionary-vs-plain
+    decision surfaced as a query: per column, exact cardinality and mean
+    width, recommending dictionary encoding when the distinct ratio is
+    under 5% (the point where a dictionary page beats plain pages).
+    Numeric columns report their fixed 8-byte width. This is the profile
+    a lake compaction service computes before rewriting files.
+
+    Scale shape: ONE scan computes every column's count-distinct in a
+    single multi-distinct aggregate (Catalyst expands to one
+    shuffle-per-distinct over partial states — at 100 TB switch the exact
+    counts to approx_count_distinct, same plan minus the expand; the
+    exact form IS the oracle here), then a 4-row literal unpivot.
+    Complements compaction_plan (file sizing) with encoding choice."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type").alias("d_type"),
+        F.sum(F.length("event_type")).cast("bigint").alias("len_type"),
+        F.countDistinct("props").alias("d_props"),
+        F.sum(F.length("props")).cast("bigint").alias("len_props"),
+        F.countDistinct("user_id").alias("d_user"),
+        F.countDistinct("value").alias("d_value"),
+    )
+    cols = (
+        s.select(
+            F.lit("event_type").alias("column_name"),
+            "n",
+            F.col("d_type").alias("n_distinct"),
+            F.expr("(100 * len_type) div n").alias("avg_len_e2"),
+        )
+        .unionByName(
+            s.select(
+                F.lit("props").alias("column_name"),
+                "n",
+                F.col("d_props").alias("n_distinct"),
+                F.expr("(100 * len_props) div n").alias("avg_len_e2"),
+            )
+        )
+        .unionByName(
+            s.select(
+                F.lit("user_id").alias("column_name"),
+                "n",
+                F.col("d_user").alias("n_distinct"),
+                F.lit(800).alias("avg_len_e2"),
+            )
+        )
+        .unionByName(
+            s.select(
+                F.lit("value").alias("column_name"),
+                "n",
+                F.col("d_value").alias("n_distinct"),
+                F.lit(800).alias("avg_len_e2"),
+            )
+        )
+    )
+    return cols.select(
+        "column_name",
+        F.col("n").alias("n_values"),
+        "n_distinct",
+        F.expr("(1000 * n_distinct) div n").cast("bigint").alias(
+            "distinct_permille"
+        ),
+        F.when(20 * F.col("n_distinct") < F.col("n"), "dictionary")
+        .otherwise("plain")
+        .alias("encoding"),
+    )

@@ -316,3 +316,60 @@ def test_luhn_valid_known_numbers(spark):
     for c in cases:
         assert got[c] == py_luhn(c), c
     assert got["4111111111111111"] and not got["4111111111111112"]
+
+
+def test_snapshot_retention_current_version_always_kept(spark, tmp_path):
+    """An old CURRENT version survives expiry; old superseded versions are
+    reclaimed; versions inside the 7-day window survive even when
+    superseded."""
+    import datetime as dt
+
+    from storm_data_etl_spark.plans import lake_queries as LQ
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # file 0: two ancient superseded versions + one recent current
+        (0, base, 1, "x", 1.0, "{}"),                                # rn=3, old
+        (200, base + dt.timedelta(days=1), 1, "x", 1.0, "{}"),       # rn=2, old
+        (400, base + dt.timedelta(days=29), 1, "x", 1.0, "{}"),      # current
+        # file 1: single ancient version -> kept (current), nothing expires
+        (1, base, 1, "x", 1.0, "{}"),
+        # file 2: two versions inside the window -> both kept
+        (2, base + dt.timedelta(days=28), 1, "x", 1.0, "{}"),
+        (202, base + dt.timedelta(days=29), 1, "x", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.file_id: r for r in
+           LQ.snapshot_retention_plan(spark, str(tmp_path)).collect()}
+    # event 400 is current (kept); events 0 and 200 are superseded AND
+    # before the day-22 cutoff -> both expire
+    assert out[0].n_versions == 3 and out[0].n_keep == 1 and out[0].n_expire == 2
+    assert out[1].n_versions == 1 and out[1].n_expire == 0
+    assert out[2].n_keep == 2 and out[2].n_expire == 0
+
+
+def test_encoding_plan_threshold(spark, tmp_path):
+    """5% distinct-ratio boundary (strict <): 48/980 -> dictionary;
+    49/980 sits exactly at 5% (20*49 == 980) -> plain."""
+    import datetime as dt
+
+    from storm_data_etl_spark.plans import lake_queries as LQ
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), i % 49, f"t{i % 48}", float(i), "{}")
+        for i in range(980)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.column_name: r for r in
+           LQ.encoding_dictionary_plan(spark, str(tmp_path)).collect()}
+    assert out["event_type"].encoding == "dictionary"   # 48/980 < 5%
+    assert out["user_id"].encoding == "plain"           # 20*49 == 980, not <
+    assert out["value"].encoding == "plain"             # 980 distinct values
+    assert out["props"].encoding == "dictionary"        # single value
+    assert out["event_type"].n_distinct == 48 and out["value"].n_values == 980
