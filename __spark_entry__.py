@@ -109,6 +109,7 @@ PRIORITY = [
     "mojibake_audit",
     "snapshot_retention_plan",
     "encoding_dictionary_plan",
+    "audio_energy_segments",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

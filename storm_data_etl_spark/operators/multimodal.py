@@ -826,6 +826,31 @@ def audio_decode_stats(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_STATS_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = "media_id long, w long, energy long"
+
+
+def audio_energy_windows(df: DataFrame, frame: int = 10) -> DataFrame:
+    """Decode real WAV payloads and emit per-window channel-0 energy rows:
+    window w covers sample indexes [w*frame, (w+1)*frame) (the final
+    window may be partial), energy = exact Σv² in int64. The narrow
+    Arrow-batched decode emits ~n_frames/frame small rows per media —
+    the VAD front-end shape (energy first, segmentation as relational
+    ops downstream so the thresholding logic stays in the engine)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                au = decode_wav(bytes(payload) if payload is not None else b"")
+                ch0 = [fr[0] for fr in au.frames]
+                for w in range((len(ch0) + frame - 1) // frame):
+                    window = ch0[w * frame : (w + 1) * frame]
+                    rows.append((mid, w, sum(v * v for v in window)))
+            yield pd.DataFrame(rows, columns=["media_id", "w", "energy"])
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
 DECODE_STATS_SCHEMA = (
     "media_id long, width int, height int, n_bytes long, top_b int, mean_b_e2 long"
 )

@@ -3270,3 +3270,121 @@ def dp_noise_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("noised_count_e4"),
     )
+
+
+@register(
+    "audio_energy_segments",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             CAST(40 + doc_id % 23 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id, i.i // 10 AS w,
+             (media_id * 31 + i.i * 7) % 201 - 100 AS v
+      FROM m, unnest(range(0, n_frames)) AS i(i)
+    ),
+    wins AS (
+      SELECT media_id, w, CAST(sum(v * v) AS BIGINT) AS energy
+      FROM s GROUP BY media_id, w
+    ),
+    act AS (SELECT media_id, w FROM wins WHERE energy > 34000),
+    isl AS (
+      SELECT media_id,
+             w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS grp
+      FROM act
+    ),
+    segs AS (
+      SELECT media_id, grp, count(*) AS run FROM isl GROUP BY media_id, grp
+    ),
+    per_media AS (
+      SELECT media_id, count(*) AS n_windows,
+             CAST(sum(CASE WHEN energy > 34000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active
+      FROM wins GROUP BY media_id
+    )
+    SELECT p.media_id, p.n_windows, p.n_active,
+           CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(t.longest_run, 0) AS BIGINT) AS longest_run
+    FROM per_media p
+    LEFT JOIN (
+      SELECT media_id, count(*) AS n_segments, max(run) AS longest_run
+      FROM segs GROUP BY media_id
+    ) t USING (media_id)
+    """,
+)
+def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity segmentation over REAL decoded audio —
+    the VAD front-end of a speech-data pipeline: per document, synthesize
+    a real RIFF/WAVE file (multimodal.synth_wav, channel/sample-width
+    cycling as in audio_decode_stats), decode it through the real chunk
+    walker, window channel 0 into 10-sample frames, threshold exact Σv²
+    energy at 34000, and merge contiguous active windows into segments
+    with the gaps-and-islands pattern. Emits per media: window count,
+    active count, segment count, and the longest active run. The oracle
+    rebuilds everything from the closed-form sample rule — one shuffled
+    de-interleaved sample and every segment boundary moves.
+
+    Scale shape: the Arrow-batched decode emits one small row per window
+    (frames/10), then ONE shuffle on media_id serves the window agg, the
+    islands row_number, the segment agg, and the final join — all keyed
+    on media_id. No driver collect; threshold logic is relational, so
+    swapping the energy rule (e.g. dB floor) is a one-line change."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("ch"),
+        (40 + F.col("doc_id") % 23).cast("int").alias("nf"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(8)).otherwise(F.lit(16)).alias("bits"),
+    )
+
+    def build(batches):  # noqa: ANN001
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.synth_wav(
+                            int(m), int(nf), rate=8000, channels=int(ch), bits=int(b)
+                        )
+                        for m, ch, nf, b in zip(
+                            pdf["media_id"], pdf["ch"], pdf["nf"], pdf["bits"]
+                        )
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    wins = MM.audio_energy_windows(media, frame=10)
+    active = wins.filter(F.col("energy") > 34000)
+    grp = (
+        F.col("w")
+        - F.row_number().over(Window.partitionBy("media_id").orderBy("w"))
+    ).alias("grp")
+    segs = (
+        active.select("media_id", grp)
+        .groupBy("media_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    seg_stats = segs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments_raw"),
+        F.max("run").alias("longest_run_raw"),
+    )
+    per_media = wins.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((F.col("energy") > 34000).cast("int")).cast("bigint").alias("n_active"),
+    )
+    return per_media.join(seg_stats, "media_id", "left").select(
+        "media_id",
+        "n_windows",
+        "n_active",
+        F.coalesce(F.col("n_segments_raw"), F.lit(0)).cast("bigint").alias(
+            "n_segments"
+        ),
+        F.coalesce(F.col("longest_run_raw"), F.lit(0)).cast("bigint").alias(
+            "longest_run"
+        ),
+    )

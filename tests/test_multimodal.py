@@ -445,3 +445,27 @@ def test_sample_video_frames_operator(spark):
         assert (r.width, r.height) == (8, 8)
         assert r.top_b == b
         assert r.mean_b_e2 == 100 * b
+
+
+def test_audio_energy_windows_partial_and_exact(spark):
+    """Window energies match a pure-Python decode, including the final
+    partial window, on both 8- and 16-bit stereo payloads."""
+    from storm_data_etl_spark.operators import multimodal as MM
+
+    payloads = [
+        (5, MM.synth_wav(5, 23, channels=2, bits=16)),   # 23 frames -> 3 windows
+        (6, MM.synth_wav(6, 40, channels=1, bits=8)),    # exact multiple
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = {
+        (r.media_id, r.w): r.energy
+        for r in MM.audio_energy_windows(df, frame=10).collect()
+    }
+    for mid, payload in payloads:
+        ch0 = [fr[0] for fr in MM.decode_wav(payload).frames]
+        n_w = (len(ch0) + 9) // 10
+        for w in range(n_w):
+            window = ch0[w * 10 : (w + 1) * 10]
+            assert got[(mid, w)] == sum(v * v for v in window)
+    # 23 frames: windows of 10, 10, 3
+    assert {w for (m, w) in got if m == 5} == {0, 1, 2}
