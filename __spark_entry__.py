@@ -37,23 +37,20 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #: set explicitly from the CORRECTNESS_r*.json records). Rounds 1-4
 #: hash-proved all 174 oracle-backed queries and recorded the 13
 #: rows-only-by-design entries' weaker evidence tier once each, so
-#: never_gated() is empty entering round 5. This round-5 head is the 23
-#: new entries: 8 exactness-regime twins certifying the approximate
-#: machinery itself in configurations provably identical to an exact
-#: oracle (IVF full-probe, distributed-k-means IVF, LSH zero-plane,
-#: collision-free CMS, sparse Bloom, zero-merge BPE, high-accuracy
-#: percentile_approx — whose window form rolling_median_7d also gates),
-#: the training-pipeline additions (DSIR weights, n-gram novelty,
-#: dup-span bracketing, boilerplate chunk removal, sequence packing,
-#: padding audit, NFC audit, group-leakage audit), the privacy/PII pair
-#: (l-diversity, Luhn), the domain-suffix blocklist, the salted
-#: two-phase aggregation, tolerance as-of join, Mann-Whitney U, and the
-#: rows-only bloom_cross_dedup — all verified by the local gate replica
-#: tools/pandas_parity_check.py at sf0.001 AND sf0.01 before rotation —
-#: followed by RE-VERIFICATION slots: the oracle-backed
-#: queries whose last driver hash-pass is oldest (round 1, then round 2),
-#: so gate evidence stays fresh instead of resting on round-1 records
-#: forever.
+#: never_gated() was empty entering round 5. The round-5 head is EXACTLY
+#: the 50 never-gated round-5 additions (49 oracle-backed + the rows-only
+#: bloom_cross_dedup): the exactness-regime sketch/ANN twins, the
+#: data-selection and privacy batch, the SFT/data-loading family, the
+#: decorrelated-subquery join patterns (TPC-H Q2/Q17/Q11 shapes),
+#: time-series diagnostics (ACF, weekday seasonality), the
+#: training-pipeline batch (span corruption, tool-call traces, bitext
+#: ratio filter, curriculum plan, mojibake audit), lake maintenance
+#: (snapshot retention, encoding planner), audio VAD segmentation, the
+#: watermark lag histogram, and chunk-boundary seam detection — every
+#: one verified by the local gate replica tools/pandas_parity_check.py
+#: at sf0.001 AND sf0.01 (plus a non-UTC session TZ) before rotation.
+#: The re-verification backlog (round-1 then round-2 vintage) follows
+#: beyond the head so gate evidence keeps refreshing in later rounds.
 PRIORITY = [
     # round-5 additions: exactness-regime oracle twins for the sketch/ANN
     # machinery, plus DSIR importance weights and n-gram novelty (never

@@ -171,6 +171,23 @@ HEADLINE = [
     "hard_negative_mining",
     "xml_feed_parse_stats",
     "dp_noise_histogram",
+    # round-5 continuation: decorrelation patterns, time-series, training
+    # pipeline, lake ops, multimodal VAD, streaming calibration
+    "min_cost_supplier",
+    "correlated_avg_filter",
+    "having_global_share",
+    "acf_lag_profile",
+    "weekday_seasonality_index",
+    "span_corruption_plan",
+    "toolcall_trace_audit",
+    "bitext_length_ratio_filter",
+    "curriculum_schedule_plan",
+    "mojibake_audit",
+    "snapshot_retention_plan",
+    "encoding_dictionary_plan",
+    "audio_energy_segments",
+    "watermark_lag_histogram",
+    "chunk_boundary_overlap",
 ]
 
 
