@@ -663,6 +663,110 @@ def main() -> int:
         "(bounded window above partial+final count)",
     )
 
+    # 63. Q2-pattern min-cost supplier: both aggs partial+final, the
+    # supplier dim broadcast, no cartesian.
+    p = plan_of(qs["min_cost_supplier"](spark, sf_dir))
+    check(
+        "min_cost_supplier_shape",
+        "CartesianProduct" not in p
+        and len(_re.findall(r"[+:]- BroadcastHashJoin", p)) >= 1
+        # the (partkey,suppkey) min is hash-agg'd; the struct-min per part
+        # plans as a SortAggregate — both partial+final
+        and len(_re.findall(r"[+:]- HashAggregate", p))
+        + len(_re.findall(r"[+:]- SortAggregate", p)) >= 4,
+        "(partial aggs + broadcast supplier)",
+    )
+
+    # 64. Q17-pattern correlated-average: decorrelated — the per-part agg
+    # is partial+final and the lineitem scans stay partkey-joined (no
+    # per-row correlated subplan, which would appear as a cartesian or
+    # nested loop).
+    p = plan_of(qs["correlated_avg_filter"](spark, sf_dir))
+    check(
+        "correlated_avg_decorrelated",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "(agg+join, no correlated probe)",
+    )
+
+    # 65. Q11-pattern global share: the 1-row total joins back via
+    # broadcast nested loop (a 1-row cross), never a shuffle join; the
+    # part-value agg is partial+final.
+    p = plan_of(qs["having_global_share"](spark, sf_dir))
+    check(
+        "global_share_broadcast_total",
+        len(_re.findall(r"[+:]- BroadcastNestedLoopJoin", p)) == 1
+        and "SortMergeJoin" not in p,
+        "(1-row total broadcast)",
+    )
+
+    # 66. ACF: the lag self-join runs on the tiny daily aggregate and is
+    # broadcast; the raw scan collapses through partial+final agg first.
+    p = plan_of(qs["acf_lag_profile"](spark, sf_dir))
+    check(
+        "acf_broadcast_daily_join",
+        len(_re.findall(r"[+:]- BroadcastNestedLoopJoin", p)) == 1
+        and "SortMergeJoin" not in p,
+        "(daily agg broadcast, range condition)",
+    )
+
+    # 67. Tool-call trace: ONE exchange on user_id serves both the
+    # running-max window and the final per-user agg.
+    p = plan_of(qs["toolcall_trace_audit"](spark, sf_dir))
+    check(
+        "toolcall_single_user_shuffle",
+        len(_re.findall(r"hashpartitioning\(user_id", p)) == 1
+        and len(_re.findall(r"hashpartitioning\(", p)) == 1,
+        "(window + agg share the user_id shuffle)",
+    )
+
+    # 68. Snapshot retention: one file_id exchange serves window + agg;
+    # the cutoff is a broadcast 1-row join.
+    p = plan_of(qs["snapshot_retention_plan"](spark, sf_dir))
+    check(
+        "retention_single_file_shuffle",
+        len(_re.findall(r"hashpartitioning\(file_id", p)) == 1
+        and len(_re.findall(r"hashpartitioning\(", p)) == 1
+        and len(_re.findall(r"[+:]- BroadcastNestedLoopJoin", p)) == 1,
+        "(keyed shuffle + broadcast cutoff)",
+    )
+
+    # 69. Watermark lag: the keyed window is the only hash exchange; no
+    # global sort of the raw stream.
+    p = plan_of(qs["watermark_lag_histogram"](spark, sf_dir))
+    check(
+        "watermark_keyed_window_only",
+        len(_re.findall(r"hashpartitioning\(user_id", p)) == 1
+        and "rangepartitioning" not in p,
+        "(per-key disorder, never a global arrival sort)",
+    )
+
+    # 70. Chunk-boundary seams: a plain shuffled equi-join on the seam
+    # key — no cartesian, no broadcast of the full corpus side.
+    p = plan_of(qs["chunk_boundary_overlap"](spark, sf_dir))
+    check(
+        "seam_join_equi",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "(equi-join on (source, key24))",
+    )
+
+    # 71. Mojibake: pure codegen string expressions — no Python nodes, one
+    # source-keyed aggregation.
+    p = plan_of(qs["mojibake_audit"](spark, sf_dir))
+    check(
+        "mojibake_jvm_only",
+        "MapInPandas" not in p and "BatchEvalPython" not in p,
+        "(contains/rlike stay JVM-side)",
+    )
+
+    # 72. Bitext ratio: pair construction is a conditional agg on pair_id,
+    # never a self-join of documents.
+    p = plan_of(qs["bitext_length_ratio_filter"](spark, sf_dir))
+    check(
+        "bitext_no_self_join",
+        "Join" not in p,
+        "(pair_id conditional agg, not a self-join)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
