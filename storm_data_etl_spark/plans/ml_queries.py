@@ -3484,3 +3484,155 @@ def chunk_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("left_id").alias("n_left_docs"),
         F.min("left_id").cast("bigint").alias("first_left_id"),
     )
+
+
+@register(
+    "minhash_lcg_lsh_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id AS id, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, unnest({_sql_shingles(3)}) AS shingle FROM norm
+    ),
+    dict AS (
+      SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS sid
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ),
+    ids AS (SELECT s.id, d.sid FROM sh s JOIN dict d USING (shingle)),
+    hashed AS (
+      SELECT id, i.i AS i,
+             ((CAST(1103515245 AS BIGINT) * (i.i + 1) + 12345) % 2147483647)
+               * sid % 2147483647
+               + (CAST(12345 AS BIGINT) * (i.i + 1) + 999331) % 2147483647
+               AS raw
+      FROM ids, unnest(range(0, 16)) AS i(i)
+    ),
+    sig AS (
+      SELECT id, i, min(raw % 2147483647) AS minh
+      FROM hashed GROUP BY id, i
+    ),
+    bands AS (
+      SELECT id, i // 4 AS band,
+             string_agg(minh, ':' ORDER BY i) AS band_key
+      FROM sig GROUP BY id, i // 4
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    matches AS (
+      SELECT c.id_a, c.id_b, c.n_shared_bands,
+             CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b, c.n_shared_bands
+    )
+    SELECT id_a, id_b, n_shared_bands,
+           CAST((10000 * n_match) // 16 AS BIGINT) AS est_jaccard_e4
+    FROM matches
+    """,
+)
+def minhash_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH with FULLY ORACLE-BACKED hash arithmetic: the
+    16 permutation hashes are LCG-family universal hashes
+    h_i(x) = (a_i mod p)·x mod p + b_i (p = 2^31-1, a_i/b_i derived
+    arithmetically from i), over a deterministic shingle dictionary
+    (dense_rank of the distinct shingle strings — ASCII-normalized text,
+    so both engines sort identically). 4 bands × 4 rows; candidate pairs
+    share at least one exact band; each pair carries its shared-band
+    count and the signature-agreement Jaccard estimate in exact integer
+    e4. This hash-gates the ENTIRE minhash dataflow — shingling,
+    permutation minima, banding, bucket join, estimation — at hash-value
+    granularity, which the production xxhash64 path (operators/dedup.py
+    minhash_lsh_pairs, rows-only by design) cannot; that path stays the
+    100 TB scale form (no dictionary), this one is its certification
+    regime. Recall vs exact Jaccard is separately pinned in pytest for
+    the xxhash64 path.
+
+    Scale shape note: the shingle dictionary is a global dense_rank —
+    acceptable for a certification regime; the production path hashes
+    shingles directly and needs no dictionary. Everything else is the
+    scale plan itself: shingle explode, (id, i) partial-agg minima,
+    band-key equi-join, bounded pair agg."""
+    docs = t(spark, sf_dir, "documents")
+    P = 2147483647
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"), X.shingles("text", 3).alias("shingles")
+        )
+        .select("id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    dict_df = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn(
+            "sid", F.dense_rank().over(Window.orderBy("shingle"))
+        )
+    )
+    ids = sh.join(dict_df, "shingle").select("id", "sid")
+    hashed = ids.select(
+        "id",
+        F.posexplode(F.sequence(F.lit(0), F.lit(15))).alias("i", "_i2"),
+        "sid",
+    ).select(
+        "id",
+        "i",
+        (
+            ((F.lit(1103515245).cast("long") * (F.col("i") + 1) + 12345) % P)
+            * F.col("sid").cast("long") % P
+            + (F.lit(12345).cast("long") * (F.col("i") + 1) + 999331) % P
+        ).alias("raw"),
+    )
+    sig = hashed.groupBy("id", "i").agg((F.min(F.col("raw") % P)).alias("minh"))
+    band_key = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i").alias("i"), F.col("minh").alias("m")))
+            ),
+            lambda x: x["m"].cast("string"),
+        ),
+        ":",
+    )
+    bands = sig.groupBy("id", F.expr("i div 4").alias("band")).agg(
+        band_key.alias("band_key")
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), "band", F.col("band_key").alias("k_a")
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), "band", F.col("band_key").alias("k_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band) & (F.col("k_a") == F.col("k_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("i").alias("i"), F.col("minh").alias("ma"))
+    sb = sig.select(F.col("id").alias("sb_id"), F.col("i").alias("ib"), F.col("minh").alias("mb"))
+    matches = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("sb_id")) & (F.col("i") == F.col("ib")))
+        .groupBy("id_a", "id_b", "n_shared_bands")
+        .agg(
+            F.sum((F.col("ma") == F.col("mb")).cast("int"))
+            .cast("bigint")
+            .alias("n_match")
+        )
+    )
+    return matches.select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        F.expr("(10000 * n_match) div 16").cast("bigint").alias("est_jaccard_e4"),
+    )

@@ -427,3 +427,24 @@ def test_chunk_boundary_overlap_recovers_seams(spark, tmp_path):
     mid = 120 // 2
     c0, c1 = long_text[: mid + 12], long_text[mid - 12 :]
     assert c0[-24:] == c1[:24]
+
+
+def test_minhash_lcg_exact_dup_full_signature(spark, tmp_path):
+    """Identical docs share all 16 minima -> 4/4 bands, est 10000; an
+    unrelated doc pairs with nothing."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, text, "en", "s", len(text)),
+        (2, text, "en", "s", len(text)),
+        (3, "completely unrelated content about spark partitions", "en", "s", 50),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = MQ.minhash_lcg_lsh_pairs(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.n_shared_bands == 4 and r.est_jaccard_e4 == 10000
