@@ -2229,16 +2229,16 @@ def snapshot_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cols AS (
       SELECT 'event_type' AS column_name, n, d_type AS n_distinct,
-             (100 * len_type) // n AS avg_len_e2 FROM s
+             (100 * len_type) // nullif(n, 0) AS avg_len_e2 FROM s
       UNION ALL
-      SELECT 'props', n, d_props, (100 * len_props) // n FROM s
+      SELECT 'props', n, d_props, (100 * len_props) // nullif(n, 0) FROM s
       UNION ALL
       SELECT 'user_id', n, d_user, 800 FROM s
       UNION ALL
       SELECT 'value', n, d_value, 800 FROM s
     )
     SELECT column_name, n AS n_values, n_distinct,
-           CAST((1000 * n_distinct) // n AS BIGINT) AS distinct_permille,
+           CAST((1000 * n_distinct) // nullif(n, 0) AS BIGINT) AS distinct_permille,
            CASE WHEN 20 * n_distinct < n THEN 'dictionary' ELSE 'plain' END
              AS encoding
     FROM cols
@@ -2273,14 +2273,14 @@ def encoding_dictionary_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("event_type").alias("column_name"),
             "n",
             F.col("d_type").alias("n_distinct"),
-            F.expr("(100 * len_type) div n").alias("avg_len_e2"),
+            F.expr("(100 * len_type) div nullif(n, 0)").alias("avg_len_e2"),
         )
         .unionByName(
             s.select(
                 F.lit("props").alias("column_name"),
                 "n",
                 F.col("d_props").alias("n_distinct"),
-                F.expr("(100 * len_props) div n").alias("avg_len_e2"),
+                F.expr("(100 * len_props) div nullif(n, 0)").alias("avg_len_e2"),
             )
         )
         .unionByName(
@@ -2304,10 +2304,104 @@ def encoding_dictionary_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name",
         F.col("n").alias("n_values"),
         "n_distinct",
-        F.expr("(1000 * n_distinct) div n").cast("bigint").alias(
+        # nullif guard: an empty table has n = 0 and no meaningful ratio
+        F.expr("(1000 * n_distinct) div nullif(n, 0)").cast("bigint").alias(
             "distinct_permille"
         ),
         F.when(20 * F.col("n_distinct") < F.col("n"), "dictionary")
         .otherwise("plain")
         .alias("encoding"),
+    )
+
+
+# =====================================================================
+# Partition-statistics pruning plan (data skipping audit)
+# =====================================================================
+
+@register(
+    "partition_pruning_plan",
+    """
+    WITH keyed AS (
+      SELECT 'time' AS layout,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS file_id,
+             "value"
+      FROM events
+      UNION ALL
+      SELECT 'value', least(19, CAST(floor("value" / 5) AS BIGINT)), "value"
+      FROM events
+    ),
+    part_stats AS (
+      SELECT layout, file_id,
+             count(*) AS n_rows,
+             CAST(min(floor("value" * 100)) AS BIGINT) AS vmin_cents,
+             CAST(max(floor("value" * 100)) AS BIGINT) AS vmax_cents,
+             CAST(sum(CASE WHEN "value" >= 95.0 AND "value" <= 99.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM keyed GROUP BY layout, file_id
+    )
+    SELECT layout, file_id, n_rows, vmin_cents, vmax_cents, n_match,
+           NOT (vmax_cents < 9500 OR vmin_cents > 9950) AS scanned,
+           CASE WHEN NOT (vmax_cents < 9500 OR vmin_cents > 9950)
+                THEN n_rows ELSE 0 END AS rows_read
+    FROM part_stats
+    """,
+)
+def partition_pruning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit — the min/max footer-statistics pruning decision
+    (Parquet row groups / Iceberg manifests / Delta file stats) surfaced
+    as a query, over TWO candidate layouts of the same table: time-
+    partitioned files (one per day — every file's value range straddles
+    the predicate, so min/max stats prune nothing) and value-clustered
+    files (floor(value/5) buckets — stats are tight and the range
+    predicate 95.00-99.50 scans only the intersecting buckets). Emits per
+    (layout, file): exact integer-cent stats, the scan verdict, rows read
+    if scanned, and the true match count — Σrows_read vs Σn_match per
+    layout is the over-scan ratio that justifies re-clustering
+    (zorder_curve_stats is the multi-column generalization).
+
+    Scale shape: one scan feeds both layouts via a 2x row expansion (the
+    layout key is arithmetic), one map-side-partial agg to ~50 stat rows
+    — a real manifest is already this small; the verdict is pure
+    arithmetic. Nothing shuffles wide."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts_utc"), F.lit("1970-01-01")).alias("day_num"),
+        "value",
+    )
+    keyed = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("time").alias("layout"),
+                    F.col("day_num").cast("long").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("value").alias("layout"),
+                    F.least(
+                        F.lit(19), F.floor(F.col("value") / 5).cast("long")
+                    ).alias("file_id"),
+                ),
+            )
+        ).alias("k"),
+        "value",
+    ).select("k.layout", "k.file_id", "value")
+    stats = keyed.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.floor(F.col("value") * 100)).cast("bigint").alias("vmin_cents"),
+        F.max(F.floor(F.col("value") * 100)).cast("bigint").alias("vmax_cents"),
+        F.sum(
+            ((F.col("value") >= 95.0) & (F.col("value") <= 99.5)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_match"),
+    )
+    scanned = ~((F.col("vmax_cents") < 9500) | (F.col("vmin_cents") > 9950))
+    return stats.select(
+        "layout",
+        "file_id",
+        "n_rows",
+        "vmin_cents",
+        "vmax_cents",
+        "n_match",
+        scanned.alias("scanned"),
+        F.when(scanned, F.col("n_rows")).otherwise(0).alias("rows_read"),
     )

@@ -3636,3 +3636,54 @@ def minhash_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_bands",
         F.expr("(10000 * n_match) div 16").cast("bigint").alias("est_jaccard_e4"),
     )
+
+
+@register(
+    "score_calibration_bins",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    labeled AS (
+      SELECT q.doc_id,
+             CAST(q.quality * 10000 AS BIGINT) AS score_e4,
+             least(9, CAST(floor(q.quality * 10) AS BIGINT)) AS bin,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM qual q JOIN documents d USING (doc_id)
+    )
+    SELECT bin,
+           count(*) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST((10000 * sum(label)) // count(*) AS BIGINT) AS pos_rate_e4,
+           CAST(sum(score_e4) // count(*) AS BIGINT) AS mean_score_e4
+    FROM labeled GROUP BY bin
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit — the reliability-diagram table every
+    model-based curation filter needs before its scores gate a corpus:
+    documents bucketed into FIXED score decile bins (arithmetic bands, no
+    global quantile sort), each bin reporting observed positive rate
+    (label: document is English — the dominant signal the stopword-based
+    quality heuristic actually keys on) against the bin's mean score, in
+    exact integer e4. A well-calibrated score has pos_rate tracking the
+    bin midpoint; divergence quantifies the filter's English bias — the
+    known C4-heuristic failure mode multilingual pipelines correct for.
+
+    Scale shape: the quality signal is one codegen pass (same expressions
+    as doc_quality_scores); binning is arithmetic; one map-side-partial
+    agg to <= 10 rows. Nothing sorts, nothing collects."""
+    docs = t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        (X.quality_score("text") * 10000).cast("bigint").alias("score_e4"),
+        F.least(
+            F.lit(9), F.floor(X.quality_score("text") * 10).cast("bigint")
+        ).alias("bin"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return labeled.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.expr("(10000 * sum(label)) div count(*)").cast("bigint").alias(
+            "pos_rate_e4"
+        ),
+        F.expr("sum(score_e4) div count(*)").cast("bigint").alias("mean_score_e4"),
+    )

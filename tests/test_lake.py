@@ -373,3 +373,29 @@ def test_encoding_plan_threshold(spark, tmp_path):
     assert out["value"].encoding == "plain"             # 980 distinct values
     assert out["props"].encoding == "dictionary"        # single value
     assert out["event_type"].n_distinct == 48 and out["value"].n_values == 980
+
+
+def test_partition_pruning_layout_contrast(spark, sf_dir):
+    """Value-clustered layout must prune (only buckets intersecting
+    95.00-99.50 scan); time layout scans everything; per layout the
+    matched rows are identical."""
+    from storm_data_etl_spark.plans import lake_queries as LQ
+
+    rows = LQ.partition_pruning_plan(spark, sf_dir).collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    t_rows = by_layout["time"]
+    v_rows = by_layout["value"]
+    assert all(r.scanned for r in t_rows)          # time layout: no pruning
+    scanned_v = [r for r in v_rows if r.scanned]
+    assert 0 < len(scanned_v) < len(v_rows)        # value layout: real pruning
+    # buckets 19 (95-100) must scan; bucket 0 (0-5) must not
+    flags = {r.file_id: r.scanned for r in v_rows}
+    assert flags[19] and not flags[0]
+    # same true matches either layout; clustered reads strictly fewer rows
+    assert sum(r.n_match for r in t_rows) == sum(r.n_match for r in v_rows)
+    assert sum(r.rows_read for r in v_rows) < sum(r.rows_read for r in t_rows)
+    # stats honesty: every scanned file's interval intersects the predicate
+    for r in scanned_v:
+        assert r.vmax_cents >= 9500 and r.vmin_cents <= 9950

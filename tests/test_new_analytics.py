@@ -573,3 +573,17 @@ def test_watermark_lag_bands_handcrafted(spark, tmp_path):
     assert {b: r.n_events for b, r in out.items()} == dict(expected)
     for b, r in out.items():
         assert r.max_lateness_ns == max_by_band[b]
+
+
+def test_score_calibration_bin_accounting(spark, sf_dir):
+    """Bins partition the corpus exactly; rates are exact integer e4."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    rows = MQ.score_calibration_bins(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n for r in rows) == docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert sum(r.n_pos for r in rows) == n_en
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert r.pos_rate_e4 == (10000 * r.n_pos) // r.n
