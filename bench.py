@@ -188,6 +188,12 @@ HEADLINE = [
     "audio_energy_segments",
     "watermark_lag_histogram",
     "chunk_boundary_overlap",
+    "minhash_lcg_lsh_pairs",
+    "score_calibration_bins",
+    "partition_pruning_plan",
+    "packing_context_sweep",
+    "unigram_sampling_table",
+    "recency_weighting_plan",
 ]
 
 

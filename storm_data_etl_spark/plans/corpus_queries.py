@@ -1746,3 +1746,81 @@ def mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clean"),
         F.sum("n_repl_chars").cast("bigint").alias("total_repl_chars"),
     )
+
+
+# =====================================================================
+# word2vec-style negative-sampling table (unigram^0.75)
+# =====================================================================
+
+@register(
+    "unigram_sampling_table",
+    r"""
+    WITH tok AS (
+      SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    freq AS (
+      SELECT w, count(*) AS f FROM tok GROUP BY w HAVING count(*) >= 5
+    ),
+    weighted AS (
+      SELECT w, f,
+             CAST(floor(10000 * sqrt(sqrt(CAST(f * f * f AS DOUBLE))))
+                  AS BIGINT) AS w_e4
+      FROM freq
+    ),
+    tot AS (SELECT CAST(sum(w_e4) AS BIGINT) AS total_w FROM weighted)
+    SELECT w AS token, f AS freq, w_e4,
+           CAST((1000000000 * w_e4) // total_w AS BIGINT) AS share_e9,
+           CAST(rank() OVER (ORDER BY f DESC, w) AS BIGINT) AS freq_rank
+    FROM weighted, tot
+    """,
+)
+def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: the unigram distribution
+    raised to the 3/4 power (Mikolov et al. 2013), the draw distribution
+    every contrastive text objective uses for negatives. f^0.75 is
+    computed as sqrt(sqrt(f³)) — f³ is exact in int64/double and IEEE
+    sqrt is correctly rounded, so both engines produce the identical
+    double and the floored e4 weight is deterministic (a pow(f, 0.75)
+    libm call would not be). Shares are exact integer arithmetic over
+    the floored weights; the rank window runs over the frequency-
+    filtered VOCABULARY (>= 5 occurrences), never the token stream.
+
+    Scale shape: one token explode + map-side-partial count; everything
+    after operates on the bounded vocab (broadcast 1-row total, vocab
+    window). The >= 5 floor is what bounds the table at 100 TB — rare
+    junk tokens never enter."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w0")
+        )
+        .select(F.lower("w0").alias("w"))
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f")).filter(
+        F.col("f") >= 5
+    )
+    weighted = freq.select(
+        "w",
+        "f",
+        F.floor(
+            10000
+            * F.sqrt(F.sqrt((F.col("f") * F.col("f") * F.col("f")).cast("double")))
+        )
+        .cast("bigint")
+        .alias("w_e4"),
+    )
+    tot = weighted.agg(F.sum("w_e4").cast("bigint").alias("total_w"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("token"),
+        F.col("f").alias("freq"),
+        "w_e4",
+        F.expr("(1000000000 * w_e4) div total_w").cast("bigint").alias(
+            "share_e9"
+        ),
+        F.rank()
+        .over(Window.orderBy(F.desc("f"), F.asc("w")))
+        .cast("bigint")
+        .alias("freq_rank"),
+    )

@@ -3496,11 +3496,16 @@ def chunk_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT DISTINCT id, unnest({_sql_shingles(3)}) AS shingle FROM norm
     ),
-    dict AS (
-      SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS sid
-      FROM (SELECT DISTINCT shingle FROM sh)
+    ids AS (
+      SELECT id,
+             CASE WHEN shingle = '' THEN 0
+                  ELSE list_reduce(
+                         list_transform(regexp_split_to_array(shingle, ''),
+                                        c -> CAST(unicode(c) AS BIGINT)),
+                         (a, b) -> (a * 31 + b) % 2147483647)
+             END AS sid
+      FROM sh
     ),
-    ids AS (SELECT s.id, d.sid FROM sh s JOIN dict d USING (shingle)),
     hashed AS (
       SELECT id, i.i AS i,
              ((CAST(1103515245 AS BIGINT) * (i.i + 1) + 12345) % 2147483647)
@@ -3542,9 +3547,10 @@ def minhash_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH with FULLY ORACLE-BACKED hash arithmetic: the
     16 permutation hashes are LCG-family universal hashes
     h_i(x) = (a_i mod p)·x mod p + b_i (p = 2^31-1, a_i/b_i derived
-    arithmetically from i), over a deterministic shingle dictionary
-    (dense_rank of the distinct shingle strings — ASCII-normalized text,
-    so both engines sort identically). 4 bands × 4 rows; candidate pairs
+    arithmetically from i), over a PORTABLE polynomial shingle hash
+    (fold (acc·31 + codepoint) mod p — both engines split to identical
+    codepoints, so the base hash itself is oracle-checked, no dictionary
+    and no global sort). 4 bands × 4 rows; candidate pairs
     share at least one exact band; each pair carries its shared-band
     count and the signature-agreement Jaccard estimate in exact integer
     e4. This hash-gates the ENTIRE minhash dataflow — shingling,
@@ -3555,11 +3561,11 @@ def minhash_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime. Recall vs exact Jaccard is separately pinned in pytest for
     the xxhash64 path.
 
-    Scale shape note: the shingle dictionary is a global dense_rank —
-    acceptable for a certification regime; the production path hashes
-    shingles directly and needs no dictionary. Everything else is the
-    scale plan itself: shingle explode, (id, i) partial-agg minima,
-    band-key equi-join, bounded pair agg."""
+    Scale shape: fully scale-clean — shingle explode, per-shingle
+    polynomial hash (narrow), (id, i) partial-agg minima, band-key
+    equi-join, bounded pair agg; no dictionary, no global sort. The
+    xxhash64 path stays the production form only because one built-in
+    hash call beats a per-character fold; the dataflow is identical."""
     docs = t(spark, sf_dir, "documents")
     P = 2147483647
     sh = (
@@ -3569,14 +3575,14 @@ def minhash_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", F.explode("shingles").alias("shingle"))
         .distinct()
     )
-    dict_df = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn(
-            "sid", F.dense_rank().over(Window.orderBy("shingle"))
-        )
+    ids = sh.select(
+        "id",
+        F.aggregate(
+            F.split("shingle", ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(P).cast("long"),
+        ).alias("sid"),
     )
-    ids = sh.join(dict_df, "shingle").select("id", "sid")
     hashed = ids.select(
         "id",
         F.posexplode(F.sequence(F.lit(0), F.lit(15))).alias("i", "_i2"),
@@ -3590,7 +3596,11 @@ def minhash_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.lit(12345).cast("long") * (F.col("i") + 1) + 999331) % P
         ).alias("raw"),
     )
-    sig = hashed.groupBy("id", "i").agg((F.min(F.col("raw") % P)).alias("minh"))
+    # The signature table feeds FOUR consumers (band sides a/b, match
+    # legs sa/sb) — without a pin the whole shingle+fold+explode subtree
+    # re-evaluates per consumer (measured 4x = ~8 s at sf0.1; pinned
+    # ~3.4 s). 80k small rows; released via session.release_pinned().
+    sig = _pin(hashed.groupBy("id", "i").agg((F.min(F.col("raw") % P)).alias("minh")))
     band_key = F.array_join(
         F.transform(
             F.array_sort(
@@ -3604,15 +3614,20 @@ def minhash_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_key.alias("band_key")
     )
     a = bands.select(
-        F.col("id").alias("id_a"), "band", F.col("band_key").alias("k_a")
+        F.col("id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("band_key").alias("k_a"),
     )
     b = bands.select(
-        F.col("id").alias("id_b"), "band", F.col("band_key").alias("k_b")
+        F.col("id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("k_b"),
     )
     cand = (
         a.join(
             b,
-            (a.band == b.band) & (F.col("k_a") == F.col("k_b"))
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("k_a") == F.col("k_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
         .groupBy("id_a", "id_b")
@@ -3686,4 +3701,91 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_rate_e4"
         ),
         F.expr("sum(score_e4) div count(*)").cast("bigint").alias("mean_score_e4"),
+    )
+
+
+@register(
+    "packing_context_sweep",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pref AS (
+      SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS s
+      FROM toks
+    ),
+    sweep AS (
+      SELECT L.ctx AS ctx_len, doc_id, n_tok, s, s + n_tok AS e
+      FROM pref, unnest([128, 256, 512, 1024]) AS L(ctx)
+    )
+    SELECT ctx_len,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST((max(e) + ctx_len - 1) // ctx_len AS BIGINT) AS n_sequences,
+           CAST(sum(CASE WHEN s // ctx_len <> (e - 1) // ctx_len
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_docs,
+           CAST((max(e) + ctx_len - 1) // ctx_len * ctx_len - max(e)
+                AS BIGINT) AS tail_waste_tokens,
+           CAST((10000 * sum(CASE WHEN s // ctx_len <> (e - 1) // ctx_len
+                                  THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS crossing_rate_e4
+    FROM sweep GROUP BY ctx_len
+    """,
+)
+def packing_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sweep for sequence packing: the decision table for
+    choosing a training context length. For each candidate L in {128,
+    256, 512, 1024}, concatenating the corpus in doc_id order and cutting
+    at L yields n_sequences, the count of documents whose span crosses a
+    sequence boundary (attention-contamination sites under naive packing),
+    the tail padding waste, and the crossing rate — all EXACT integer
+    arithmetic over one shared prefix-sum pass (sequence_packing_stats is
+    the per-sequence deep dive at L=256; this is the sweep that picks L).
+
+    Scale shape: ONE two-phase distributed prefix sum
+    (sampling.global_prefix_sum — range shuffle + parallel scan +
+    broadcast offsets), then a 4x arithmetic explode and a 4-row agg.
+    The sweep costs one extra narrow pass over doc offsets, not one
+    packing pass per candidate length."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        )
+    )
+    pref = SP.global_prefix_sum(docs, "n_tok", ["doc_id"], out_col="s")
+    sweep = pref.select(
+        F.explode(F.array(*[F.lit(x) for x in (128, 256, 512, 1024)])).alias(
+            "ctx_len"
+        ),
+        "doc_id",
+        "n_tok",
+        F.col("s").cast("bigint").alias("s"),
+        (F.col("s") + F.col("n_tok")).cast("bigint").alias("e"),
+    )
+    crossing = (
+        F.expr("s div ctx_len") != F.expr("(e - 1) div ctx_len")
+    ).cast("int")
+    return sweep.groupBy("ctx_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.expr("(max(e) + ctx_len - 1) div ctx_len").cast("bigint").alias(
+            "n_sequences"
+        ),
+        F.sum(crossing).cast("bigint").alias("n_crossing_docs"),
+        F.expr(
+            "(max(e) + ctx_len - 1) div ctx_len * ctx_len - max(e)"
+        ).cast("bigint").alias("tail_waste_tokens"),
+        # integer div, not double /: a quotient rounding up to the next
+        # representable double would truncate differently than floor
+        F.expr(
+            "(10000 * sum(CASE WHEN s div ctx_len <> (e - 1) div ctx_len "
+            "THEN 1 ELSE 0 END)) div count(1)"
+        ).cast("bigint").alias("crossing_rate_e4"),
     )

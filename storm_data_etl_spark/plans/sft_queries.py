@@ -924,3 +924,67 @@ def curriculum_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.md5(F.array_join(ordered_ids, ",")).alias("order_md5"),
     )
+
+
+# =====================================================================
+# Recency-weighted sampling plan
+# =====================================================================
+
+@register(
+    "recency_weighting_plan",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events
+    ),
+    latest AS (SELECT max(day_num) AS max_day FROM ev),
+    wtd AS (
+      SELECT event_type,
+             1000 // (1 << ((latest.max_day - day_num) // 7)) AS w_e3
+      FROM ev, latest
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(w_e3) AS BIGINT) AS total_weight_e3,
+           CAST((10000 * sum(w_e3) * sum(w_e3))
+                // sum(w_e3 * w_e3) AS BIGINT) AS ess_e4,
+           CAST((10000 * sum(w_e3)) // (1000 * count(*)) AS BIGINT)
+             AS mean_weight_e4
+    FROM wtd GROUP BY event_type
+    """,
+)
+def recency_weighting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted sampling plan — the freshness-decay weighting a
+    continually-trained model applies to its event/data stream: weight
+    halves every 7 days of age (exact integer: 1000 >> (age//7), so no
+    exp() and no cross-engine libm), and per event type the plan reports
+    total weight mass, Kish effective sample size
+    ESS = (Σw)²/Σw² (how many uniform samples the weighted set is worth),
+    and mean weight — all exact integer arithmetic in e3/e4 scale.
+
+    Scale shape: the latest-day anchor is a 1-row broadcast; weights are
+    per-row arithmetic; one map-side-partial agg per event type.
+    Overflow bound: 10^4·(Σw)² must fit int64, i.e. Σw ≤ ~3·10^7 —
+    ~3·10^7 full-weight rows per group. Beyond that, drop the e4 scale
+    factor or emit the exact Σw/Σw² moments and divide in double at the
+    consumer (the oracle's HUGEINT path has no such limit)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts_utc"), F.lit("1970-01-01")).alias("day_num"),
+    )
+    latest = ev.agg(F.max("day_num").alias("max_day"))
+    wtd = ev.crossJoin(F.broadcast(latest)).select(
+        "event_type",
+        F.expr("1000 div shiftleft(1, (max_day - day_num) div 7)").alias("w_e3"),
+    )
+    return wtd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w_e3").cast("bigint").alias("total_weight_e3"),
+        F.expr("(10000 * sum(w_e3) * sum(w_e3)) div sum(w_e3 * w_e3)")
+        .cast("bigint")
+        .alias("ess_e4"),
+        F.expr("(10000 * sum(w_e3)) div (1000 * count(1))")
+        .cast("bigint")
+        .alias("mean_weight_e4"),
+    )

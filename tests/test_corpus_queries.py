@@ -476,3 +476,54 @@ def test_mojibake_audit_construction_counts(spark, sf_dir):
         assert r.n_replacement == n11 and r.total_repl_chars == n11
         assert r.n_double_encoded == n13
         assert r.n_control == n17
+
+
+def test_unigram_sampling_power_law(spark, tmp_path):
+    """w_e4 equals floor(1e4 * f^0.75) via the same sqrt(sqrt(f^3))
+    route; sub-5-frequency tokens are excluded; shares sum to <= 1e9."""
+    import math
+
+    from storm_data_etl_spark.plans import corpus_queries as CQ
+
+    text = " ".join(["alpha"] * 16 + ["beta"] * 5 + ["gamma"] * 4)
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {r.token: r for r in
+            CQ.unigram_sampling_table(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"alpha", "beta"}  # gamma: freq 4 < 5
+    for tok, f in (("alpha", 16), ("beta", 5)):
+        expect = math.floor(10000 * math.sqrt(math.sqrt(float(f * f * f))))
+        assert rows[tok].w_e4 == expect
+    assert rows["alpha"].freq_rank == 1 and rows["beta"].freq_rank == 2
+    total = sum(r.share_e9 for r in rows.values())
+    assert 0 < total <= 10**9
+
+
+def test_packing_sweep_matches_python(spark, sf_dir):
+    """Per-L sweep equals a pure-Python replay of the prefix-sum layout,
+    and agrees with sequence_packing_stats at L=256."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    docs = sorted(
+        (r.doc_id, len(r.text.split()))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        if r.text is not None and r.text.strip()
+    )
+    out = {r.ctx_len: r for r in MQ.packing_context_sweep(spark, sf_dir).collect()}
+    total = sum(n for _, n in docs)
+    for L in (128, 256, 512, 1024):
+        s = 0
+        crossing = 0
+        for _, n in docs:
+            if s // L != (s + n - 1) // L:
+                crossing += 1
+            s += n
+        r = out[L]
+        assert r.total_tokens == total and r.n_docs == len(docs)
+        assert r.n_sequences == (total + L - 1) // L
+        assert r.n_crossing_docs == crossing
+        assert r.tail_waste_tokens == r.n_sequences * L - total
+    seq = MQ.sequence_packing_stats(spark, sf_dir).collect()
+    assert sum(r.n_tokens for r in seq) == total

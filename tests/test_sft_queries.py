@@ -280,3 +280,27 @@ def test_curriculum_phase_bands_and_digest(spark, tmp_path):
     for shard, members in mine.items():
         ids = ",".join(str(i) for _, i in sorted(members))
         assert p3[shard].order_md5 == hashlib.md5(ids.encode()).hexdigest()
+
+
+def test_recency_weighting_halving(spark, tmp_path):
+    """Ages 0/7/14 days halve to weights 1000/500/250; ESS matches the
+    closed form (sum w)^2 / sum w^2."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, base + dt.timedelta(days=14), 1, "click", 1.0, "{}"),  # age 0
+        (2, base + dt.timedelta(days=7), 1, "click", 1.0, "{}"),   # age 7
+        (3, base, 1, "click", 1.0, "{}"),                          # age 14
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.event_type: r for r in
+           SQ.recency_weighting_plan(spark, str(tmp_path)).collect()}
+    r = out["click"]
+    assert r.total_weight_e3 == 1000 + 500 + 250
+    sw, sw2 = 1750, 1000**2 + 500**2 + 250**2
+    assert r.ess_e4 == (10000 * sw * sw) // sw2
+    assert r.mean_weight_e4 == (10000 * sw) // (1000 * 3)
