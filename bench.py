@@ -194,6 +194,8 @@ HEADLINE = [
     "packing_context_sweep",
     "unigram_sampling_table",
     "recency_weighting_plan",
+    "skyline_2d",
+    "cdc_chunk_dedup",
 ]
 
 

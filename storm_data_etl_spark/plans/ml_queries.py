@@ -3789,3 +3789,151 @@ def packing_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN 1 ELSE 0 END)) div count(1)"
         ).cast("bigint").alias("crossing_rate_e4"),
     )
+
+
+@register(
+    "cdc_chunk_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, source, text,
+             regexp_split_to_array(text, '') AS chars,
+             length(text) AS n
+      FROM documents WHERE coalesce(text, '') <> ''
+    ),
+    cutlists AS (
+      SELECT doc_id, source, text, n,
+             list_append(
+               CASE WHEN n >= 8 THEN
+                 list_filter(
+                   list_transform(range(8, n),
+                     i -> CASE WHEN list_reduce(
+                                 list_transform(range(i - 7, i + 1),
+                                   j -> CAST(unicode(chars[j]) AS BIGINT)),
+                                 (a, b) -> (a * 31 + b) % 2147483647
+                               ) % 64 = 0
+                          THEN i END),
+                   x -> x IS NOT NULL)
+               ELSE [] END,
+               n) AS cuts
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, source, text,
+             unnest(list_zip(list_prepend(0, cuts[1:len(cuts) - 1]), cuts))
+               AS z
+      FROM cutlists
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(substr(text, CAST(z[1] AS BIGINT) + 1,
+                        CAST(z[2] AS BIGINT) - CAST(z[1] AS BIGINT))) AS h,
+             CAST(z[2] AS BIGINT) - CAST(z[1] AS BIGINT) AS chunk_len
+      FROM spans
+    ),
+    global_counts AS (
+      SELECT h, count(*) AS n_occ FROM chunks GROUP BY h
+    )
+    SELECT c.source,
+           count(*) AS n_chunks,
+           CAST(sum(c.chunk_len) AS BIGINT) AS total_chars,
+           CAST((100 * sum(c.chunk_len)) // count(*) AS BIGINT)
+             AS mean_chunk_len_e2,
+           CAST(sum(CASE WHEN g.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN g.n_occ > 1 THEN c.chunk_len ELSE 0 END)
+                AS BIGINT) AS dup_chars
+    FROM chunks c JOIN global_counts g USING (h)
+    GROUP BY c.source
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the rsync/storage-dedup technique
+    applied to corpus text: an 8-char polynomial rolling hash cuts each
+    document where hash % 64 == 0 (expected ~64-char chunks whose
+    boundaries FOLLOW CONTENT, so an insertion early in a document shifts
+    only the chunk it lands in — fixed-width chunking would shift every
+    subsequent boundary and destroy dedup). Chunks are md5-fingerprinted
+    and counted globally; per source the audit reports chunk geometry and
+    how much chunk mass is duplicated corpus-wide. Complements
+    chunk_dedup_groups (fixed-width) with the shift-resistant form.
+
+    Scale shape: boundary detection is one narrow O(8·len) pass of
+    higher-order expressions (no Python, no explode until chunks);
+    the only shuffles are the md5 count (uniform key) and the source
+    agg. At 100 TB the md5 group-count is the classic dedup shuffle —
+    partial-aggregated, small values."""
+    P = 2147483647
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.coalesce(F.col("text"), F.lit("")) != "")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.split("text", "").alias("chars"),
+            F.length("text").alias("n"),
+        )
+    )
+    win_hash = lambda i: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(i - 7, i),
+            lambda j: F.ascii(F.element_at(F.col("chars"), j)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: (a * 31 + b) % F.lit(P).cast("long"),
+    )
+    # candidate cut positions 8..n-1 (the end is always a forced cut, so
+    # position n itself is never tested — mirrors DuckDB's exclusive
+    # range(8, n)); sequence() needs start <= stop, hence the n >= 9 gate
+    cuts_inner = F.filter(
+        F.transform(
+            F.sequence(F.lit(8), F.col("n") - 1),
+            lambda i: F.when(win_hash(i) % 64 == 0, i),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    cutlists = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.concat(
+            F.when(F.col("n") >= 9, cuts_inner).otherwise(F.array()),
+            F.array(F.col("n").cast("int")),
+        ).alias("cuts"),
+    )
+    spans = cutlists.select(
+        "doc_id",
+        "source",
+        "text",
+        F.explode(
+            F.arrays_zip(
+                F.concat(
+                    F.array(F.lit(0)),
+                    F.slice(F.col("cuts"), 1, F.size("cuts") - 1),
+                ).alias("s"),
+                F.col("cuts").alias("e"),
+            )
+        ).alias("z"),
+    )
+    chunks = spans.select(
+        "source",
+        F.md5(
+            F.expr("substring(text, z.s + 1, z.e - z.s)").cast("binary")
+        ).alias("h"),
+        (F.col("z.e") - F.col("z.s")).cast("bigint").alias("chunk_len"),
+    )
+    gc = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    joined = chunks.join(gc, "h")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("total_chars"),
+        F.expr("(100 * sum(chunk_len)) div count(1)").cast("bigint").alias(
+            "mean_chunk_len_e2"
+        ),
+        F.sum((F.col("n_occ") > 1).cast("int")).cast("bigint").alias(
+            "n_dup_chunks"
+        ),
+        F.sum(F.when(F.col("n_occ") > 1, F.col("chunk_len")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_chars"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.operators import relational as R
@@ -987,3 +987,59 @@ def having_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("share_e6"),
         )
     )
+
+
+@register(
+    "skyline_2d",
+    """
+    WITH p AS (
+      SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+             p_size
+      FROM part
+    )
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    """,
+)
+def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): parts not dominated on (cheaper price,
+    larger size) — the classic OLAP operator relational engines lack as a
+    primitive. The Spark plan is the O(n log n) sort-based algorithm: a
+    part survives iff its size beats the running max size over all
+    STRICTLY cheaper parts (RANGE frame on integer cents excludes
+    same-price peers exactly) AND it carries its price group's max size
+    (a same-price larger part dominates; equal duplicates co-survive).
+    The oracle is deliberately the O(n²) NOT EXISTS *definition* — the
+    gate proves the windowed algorithm equals the definitional dominance
+    semantics on every row.
+
+    Scale shape: one range-partitioned sort by price (Spark's window on
+    an un-partitioned RANGE frame range-shuffles; at 100 TB pre-filter
+    with a per-partition local skyline first — the standard two-phase
+    skyline — which this formulation composes with trivially). No joins,
+    no n² anywhere in the plan."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        "p_size",
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    flagged = p.select(
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_cheaper).alias("max_cheaper"),
+        F.max("p_size").over(w_same).alias("max_same"),
+    )
+    return flagged.filter(
+        (F.col("max_cheaper").isNull() | (F.col("p_size") > F.col("max_cheaper")))
+        & (F.col("p_size") == F.col("max_same"))
+    ).select("p_partkey", "price_cents", "p_size")

@@ -448,3 +448,51 @@ def test_minhash_lcg_exact_dup_full_signature(spark, tmp_path):
     r = out[0]
     assert (r.id_a, r.id_b) == (1, 2)
     assert r.n_shared_bands == 4 and r.est_jaccard_e4 == 10000
+
+
+def test_cdc_chunks_shift_resistant(spark, tmp_path):
+    """Content-defined boundaries: prepending text to a long doc leaves
+    most downstream chunks identical (they re-align), so the twin docs
+    share duplicated chunk mass; the per-doc replica validates the
+    rolling-hash cut rule."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    base = "".join(chr(ord("a") + (i * 11 + i // 17) % 26) for i in range(600))
+    shifted = "XYZQW" + base
+    rows = [
+        (1, base, "en", "sA", len(base)),
+        (2, shifted, "en", "sA", len(shifted)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r for r in MQ.cdc_chunk_dedup(spark, str(tmp_path)).collect()}
+    r = out["sA"]
+
+    # python replica of the chunker
+    P = 2147483647
+    def chunks(text):
+        n = len(text)
+        cuts = []
+        for i in range(8, n):
+            h = 0
+            for ch in text[i - 8 : i]:
+                h = (h * 31 + ord(ch)) % P
+            if h % 64 == 0:
+                cuts.append(i)
+        cuts.append(n)
+        prev, out = 0, []
+        for c in cuts:
+            out.append(text[prev:c])
+            prev = c
+        return out
+
+    c1, c2 = chunks(base), chunks(shifted)
+    assert r.n_chunks == len(c1) + len(c2)
+    shared = set(c1) & set(c2)
+    assert shared  # boundaries re-align after the insertion
+    expected_dup_chars = sum(len(c) for c in c1 if c in shared) + sum(
+        len(c) for c in c2 if c in shared
+    )
+    assert r.dup_chars == expected_dup_chars
+    assert r.dup_chars > 0

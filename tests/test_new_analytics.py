@@ -587,3 +587,23 @@ def test_score_calibration_bin_accounting(spark, sf_dir):
     for r in rows:
         assert 0 <= r.bin <= 9
         assert r.pos_rate_e4 == (10000 * r.n_pos) // r.n
+
+
+def test_skyline_dominance_semantics(spark, tmp_path):
+    """Strict-dominance edge cases: equal-price-larger-size dominates;
+    exact duplicates co-survive; incomparable points all survive."""
+    parts = [
+        (1, "a", "B", 10, 100.00),   # skyline (cheapest)
+        (2, "b", "B", 20, 200.00),   # skyline (bigger, pricier)
+        (3, "c", "B", 15, 200.00),   # dominated by 2 (same price, smaller)
+        (4, "d", "B", 20, 200.00),   # duplicate of 2 -> co-survives
+        (5, "e", "B", 5, 300.00),    # dominated by 2 (pricier, smaller)
+        (6, "f", "B", 30, 400.00),   # skyline (largest)
+    ]
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_size int, "
+        "p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = sorted(r.p_partkey for r in Q.skyline_2d(spark, str(tmp_path)).collect())
+    assert got == [1, 2, 4, 6]
