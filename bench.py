@@ -196,6 +196,7 @@ HEADLINE = [
     "recency_weighting_plan",
     "skyline_2d",
     "cdc_chunk_dedup",
+    "bfs_hop_histogram",
 ]
 
 

@@ -180,3 +180,43 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 2) -> DataFrame:
         .select(F.col("src").alias("node"), "degree")
     )
     return out
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    persist: bool = True,
+) -> DataFrame:
+    """Breadth-first hop distances from a seed set over a directed edge
+    list (`src`, `dst`): returns (node, dist) with dist = the minimum hop
+    count from any seed, bounded at ``max_hops`` (unreached nodes are
+    absent — the caller decides how to report them).
+
+    Level-synchronous frontier expansion: each round joins the CURRENT
+    frontier (only nodes first reached last round — not the whole visited
+    set) against the edge list, then anti-joins visited so distances are
+    final the round they appear. The edge list is the loop invariant
+    (pinned); the frontier is localCheckpointed each round so the plan
+    never nests ``max_hops`` joins deep. This is the distributed BFS a
+    100 TB graph needs: per-round cost is |frontier-adjacent edges|, and
+    every shuffle keys on the node id."""
+    edges = edges.select("src", "dst")
+    if persist:
+        edges = _pin(edges)
+    visited = seeds.select(F.col("node")).distinct().withColumn(
+        "dist", F.lit(0)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        reached = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(h))
+        )
+        reached = reached.localCheckpoint(eager=True)
+        visited = visited.unionByName(reached)
+        frontier = reached
+    return visited

@@ -2405,3 +2405,95 @@ def partition_pruning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         scanned.alias("scanned"),
         F.when(scanned, F.col("n_rows")).otherwise(0).alias("rows_read"),
     )
+
+
+# =====================================================================
+# BFS hop-distance histogram
+# =====================================================================
+
+def _sql_bfs_iter(prev: str, out: str, h: int) -> str:
+    return f"""{out} AS (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, {h} AS d
+        FROM {prev} p JOIN edgelist e ON e.src = p.node AND p.d = {h - 1}
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "bfs_hop_histogram",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey + 1000000 AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    edgelist AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION ALL SELECT c, s FROM pairs
+    ),
+    pnodes AS (
+      SELECT DISTINCT src AS node FROM edgelist
+    ),
+    d0 AS (SELECT node, 0 AS d FROM pnodes WHERE node <= 3),
+    {_sql_bfs_iter("d0", "d1", 1)},
+    {_sql_bfs_iter("d1", "d2", 2)},
+    {_sql_bfs_iter("d2", "d3", 3)},
+    {_sql_bfs_iter("d3", "d4", 4)}
+    SELECT d AS hop, count(*) AS n_nodes FROM d4 GROUP BY d
+    UNION ALL
+    SELECT -1, (SELECT count(*) FROM pnodes) - (SELECT count(*) FROM d4)
+    """,
+)
+def bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability profile over the supplier↔customer
+    interaction graph (same edge derivation as pagerank_topk): hop
+    distances 0-4 from the seed suppliers {1,2,3}, as a histogram of
+    nodes first reached at each hop, plus a -1 row counting nodes not
+    reached within 4 hops. The hop profile is the graph-health summary
+    a feature pipeline computes before graph features (is the graph one
+    giant component? how fast does a seed set saturate it?).
+
+    The Spark plan is level-synchronous frontier BFS
+    (operators/graph.bfs_layers): per round, FRONTIER⋈edges then
+    anti-join visited — the oracle's unrolled min-union CTEs are the
+    definitional form, proving the incremental frontier algorithm equals
+    the naive full-relaxation semantics.
+
+    Scale shape: edge list pinned once; per-round shuffles keyed on node
+    id and bounded by the frontier's adjacency, not the full graph;
+    localCheckpoint per round keeps the plan flat. The -1 row's global
+    counts are two scalar aggregates of the pinned invariants."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 1000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    from storm_data_etl_spark.operators.graph import bfs_layers
+
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = _pin(nodes)
+    seeds = nodes.filter(F.col("node") <= 3)
+    layers = bfs_layers(edges, seeds, max_hops=4)
+    hist = layers.groupBy(F.col("dist").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    reached = layers.agg(F.count(F.lit(1)).alias("r"))
+    total = nodes.agg(F.count(F.lit(1)).alias("t"))
+    unreached = (
+        total.crossJoin(F.broadcast(reached))
+        .select(
+            F.lit(-1).alias("hop"),
+            (F.col("t") - F.col("r")).cast("bigint").alias("n_nodes"),
+        )
+    )
+    return hist.unionByName(unreached)

@@ -607,3 +607,24 @@ def test_skyline_dominance_semantics(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
     got = sorted(r.p_partkey for r in Q.skyline_2d(spark, str(tmp_path)).collect())
     assert got == [1, 2, 4, 6]
+
+
+def test_bfs_layers_known_graph(spark):
+    """Hand-built path + branch graph: exact layer assignment, min-dist
+    on multi-path nodes, unreached nodes absent."""
+    from pyspark.sql import Row
+
+    from storm_data_etl_spark.operators.graph import bfs_layers
+    from storm_data_etl_spark.session import release_pinned
+
+    # 1->2->3->4->5 chain, 1->3 shortcut, 9->10 disconnected
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4),
+         Row(src=4, dst=5), Row(src=1, dst=3), Row(src=9, dst=10)]
+    )
+    seeds = spark.createDataFrame([Row(node=1)])
+    try:
+        got = {r.node: r.dist for r in bfs_layers(edges, seeds, max_hops=3).collect()}
+    finally:
+        release_pinned()
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}  # 3 via shortcut; 9/10 absent
