@@ -197,6 +197,7 @@ HEADLINE = [
     "skyline_2d",
     "cdc_chunk_dedup",
     "bfs_hop_histogram",
+    "image_luminance_histogram",
 ]
 
 

@@ -851,6 +851,35 @@ def audio_energy_windows(df: DataFrame, frame: int = 10) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_WINDOW_SCHEMA)
 
 
+LUMA_HIST_SCHEMA = "media_id long, bin int, n_px long"
+
+
+def image_luminance_histogram(df: DataFrame, bins: int = 8) -> DataFrame:
+    """Decode real image payloads and emit a per-image luminance histogram:
+    integer BT.601 luma ((77·R + 150·G + 29·B) >> 8, exact arithmetic) in
+    ``bins`` equal bands over 0-255. Pins per-pixel channel ORDER (the
+    rows store (b, g, r) — swapped channels move mass between bins) on
+    top of the raster-walk guarantees of image_decode_stats. One
+    Arrow-batched map, no shuffle."""
+    band = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(payload) if payload is not None else b"")
+                counts: dict[int, int] = {}
+                for row in img.rows:
+                    for b, g, r in row:
+                        lum = (77 * r + 150 * g + 29 * b) >> 8
+                        counts[lum // band] = counts.get(lum // band, 0) + 1
+                for bn, n in counts.items():
+                    rows.append((mid, bn, n))
+            yield pd.DataFrame(rows, columns=["media_id", "bin", "n_px"])
+
+    return df.select("media_id", "payload").mapInPandas(run, LUMA_HIST_SCHEMA)
+
+
 DECODE_STATS_SCHEMA = (
     "media_id long, width int, height int, n_bytes long, top_b int, mean_b_e2 long"
 )

@@ -3937,3 +3937,63 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_chars"),
     )
+
+
+@register(
+    "image_luminance_histogram",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(4 + doc_id % 13 AS INTEGER) AS width,
+             CAST(3 + doc_id % 7 AS INTEGER) AS height
+      FROM documents
+    ),
+    px AS (
+      SELECT media_id, width,
+             (77 * ((media_id * 7 + r.r) % 256)
+              + 150 * ((media_id * 5 + r.r) % 256)
+              + 29 * ((media_id * 3 + r.r) % 256)) // 256 AS lum
+      FROM m, unnest(range(0, height)) AS r(r)
+    )
+    SELECT media_id, CAST(lum // 32 AS INTEGER) AS bin,
+           CAST(sum(width) AS BIGINT) AS n_px
+    FROM px GROUP BY media_id, lum // 32
+    """,
+)
+def image_luminance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image luminance histogram over REAL BMP decode — the
+    brightness-profile feature an image-curation pipeline computes (too
+    dark / blown-out filtering, dedup pre-signal): synthesize the same
+    spec-conformant BMPs as image_decode_stats, decode through the real
+    parser, and bin integer BT.601 luma ((77R+150G+29B)>>8) into 8
+    bands. The closed-form oracle predicts every (image, bin) count from
+    the row color rule — a decoder that swaps the stored (b,g,r) channel
+    order (the classic BMP bug) moves mass between bins and
+    hash-mismatches, which the blue-only statistics of
+    image_decode_stats could not detect.
+
+    Scale shape: two narrow Arrow-batched maps (build, decode+bin), one
+    tiny keyed agg inside the map output (≤ 8 rows per image), no wide
+    shuffle."""
+    import pandas as _pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (4 + F.col("doc_id") % 13).cast("int").alias("w"),
+        (3 + F.col("doc_id") % 7).cast("int").alias("h"),
+    )
+
+    def build(batches):  # noqa: ANN001
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        MM.synth_bmp(int(m), int(w), int(h))
+                        for m, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"])
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return MM.image_luminance_histogram(media, bins=8)

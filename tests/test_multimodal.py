@@ -469,3 +469,21 @@ def test_audio_energy_windows_partial_and_exact(spark):
             assert got[(mid, w)] == sum(v * v for v in window)
     # 23 frames: windows of 10, 10, 3
     assert {w for (m, w) in got if m == 5} == {0, 1, 2}
+
+
+def test_image_luminance_histogram_channel_order(spark):
+    """A handcrafted BMP with known row colors lands in the exact bins a
+    Python replica predicts — swapped b/r channels would move it."""
+    from storm_data_etl_spark.operators import multimodal as MM
+
+    payloads = [(9, MM.synth_bmp(9, 6, 5))]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = {(r.media_id, r.bin): r.n_px
+           for r in MM.image_luminance_histogram(df).collect()}
+    expect: dict = {}
+    for r in range(5):
+        b, g, rr = (9 * 3 + r) % 256, (9 * 5 + r) % 256, (9 * 7 + r) % 256
+        lum = (77 * rr + 150 * g + 29 * b) >> 8
+        key = (9, lum // 32)
+        expect[key] = expect.get(key, 0) + 6
+    assert got == expect
