@@ -3062,7 +3062,8 @@ def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY lag
     )
     SELECT lag, n_pairs, sx, sy, sxy,
-           CASE WHEN (n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) > 0
+           CASE WHEN n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
                 THEN CAST(floor(
                        10000.0 * (n_pairs * sxy - sx * sy)
                        / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
@@ -3114,8 +3115,10 @@ def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sx",
         "sy",
         "sxy",
+        # guard as two comparisons, not vx*vy > 0: the int64 product
+        # overflows at ~1e6 events/day even though each factor fits
         F.when(
-            vx * vy > 0,
+            (vx > 0) & (vy > 0),
             F.floor(
                 10000.0 * cov / F.sqrt(vx.cast("double") * vy.cast("double"))
             ).cast("bigint"),
