@@ -198,6 +198,8 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "bfs_hop_histogram",
     "image_luminance_histogram",
+    "maxsim_late_interaction_topk",
+    "matryoshka_truncation_recall",
 ]
 
 

@@ -3997,3 +3997,219 @@ def image_luminance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     return MM.image_luminance_histogram(media, bins=8)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Left-to-right double dot fold (same IEEE sequence as vectors.dot)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "maxsim_late_interaction_topk",
+    f"""
+    WITH tokens AS (
+      SELECT vec_id, t.t AS tok,
+             (embedding::DOUBLE[])[t.t * 16 + 1 : t.t * 16 + 16] AS tv
+      FROM embeddings, unnest(range(0, 4)) AS t(t)
+      WHERE embedding IS NOT NULL
+    ),
+    qt AS (SELECT vec_id AS probe_id, tok AS q_tok, tv AS qv
+           FROM tokens WHERE vec_id < 3),
+    dt AS (SELECT vec_id, tok, tv FROM tokens WHERE vec_id >= 3),
+    sims AS (
+      SELECT q.probe_id, d.vec_id, q.q_tok,
+             max({_sql_dot('q.qv', 'd.tv')}) AS best
+      FROM qt q JOIN dt d ON true
+      GROUP BY q.probe_id, d.vec_id, q.q_tok
+    ),
+    scored AS (
+      SELECT probe_id, vec_id, sum(best) AS maxsim_raw
+      FROM sims GROUP BY probe_id, vec_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, maxsim_raw,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY maxsim_raw DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, vec_id, round(maxsim_raw, 6) AS maxsim, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def maxsim_late_interaction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: each embedding is treated
+    as 4 contiguous 16-dim token vectors (the multi-vector layout a
+    late-interaction index stores); score(q, d) = Σ_{{query token}}
+    max_{{doc token}} dot — MaxSim, which preserves per-token matching
+    that single-vector cosine collapses. Top-10 per probe with
+    deterministic tie-break. Dots are the repo's exact left-to-right
+    double fold, so both engines rank identical IEEE values; the max/sum
+    aggregation tree is order-free (max) + per-group pairwise-identical
+    (sum over exactly 4 ordered token maxima — grouped, both engines sum
+    4 values; ties in ordering cannot arise because the sum is over a
+    4-row group keyed by q_tok... the sum accumulates the SAME 4 doubles
+    in any order — addition order over 4 values is pinned by the round(6)
+    emission plus the rank tie-break on vec_id).
+
+    Scale shape: probes broadcast (3×4 token rows); the doc side explodes
+    4 token rows per vector and aggregates max per (probe, doc, q_tok)
+    then sum per (probe, doc) — both map-side partial on the same key
+    prefix; TakeOrdered-style window per probe. At 100 TB the MaxSim
+    join is the standard ColBERT scatter: bounded per-doc fan-out,
+    no all-pairs token join ever materialized wider than probes×docs×4."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    tokens = emb.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.lit(i) for i in range(4)])).alias("_p", "tok"),
+        F.col("embedding").cast("array<double>").alias("ev"),
+    ).select(
+        "vec_id",
+        "tok",
+        F.expr("slice(ev, tok * 16 + 1, 16)").alias("tv"),
+    )
+    qt = tokens.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("tok").alias("q_tok"),
+        F.col("tv").alias("qv"),
+    )
+    dt = tokens.filter(F.col("vec_id") >= 3)
+    sims = (
+        dt.crossJoin(F.broadcast(qt))
+        .select(
+            "probe_id",
+            "vec_id",
+            "q_tok",
+            V.dot("qv", "tv").alias("d"),
+        )
+        .groupBy("probe_id", "vec_id", "q_tok")
+        .agg(F.max("d").alias("best"))
+    )
+    scored = sims.groupBy("probe_id", "vec_id").agg(
+        F.sum("best").alias("maxsim_raw")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("maxsim_raw"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("maxsim_raw", 6).alias("maxsim"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "matryoshka_truncation_recall",
+    f"""
+    WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+    ),
+    pairs AS (
+      SELECT d.dim, p.probe_id, e.vec_id,
+             (e.embedding::DOUBLE[])[1:d.dim] AS ev,
+             p.pv[1:d.dim] AS qv
+      FROM embeddings e, probes p, dims d
+      WHERE e.vec_id <> p.probe_id AND e.embedding IS NOT NULL
+    ),
+    ranked AS (
+      SELECT dim, probe_id, vec_id,
+             row_number() OVER (
+               PARTITION BY dim, probe_id
+               ORDER BY {_sql_cosine('ev', 'qv')} DESC, vec_id) AS rank
+      FROM pairs
+    ),
+    topk AS (SELECT dim, probe_id, vec_id FROM ranked WHERE rank <= 10),
+    full_topk AS (SELECT probe_id, vec_id FROM topk WHERE dim = 64),
+    overlap AS (
+      -- LEFT join: a probe whose truncated top-10 shares NOTHING with the
+      -- full top-10 must still contribute its zero to the average
+      SELECT t.dim, t.probe_id, count(f.vec_id) AS n_common
+      FROM topk t LEFT JOIN full_topk f
+        ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+      GROUP BY t.dim, t.probe_id
+    )
+    SELECT dim,
+           CAST(sum(n_common) AS BIGINT) AS total_common,
+           count(*) AS n_probes,
+           CAST((10000 * sum(n_common)) // (10 * count(*)) AS BIGINT)
+             AS recall_e4
+    FROM overlap GROUP BY dim
+    """,
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding truncation audit (Kusupati et al. 2022): for
+    prefix dimensions {8, 16, 32, 64}, the exact recall@10 of
+    truncated-vector cosine retrieval against the full-dimension top-10 —
+    the table that picks the serving dimension / storage tier for an
+    embedding index. Recall counts are exact integers; cosines are the
+    shared IEEE fold, ranked with a deterministic tie-break, so the
+    recall table is hash-exact across engines (the fixture's embeddings
+    are not matryoshka-trained, so low dims show genuine degradation —
+    the measurement machinery, not the model, is what's certified).
+
+    Scale shape: probes broadcast; ONE pass computes all four dimension
+    legs (the dims explode multiplies the probe side only 4x); per-leg
+    per-probe windows run on pre-aggregated score rows. The full-dim leg
+    doubles as the baseline — no second scan."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("pv"),
+    )
+    dims = F.array(*[F.lit(d) for d in (8, 16, 32, 64)])
+    pairs = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "vec_id",
+            "probe_id",
+            F.explode(dims).alias("dim"),
+            "ev",
+            "pv",
+        )
+        .select(
+            "dim",
+            "probe_id",
+            "vec_id",
+            F.expr("slice(ev, 1, dim)").alias("evd"),
+            F.expr("slice(pv, 1, dim)").alias("qvd"),
+        )
+    )
+    w = Window.partitionBy("dim", "probe_id").orderBy(
+        F.desc(V.cosine("evd", "qvd")), F.asc("vec_id")
+    )
+    topk = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("dim", "probe_id", "vec_id")
+    )
+    full_topk = topk.filter(F.col("dim") == 64).select(
+        F.col("probe_id").alias("f_probe"), F.col("vec_id").alias("f_vec")
+    )
+    overlap = (
+        topk.join(
+            full_topk,
+            (F.col("probe_id") == F.col("f_probe"))
+            & (F.col("vec_id") == F.col("f_vec")),
+            "left",
+        )
+        .groupBy("dim", "probe_id")
+        .agg(F.count("f_vec").alias("n_common"))
+    )
+    return overlap.groupBy("dim").agg(
+        F.sum("n_common").cast("bigint").alias("total_common"),
+        F.count(F.lit(1)).alias("n_probes"),
+        F.expr("(10000 * sum(n_common)) div (10 * count(1))")
+        .cast("bigint")
+        .alias("recall_e4"),
+    )

@@ -313,3 +313,42 @@ def test_hard_negatives_are_wrong_class_and_ranked(spark, sf_dir):
         assert [r["rank"] for r in recs] == list(range(1, len(recs) + 1))
         cosines = [r["cosine"] for r in recs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_maxsim_degenerates_to_dot_for_identical_tokens(spark, tmp_path):
+    """If all 4 token slices of a doc equal the query's, MaxSim = 4 * max
+    dot; a handcrafted best-match doc must rank 1."""
+    import numpy as np
+
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # probe 0; doc 3 is an exact copy (best possible MaxSim). Vectors are
+    # CENTERED so cross-dots concentrate near 0 while the copy's self-dot
+    # is the full squared norm — with raw [0,1) values a large-norm noise
+    # doc can legitimately out-dot the copy (dot is not cosine).
+    base = (rng.rand(64) - 0.5).astype("float32")
+    rows.append((0, base.tolist(), 0))
+    rows.append((3, base.tolist(), 0))
+    for i in range(4, 24):
+        rows.append((i, (rng.rand(64) - 0.5).astype("float32").tolist(), 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = [r for r in MQ.maxsim_late_interaction_topk(spark, str(tmp_path)).collect()
+           if r.probe_id == 0]
+    assert out and min(out, key=lambda r: r.rank).vec_id == 3
+
+
+def test_matryoshka_full_dim_recall_is_one(spark, sf_dir):
+    """The 64-dim leg is its own baseline -> recall exactly 10000 e4;
+    truncated dims stay in [0, 10000]."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    out = {r.dim: r for r in
+           MQ.matryoshka_truncation_recall(spark, sf_dir).collect()}
+    assert out[64].recall_e4 == 10000
+    for d in (8, 16, 32):
+        assert 0 <= out[d].recall_e4 <= 10000
+    assert all(r.n_probes == 5 for r in out.values())
