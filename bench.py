@@ -200,6 +200,8 @@ HEADLINE = [
     "image_luminance_histogram",
     "maxsim_late_interaction_topk",
     "matryoshka_truncation_recall",
+    "texttiling_boundaries",
+    "prefix_sharing_stats",
 ]
 
 

@@ -1824,3 +1824,189 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("freq_rank"),
     )
+
+
+# =====================================================================
+# TextTiling-style topic-boundary detection
+# =====================================================================
+
+@register(
+    "texttiling_boundaries",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            w -> regexp_replace(w, '[^a-z0-9]', '', 'g'))
+               AS words
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    blocks AS (
+      SELECT doc_id, b.b AS blk,
+             words[b.b * 20 + 1 : b.b * 20 + 20] AS bw
+      FROM toks, unnest(range(0, CAST(len(words) // 20 AS BIGINT))) AS b(b)
+      WHERE len(words) >= 40
+    ),
+    sims AS (
+      SELECT a.doc_id, a.blk,
+             len(list_intersect(list_distinct(a.bw), list_distinct(b.bw)))
+               AS overlap
+      FROM blocks a JOIN blocks b
+        ON b.doc_id = a.doc_id AND b.blk = a.blk + 1
+    )
+    SELECT doc_id,
+           count(*) + 1 AS n_blocks,
+           CAST(sum(CASE WHEN overlap < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundaries,
+           CAST(min(overlap) AS BIGINT) AS min_overlap,
+           CAST((100 * sum(overlap)) // count(*) AS BIGINT)
+             AS mean_overlap_e2
+    FROM sims GROUP BY doc_id
+    """,
+)
+def texttiling_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997, integer form):
+    documents with >= 40 normalized tokens split into 20-token blocks;
+    the cohesion signal between ADJACENT blocks is the distinct-word
+    overlap count (exact integers — Hearst's cosine over term vectors
+    reduces to this for binary weights), and a topic boundary fires
+    where overlap dips below 3 shared words. Emits per doc the block
+    count, boundary count, sharpest dip, and mean cohesion — the
+    segmentation signal long-document chunkers use to cut on topic
+    shifts instead of fixed strides (doc_chunking is the fixed-stride
+    counterpart).
+
+    Scale shape: block explode is len/20 rows per doc; the adjacent-block
+    join is doc_id-keyed (shuffle on doc_id, join condition blk+1 —
+    within-partition after the key shuffle); one doc_id agg. All
+    integer arithmetic, no Python."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "doc_id",
+            F.transform(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda w: F.regexp_replace(w, "[^a-z0-9]", ""),
+            ).alias("words"),
+        )
+        .filter(F.size("words") >= 40)
+    )
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(0), (F.size("words") / 20).cast("long") - 1)
+        ).alias("_p", "blk"),
+        "words",
+    ).select(
+        "doc_id",
+        "blk",
+        F.array_distinct(F.expr("slice(words, blk * 20 + 1, 20)")).alias("bw"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("a_doc"), F.col("blk").alias("a_blk"), F.col("bw").alias("aw")
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("b_doc"), F.col("blk").alias("b_blk"), F.col("bw").alias("bw2")
+    )
+    sims = a.join(
+        b,
+        (F.col("a_doc") == F.col("b_doc")) & (F.col("b_blk") == F.col("a_blk") + 1),
+    ).select(
+        F.col("a_doc").alias("doc_id"),
+        F.size(F.array_intersect("aw", "bw2")).alias("overlap"),
+    )
+    return sims.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_blocks"),
+        F.sum((F.col("overlap") < 3).cast("int")).cast("bigint").alias(
+            "n_boundaries"
+        ),
+        F.min("overlap").cast("bigint").alias("min_overlap"),
+        F.expr("(100 * sum(overlap)) div count(1)").cast("bigint").alias(
+            "mean_overlap_e2"
+        ),
+    )
+
+
+# =====================================================================
+# Prefix-sharing (KV-cache reuse) economics
+# =====================================================================
+
+@register(
+    "prefix_sharing_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS words
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    keyed AS (
+      SELECT d.d AS depth, doc_id,
+             array_to_string(words[1 : d.d], ' ') AS prefix
+      FROM toks, unnest([4, 8, 16]) AS d(d)
+      WHERE len(words) >= d.d
+    ),
+    groups AS (
+      SELECT depth, prefix, count(*) AS n_docs
+      FROM keyed GROUP BY depth, prefix
+    )
+    SELECT depth,
+           count(*) AS n_prefixes,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS n_docs_sharing,
+           CAST(max(n_docs) AS BIGINT) AS max_group,
+           CAST(sum(CASE WHEN n_docs > 1 THEN (n_docs - 1) * depth
+                         ELSE 0 END) AS BIGINT) AS cacheable_tokens
+    FROM groups GROUP BY depth
+    """,
+)
+def prefix_sharing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-sharing audit — the KV-cache block-reuse economics of a
+    serving/eval corpus: at prefix depths 4/8/16 tokens, how many
+    documents share an exact token prefix, the largest shared group, and
+    the cacheable token mass ((group-1)·depth per shared group — the
+    prefill tokens a radix-tree KV cache would not recompute). The same
+    numbers drive dataset diagnostics: heavy prefix sharing in training
+    data signals templated/boilerplate openings.
+
+    Scale shape: one scan, a 3x depth explode of only the prefix tokens,
+    one (depth, prefix) hash agg (map-side partial; the prefix string is
+    the shuffle key, bounded at 16 tokens), then a 3-row rollup. No
+    windows, no joins."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("words")
+        )
+    )
+    keyed = (
+        toks.select(
+            "doc_id",
+            "words",
+            F.explode(F.array(F.lit(4), F.lit(8), F.lit(16))).alias("depth"),
+        )
+        .filter(F.size("words") >= F.col("depth"))
+        .select(
+            "depth",
+            "doc_id",
+            F.array_join(F.expr("slice(words, 1, depth)"), " ").alias("prefix"),
+        )
+    )
+    groups = keyed.groupBy("depth", "prefix").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return groups.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_prefixes"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_sharing"),
+        F.max("n_docs").cast("bigint").alias("max_group"),
+        F.sum(
+            F.when(F.col("n_docs") > 1, (F.col("n_docs") - 1) * F.col("depth"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cacheable_tokens"),
+    )

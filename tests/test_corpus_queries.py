@@ -527,3 +527,49 @@ def test_packing_sweep_matches_python(spark, sf_dir):
         assert r.tail_waste_tokens == r.n_sequences * L - total
     seq = MQ.sequence_packing_stats(spark, sf_dir).collect()
     assert sum(r.n_tokens for r in seq) == total
+
+
+def test_texttiling_detects_vocabulary_shift(spark, tmp_path):
+    """A doc whose first half repeats one vocabulary and second half
+    another has exactly one sharp boundary; a homogeneous doc has none."""
+    from storm_data_etl_spark.plans import corpus_queries as CQ
+
+    topical = " ".join(["cat dog bird fish lion tiger bear wolf fox deer"] * 4
+                       + ["sql spark shuffle join scan filter agg sort hash plan"] * 4)
+    uniform = " ".join(["one two three four five six seven eight nine ten"] * 8)
+    _docs = [
+        (1, topical, "en", "s", len(topical)),
+        (2, uniform, "en", "s", len(uniform)),
+    ]
+    spark.createDataFrame(
+        _docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.doc_id: r for r in CQ.texttiling_boundaries(spark, str(tmp_path)).collect()}
+    # 80 tokens -> 4 blocks -> 3 adjacent sims; vocab flips between block 1 and 2
+    assert out[1].n_blocks == 4 and out[1].n_boundaries == 1
+    assert out[1].min_overlap == 0
+    assert out[2].n_boundaries == 0 and out[2].min_overlap == 10
+
+
+def test_prefix_sharing_cacheable_mass(spark, tmp_path):
+    """Three docs sharing an 8-token prefix (two of them to 16) yield the
+    closed-form cacheable token mass at each depth."""
+    from storm_data_etl_spark.plans import corpus_queries as CQ
+
+    p16 = "a b c d e f g h i j k l m n o p"
+    docs = [
+        (1, p16 + " x1 y1 z1", "en", "s", 0),
+        (2, p16 + " x2 y2 z2", "en", "s", 0),
+        (3, "a b c d e f g h DIFF tail tail tail tail tail tail tail tail", "en", "s", 0),
+        (4, "totally different opener tokens here for the fourth doc ok", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.depth: r for r in CQ.prefix_sharing_stats(spark, str(tmp_path)).collect()}
+    # depth 4: docs 1,2,3 share 'a b c d' -> group of 3 -> (3-1)*4 = 8
+    assert out[4].cacheable_tokens == 8 and out[4].max_group == 3
+    # depth 8: same trio shares 8 tokens -> (3-1)*8 = 16
+    assert out[8].cacheable_tokens == 16
+    # depth 16: only docs 1,2 qualify and share -> (2-1)*16 = 16
+    assert out[16].cacheable_tokens == 16 and out[16].max_group == 2
