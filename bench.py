@@ -202,6 +202,7 @@ HEADLINE = [
     "matryoshka_truncation_recall",
     "texttiling_boundaries",
     "prefix_sharing_stats",
+    "spearman_quality_length",
 ]
 
 

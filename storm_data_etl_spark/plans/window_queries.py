@@ -3287,3 +3287,98 @@ def watermark_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max("lateness_ns").cast("bigint").alias("max_lateness_ns"),
     )
+
+
+@register(
+    "spearman_quality_length",
+    """
+    WITH q AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                  ELSE length(regexp_replace(text, '[a-zA-Z0-9_\\s]', '', 'g'))
+             END AS punct
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source,
+             2 * (rank() OVER (PARTITION BY source ORDER BY n_chars) - 1)
+               + count(*) OVER (PARTITION BY source, n_chars) + 1 AS x,
+             2 * (rank() OVER (PARTITION BY source ORDER BY punct) - 1)
+               + count(*) OVER (PARTITION BY source, punct) + 1 AS y
+      FROM q
+    ),
+    moments AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(floor(
+                       10000.0 * (n * sxy - sx * sy)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                     ) AS BIGINT)
+           END AS spearman_e4
+    FROM moments
+    """,
+)
+def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length and punctuation
+    mass, per source — the tie-robust monotone-association check a
+    curation team runs before trusting a heuristic signal (Pearson on
+    raw values is outlier-dominated; rank correlation is not). Ranks are
+    EXACT doubled midranks (2·(min_rank−1) + tie_count + 1, the
+    Mann-Whitney integer trick), so all five moment sums are exact
+    int64 and the one floor runs on an identical IEEE quotient — the
+    ACF/Welch float-parity regime.
+
+    Scale shape: the rank windows partition by source (keyed shuffle,
+    never global); moments are map-side-partial. Overflow bound:
+    n·Σxy ≤ 4n⁴ must fit int64 → safe to ~38k docs per source; beyond
+    that cast the moment sums to DECIMAL(38,0) on both engines (the
+    oracle's HUGEINT already has no limit)."""
+    q = t(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.when(F.length(F.coalesce(F.col("text"), F.lit(""))) == 0, 0)
+        .otherwise(
+            F.length(F.regexp_replace("text", r"[a-zA-Z0-9_\s]", ""))
+        )
+        .alias("punct"),
+    )
+
+    def midrank2(col: str):
+        r = F.rank().over(Window.partitionBy("source").orderBy(col))
+        tie = F.count(F.lit(1)).over(Window.partitionBy("source", col))
+        return 2 * (r - 1) + tie + 1
+
+    ranked = q.select(
+        "source",
+        midrank2("n_chars").cast("long").alias("x"),
+        midrank2("punct").cast("long").alias("y"),
+    )
+    m = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "source",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(
+                10000.0 * cov / F.sqrt(vx.cast("double") * vy.cast("double"))
+            ).cast("bigint"),
+        ).alias("spearman_e4"),
+    )

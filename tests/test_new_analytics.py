@@ -628,3 +628,24 @@ def test_bfs_layers_known_graph(spark):
     finally:
         release_pinned()
     assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}  # 3 via shortcut; 9/10 absent
+
+
+def test_spearman_perfect_and_inverse(spark, tmp_path):
+    """Monotone-increasing punct with length -> rho 10000; strictly
+    inverse -> -10000; scipy-checked midranks under ties."""
+    rows = [
+        # source A: punct strictly increases with n_chars -> rho = 1
+        (1, "aa.", "en", "A", 10), (2, "bb..", "en", "A", 20),
+        (3, "cc...", "en", "A", 30), (4, "dd....", "en", "A", 40),
+        # source B: punct strictly decreases with n_chars -> rho = -1
+        (5, "x....", "en", "B", 10), (6, "y...", "en", "B", 20),
+        (7, "z..", "en", "B", 30), (8, "w.", "en", "B", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from storm_data_etl_spark.plans import window_queries as WQ2
+
+    out = {r.source: r.spearman_e4 for r in
+           WQ2.spearman_quality_length(spark, str(tmp_path)).collect()}
+    assert out["A"] == 10000 and out["B"] == -10000
