@@ -1043,3 +1043,75 @@ def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_cheaper").isNull() | (F.col("p_size") > F.col("max_cheaper")))
         & (F.col("p_size") == F.col("max_same"))
     ).select("p_partkey", "price_cents", "p_size")
+
+
+@register(
+    "multiset_except_all",
+    """
+    WITH a AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+    ),
+    b AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    diff AS (
+      SELECT o_custkey FROM a
+      EXCEPT ALL
+      SELECT o_custkey FROM b
+    )
+    SELECT o_custkey, count(*) AS multiplicity
+    FROM diff GROUP BY o_custkey
+    """,
+)
+def multiset_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG semantics (each b-occurrence cancels exactly one
+    a-occurrence; surviving multiplicity = max(0, count_a - count_b)),
+    which the distinct EXCEPT (set_except) cannot express. The emitted
+    form aggregates surviving multiplicity per key so the result is
+    order-free and hash-comparable.
+
+    Scale shape: Spark plans exceptAll as a counted anti-form (generate
+    replicated rows from per-key count deltas) — one shuffle per side on
+    the key, no join explosion. Completes the set-op family with the
+    multiset tier (SURVEY §2.6 — the reference has no set ops at all)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") != "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+@register(
+    "multiset_intersect_all",
+    """
+    WITH a AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+    ),
+    b AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    isect AS (
+      SELECT o_custkey FROM a
+      INTERSECT ALL
+      SELECT o_custkey FROM b
+    )
+    SELECT o_custkey, count(*) AS multiplicity
+    FROM isect GROUP BY o_custkey
+    """,
+)
+def multiset_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection (multiplicity = min(count_a,
+    count_b) per key), the multiset twin of set_intersect. Same
+    counted-form plan as multiset_except_all; aggregated multiplicities
+    keep the gate order-free."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") != "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )

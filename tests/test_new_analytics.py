@@ -649,3 +649,27 @@ def test_spearman_perfect_and_inverse(spark, tmp_path):
     out = {r.source: r.spearman_e4 for r in
            WQ2.spearman_quality_length(spark, str(tmp_path)).collect()}
     assert out["A"] == 10000 and out["B"] == -10000
+
+
+def test_multiset_semantics_handcrafted(spark, tmp_path):
+    """Bag cancellation: a has key 1 x3 and key 2 x1; b has key 1 x1 and
+    key 2 x2 -> EXCEPT ALL leaves 1 x2; INTERSECT ALL gives 1 x1, 2 x1."""
+    rows = [
+        # a-side: status 'O'; b-side: priority '1-URGENT' (overlapping)
+        (1, 1, "O", 1.0, dt.datetime(2024, 1, 1), "3-LOW"),
+        (2, 1, "O", 1.0, dt.datetime(2024, 1, 1), "3-LOW"),
+        (3, 1, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"),  # both sides
+        (4, 2, "O", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"),  # both sides
+        (5, 2, "F", 1.0, dt.datetime(2024, 1, 1), "1-URGENT"),  # only b
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    ex = {r.o_custkey: r.multiplicity for r in
+          Q.multiset_except_all(spark, str(tmp_path)).collect()}
+    # a: {1:3, 2:1}; b: {1:1, 2:2} -> except_all: {1:2}
+    assert ex == {1: 2}
+    it = {r.o_custkey: r.multiplicity for r in
+          Q.multiset_intersect_all(spark, str(tmp_path)).collect()}
+    assert it == {1: 1, 2: 1}
