@@ -112,6 +112,27 @@ PRIORITY = [
     # rows-only by design (xxhash64 Bloom positions): records its one-time
     # weaker evidence tier, then never_gated() rotates it out
     "bloom_cross_dedup",
+    # ---- 50-slot head boundary ----
+    # round-6 gate backlog: added after this round's head filled — all
+    # oracle-backed, audit-battery-verified, never gated. Round 6 MUST
+    # front-load these (never_gated() will list them).
+    "minhash_lcg_lsh_pairs",
+    "score_calibration_bins",
+    "partition_pruning_plan",
+    "packing_context_sweep",
+    "unigram_sampling_table",
+    "recency_weighting_plan",
+    "skyline_2d",
+    "cdc_chunk_dedup",
+    "bfs_hop_histogram",
+    "image_luminance_histogram",
+    "maxsim_late_interaction_topk",
+    "matryoshka_truncation_recall",
+    "texttiling_boundaries",
+    "prefix_sharing_stats",
+    "spearman_quality_length",
+    "multiset_except_all",
+    "multiset_intersect_all",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)
