@@ -203,6 +203,8 @@ HEADLINE = [
     "texttiling_boundaries",
     "prefix_sharing_stats",
     "spearman_quality_length",
+    "multiset_except_all",
+    "multiset_intersect_all",
 ]
 
 
