@@ -205,6 +205,7 @@ HEADLINE = [
     "spearman_quality_length",
     "multiset_except_all",
     "multiset_intersect_all",
+    "simhash_lcg_candidates",
 ]
 
 

@@ -4213,3 +4213,210 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_e4"),
     )
+
+
+@register(
+    "simhash_lcg_candidates",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS t
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 4
+                  THEN list_distinct(list_transform(range(1, length(t) - 2),
+                         i -> substr(t, CAST(i AS BIGINT), 4)))
+                  ELSE [t] END AS words
+      FROM base
+    ),
+    th AS (
+      SELECT doc_id, w.w AS w,
+             list_reduce(list_transform(regexp_split_to_array(w.w, ''),
+                           c -> CAST(unicode(c) AS BIGINT)),
+                         (a, b) -> (a * 31 + b) % 2147483647) AS h1,
+             list_reduce(list_transform(regexp_split_to_array(w.w, ''),
+                           c -> CAST(unicode(c) AS BIGINT)),
+                         (a, b) -> (a * 37 + b) % 2147483629) AS h2
+      FROM toks, unnest(words) AS w(w) WHERE w.w <> ''
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS b,
+             CASE WHEN b.b < 30
+                  THEN CASE WHEN (h1 >> b.b) & 1 = 1 THEN 1 ELSE -1 END
+                  ELSE CASE WHEN (h2 >> (b.b - 30)) & 1 = 1 THEN 1 ELSE -1 END
+             END AS v
+      FROM th, unnest(range(0, 60)) AS b(b)
+    ),
+    comps AS (
+      SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS comp
+      FROM bits GROUP BY doc_id, b
+    ),
+    fps AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN comp > 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY b) AS fp
+      FROM comps GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, fp, band.band AS band,
+             substr(fp, band.band * 15 + 1, 15) AS band_key
+      FROM fps, unnest(range(0, 4)) AS band(band)
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.fp AS fp_a, b.fp AS fp_b,
+             count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.fp, b.fp
+    )
+    SELECT id_a, id_b, n_shared_bands, hamming
+    FROM (
+      SELECT id_a, id_b, n_shared_bands,
+             CAST(len(list_filter(range(1, 61),
+                    i -> substr(fp_a, CAST(i AS BIGINT), 1)
+                         <> substr(fp_b, CAST(i AS BIGINT), 1))) AS BIGINT)
+               AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
+def simhash_lcg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates with FULLY ORACLE-BACKED hash
+    arithmetic — the simhash twin of minhash_lcg_lsh_pairs: each distinct
+    character 4-gram (token-level features degenerate on this corpus's
+    small shared vocabulary — measured fingerprints nearly collide
+    corpus-wide; 4-grams spread them) hashes through two portable
+    polynomial folds (mod two distinct 31-bit primes) whose bits vote ±1
+    on a 60-bit fingerprint (Charikar 2002). Emission keeps pairs at
+    Hamming <= 3; with 4 exact 15-bit bands the pigeonhole guarantees
+    every such pair shares at least one band (3 differing bits cannot
+    touch all 4 bands), so candidate recall at the emission radius is
+    exactly 1 BY CONSTRUCTION and the gate proves it. This hash-gates the ENTIRE simhash dataflow — token
+    hashing, bit voting, sign threshold, banding, bucket join, Hamming
+    verify — which the production xxhash64 path (simhash_candidates,
+    rows-only by design) cannot; that path stays the scale form (one
+    built-in hash call per token), this is its certification regime.
+
+    Scale shape: the bit-vote explode is 60 small rows per distinct
+    token, partial-aggregated on (doc, bit) before the only wide
+    shuffle; fingerprints aggregate ordered bits inside the group;
+    banding is a fixed-width-key equi-join; Hamming runs only on
+    candidate pairs. No dictionary, no global sort."""
+    P1, P2 = 2147483647, 2147483629
+    base = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select("doc_id", F.lower(F.trim("text")).alias("tx"))
+    )
+    grams = F.when(
+        F.length("tx") >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tx") - 3),
+                lambda i: F.col("tx").substr(i, F.lit(4)),
+            )
+        ),
+    ).otherwise(F.array(F.col("tx")))
+    toks = base.select("doc_id", F.explode(grams).alias("w")).filter(
+        F.col("w") != ""
+    )
+
+    def poly(mult: int, prime: int):
+        return F.aggregate(
+            F.split(F.col("w"), ""),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * mult + F.ascii(c)) % F.lit(prime).cast("long"),
+        )
+
+    th = toks.select(
+        "doc_id", poly(31, P1).alias("h1"), poly(37, P2).alias("h2")
+    )
+    bits = th.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.lit(59))).alias("_p", "b"),
+        "h1",
+        "h2",
+    ).select(
+        "doc_id",
+        "b",
+        F.when(
+            F.col("b") < 30,
+            F.when(F.shiftright("h1", 0) .bitwiseAND(0) == 0, 0),  # placeholder
+        ).alias("_unused"),
+        F.when(
+            F.col("b") < 30,
+            F.when(
+                F.expr("(h1 >> b) & 1") == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        .otherwise(
+            F.when(
+                F.expr("(h2 >> (b - 30)) & 1") == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        )
+        .alias("v"),
+    ).select("doc_id", "b", "v")
+    comps = bits.groupBy("doc_id", "b").agg(F.sum("v").cast("bigint").alias("comp"))
+    ordered_bits = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("b").alias("b"),
+                        F.when(F.col("comp") > 0, "1").otherwise("0").alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    fps = comps.groupBy("doc_id").agg(ordered_bits.alias("fp"))
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(F.sequence(F.lit(0), F.lit(3))).alias("_p", "band"),
+    ).select(
+        "doc_id",
+        "fp",
+        "band",
+        F.expr("substring(fp, band * 15 + 1, 15)").alias("band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("fp").alias("fp_a"),
+        F.col("band").alias("band_a"),
+        F.col("band_key").alias("k_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("k_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("k_a") == F.col("k_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b", "fp_a", "fp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.substring(F.col("fp_a"), 1, 60).substr(i, F.lit(1))
+            != F.substring(F.col("fp_b"), 1, 60).substr(i, F.lit(1)),
+        )
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        hamming.cast("bigint").alias("hamming"),
+    ).filter(F.col("hamming") <= 3)

@@ -496,3 +496,30 @@ def test_cdc_chunks_shift_resistant(spark, tmp_path):
     )
     assert r.dup_chars == expected_dup_chars
     assert r.dup_chars > 0
+
+
+def test_simhash_lcg_pigeonhole_recall(spark, tmp_path):
+    """A pair of near-identical docs (tiny edit) lands at small Hamming
+    and MUST be emitted (4x15-bit bands cannot all differ on <= 3 bits);
+    an unrelated doc pairs with nothing at the emission radius."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "in spain stays mainly on the plain and the cat sat on the mat "
+            "repeatedly throughout the long afternoon session yesterday")
+    near = base.replace("afternoon", "afternoun")  # one-char edit
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, near, "en", "s", len(near)),
+        (3, "zzz qqq completely 12345 different ##@@ unrelated payload "
+            "nothing shared here at all 98765 xyzzy plugh", "en", "s", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = MQ.simhash_lcg_candidates(spark, str(tmp_path)).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.hamming <= 3 and r.n_shared_bands >= 1
+    assert not any(3 in p for p in pairs)
