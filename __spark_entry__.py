@@ -133,6 +133,7 @@ PRIORITY = [
     "spearman_quality_length",
     "multiset_except_all",
     "multiset_intersect_all",
+    "simhash_lcg_candidates",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)
