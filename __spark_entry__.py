@@ -134,6 +134,7 @@ PRIORITY = [
     "multiset_except_all",
     "multiset_intersect_all",
     "simhash_lcg_candidates",
+    "oph_lcg_lsh_pairs",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

@@ -206,6 +206,7 @@ HEADLINE = [
     "multiset_except_all",
     "multiset_intersect_all",
     "simhash_lcg_candidates",
+    "oph_lcg_lsh_pairs",
 ]
 
 

@@ -4420,3 +4420,204 @@ def simhash_lcg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_bands",
         hamming.cast("bigint").alias("hamming"),
     ).filter(F.col("hamming") <= 3)
+
+
+@register(
+    "oph_lcg_lsh_pairs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id AS id, regexp_split_to_array({_SQL_NORM}, ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, unnest({_sql_shingles(3)}) AS shingle FROM norm
+    ),
+    hashed AS (
+      SELECT id,
+             CASE WHEN shingle = '' THEN 0
+                  ELSE list_reduce(
+                         list_transform(regexp_split_to_array(shingle, ''),
+                                        c -> CAST(unicode(c) AS BIGINT)),
+                         (a, b) -> (a * 31 + b) % 2147483647)
+             END AS h
+      FROM sh
+    ),
+    mins AS (
+      SELECT id, h % 16 AS bin, min(h) AS mh FROM hashed GROUP BY id, h % 16
+    ),
+    all_bins AS (
+      SELECT d.id, b.b AS bin
+      FROM (SELECT DISTINCT id FROM mins) d, unnest(range(0, 16)) AS b(b)
+    ),
+    slots AS (
+      SELECT a.id, a.bin, m.mh
+      FROM all_bins a LEFT JOIN mins m ON m.id = a.id AND m.bin = a.bin
+    ),
+    borrowed AS (
+      SELECT e.id, e.bin,
+             min((((f.bin - e.bin) % 16 + 16) % 16, f.mh)) AS pick
+      FROM slots e JOIN mins f ON f.id = e.id
+      WHERE e.mh IS NULL
+      GROUP BY e.id, e.bin
+    ),
+    sig AS (
+      SELECT id, bin, mh FROM slots WHERE mh IS NOT NULL
+      UNION ALL
+      SELECT id, bin,
+             (pick[2] + pick[1] * (2654435761 % 2147483647)) % 2147483647
+      FROM borrowed
+    ),
+    bands AS (
+      SELECT id, bin // 4 AS band,
+             string_agg(mh, ':' ORDER BY bin) AS band_key
+      FROM sig GROUP BY id, bin // 4
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    matches AS (
+      SELECT c.id_a, c.id_b, c.n_shared_bands,
+             CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b AND sb.bin = sa.bin
+      GROUP BY c.id_a, c.id_b, c.n_shared_bands
+    )
+    SELECT id_a, id_b, n_shared_bands,
+           CAST((10000 * n_match) // 16 AS BIGINT) AS est_jaccard_e4
+    FROM matches
+    """,
+)
+def oph_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation MinHash + rotation densification with FULLY
+    ORACLE-BACKED arithmetic — the OPH twin of minhash_lcg_lsh_pairs and
+    the certification regime for the trickiest rows-only machinery in
+    the dedup family (operators/dedup.oph_signatures): every shingle
+    hashes ONCE through the portable polynomial fold, scatters into 16
+    bins (min per bin), and empty bins borrow from the nearest non-empty
+    bin to the RIGHT (circular), offset by borrow-distance x the
+    Knuth constant — exactly the densification rule of the production
+    xxhash64 path, here expressed relationally (empty x filled per-doc
+    join, <= 16x16 rows, argmin by circular distance via lexicographic
+    pair-min) so DuckDB rebuilds the identical signatures hash-for-hash.
+    4 bands x 4 rows; pairs carry shared-band counts and the
+    signature-agreement estimate.
+
+    Scale shape: one hash per shingle (the OPH selling point), bin
+    minima partial-aggregate on (id, bin), densification joins are
+    bounded 16x16 per doc, banding is the standard equi-join. The
+    xxhash64 OPH path stays the production form; recall vs exact is
+    pinned in pytest there, signature arithmetic is hash-gated here."""
+    P = 2147483647
+    C = 2654435761 % P
+    docs = t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"), X.shingles("text", 3).alias("shingles")
+        )
+        .select("id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    hashed = sh.select(
+        "id",
+        F.aggregate(
+            F.split("shingle", ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(P).cast("long"),
+        ).alias("h"),
+    )
+    mins = hashed.groupBy("id", (F.col("h") % 16).alias("bin")).agg(
+        F.min("h").alias("mh")
+    )
+    all_bins = (
+        mins.select("id")
+        .distinct()
+        .select("id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bin"))
+    )
+    slots = all_bins.join(mins, ["id", "bin"], "left")
+    empty = slots.filter(F.col("mh").isNull()).select("id", "bin")
+    filled = mins.select(
+        F.col("id").alias("f_id"), F.col("bin").alias("f_bin"), F.col("mh").alias("f_mh")
+    )
+    borrowed = (
+        empty.join(filled, F.col("id") == F.col("f_id"))
+        .select(
+            "id",
+            "bin",
+            F.struct(
+                F.pmod(F.col("f_bin") - F.col("bin"), F.lit(16)).alias("d"),
+                F.col("f_mh").alias("v"),
+            ).alias("pick"),
+        )
+        .groupBy("id", "bin")
+        .agg(F.min("pick").alias("pick"))
+        .select(
+            "id",
+            "bin",
+            ((F.col("pick.v") + F.col("pick.d") * F.lit(C)) % P).alias("mh"),
+        )
+    )
+    sig = slots.filter(F.col("mh").isNotNull()).select("id", "bin", "mh").unionByName(
+        borrowed
+    )
+    sig = _pin(sig)
+    band_key = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("bin").alias("b"), F.col("mh").alias("m"))
+                )
+            ),
+            lambda x: x["m"].cast("string"),
+        ),
+        ":",
+    )
+    bands = sig.groupBy("id", F.expr("bin div 4").alias("band")).agg(
+        band_key.alias("band_key")
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("band_key").alias("k_a"),
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_key").alias("k_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("k_a") == F.col("k_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sa = sig.select(
+        F.col("id").alias("id_a"), F.col("bin").alias("bin"), F.col("mh").alias("ma")
+    )
+    sb = sig.select(
+        F.col("id").alias("sb_id"), F.col("bin").alias("binb"), F.col("mh").alias("mb")
+    )
+    matches = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("sb_id")) & (F.col("bin") == F.col("binb")))
+        .groupBy("id_a", "id_b", "n_shared_bands")
+        .agg(
+            F.sum((F.col("ma") == F.col("mb")).cast("int"))
+            .cast("bigint")
+            .alias("n_match")
+        )
+    )
+    return matches.select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        F.expr("(10000 * n_match) div 16").cast("bigint").alias("est_jaccard_e4"),
+    )

@@ -523,3 +523,62 @@ def test_simhash_lcg_pigeonhole_recall(spark, tmp_path):
     r = pairs[(1, 2)]
     assert r.hamming <= 3 and r.n_shared_bands >= 1
     assert not any(3 in p for p in pairs)
+
+
+def test_oph_lcg_densification_python_replica(spark, tmp_path):
+    """Replay the full OPH pipeline (hash, bin scatter, min, rotation
+    densification, banding estimate) in pure Python for a tiny corpus and
+    require identical pair output."""
+    from storm_data_etl_spark.plans import ml_queries as MQ
+    from storm_data_etl_spark.functions.text import shingles as _  # noqa: F401
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 1
+        3: "one two three four five six seven eight nine",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {(r.id_a, r.id_b): (r.n_shared_bands, r.est_jaccard_e4)
+           for r in MQ.oph_lcg_lsh_pairs(spark, str(tmp_path)).collect()}
+
+    P, C = 2147483647, 2654435761 % 2147483647
+
+    def poly(s):
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    def sig_of(text):
+        words = text.split()
+        sh = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)} or {text}
+        sig = [None] * 16
+        for s in sh:
+            h = poly(s)
+            b = h % 16
+            if sig[b] is None or h < sig[b]:
+                sig[b] = h
+        for i in range(16):
+            if sig[i] is None:
+                d, j = min(((jj - i) % 16, jj) for jj in range(16)
+                           if sig[jj] is not None and (jj - i) % 16 > 0)
+                sig[i] = (sig[j] + d * C) % P
+        return sig
+
+    sigs = {i: sig_of(t) for i, t in texts.items()}
+    expect = {}
+    for i in sigs:
+        for j in sigs:
+            if i < j:
+                shared = sum(
+                    1 for band in range(4)
+                    if sigs[i][band * 4:band * 4 + 4] == sigs[j][band * 4:band * 4 + 4]
+                )
+                if shared:
+                    m = sum(1 for b in range(16) if sigs[i][b] == sigs[j][b])
+                    expect[(i, j)] = (shared, 10000 * m // 16)
+    assert got == expect
+    assert (1, 2) in got  # the near-dup pair must band together
