@@ -135,6 +135,7 @@ PRIORITY = [
     "multiset_intersect_all",
     "simhash_lcg_candidates",
     "oph_lcg_lsh_pairs",
+    "kmeans_assign_fixed_centroids",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

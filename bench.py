@@ -207,6 +207,7 @@ HEADLINE = [
     "multiset_intersect_all",
     "simhash_lcg_candidates",
     "oph_lcg_lsh_pairs",
+    "kmeans_assign_fixed_centroids",
 ]
 
 

@@ -4621,3 +4621,79 @@ def oph_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_bands",
         F.expr("(10000 * n_match) div 16").cast("bigint").alias("est_jaccard_e4"),
     )
+
+
+@register(
+    "kmeans_assign_fixed_centroids",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 61 = 0 AND embedding IS NOT NULL
+    ),
+    pts AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dists AS (
+      SELECT p.vec_id, c.cid,
+             list_reduce(list_transform(generate_series(1, len(p.ev)),
+                           i -> (p.ev[i] - c.cv[i]) * (p.ev[i] - c.cv[i])),
+                         (x, y) -> x + y) AS d2
+      FROM pts p, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists
+    )
+    SELECT cid AS cluster_id,
+           count(*) AS n_members,
+           CAST(sum(CAST(floor(1000000 * d2) AS BIGINT)) AS BIGINT)
+             AS inertia_e6
+    FROM assigned WHERE rn = 1 GROUP BY cid
+    """,
+)
+def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means ASSIGNMENT step under an exact oracle — the certification
+    regime for the distance/argmin machinery the rows-only clustering
+    path (text_cluster_sizes, trained via sampled numpy k-means) runs
+    every iteration: centroids are FIXED arithmetically (every 61st
+    vector), each embedding assigns to the nearest centroid by exact
+    IEEE squared distance (identical left-to-right fold both engines,
+    tie-break on centroid id), and per-cluster inertia is the exact
+    integer sum of per-row floor(1e6*d2) — quantized per row BEFORE the
+    aggregate, so summation order cannot diverge engines. A wrong
+    distance kernel, a wrong argmin tie, or a dropped member changes the
+    hash.
+
+    Scale shape: centroids broadcast (k rows); one scan computes all k
+    distances per vector and the argmin via a per-vector window over k
+    rows; one k-row aggregate. This IS Lloyd's assignment data layout at
+    any scale — the trainer's update step is the same aggregate keyed by
+    cluster."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    cents = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    d2 = F.aggregate(
+        F.zip_with("ev", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = pts.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = dists.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.floor(1000000 * F.col("d2")).cast("bigint"))
+        .cast("bigint")
+        .alias("inertia_e6"),
+    )

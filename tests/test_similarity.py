@@ -352,3 +352,33 @@ def test_matryoshka_full_dim_recall_is_one(spark, sf_dir):
     for d in (8, 16, 32):
         assert 0 <= out[d].recall_e4 <= 10000
     assert all(r.n_probes == 5 for r in out.values())
+
+
+def test_kmeans_assign_tiebreak_and_inertia(spark, tmp_path):
+    """Equidistant point goes to the LOWER centroid id; inertia equals the
+    per-row-quantized Python sum."""
+    import math
+
+    from storm_data_etl_spark.plans import ml_queries as MQ
+
+    dim = 64
+    def vec(x):  # constant vector
+        return [float(x)] * dim
+
+    rows = [
+        (0, vec(0.0), 0),     # centroid A (0 % 61 == 0)
+        (61, vec(10.0), 0),   # centroid B
+        (1, vec(2.0), 0),     # closer to A
+        (2, vec(5.0), 0),     # EQUIDISTANT -> tie-break to cid 0
+        (3, vec(9.0), 0),     # closer to B
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r.cluster_id: r for r in
+           MQ.kmeans_assign_fixed_centroids(spark, str(tmp_path)).collect()}
+    assert out[0].n_members == 3   # centroid 0 itself + point 1 + tied point 2
+    assert out[61].n_members == 2  # centroid 61 itself + point 3
+    # python replica of inertia_e6 for cluster 0: d2 = dim * delta^2
+    exp0 = sum(math.floor(1e6 * (dim * d * d)) for d in (0.0, 2.0, 5.0))
+    assert out[0].inertia_e6 == exp0
