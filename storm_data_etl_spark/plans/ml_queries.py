@@ -4220,206 +4220,245 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH base AS (
       SELECT doc_id, lower(trim(text)) AS t
-      FROM documents WHERE trim(coalesce(text, '')) <> ''
+      FROM documents
+      WHERE trim(coalesce(text, '')) <> '' AND length(trim(text)) >= 4
     ),
-    toks AS (
+    feats AS (
+      SELECT DISTINCT doc_id,
+             (((CAST(unicode(substr(t, CAST(i.i AS BIGINT), 1)) AS BIGINT) * 31
+                + unicode(substr(t, CAST(i.i + 1 AS BIGINT), 1))) * 31
+                + unicode(substr(t, CAST(i.i + 2 AS BIGINT), 1))) * 31
+                + unicode(substr(t, CAST(i.i + 3 AS BIGINT), 1)))
+               % 2147483647 AS h1,
+             (((CAST(unicode(substr(t, CAST(i.i AS BIGINT), 1)) AS BIGINT) * 37
+                + unicode(substr(t, CAST(i.i + 1 AS BIGINT), 1))) * 37
+                + unicode(substr(t, CAST(i.i + 2 AS BIGINT), 1))) * 37
+                + unicode(substr(t, CAST(i.i + 3 AS BIGINT), 1)))
+               % 2147483629 AS h2
+      FROM base, unnest(range(1, length(t) - 2)) AS i(i)
+    ),
+    votes AS (
       SELECT doc_id,
-             CASE WHEN length(t) >= 4
-                  THEN list_distinct(list_transform(range(1, length(t) - 2),
-                         i -> substr(t, CAST(i AS BIGINT), 4)))
-                  ELSE [t] END AS words
-      FROM base
-    ),
-    th AS (
-      SELECT doc_id, w.w AS w,
-             list_reduce(list_transform(regexp_split_to_array(w.w, ''),
-                           c -> CAST(unicode(c) AS BIGINT)),
-                         (a, b) -> (a * 31 + b) % 2147483647) AS h1,
-             list_reduce(list_transform(regexp_split_to_array(w.w, ''),
-                           c -> CAST(unicode(c) AS BIGINT)),
-                         (a, b) -> (a * 37 + b) % 2147483629) AS h2
-      FROM toks, unnest(words) AS w(w) WHERE w.w <> ''
-    ),
-    bits AS (
-      SELECT doc_id, b.b AS b,
-             CASE WHEN b.b < 30
-                  THEN CASE WHEN (h1 >> b.b) & 1 = 1 THEN 1 ELSE -1 END
-                  ELSE CASE WHEN (h2 >> (b.b - 30)) & 1 = 1 THEN 1 ELSE -1 END
-             END AS v
-      FROM th, unnest(range(0, 60)) AS b(b)
-    ),
-    comps AS (
-      SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS comp
-      FROM bits GROUP BY doc_id, b
+             sum(CASE WHEN (h1 >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+             sum(CASE WHEN (h1 >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+             sum(CASE WHEN (h1 >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS s2,
+             sum(CASE WHEN (h1 >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS s3,
+             sum(CASE WHEN (h1 >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS s4,
+             sum(CASE WHEN (h1 >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS s5,
+             sum(CASE WHEN (h1 >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS s6,
+             sum(CASE WHEN (h1 >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS s7,
+             sum(CASE WHEN (h1 >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS s8,
+             sum(CASE WHEN (h1 >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS s9,
+             sum(CASE WHEN (h1 >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS s10,
+             sum(CASE WHEN (h1 >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS s11,
+             sum(CASE WHEN (h1 >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS s12,
+             sum(CASE WHEN (h1 >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS s13,
+             sum(CASE WHEN (h1 >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS s14,
+             sum(CASE WHEN (h1 >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS s15,
+             sum(CASE WHEN (h1 >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS s16,
+             sum(CASE WHEN (h1 >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS s17,
+             sum(CASE WHEN (h1 >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS s18,
+             sum(CASE WHEN (h1 >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS s19,
+             sum(CASE WHEN (h1 >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS s20,
+             sum(CASE WHEN (h1 >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS s21,
+             sum(CASE WHEN (h1 >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS s22,
+             sum(CASE WHEN (h1 >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS s23,
+             sum(CASE WHEN (h1 >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS s24,
+             sum(CASE WHEN (h1 >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS s25,
+             sum(CASE WHEN (h1 >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS s26,
+             sum(CASE WHEN (h1 >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS s27,
+             sum(CASE WHEN (h1 >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS s28,
+             sum(CASE WHEN (h1 >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS s29,
+             sum(CASE WHEN (h2 >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS s30,
+             sum(CASE WHEN (h2 >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS s31,
+             sum(CASE WHEN (h2 >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS s32,
+             sum(CASE WHEN (h2 >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS s33,
+             sum(CASE WHEN (h2 >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS s34,
+             sum(CASE WHEN (h2 >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS s35,
+             sum(CASE WHEN (h2 >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS s36,
+             sum(CASE WHEN (h2 >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS s37,
+             sum(CASE WHEN (h2 >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS s38,
+             sum(CASE WHEN (h2 >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS s39,
+             sum(CASE WHEN (h2 >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS s40,
+             sum(CASE WHEN (h2 >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS s41,
+             sum(CASE WHEN (h2 >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS s42,
+             sum(CASE WHEN (h2 >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS s43,
+             sum(CASE WHEN (h2 >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS s44,
+             sum(CASE WHEN (h2 >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS s45,
+             sum(CASE WHEN (h2 >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS s46,
+             sum(CASE WHEN (h2 >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS s47,
+             sum(CASE WHEN (h2 >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS s48,
+             sum(CASE WHEN (h2 >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS s49,
+             sum(CASE WHEN (h2 >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS s50,
+             sum(CASE WHEN (h2 >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS s51,
+             sum(CASE WHEN (h2 >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS s52,
+             sum(CASE WHEN (h2 >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS s53,
+             sum(CASE WHEN (h2 >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS s54,
+             sum(CASE WHEN (h2 >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS s55,
+             sum(CASE WHEN (h2 >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS s56,
+             sum(CASE WHEN (h2 >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS s57,
+             sum(CASE WHEN (h2 >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS s58,
+             sum(CASE WHEN (h2 >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS s59
+      FROM feats GROUP BY doc_id
     ),
     fps AS (
       SELECT doc_id,
-             string_agg(CASE WHEN comp > 0 THEN '1' ELSE '0' END, ''
-                        ORDER BY b) AS fp
-      FROM comps GROUP BY doc_id
+             CASE WHEN s0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END + CASE WHEN s1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END + CASE WHEN s2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END + CASE WHEN s3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END + CASE WHEN s4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END + CASE WHEN s5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END + CASE WHEN s6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END + CASE WHEN s7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END + CASE WHEN s8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END + CASE WHEN s9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END + CASE WHEN s10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END + CASE WHEN s11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END + CASE WHEN s12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END + CASE WHEN s13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END + CASE WHEN s14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END + CASE WHEN s15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END + CASE WHEN s16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END + CASE WHEN s17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END + CASE WHEN s18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END + CASE WHEN s19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END + CASE WHEN s20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END + CASE WHEN s21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END + CASE WHEN s22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END + CASE WHEN s23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END + CASE WHEN s24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END + CASE WHEN s25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END + CASE WHEN s26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END + CASE WHEN s27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END + CASE WHEN s28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END + CASE WHEN s29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END AS lo,
+             CASE WHEN s30 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END + CASE WHEN s31 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END + CASE WHEN s32 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END + CASE WHEN s33 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END + CASE WHEN s34 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END + CASE WHEN s35 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END + CASE WHEN s36 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END + CASE WHEN s37 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END + CASE WHEN s38 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END + CASE WHEN s39 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END + CASE WHEN s40 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END + CASE WHEN s41 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END + CASE WHEN s42 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END + CASE WHEN s43 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END + CASE WHEN s44 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END + CASE WHEN s45 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END + CASE WHEN s46 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END + CASE WHEN s47 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END + CASE WHEN s48 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END + CASE WHEN s49 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END + CASE WHEN s50 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END + CASE WHEN s51 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END + CASE WHEN s52 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END + CASE WHEN s53 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END + CASE WHEN s54 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END + CASE WHEN s55 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END + CASE WHEN s56 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END + CASE WHEN s57 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END + CASE WHEN s58 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END + CASE WHEN s59 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END AS hi
+      FROM votes
     ),
     bands AS (
-      SELECT doc_id, fp, band.band AS band,
-             substr(fp, band.band * 15 + 1, 15) AS band_key
+      SELECT doc_id, lo, hi, band.band AS band,
+             CASE band.band
+               WHEN 0 THEN lo & 32767
+               WHEN 1 THEN (lo >> 15) & 32767
+               WHEN 2 THEN hi & 32767
+               ELSE (hi >> 15) & 32767 END AS band_key
       FROM fps, unnest(range(0, 4)) AS band(band)
+    ),
+    ok_buckets AS (
+      SELECT band, band_key FROM bands
+      GROUP BY band, band_key HAVING count(*) <= 50
+    ),
+    kept AS (
+      SELECT b.doc_id, b.lo, b.hi, b.band, b.band_key
+      FROM bands b JOIN ok_buckets o
+        ON o.band = b.band AND o.band_key = b.band_key
     ),
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.fp AS fp_a, b.fp AS fp_b,
+             a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
              count(*) AS n_shared_bands
-      FROM bands a JOIN bands b
+      FROM kept a JOIN kept b
         ON a.band = b.band AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id, a.fp, b.fp
+      GROUP BY a.doc_id, b.doc_id, a.lo, a.hi, b.lo, b.hi
     )
-    SELECT id_a, id_b, n_shared_bands, hamming
-    FROM (
-      SELECT id_a, id_b, n_shared_bands,
-             CAST(len(list_filter(range(1, 61),
-                    i -> substr(fp_a, CAST(i AS BIGINT), 1)
-                         <> substr(fp_b, CAST(i AS BIGINT), 1))) AS BIGINT)
-               AS hamming
-      FROM cand
-    ) WHERE hamming <= 3
+    SELECT id_a, id_b, n_shared_bands,
+           CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+                AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
     """,
 )
 def simhash_lcg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates with FULLY ORACLE-BACKED hash
-    arithmetic — the simhash twin of minhash_lcg_lsh_pairs: each distinct
-    character 4-gram (token-level features degenerate on this corpus's
-    small shared vocabulary — measured fingerprints nearly collide
-    corpus-wide; 4-grams spread them) hashes through two portable
-    polynomial folds (mod two distinct 31-bit primes) whose bits vote ±1
-    on a 60-bit fingerprint (Charikar 2002). Emission keeps pairs at
-    Hamming <= 3; with 4 exact 15-bit bands the pigeonhole guarantees
-    every such pair shares at least one band (3 differing bits cannot
-    touch all 4 bands), so candidate recall at the emission radius is
-    exactly 1 BY CONSTRUCTION and the gate proves it. This hash-gates the ENTIRE simhash dataflow — token
-    hashing, bit voting, sign threshold, banding, bucket join, Hamming
-    verify — which the production xxhash64 path (simhash_candidates,
-    rows-only by design) cannot; that path stays the scale form (one
-    built-in hash call per token), this is its certification regime.
+    arithmetic — the simhash twin of minhash_lcg_lsh_pairs. Features are
+    distinct character 4-grams identified BY THEIR HASH PAIR (two
+    fixed-degree polynomials over the 4 codepoints, mod two distinct
+    31-bit primes) — no gram strings, no arrays, no higher-order
+    functions: the whole feature+vote pipeline is whole-stage codegen
+    (the first HOF formulation measured 20+ s at sf0.1; this one ~2 s).
+    The 60 bit votes are 60 conditional sums in one per-doc aggregate,
+    packed into two 30-bit integers; banding keys are bit slices,
+    buckets holding > 50 fingerprints are skipped (the standard
+    boilerplate-bucket guard — correlated fingerprints otherwise
+    degenerate a 15-bit band toward all-pairs), and Hamming distance is
+    two XOR popcounts. Emission keeps Hamming <= 3, where the 4x15
+    pigeonhole guarantees banding recall within non-skipped buckets.
 
-    Scale shape: the bit-vote explode is 60 small rows per distinct
-    token, partial-aggregated on (doc, bit) before the only wide
-    shuffle; fingerprints aggregate ordered bits inside the group;
-    banding is a fixed-width-key equi-join; Hamming runs only on
-    candidate pairs. No dictionary, no global sort."""
+    Scale shape: one scan → position explode (len-3 rows, all codegen) →
+    distinct on (doc, h1, h2) → 60-sum aggregate → integer-key banding
+    with the bucket cap → popcount verify on bounded candidates. The
+    xxhash64 path (simhash_candidates, rows-only) stays the production
+    form; this is its certification regime. Docs shorter than 4 chars
+    carry no 4-gram and are excluded by definition."""
     P1, P2 = 2147483647, 2147483629
     base = (
         t(spark, sf_dir, "documents")
-        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .filter(
+            (F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+            & (F.length(F.trim("text")) >= 4)
+        )
         .select("doc_id", F.lower(F.trim("text")).alias("tx"))
     )
-    grams = F.when(
-        F.length("tx") >= 4,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length("tx") - 3),
-                lambda i: F.col("tx").substr(i, F.lit(4)),
-            )
-        ),
-    ).otherwise(F.array(F.col("tx")))
-    toks = base.select("doc_id", F.explode(grams).alias("w")).filter(
-        F.col("w") != ""
+    pos = base.select(
+        "doc_id",
+        "tx",
+        F.explode(F.sequence(F.lit(1), F.length("tx") - 3)).alias("i"),
     )
 
-    def poly(mult: int, prime: int):
-        return F.aggregate(
-            F.split(F.col("w"), ""),
-            F.lit(0).cast("long"),
-            lambda a, c: (a * mult + F.ascii(c)) % F.lit(prime).cast("long"),
-        )
+    def c(off):
+        return F.ascii(F.expr("substring(tx, i + %d, 1)" % off)).cast("long")
 
-    th = toks.select(
-        "doc_id", poly(31, P1).alias("h1"), poly(37, P2).alias("h2")
-    )
-    bits = th.select(
-        "doc_id",
-        F.posexplode(F.sequence(F.lit(0), F.lit(59))).alias("_p", "b"),
-        "h1",
-        "h2",
-    ).select(
-        "doc_id",
-        "b",
-        F.when(
-            F.col("b") < 30,
-            F.when(F.shiftright("h1", 0) .bitwiseAND(0) == 0, 0),  # placeholder
-        ).alias("_unused"),
-        F.when(
-            F.col("b") < 30,
-            F.when(
-                F.expr("(h1 >> b) & 1") == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
+    def polyh(mult, prime):
+        return (
+            ((c(0) * mult + c(1)) * mult + c(2)) * mult + c(3)
+        ) % F.lit(prime).cast("long")
+
+    feats = pos.select(
+        "doc_id", polyh(31, P1).alias("h1"), polyh(37, P2).alias("h2")
+    ).distinct()
+    sum_cols = []
+    for b in range(60):
+        src = (
+            F.expr("(h1 >> %d) & 1" % b)
+            if b < 30
+            else F.expr("(h2 >> %d) & 1" % (b - 30))
         )
-        .otherwise(
-            F.when(
-                F.expr("(h2 >> (b - 30)) & 1") == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+        sum_cols.append(F.sum(F.when(src == 1, 1).otherwise(-1)).alias("s%d" % b))
+    votes = feats.groupBy("doc_id").agg(*sum_cols)
+    lo = None
+    hi = None
+    for b in range(30):
+        t_lo = F.when(F.col("s%d" % b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .alias("v"),
-    ).select("doc_id", "b", "v")
-    comps = bits.groupBy("doc_id", "b").agg(F.sum("v").cast("bigint").alias("comp"))
-    ordered_bits = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("b").alias("b"),
-                        F.when(F.col("comp") > 0, "1").otherwise("0").alias("c"),
-                    )
-                )
-            ),
-            lambda x: x["c"],
-        ),
-        "",
+        t_hi = F.when(
+            F.col("s%d" % (b + 30)) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        lo = t_lo if lo is None else lo + t_lo
+        hi = t_hi if hi is None else hi + t_hi
+    fps = votes.select("doc_id", lo.alias("lo"), hi.alias("hi"))
+    band_key = (
+        F.when(F.col("band") == 0, F.expr("lo & 32767"))
+        .when(F.col("band") == 1, F.expr("(lo >> 15) & 32767"))
+        .when(F.col("band") == 2, F.expr("hi & 32767"))
+        .otherwise(F.expr("(hi >> 15) & 32767"))
     )
-    fps = comps.groupBy("doc_id").agg(ordered_bits.alias("fp"))
     bands = fps.select(
         "doc_id",
-        "fp",
-        F.posexplode(F.sequence(F.lit(0), F.lit(3))).alias("_p", "band"),
-    ).select(
-        "doc_id",
-        "fp",
-        "band",
-        F.expr("substring(fp, band * 15 + 1, 15)").alias("band_key"),
+        "lo",
+        "hi",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("band_key", band_key)
+    ok = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= 50)
+        .drop("_n")
     )
-    a = bands.select(
+    kept = bands.join(ok, ["band", "band_key"])
+    a = kept.select(
         F.col("doc_id").alias("id_a"),
-        F.col("fp").alias("fp_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
         F.col("band").alias("band_a"),
         F.col("band_key").alias("k_a"),
     )
-    b = bands.select(
+    b2 = kept.select(
         F.col("doc_id").alias("id_b"),
-        F.col("fp").alias("fp_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
         F.col("band").alias("band_b"),
         F.col("band_key").alias("k_b"),
     )
     cand = (
         a.join(
-            b,
+            b2,
             (F.col("band_a") == F.col("band_b"))
             & (F.col("k_a") == F.col("k_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .groupBy("id_a", "id_b", "fp_a", "fp_b")
+        .groupBy("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    hamming = F.size(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(60)),
-            lambda i: F.substring(F.col("fp_a"), 1, 60).substr(i, F.lit(1))
-            != F.substring(F.col("fp_b"), 1, 60).substr(i, F.lit(1)),
-        )
+    ham = F.bit_count(F.expr("lo_a ^ lo_b")) + F.bit_count(F.expr("hi_a ^ hi_b"))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "n_shared_bands", "hamming")
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        "n_shared_bands",
-        hamming.cast("bigint").alias("hamming"),
-    ).filter(F.col("hamming") <= 3)
 
 
 @register(
@@ -4530,8 +4569,14 @@ def oph_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(P).cast("long"),
         ).alias("h"),
     )
-    mins = hashed.groupBy("id", (F.col("h") % 16).alias("bin")).agg(
-        F.min("h").alias("mh")
+    # mins feeds THREE consumers (slots, the borrow join, and the
+    # all-bins id domain) — pin it or the whole shingle+fold pipeline
+    # re-evaluates per consumer (measured 3x ≈ 9.6 s warm at sf0.1;
+    # pinned ~3 s). Released via session.release_pinned().
+    mins = _pin(
+        hashed.groupBy("id", (F.col("h") % 16).alias("bin")).agg(
+            F.min("h").alias("mh")
+        )
     )
     all_bins = (
         mins.select("id")
