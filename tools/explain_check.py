@@ -767,6 +767,41 @@ def main() -> int:
         "(pair_id conditional agg, not a self-join)",
     )
 
+    # 73. SimHash-LCG certification: the feature+vote pipeline must stay
+    # whole-stage codegen — no Python nodes and no higher-order Spark
+    # functions in the hot path (the HOF form measured 20+ s at sf0.1).
+    p = plan_of(qs["simhash_lcg_candidates"](spark, sf_dir))
+    check(
+        "simhash_lcg_codegen",
+        "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "aggregate(" not in p and "transform(" not in p.replace(
+            "string_agg", ""
+        ),
+        "(no Python, no HOF fold)",
+    )
+
+    # 74. OPH-LCG: the bin-minima table is pinned (InMemoryRelation), so
+    # the shingle pipeline evaluates once for its three consumers.
+    dfq = qs["oph_lcg_lsh_pairs"](spark, sf_dir)
+    check(
+        "oph_mins_pinned",
+        "InMemoryTableScan" in plan_of(dfq)
+        or "InMemoryRelation" in plan_of(dfq),
+        "(pinned loop invariant)",
+    )
+    from storm_data_etl_spark.session import release_pinned as _rel
+    _rel()
+
+    # 75. k-means assignment: centroids broadcast; the per-vector argmin
+    # window is keyed (no global window).
+    p = plan_of(qs["kmeans_assign_fixed_centroids"](spark, sf_dir))
+    check(
+        "kmeans_assign_broadcast_centroids",
+        len(_re.findall(r"[+:]- BroadcastNestedLoopJoin", p)) == 1
+        and "rangepartitioning" not in p,
+        "(broadcast centroids, keyed window)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
