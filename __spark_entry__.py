@@ -34,88 +34,21 @@ SF_SMOKE_DIR = "/root/testdata/sf0.001"
 #: Curated head of the registry: the driver's correctness gate samples the
 #: first entries of queries() in order, so each round front-loads queries
 #: that have NOT yet been through the gate (never_gated() below tracks the
-#: set explicitly from the CORRECTNESS_r*.json records). Rounds 1-4
-#: hash-proved all 174 oracle-backed queries and recorded the 13
-#: rows-only-by-design entries' weaker evidence tier once each, so
-#: never_gated() was empty entering round 5. The round-5 head is EXACTLY
-#: the 50 never-gated round-5 additions (49 oracle-backed + the rows-only
-#: bloom_cross_dedup): the exactness-regime sketch/ANN twins, the
-#: data-selection and privacy batch, the SFT/data-loading family, the
-#: decorrelated-subquery join patterns (TPC-H Q2/Q17/Q11 shapes),
-#: time-series diagnostics (ACF, weekday seasonality), the
-#: training-pipeline batch (span corruption, tool-call traces, bitext
-#: ratio filter, curriculum plan, mojibake audit), lake maintenance
-#: (snapshot retention, encoding planner), audio VAD segmentation, the
-#: watermark lag histogram, and chunk-boundary seam detection — every
-#: one verified by the local gate replica tools/pandas_parity_check.py
-#: at sf0.001 AND sf0.01 (plus a non-UTC session TZ) before rotation.
-#: The re-verification backlog (round-1 then round-2 vintage) follows
-#: beyond the head so gate evidence keeps refreshing in later rounds.
+#: set explicitly from the CORRECTNESS_r*.json records). Rounds 1-5
+#: hash-proved 243 oracle-backed queries and recorded the 14
+#: rows-only-by-design entries' weaker evidence tier once each. The
+#: round-6 head is: the 20 round-5 tail additions that missed the
+#: round-5 gate window (all pre-verified by the gate replica
+#: tools/pandas_parity_check.py at sf0.01 — and independently re-run by
+#: the round-5 judge, all match), then any queries added during round 6,
+#: then round-1-vintage re-verifications to refresh the oldest gate
+#: evidence (the driver samples the first 50; VERDICT r5 item 6 asks for
+#: ≥10 round-1 refreshes this round). The rest of the re-verification
+#: backlog (round-1 then round-2 vintage) follows beyond the head so
+#: evidence keeps rotating in later rounds.
 PRIORITY = [
-    # round-5 additions: exactness-regime oracle twins for the sketch/ANN
-    # machinery, plus DSIR importance weights and n-gram novelty (never
-    # gated yet)
-    "boilerplate_chunk_removal",
-    "asof_join_tolerance",
-    "sequence_packing_stats",
-    "padding_efficiency_stats",
-    "unicode_nfc_audit",
-    "bpe_zero_merge_regime",
-    "mann_whitney_u",
-    "approx_percentile_regime",
-    "l_diversity_audit",
-    "pii_luhn_audit",
-    "domain_blocklist_audit",
-    "rolling_median_7d",
-    "group_split_leakage_audit",
-    "mixture_epoch_plan",
-    "corpus_profile",
-    "ann_ivf_fullprobe_topk",
-    "ann_ivf_distributed_topk",
-    "ann_lsh_fullcover_topk",
-    "cms_exact_regime",
-    "bloom_exact_regime",
-    "dsir_importance_weights",
-    "ngram_novelty_scores",
-    "max_dup_gram_bracket",
-    "skewed_agg_salted",
-    # round-5 continuation: SFT / data-loading pipeline family (never gated)
-    "chat_template_render_stats",
-    "warc_ingest_stats",
-    "epoch_shuffle_plan",
-    "tokenizer_fertility_by_lang",
-    "rlhf_preference_pair_stats",
-    "stupid_backoff_trigram_score",
-    "quality_threshold_sweep",
-    "hard_negative_mining",
-    "xml_feed_parse_stats",
-    "dp_noise_histogram",
-    # round-5 continuation: decorrelated-subquery join patterns (TPC-H
-    # Q2/Q17/Q11 shapes — never gated)
-    "min_cost_supplier",
-    "correlated_avg_filter",
-    "having_global_share",
-    # round-5 continuation: time-series diagnostics (never gated)
-    "acf_lag_profile",
-    "weekday_seasonality_index",
-    # round-5 continuation: training-pipeline batch (never gated)
-    "span_corruption_plan",
-    "toolcall_trace_audit",
-    "bitext_length_ratio_filter",
-    "curriculum_schedule_plan",
-    "mojibake_audit",
-    "snapshot_retention_plan",
-    "encoding_dictionary_plan",
-    "audio_energy_segments",
-    "watermark_lag_histogram",
-    "chunk_boundary_overlap",
-    # rows-only by design (xxhash64 Bloom positions): records its one-time
-    # weaker evidence tier, then never_gated() rotates it out
-    "bloom_cross_dedup",
-    # ---- 50-slot head boundary ----
-    # round-6 gate backlog: added after this round's head filled — all
-    # oracle-backed, audit-battery-verified, never gated. Round 6 MUST
-    # front-load these (never_gated() will list them).
+    # round-5 tail additions — never gated; locally parity-verified and
+    # judge-re-verified at sf0.01 (VERDICT r5 "What's missing" item 2)
     "minhash_lcg_lsh_pairs",
     "score_calibration_bins",
     "partition_pruning_plan",
@@ -136,6 +69,9 @@ PRIORITY = [
     "simhash_lcg_candidates",
     "oph_lcg_lsh_pairs",
     "kmeans_assign_fixed_centroids",
+    # ---- round-6 additions insert HERE (never-gated block stays
+    # contiguous at the front; fillers below shift past the 50 boundary
+    # automatically) ----
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)
