@@ -90,6 +90,26 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0 if not failed else 1
 
 
+def _parse_http_addr(env_addr: str) -> tuple[str, int]:
+    """Parse a Go net.Listen-style HTTP_ADDR into (host, port).
+
+    Go semantics (the reference hands HTTP_ADDR straight to
+    http.Server.Addr, cmd/etl/main.go:35): an empty host (":8080") binds
+    all interfaces; a named host binds ONLY that interface —
+    HTTP_ADDR=127.0.0.1:8080 is a loopback-only listener and must not
+    expose /metrics on 0.0.0.0. Accepted forms: ":8080", "host:8080",
+    "[::1]:8080". A port-less or bare-IPv6 address has no usable port —
+    rejected loudly rather than crashing with int('localhost') or
+    silently binding port 1 from '::1'."""
+    host, sep, port_s = env_addr.rpartition(":")
+    if not sep or not port_s.isdigit() or (":" in host and not host.startswith("[")):
+        raise SystemExit(
+            f"HTTP_ADDR={env_addr!r}: expected a listen address with "
+            "an explicit port (':8080', 'host:8080', '[::1]:8080')"
+        )
+    return (host.strip("[]") or "0.0.0.0", int(port_s))
+
+
 def cmd_etl(args: argparse.Namespace) -> int:
     from storm_data_etl_spark.sources.kafka import read_kafka_stream
     from storm_data_etl_spark.streaming.pipeline import ReadinessListener, run_pipeline
@@ -133,20 +153,11 @@ def cmd_etl(args: argparse.Namespace) -> int:
     srv = None
     metrics = None
     http_port = args.http_port
+    http_host = "0.0.0.0"
     if http_port is None:
         env_addr = os.environ.get("HTTP_ADDR")
         if env_addr:
-            # Go listen-address forms: ":8080", "host:8080", "[::1]:8080".
-            # A port-less or bare-IPv6 address has no usable port — reject
-            # it loudly rather than crash with int('localhost') or silently
-            # bind port 1 from '::1'.
-            host, sep, port_s = env_addr.rpartition(":")
-            if not sep or not port_s.isdigit() or (":" in host and not host.startswith("[")):
-                raise SystemExit(
-                    f"HTTP_ADDR={env_addr!r}: expected a listen address with "
-                    "an explicit port (':8080', 'host:8080', '[::1]:8080')"
-                )
-            http_port = int(port_s)
+            http_host, http_port = _parse_http_addr(env_addr)
     if http_port is not None and http_port >= 0:
         from storm_data_etl_spark.streaming.http_observability import (
             ObservabilityServer,
@@ -158,9 +169,12 @@ def cmd_etl(args: argparse.Namespace) -> int:
         spark.streams.addListener(ready)
         spark.streams.addListener(metrics)
         srv = ObservabilityServer(
-            lambda: ready.ready, metrics=metrics, host="0.0.0.0", port=http_port
+            lambda: ready.ready, metrics=metrics, host=http_host, port=http_port
         ).start()
-        print(f"observability: http://0.0.0.0:{srv.port} (/healthz /readyz /metrics)")
+        print(
+            f"observability: http://{http_host}:{srv.port} "
+            "(/healthz /readyz /metrics)"
+        )
 
     query = run_pipeline(
         spark,

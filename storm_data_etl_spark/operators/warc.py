@@ -10,8 +10,8 @@ Arrow-batched byte scanner with NO shared code with the builder, so a
 parity check between the two exercises the real framing logic (mirrors the
 discipline of operators/multimodal.py synth_* vs decode_*).
 
-Reference parity: the reference ingests newline-delimited Kafka payloads
-(internal/adapter/kafkaadapter/consumer.go); this operator family is the
+Reference parity: the reference ingests single-record Kafka payloads
+(internal/adapter/kafka/reader.go:37-72); this operator family is the
 batch-file analogue a 100 TB crawl corpus needs.
 
 Record wire format (CRLF line endings, Content-Length framing):

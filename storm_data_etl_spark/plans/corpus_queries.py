@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import text as X
 from storm_data_etl_spark.operators import sampling as SP
+from storm_data_etl_spark.operators.dedup import global_rank
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
 from storm_data_etl_spark.session import pin as _pin
@@ -1770,7 +1771,8 @@ def mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(sum(w_e4) AS BIGINT) AS total_w FROM weighted)
     SELECT w AS token, f AS freq, w_e4,
-           CAST((1000000000 * w_e4) // total_w AS BIGINT) AS share_e9,
+           CAST((CAST(1000000000 AS HUGEINT) * w_e4) // total_w AS BIGINT)
+             AS share_e9,
            CAST(rank() OVER (ORDER BY f DESC, w) AS BIGINT) AS freq_rank
     FROM weighted, tot
     """,
@@ -1782,14 +1784,21 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed as sqrt(sqrt(f³)) — f³ is exact in int64/double and IEEE
     sqrt is correctly rounded, so both engines produce the identical
     double and the floored e4 weight is deterministic (a pow(f, 0.75)
-    libm call would not be). Shares are exact integer arithmetic over
-    the floored weights; the rank window runs over the frequency-
-    filtered VOCABULARY (>= 5 occurrences), never the token stream.
+    libm call would not be). Shares are exact WIDE integer arithmetic:
+    1e9·w_e4 overflows int64 once f exceeds ~9.1e7 (routine for common
+    words at 100 TB), so Spark computes it in DECIMAL(31,0) with `div`
+    (BigDecimal.divideToIntegralValue — exact) and DuckDB in HUGEINT —
+    identical floors, no overflow below f ≈ 1e29.
 
     Scale shape: one token explode + map-side-partial count; everything
-    after operates on the bounded vocab (broadcast 1-row total, vocab
-    window). The >= 5 floor is what bounds the table at 100 TB — rare
-    junk tokens never enter."""
+    after operates on the frequency-filtered VOCABULARY (>= 5
+    occurrences), never the token stream. The rank is the TWO-PHASE
+    distributed form (dedup.global_rank: range-partition on the rank
+    key, per-partition row_number, broadcast per-partition offsets) —
+    (f, w) is unique per vocab row so rank() == row_number() — because
+    a web-scale vocab with f >= 5 is still O(1e8) rows: a bare
+    Window.orderBy would pull all of it through ONE task. The >= 5
+    floor is what bounds the table's junk tail at 100 TB."""
     tok = (
         t(spark, sf_dir, "documents")
         .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
@@ -1812,17 +1821,15 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_e4"),
     )
     tot = weighted.agg(F.sum("w_e4").cast("bigint").alias("total_w"))
-    return weighted.crossJoin(F.broadcast(tot)).select(
+    ranked = global_rank(weighted, [F.col("f").desc(), F.col("w").asc()])
+    return ranked.crossJoin(F.broadcast(tot)).select(
         F.col("w").alias("token"),
         F.col("f").alias("freq"),
         "w_e4",
-        F.expr("(1000000000 * w_e4) div total_w").cast("bigint").alias(
-            "share_e9"
-        ),
-        F.rank()
-        .over(Window.orderBy(F.desc("f"), F.asc("w")))
+        F.expr("(CAST(w_e4 AS DECIMAL(20,0)) * 1000000000) div total_w")
         .cast("bigint")
-        .alias("freq_rank"),
+        .alias("share_e9"),
+        F.col("rnk").cast("bigint").alias("freq_rank"),
     )
 
 

@@ -1009,40 +1009,60 @@ def having_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto front): parts not dominated on (cheaper price,
     larger size) — the classic OLAP operator relational engines lack as a
-    primitive. The Spark plan is the O(n log n) sort-based algorithm: a
-    part survives iff its size beats the running max size over all
-    STRICTLY cheaper parts (RANGE frame on integer cents excludes
-    same-price peers exactly) AND it carries its price group's max size
-    (a same-price larger part dominates; equal duplicates co-survive).
-    The oracle is deliberately the O(n²) NOT EXISTS *definition* — the
-    gate proves the windowed algorithm equals the definitional dominance
-    semantics on every row.
+    primitive. The sort-based criterion: a part survives iff its size
+    beats the running max size over all STRICTLY cheaper parts (RANGE
+    frame on integer cents excludes same-price peers exactly) AND it
+    carries its price group's max size (a same-price larger part
+    dominates; equal duplicates co-survive). The oracle is deliberately
+    the O(n²) NOT EXISTS *definition* — the gate proves the windowed
+    algorithm equals the definitional dominance semantics on every row.
 
-    Scale shape: one range-partitioned sort by price (Spark's window on
-    an un-partitioned RANGE frame range-shuffles; at 100 TB pre-filter
-    with a per-partition local skyline first — the standard two-phase
-    skyline — which this formulation composes with trivially). No joins,
-    no n² anywhere in the plan."""
+    Scale shape — the standard TWO-PHASE distributed skyline (Börzsönyi
+    et al., ICDE 2001 §5): phase 1 runs the same windowed criterion
+    WITHIN each input partition (window partitioned by
+    spark_partition_id — fully parallel, no shuffle of the big table),
+    discarding every row dominated by a same-partition row. Any such row
+    is dominated globally, and every true skyline point survives its own
+    partition, so the survivor set contains the answer. Expected
+    survivors per partition on a 2-D skyline are O(log rows) — phase 2's
+    global pass over the pooled survivors (a constant-partition window,
+    single task by design) touches only that provably tiny set, never
+    the input. Non-skyline survivors are always dominated by a true
+    skyline point (dominance is transitive), so phase 2 removes exactly
+    them. No joins, no n² anywhere in the plan."""
     p = t(spark, sf_dir, "part").select(
         "p_partkey",
         F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
         "p_size",
     )
-    w_cheaper = (
-        Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_same = Window.partitionBy("price_cents")
-    flagged = p.select(
-        "p_partkey",
-        "price_cents",
-        "p_size",
-        F.max("p_size").over(w_cheaper).alias("max_cheaper"),
-        F.max("p_size").over(w_same).alias("max_same"),
-    )
-    return flagged.filter(
-        (F.col("max_cheaper").isNull() | (F.col("p_size") > F.col("max_cheaper")))
-        & (F.col("p_size") == F.col("max_same"))
-    ).select("p_partkey", "price_cents", "p_size")
+
+    def survivors(df: DataFrame, key: str) -> DataFrame:
+        w_cheaper = (
+            Window.partitionBy(key)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_same = Window.partitionBy(key, "price_cents")
+        flagged = df.select(
+            df["*"],
+            F.max("p_size").over(w_cheaper).alias("_max_cheaper"),
+            F.max("p_size").over(w_same).alias("_max_same"),
+        )
+        return flagged.filter(
+            (
+                F.col("_max_cheaper").isNull()
+                | (F.col("p_size") > F.col("_max_cheaper"))
+            )
+            & (F.col("p_size") == F.col("_max_same"))
+        ).drop("_max_cheaper", "_max_same", key)
+
+    local = survivors(p.withColumn("_part", F.spark_partition_id()), "_part")
+    # Phase 2 pools the tiny survivor set into one explicit partition; a
+    # spark_partition_id key (non-foldable, unlike lit(0) which Catalyst
+    # folds back to an empty partition spec) keeps WindowExec off the
+    # "No Partition Defined" whole-table path.
+    pooled = local.repartition(1).withColumn("_g", F.spark_partition_id())
+    return survivors(pooled, "_g").select("p_partkey", "price_cents", "p_size")
 
 
 @register(

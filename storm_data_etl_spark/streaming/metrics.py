@@ -20,9 +20,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql.streaming import StreamingQueryListener
 
-#: histogram bucket bounds mirroring the reference (metrics.go:42-53)
-BATCH_SIZE_BUCKETS = (1, 5, 10, 25, 50, 100)
-BATCH_DURATION_BUCKETS_MS = (10, 50, 100, 500, 1000, 5000, 10000)
+#: histogram bucket bounds mirroring the reference exactly — sizes from
+#: metrics.go:46, durations from metrics.go:52's seconds ×1000 to ms —
+#: so dashboards/alerts keyed to the Go service's bucket series line up
+#: name-for-name AND bound-for-bound on /metrics.
+BATCH_SIZE_BUCKETS = (1, 5, 10, 20, 30, 40, 50, 75, 100)
+BATCH_DURATION_BUCKETS_MS = (10, 50, 100, 500, 1000, 2500, 5000, 10000)
 
 
 #: overflow pseudo-bound for observations above the top bucket (Prometheus

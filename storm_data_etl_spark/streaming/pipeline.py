@@ -112,11 +112,8 @@ def run_pipeline(
         good_parsed, dead = split_poison(batch_df)
         good = enrich_raw(good_parsed, processed_at=processed_at)
         # Persist in try/finally: a sink failure must not leak the cached
-        # micro-batch across the retry (Spark re-runs the epoch). Counters
-        # increment AFTER the main-sink write succeeds, mirroring the
-        # reference's count-after-produce loop (pipeline.go increments
-        # MessagesProduced only once the Kafka produce returns) — counting
-        # first would double-count every retried epoch.
+        # micro-batch across the retry (Spark re-runs the epoch). Counter
+        # increments are deferred to after ALL sink writes (see below).
         if metrics is not None:
             good = good.persist()
             dead = dead.persist()
@@ -129,9 +126,6 @@ def run_pipeline(
                 write_kafka_batch(
                     serialize_events(good), kafka_brokers, output_topic
                 )
-            if metrics is not None:
-                metrics.record_produced(good.count())
-                metrics.record_transform_errors(dead.count())
             if dead_letter_sink is not None:
                 dead_letter_sink(dead, epoch_id)
             if dead_letter_path:
@@ -146,6 +140,16 @@ def run_pipeline(
                     .write.mode("append")
                     .json(dead_letter_path)
                 )
+            # Counters increment only after EVERY write in the epoch has
+            # succeeded (main sink AND dead-letter): a failure in any sink
+            # retries the whole epoch, so counting earlier — even after the
+            # main write — would double-count on a dead-letter failure.
+            # Mirrors the reference's count-after-produce loop
+            # (pipeline.go increments MessagesProduced only once the Kafka
+            # produce returns).
+            if metrics is not None:
+                metrics.record_produced(good.count())
+                metrics.record_transform_errors(dead.count())
         finally:
             if metrics is not None:
                 good.unpersist()

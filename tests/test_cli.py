@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from storm_data_etl_spark.cli import main
 
 HAIL_CSV = (
@@ -104,6 +106,19 @@ def test_cli_explain_unknown(capsys):
     from storm_data_etl_spark.cli import main
 
     assert main(["explain", "no_such_query"]) == 2
+
+
+def test_parse_http_addr_honors_host():
+    """HTTP_ADDR host part reaches the bind address (Go net.Listen
+    semantics): loopback intent must not widen to all interfaces."""
+    from storm_data_etl_spark.cli import _parse_http_addr
+
+    assert _parse_http_addr(":8080") == ("0.0.0.0", 8080)
+    assert _parse_http_addr("127.0.0.1:8080") == ("127.0.0.1", 8080)
+    assert _parse_http_addr("[::1]:9000") == ("::1", 9000)
+    for bad in ("localhost", "::1", "host:"):
+        with pytest.raises(SystemExit):
+            _parse_http_addr(bad)
 
 
 def test_cli_etl_http_observability(spark, tmp_path, monkeypatch):

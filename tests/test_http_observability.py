@@ -74,6 +74,22 @@ def test_render_prometheus_names_and_math():
     assert "storm_etl_batch_processing_duration_seconds_count 4" in text
 
 
+def test_histogram_buckets_match_reference_exactly():
+    """Bucket BOUNDS, not just metric names, must line up with the Go
+    service (internal/observability/metrics.go:46,52) so dashboards built
+    for its bucket series keep working: sizes {1,5,10,20,30,40,50,75,100},
+    durations {0.01,0.05,0.1,0.5,1,2.5,5,10}s (held here in ms)."""
+    from storm_data_etl_spark.streaming.metrics import (
+        BATCH_DURATION_BUCKETS_MS,
+        BATCH_SIZE_BUCKETS,
+    )
+
+    assert BATCH_SIZE_BUCKETS == (1, 5, 10, 20, 30, 40, 50, 75, 100)
+    assert tuple(ms / 1000 for ms in BATCH_DURATION_BUCKETS_MS) == (
+        0.01, 0.05, 0.1, 0.5, 1, 2.5, 5, 10,
+    )
+
+
 def test_server_endpoints_without_spark():
     ready = {"v": False}
     srv = ObservabilityServer(lambda: ready["v"]).start()

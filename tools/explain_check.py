@@ -802,6 +802,53 @@ def main() -> int:
         "(broadcast centroids, keyed window)",
     )
 
+    def unpartitioned_ordered_windows(df, allow_keys: tuple[str, ...] = ()) -> list[str]:
+        """Logical Window nodes with an ORDER BY but an empty PARTITION BY
+        (WindowExec's 'No Partition Defined' one-task shape). A partitioned
+        ordered window prints `Window [exprs], [partSpec], [orderSpec]`
+        (two `], [` separators); unpartitioned prints one — and only
+        ordered windows (ASC/DESC in the spec) can hit the warning.
+        ``allow_keys``: substrings marking windows that are single-task BY
+        DESIGN over provably bounded rows (e.g. the ~#partitions offset
+        scan of global_rank)."""
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = []
+        for ln in plan.splitlines():
+            s = ln.strip().lstrip("+-:").strip()
+            if not s.startswith("Window ["):
+                continue
+            if s.count("], [") == 1 and ("ASC" in s or "DESC" in s):
+                if not any(k in s for k in allow_keys):
+                    bad.append(s[:120])
+        return bad
+
+    # 76. Two-phase skyline: phase 1's window is partitioned by
+    # spark_partition_id (parallel local skyline over the full table);
+    # NO window in the plan may have an empty partition spec (the
+    # one-task whole-table sort the r5 verdict flagged).
+    dfq = qs["skyline_2d"](spark, sf_dir)
+    bad = unpartitioned_ordered_windows(dfq)
+    check(
+        "skyline_two_phase_no_global_window",
+        "SPARK_PARTITION_ID" in dfq._jdf.queryExecution().optimizedPlan().toString()
+        and not bad,
+        f"(local-skyline prefilter; no unpartitioned window) {bad}",
+    )
+
+    # 77. Unigram sampling table: the vocab rank is the two-phase
+    # global_rank (range repartition + per-partition row_number +
+    # broadcast offsets) — the only unpartitioned ordered window allowed
+    # is the ~#partitions-row offset scan (over _pid), never the vocab.
+    dfq = qs["unigram_sampling_table"](spark, sf_dir)
+    bad = unpartitioned_ordered_windows(dfq, allow_keys=("_pid",))
+    check(
+        "unigram_rank_two_phase",
+        "rangepartitioning" in plan_of(dfq).lower()
+        and not bad,
+        f"(two-phase rank; no global vocab window) {bad}",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
