@@ -69,9 +69,9 @@ PRIORITY = [
     "simhash_lcg_candidates",
     "oph_lcg_lsh_pairs",
     "kmeans_assign_fixed_centroids",
-    # ---- round-6 additions insert HERE (never-gated block stays
-    # contiguous at the front; fillers below shift past the 50 boundary
-    # automatically) ----
+    # ---- round-6 additions (never-gated block stays contiguous at the
+    # front; fillers below shift past the 50 boundary automatically) ----
+    "bloom_cross_exact_regime",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

@@ -2789,6 +2789,74 @@ def bloom_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_cross_exact_regime",
+    """
+    WITH d AS (
+      SELECT source, abs(doc_id) % 61 AS key61 FROM documents
+      WHERE doc_id IS NOT NULL
+    ),
+    ins AS (
+      SELECT DISTINCT key61 FROM d WHERE source IN ('src0', 'src1')
+    ),
+    p AS (SELECT * FROM d WHERE source NOT IN ('src0', 'src1'))
+    SELECT p.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN i.key61 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(CASE WHEN i.key61 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup,
+           CAST(0 AS BIGINT) AS n_false_pos
+    FROM p LEFT JOIN ins i ON i.key61 = p.key61
+    GROUP BY p.source
+    """,
+)
+def bloom_cross_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bloom_cross_dedup's CROSS-CORPUS path in its exactness regime —
+    the round-5 gate's one `no_oracle` entry, now hash-certified: the
+    identical insert-src0/src1 → probe-the-rest → reconcile-vs-exact
+    pipeline (build, broadcast probe, left-join reconciliation, per-source
+    four-way aggregate) runs over keys folded to abs(doc_id) % 61 with the
+    IDENTITY position map (m = 61, k = 1). Injective positions mean a
+    probe flag ≡ exact membership: n_flagged provably equals n_exact_dup
+    and n_false_pos is provably zero, and the DuckDB semi-join twin
+    hash-gates all four columns. Together with bloom_exact_regime (the
+    single-corpus build/probe arithmetic) this certifies every edge of
+    the cross-corpus membership machinery; bloom_cross_dedup itself then
+    differs only in the hash family (xxhash64, not SQL-expressible)."""
+    from storm_data_etl_spark.operators import bloom as B
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "source", F.pmod(F.abs(F.col("doc_id")), F.lit(61)).alias("key61")
+        )
+    )
+    inserted = d.filter(F.col("source").isin("src0", "src1"))
+    probes = d.filter(~F.col("source").isin("src0", "src1"))
+    identity = lambda col, m, k: F.array(F.pmod(col, F.lit(m)))  # noqa: E731
+    positions = B.bloom_build(
+        inserted, "key61", m_bits=61, k_hashes=1, position_fn=identity
+    )
+    flagged = B.bloom_might_contain(
+        probes, "key61", positions, m_bits=61, k_hashes=1,
+        flag_col="maybe_dup", position_fn=identity,
+    )
+    exact = inserted.select(F.col("key61").alias("_k")).distinct()
+    joined = flagged.join(
+        F.broadcast(exact), flagged["key61"] == exact["_k"], "left"
+    ).withColumn("is_dup", F.col("_k").isNotNull())
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("maybe_dup").cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_exact_dup"),
+        F.sum((F.col("maybe_dup") & ~F.col("is_dup")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+
+
+@register(
     "max_dup_gram_bracket",
     """
     WITH h AS (
