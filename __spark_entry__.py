@@ -72,6 +72,8 @@ PRIORITY = [
     # ---- round-6 additions (never-gated block stays contiguous at the
     # front; fillers below shift past the 50 boundary automatically) ----
     "bloom_cross_exact_regime",
+    "semdedup_prune",
+    "misra_gries_heavy_hitters",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

@@ -4810,3 +4810,124 @@ def kmeans_assign_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("inertia_e6"),
     )
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id % 61 = 0 AND embedding IS NOT NULL
+    ),
+    pts AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dists AS (
+      SELECT p.vec_id, c.cid,
+             list_reduce(list_transform(generate_series(1, len(p.ev)),
+                           i -> (p.ev[i] - c.cv[i]) * (p.ev[i] - c.cv[i])),
+                         (x, y) -> x + y) AS d2
+      FROM pts p, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    av AS (SELECT a.vec_id, a.cid, p.ev FROM assigned a JOIN pts p USING (vec_id)),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(floor(1000000 * {_sql_cosine('a.ev', 'b.ev')}) AS BIGINT)
+            >= 250000
+    )
+    SELECT av.cid AS cluster_id,
+           count(*) AS n_members,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned,
+           CAST(sum(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM av LEFT JOIN pruned p USING (vec_id)
+    GROUP BY av.cid
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    bounds the quadratic pair space by clustering FIRST and comparing only
+    WITHIN clusters — the method's entire scale story. Vectors assign to
+    fixed centroids (every 61st vector — the certified kmeans_assign
+    recipe), then a vector is pruned iff a lower-id vector in the SAME
+    cluster has cosine ≥ τ (first-wins, the house dedup tie-break; the
+    paper keeps one representative per ε-similar group). τ = 0.25 is
+    fixture-scaled: the synthetic embeddings are near-orthogonal (max
+    pairwise cos ≈ 0.51, p99 ≈ 0.29), where the paper's 0.95+ applies to
+    real encoder geometry. Per-row e6 floor-quantization of the cosine
+    BEFORE the threshold keeps both engines' comparisons identical
+    (left-to-right IEEE folds, see _sql_cosine).
+
+    Scale shape: centroids broadcast; assignment is one scan + a
+    per-vector argmin window; the pair join shuffles on cluster_id only —
+    O(sum of cluster sizes squared), never corpus-squared, exactly the
+    SemDeDup bound. Output is one row per cluster, so the gate certifies
+    assignment, cluster-local pairing, thresholding, and the prune
+    semantics in one hash."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    cents = emb.filter(F.col("vec_id") % 61 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    pts = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    d2 = F.aggregate(
+        F.zip_with("ev", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        pts.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", "ev", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "ev")
+    )
+    a = assigned.select(
+        F.col("cid").alias("cid_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("ev").alias("ev_a"),
+    )
+    b = assigned.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("ev").alias("ev_b"),
+    )
+    cos_e6 = F.floor(1000000 * V.cosine("ev_a", "ev_b")).cast("bigint")
+    pruned = (
+        a.join(
+            b,
+            (F.col("cid_a") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(cos_e6 >= 250000)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, "vec_id", "left")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("_pruned"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_pruned"),
+            F.sum(
+                F.when(F.col("_pruned").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

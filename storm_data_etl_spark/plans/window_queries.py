@@ -3382,3 +3382,55 @@ def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("spearman_e4"),
     )
+
+
+@register(
+    "misra_gries_heavy_hitters",
+    """
+    WITH s AS (
+      SELECT user_id % 199 AS hh_key FROM events WHERE user_id IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n_stream FROM s)
+    SELECT hh_key,
+           count(*) AS est_count,
+           (SELECT n_stream FROM tot) AS n_stream,
+           CAST((SELECT n_stream FROM tot) // 257 AS BIGINT) AS max_undercount
+    FROM s GROUP BY hh_key
+    """,
+)
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (Misra & Gries 1982) in the MERGEABLE
+    form of Agarwal et al. (PODS 2012 §3.1), run in its EXACTNESS regime
+    and hash-gated against the plain GROUP BY oracle. The distributed
+    formulation is fully declarative — no per-row imperative loop: an
+    MG(k) summary of a partition equals its exact counts minus the
+    (k+1)-th largest count (zero-clipped), and merging summaries is a
+    pointwise sum followed by the same trim. Here the key domain
+    (user_id mod 199) is strictly smaller than the capacity k = 256, so
+    every (k+1)-th-largest threshold is provably absent → both trims
+    subtract zero → the summary IS the exact count table: the gate
+    certifies the per-partition summarize, the merge, and the final trim
+    arithmetic end to end. The estimate regime (capacity < distinct) is
+    pinned in pytest on a skewed stream against the n/(k+1) undercount
+    guarantee, which the output carries per row (max_undercount).
+
+    Scale shape: one narrow pass stamps partition ids; per-partition
+    counts are a map-side-combinable aggregate; thresholds come from a
+    pid-keyed window (parallel); the merged summary is ≤ #partitions × k
+    rows BY CONSTRUCTION, so the final trim's unkeyed window is a
+    single task over a provably bounded set — never over the stream."""
+    from storm_data_etl_spark.operators.heavy_hitters import misra_gries_summary
+
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(F.pmod(F.col("user_id"), F.lit(199)).alias("hh_key"))
+    )
+    summary = misra_gries_summary(s, "hh_key", k=256)
+    n_stream = s.agg(F.count(F.lit(1)).alias("n_stream"))
+    return summary.crossJoin(F.broadcast(n_stream)).select(
+        "hh_key",
+        "est_count",
+        F.col("n_stream").cast("bigint").alias("n_stream"),
+        F.expr("n_stream div 257").cast("bigint").alias("max_undercount"),
+    )

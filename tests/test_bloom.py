@@ -74,3 +74,47 @@ def test_cross_dedup_query_reconciles(spark, sf_dir):
         assert r["n_flagged"] >= r["n_exact_dup"]
         assert r["n_false_pos"] == r["n_flagged"] - r["n_exact_dup"]
         assert 0 <= r["n_flagged"] <= r["n_docs"]
+
+
+def test_misra_gries_estimate_regime_guarantees(spark):
+    """Capacity BELOW the distinct-key count (the regime the oracle gate
+    cannot certify): every estimate must undercount by at most n/(k+1),
+    never overcount, and every key with true frequency > n/(k+1) must
+    survive the trims (Misra & Gries 1982; mergeable form Agarwal et al.
+    PODS 2012 §3.1)."""
+    from storm_data_etl_spark.operators.heavy_hitters import misra_gries_summary
+
+    # Skewed stream: key 0 → 600 rows, key 1 → 300, keys 2..41 → 10 each.
+    rows = [(0,)] * 600 + [(1,)] * 300 + [(k, ) for k in range(2, 42) for _ in range(10)]
+    df = spark.createDataFrame(rows, "hh_key bigint").repartition(8)
+    n = len(rows)
+    k = 4
+    got = {
+        r.hh_key: r.est_count
+        for r in misra_gries_summary(df, "hh_key", k=k).collect()
+    }
+    true = {0: 600, 1: 300}
+    assert len(got) <= k
+    bound = n // (k + 1)
+    for key, est in got.items():
+        t = true.get(key, 10)
+        assert est <= t, f"MG overcounted {key}: {est} > {t}"
+        assert t - est <= bound, f"MG undercount bound broken for {key}"
+    # Guaranteed survivors: true frequency > n/(k+1).
+    for key, t in true.items():
+        if t > bound:
+            assert key in got, f"heavy key {key} evicted"
+
+
+def test_misra_gries_exact_regime_is_exact(spark):
+    from storm_data_etl_spark.operators.heavy_hitters import misra_gries_summary
+
+    rows = [(i % 7,) for i in range(200)]
+    df = spark.createDataFrame(rows, "hh_key bigint").repartition(5)
+    got = {
+        r.hh_key: r.est_count
+        for r in misra_gries_summary(df, "hh_key", k=16).collect()
+    }
+    from collections import Counter
+
+    assert got == dict(Counter(r[0] for r in rows))
