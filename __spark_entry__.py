@@ -74,6 +74,13 @@ PRIORITY = [
     "bloom_cross_exact_regime",
     "semdedup_prune",
     "misra_gries_heavy_hitters",
+    "kneser_ney_bigram_score",
+    "embedding_dim_profile",
+    "embedding_anisotropy",
+    "deletion_vector_read_stats",
+    "time_travel_read",
+    "kruskal_wallis_h",
+    "pass_at_k_estimates",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

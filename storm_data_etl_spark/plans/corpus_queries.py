@@ -2017,3 +2017,102 @@ def prefix_sharing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cacheable_tokens"),
     )
+
+
+# =====================================================================
+# interpolated Kneser-Ney bigram model (exact rational arithmetic)
+# =====================================================================
+
+@register(
+    "kneser_ney_bigram_score",
+    r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    bg AS (
+      SELECT w[r.i] AS w1, w[r.i + 1] AS w2
+      FROM toks, unnest(range(1, len(w))) AS r(i)
+    ),
+    bigc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    left_c AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n_cont_w1
+      FROM bigc GROUP BY w1
+    ),
+    right_c AS (SELECT w2, count(*) AS n_ctx_w2 FROM bigc GROUP BY w2),
+    tt AS (SELECT count(*) AS bt FROM bigc)
+    SELECT w1, w2, c12, c1, n_cont_w1, n_ctx_w2,
+           CAST((CAST(1000000000 AS HUGEINT)
+                 * (greatest(4 * CAST(c12 AS HUGEINT) - 3, 0) * bt
+                    + 3 * CAST(n_cont_w1 AS HUGEINT) * n_ctx_w2))
+                // (4 * CAST(c1 AS HUGEINT) * bt) AS BIGINT) AS p_kn_e9
+    FROM bigc JOIN left_c USING (w1) JOIN right_c USING (w2) CROSS JOIN tt
+    ORDER BY c12 DESC, w1, w2 LIMIT 100
+    """,
+)
+def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25) for the corpus's top-100 bigrams — the
+    smoothing family actual production LMs (KenLM) use, completing the
+    in-engine LM tier above add-one (bigram_lm_score) and stupid backoff.
+    With discount D = 3/4 the whole estimate is RATIONAL:
+
+        P_KN(w2|w1) = max(c12 - D, 0)/c1 + (D·N1+(w1,·)/c1)·N1+(·,w2)/BT
+
+    multiplied through by 4·c1·BT gives exact integers — p_kn_e9 is a
+    single wide-integer division (Spark DECIMAL(38,0) `div`, DuckDB
+    HUGEINT `//`), zero float ops, so the hash certifies the continuation
+    -count plumbing (the part of KN everyone gets wrong) bit-for-bit.
+    Overflow bound: 1e9·4·c12·BT < 1e38 holds through c12 ~ 1e12 bigram
+    occurrences with BT ~ 1e10 types — comfortably past 100 TB.
+
+    Scale shape: one n-gram explode (zip_with slices, no self-join); the
+    continuation tables N1+(w1,·) and N1+(·,w2) are COUNT(*) re-aggregates
+    of the bigram-type table, not the stream; the final join is
+    type-table-sized, keyed on w1/w2 with a broadcast 1-row type total.
+    Top-100 via TakeOrdered (deterministic c12/w1/w2 tie-break), never a
+    global sort."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(X.tokens("text").alias("w"))
+    )
+    nb = F.greatest(F.size("w") - 1, F.lit(0))
+    bgs = F.zip_with(
+        F.slice("w", 1, nb),
+        F.slice("w", 2, nb),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = toks.select(F.explode(bgs).alias("p")).select("p.w1", "p.w2")
+    bigc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left_c = bigc.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).alias("n_cont_w1"),
+    )
+    right_c = bigc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_ctx_w2"))
+    tt = bigc.agg(F.count(F.lit(1)).alias("bt"))
+    joined = (
+        bigc.join(left_c, "w1")
+        .join(right_c, "w2")
+        .crossJoin(F.broadcast(tt))
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "n_cont_w1",
+            "n_ctx_w2",
+            F.expr(
+                "(CAST(1000000000 AS DECIMAL(38,0))"
+                " * (greatest(4 * CAST(c12 AS DECIMAL(38,0)) - 3, 0) * bt"
+                "    + 3 * CAST(n_cont_w1 AS DECIMAL(38,0)) * n_ctx_w2))"
+                " div (4 * CAST(c1 AS DECIMAL(38,0)) * bt)"
+            )
+            .cast("bigint")
+            .alias("p_kn_e9"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(100)
+    )

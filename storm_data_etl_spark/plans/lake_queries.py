@@ -2497,3 +2497,172 @@ def bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.unionByName(unreached)
+
+
+@register(
+    "deletion_vector_read_stats",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderkey // 1000 AS file_id FROM orders
+    ),
+    dv AS (
+      SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0
+    )
+    SELECT b.file_id,
+           count(*) AS n_base,
+           CAST(sum(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deleted,
+           CAST(sum(CASE WHEN d.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_live,
+           CAST((10000 * sum(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS deleted_frac_e4,
+           CASE WHEN 10 * sum(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                     > count(*) THEN 1 ELSE 0 END AS rewrite_advised
+    FROM base b LEFT JOIN dv d USING (o_orderkey)
+    GROUP BY b.file_id
+    """,
+)
+def deletion_vector_read_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read with deletion vectors (Delta Lake DV / Iceberg v2
+    position deletes, public specs): reads reconcile a base file scan
+    against a per-file deleted-position set WITHOUT rewriting data files.
+    Simulated file layout: 1000 keys per file; the deletion vector marks
+    every 97th key. Emits the table-maintenance decision row per file —
+    live/deleted counts, deleted fraction, and the rewrite trigger every
+    lakehouse compactor applies (rewrite once >10% of a file is dead,
+    the documented Delta default family).
+
+    Scale shape: deletion vectors are tiny relative to data (positions
+    only) — the reconcile is a broadcast-able left join keyed on the
+    file-local key, and the stats aggregate shuffles one row per FILE,
+    not per row. The read path this models (scan minus DV anti-join) is
+    exactly how the engine would serve MoR reads at 100 TB."""
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") / 1000).cast("bigint").alias("file_id")
+    )
+    dv = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("_dk")
+    ).withColumn("_deleted", F.lit(1))
+    joined = base.join(
+        F.broadcast(dv), base["o_orderkey"] == dv["_dk"], "left"
+    )
+    return joined.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum(F.coalesce(F.col("_deleted"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.sum(F.when(F.col("_deleted").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_live"),
+        F.expr(
+            "(10000 * sum(CASE WHEN _deleted IS NOT NULL THEN 1 ELSE 0 END))"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("deleted_frac_e4"),
+        F.when(
+            10 * F.sum(F.coalesce(F.col("_deleted"), F.lit(0)))
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rewrite_advised"),
+    )
+
+
+@register(
+    "time_travel_read",
+    """
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+             1 AS _version, 'I' AS _op
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                  AS DECIMAL(18,2)),
+             2 AS _version, 'U' AS _op
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    del AS (
+      SELECT o_orderkey, 'X', CAST(0.0 AS DECIMAL(18,2)), 3 AS _version,
+             'D' AS _op
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    log AS (
+      SELECT * FROM snap UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+    ),
+    versions AS (SELECT unnest([1, 2, 3]) AS as_of),
+    pinned AS (
+      SELECT v.as_of, l.*, row_number() OVER (
+        PARTITION BY v.as_of, l.o_orderkey
+        ORDER BY l._version DESC, l._op DESC) AS rn
+      FROM log l JOIN versions v ON l._version <= v.as_of
+    )
+    SELECT as_of,
+           count(*) AS n_live,
+           CAST(sum(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           CAST(sum(o_totalprice) AS DOUBLE) AS total_price
+    FROM pinned WHERE rn = 1 AND _op <> 'D'
+    GROUP BY as_of
+    """,
+)
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a CDC log (Delta `VERSION AS OF` / Iceberg
+    snapshot reads, public specs): reconstruct the LIVE table state at
+    every version — latest op per key among ops with _version ≤ as_of,
+    dropping keys whose latest op is a delete — and emit the per-version
+    audit row (live count, updated count, price total). The same synthetic
+    insert/update/delete log as cdc_upsert_merge (which reads only the
+    final state); the as-of sweep is what certifies the version-pinned
+    semantics: v1 has no updates, v2 gains them, v3 loses the deleted
+    keys.
+
+    Scale shape: the log shuffles ONCE keyed by (as_of, key) for the
+    latest-op window (parallel, no global sort); versions is a 3-row
+    broadcast. A real reader resolves one as_of — this plan is that read
+    repeated per version with the work shared in one pass."""
+    o = t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    snap = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        price.alias("price"),
+        F.lit(1).alias("_version"),
+        F.lit("I").alias("_op"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        F.round(price * 1.1, 2).cast("decimal(18,2)").alias("price"),
+        F.lit(2).alias("_version"),
+        F.lit("U").alias("_op"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("status"),
+        F.lit(0.0).cast("decimal(18,2)").alias("price"),
+        F.lit(3).alias("_version"),
+        F.lit("D").alias("_op"),
+    )
+    log = snap.unionByName(upd).unionByName(dele)
+    versions = spark.range(1, 4).select(F.col("id").cast("int").alias("as_of"))
+    w = Window.partitionBy("as_of", "o_orderkey").orderBy(
+        F.desc("_version"), F.desc("_op")
+    )
+    asof = (
+        log.join(F.broadcast(versions), log["_version"] <= versions["as_of"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("_op") != "D"))
+    )
+    return asof.groupBy("as_of").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum((F.col("status") == "U").cast("int"))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum("price").cast("double").alias("total_price"),
+    )

@@ -4931,3 +4931,160 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+@register(
+    "embedding_dim_profile",
+    """
+    WITH pts AS (
+      SELECT embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    cells AS (
+      SELECT g.i - 1 AS dim,
+             CAST(floor(1000000 * ev[g.i]) AS BIGINT) AS q1,
+             CAST(floor(1000000000000 * ev[g.i] * ev[g.i]) AS BIGINT) AS q2
+      FROM pts, unnest(generate_series(1, len(ev))) AS g(i)
+    )
+    SELECT dim,
+           count(*) AS n_vecs,
+           CAST(sum(q1) AS BIGINT) AS s1_e6,
+           CAST(sum(q2) // count(*) AS BIGINT) AS ex2_e12,
+           CAST(sum(q2) // count(*)
+                - (sum(q1) // count(*)) * (sum(q1) // count(*))
+                AS BIGINT) AS var_e12
+    FROM cells GROUP BY dim
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension first/second moments of the embedding matrix — the
+    one-pass profile behind whitening, dead-dimension detection, and
+    quantizer calibration. Every cell is floor-quantized PER ROW (e6 for
+    x, e12 for x²) before the integer sums, so the distributed aggregate
+    is order-free and the hash certifies it exactly (the kmeans_assign
+    discipline: quantization defines the metric, the gate proves the
+    distributed arithmetic). var_e12 is the standard E[x²]−E[x]² on the
+    quantized integers. Sum widths: Spark sums int64 into DECIMAL(38,0)
+    internally; at 1e12 rows q2-sums reach ~1.6e22 — past int64, inside
+    decimal38/HUGEINT on both engines.
+
+    Scale shape: one posexplode (narrow, no shuffle) + one aggregate
+    keyed by dimension — d keys, fully map-side-combinable; output is d
+    rows regardless of corpus size."""
+    pts = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("ev"))
+    )
+    cells = pts.select(
+        F.posexplode("ev").alias("dim", "x")
+    ).select(
+        "dim",
+        F.floor(1000000 * F.col("x")).cast("bigint").alias("q1"),
+        F.floor(1000000000000 * F.col("x") * F.col("x"))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    return cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("q1").cast("bigint").alias("s1_e6"),
+        F.expr("sum(q2) div count(*)").cast("bigint").alias("ex2_e12"),
+        F.expr(
+            "sum(q2) div count(*)"
+            " - (sum(q1) div count(*)) * (sum(q1) div count(*))"
+        )
+        .cast("bigint")
+        .alias("var_e12"),
+    )
+
+
+@register(
+    "embedding_anisotropy",
+    """
+    WITH pts AS (
+      SELECT embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    dims AS (
+      SELECT g.i AS dim,
+             CAST(sum(CAST(floor(1000000 * ev[g.i]) AS BIGINT)) AS HUGEINT)
+               AS s1
+      FROM pts, unnest(generate_series(1, len(ev))) AS g(i)
+      GROUP BY g.i
+    ),
+    rows_q AS (
+      SELECT CAST(floor(1000000000000 *
+               list_reduce(list_transform(ev, x -> x * x), (x, y) -> x + y))
+             AS BIGINT) AS dotq
+      FROM pts
+    ),
+    mu AS (SELECT count(*) AS n_dims, sum(s1 * s1) AS mu_num FROM dims),
+    xx AS (SELECT count(*) AS n_vecs, CAST(sum(dotq) AS HUGEINT) AS sx FROM rows_q)
+    SELECT n_vecs,
+           n_dims,
+           CAST(sx // n_vecs AS BIGINT) AS mean_sq_norm_e12,
+           CAST(mu_num // (CAST(n_vecs AS HUGEINT) * n_vecs) AS BIGINT)
+             AS mu_norm_sq_e12,
+           CAST((CAST(1000000 AS HUGEINT) * mu_num)
+                // (CAST(n_vecs AS HUGEINT) * sx) AS BIGINT) AS anisotropy_e6
+    FROM mu, xx
+    """,
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space (Ethayarajh 2019; Mu & Viswanath
+    2018's common-mean diagnostic): the squared norm of the mean vector
+    over the mean squared norm — ≈0 for a centered isotropic cloud, →1
+    when all vectors share a dominant direction (the degenerate geometry
+    that breaks cosine retrieval and motivates mean-subtraction).
+    Computed entirely in quantized integers: per-dim e6 row floors sum to
+    the mean numerator; per-row e12 self-dot floors (identical IEEE fold
+    both engines) sum to the energy. anisotropy_e6 = (1e6·Σs1²) div
+    (n·Σdotq) — exact wide-integer arithmetic (Σs1² can reach ~1e36 at
+    1e12 rows: inside decimal38/HUGEINT, past int64; documented bound).
+
+    Scale shape: two one-pass aggregates (d-key dim sums, 1-row energy
+    sum) + a 1×1 broadcast combine. Nothing shuffles more than d rows."""
+    pts = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.col("embedding").cast("array<double>").alias("ev"))
+    )
+    dims = (
+        pts.select(F.posexplode("ev").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.floor(1000000 * F.col("x")).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("s1")
+        )
+    )
+    self_dot = F.aggregate(
+        F.transform("ev", lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows_q = pts.select(
+        F.floor(1000000000000 * self_dot).cast("bigint").alias("dotq")
+    )
+    mu = dims.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(F.col("s1") * F.col("s1")).alias("mu_num"),
+    )
+    xx = rows_q.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dotq").cast("decimal(38,0)").alias("sx"),
+    )
+    return mu.crossJoin(xx).select(
+        "n_vecs",
+        "n_dims",
+        F.expr("sx div n_vecs").cast("bigint").alias("mean_sq_norm_e12"),
+        F.expr("mu_num div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs)")
+        .cast("bigint")
+        .alias("mu_norm_sq_e12"),
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * mu_num)"
+            " div (CAST(n_vecs AS DECIMAL(38,0)) * sx)"
+        )
+        .cast("bigint")
+        .alias("anisotropy_e6"),
+    )

@@ -988,3 +988,114 @@ def recency_weighting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_weight_e4"),
     )
+
+
+@register(
+    "pass_at_k_estimates",
+    """
+    WITH samples AS (
+      SELECT user_id AS problem_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ),
+    per_problem AS (
+      SELECT problem_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ok) AS BIGINT) AS c
+      FROM samples WHERE rn <= 200 GROUP BY problem_id
+    ),
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    est AS (
+      SELECT k, problem_id, n, c,
+             CASE
+               WHEN c = 0 THEN CAST(0 AS BIGINT)
+               WHEN n - c < k THEN CAST(1000000000 AS BIGINT)
+               ELSE 1000000000 - CAST(
+                 (CAST(1000000000 AS HUGEINT)
+                  * list_reduce(list_transform(generate_series(n - c - k + 1, n - c),
+                                               i -> CAST(i AS HUGEINT)),
+                                (x, y) -> x * y))
+                 // list_reduce(list_transform(generate_series(n - k + 1, n),
+                                               i -> CAST(i AS HUGEINT)),
+                               (x, y) -> x * y) AS BIGINT)
+             END AS pass_e9
+      FROM per_problem JOIN ks ON k <= n
+    )
+    SELECT k,
+           count(*) AS n_problems,
+           CAST(sum(c) AS BIGINT) AS total_correct,
+           CAST(sum(pass_e9) // count(*) AS BIGINT) AS mean_pass_at_k_e9
+    FROM est GROUP BY k
+    """,
+)
+def pass_at_k_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, arXiv:2107.03374 eq. 1) — THE
+    aggregation every code/eval harness owes its users: per problem with
+    n samples and c successes, pass@k = 1 − C(n−c,k)/C(n,k), estimated
+    without the naive 1−(1−c/n)^k bias. The binomial ratio reduces to a
+    falling-factorial quotient ffact(n−c,k)/ffact(n,k), computed in EXACT
+    wide integers (HUGEINT / DECIMAL(38,0) left-to-right products — both
+    engines fold ascending i over the same k terms), floored at e9; mean
+    over problems is an integer div. Sample caps keep the products in
+    range: n ≤ 200 per problem (deterministic first-200 by event_id), so
+    ffact ≤ 200^10 ≈ 1e23 and 1e9·ffact ≈ 1e32 < 38 digits — and n ≫ 200
+    samples per problem adds no estimator precision worth the width
+    (documented cap, the harness convention).
+
+    Problems are user_ids; a 'purchase' event is a passing sample —
+    the same synthetic labeling the funnel queries use.
+
+    Scale shape: one keyed window caps samples (parallel by problem);
+    per-problem counts are one aggregate; k fan-out is a 3-row broadcast
+    join; output is 3 rows. No global sorts, no floats anywhere."""
+    samples = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("problem_id"),
+            (F.col("event_type") == "purchase").cast("int").alias("ok"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("event_id"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 200)
+    )
+    per_problem = samples.groupBy("problem_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("c"),
+    )
+    ks = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(1), F.lit(5), F.lit(10)), (F.col("id") + 1).cast("int"))
+        .cast("bigint")
+        .alias("k")
+    )
+    ffact = (
+        "aggregate(sequence({lo}, {hi}), CAST(1 AS DECIMAL(38,0)),"
+        " (acc, x) -> CAST(acc * x AS DECIMAL(38,0)))"
+    )
+    num = ffact.format(lo="n - c - k + 1", hi="n - c")
+    den = ffact.format(lo="n - k + 1", hi="n")
+    est = per_problem.join(
+        F.broadcast(ks), F.col("k") <= F.col("n")
+    ).select(
+        "k",
+        "n",
+        "c",
+        F.when(F.col("c") == 0, F.lit(0).cast("bigint"))
+        .when(F.col("n") - F.col("c") < F.col("k"), F.lit(1000000000).cast("bigint"))
+        .otherwise(
+            F.lit(1000000000).cast("bigint")
+            - F.expr(
+                f"CAST((CAST(1000000000 AS DECIMAL(38,0)) * {num}) div {den}"
+                " AS BIGINT)"
+            )
+        )
+        .alias("pass_e9"),
+    )
+    return est.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_problems"),
+        F.sum("c").cast("bigint").alias("total_correct"),
+        F.expr("sum(pass_e9) div count(*)")
+        .cast("bigint")
+        .alias("mean_pass_at_k_e9"),
+    )

@@ -3434,3 +3434,129 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stream").cast("bigint").alias("n_stream"),
         F.expr("n_stream div 257").cast("bigint").alias("max_undercount"),
     )
+
+
+@register(
+    "kruskal_wallis_h",
+    """
+    WITH q AS (
+      SELECT CAST(floor("value" * 100) AS BIGINT) AS v, event_type
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    per_vg AS (
+      SELECT v, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM q GROUP BY v, event_type
+    ),
+    per_v AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM q GROUP BY v),
+    cum AS (
+      SELECT v, t, CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS below
+      FROM per_v
+    ),
+    groups AS (
+      SELECT g.event_type,
+             CAST(sum(g.c) AS BIGINT) AS n_j,
+             CAST(sum(g.c * (2 * cum.below + cum.t + 1)) AS BIGINT) AS s2_j
+      FROM per_vg g JOIN cum USING (v)
+      GROUP BY g.event_type
+    ),
+    qsum AS (
+      SELECT CAST(sum((CAST(3000000 AS HUGEINT) * s2_j * s2_j) // n_j)
+                  AS HUGEINT) AS qs,
+             CAST(sum(n_j) AS BIGINT) AS n_total,
+             count(*) AS k_groups
+      FROM groups
+    ),
+    ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM cum)
+    SELECT n_total, k_groups,
+           CAST(qs // (CAST(n_total AS HUGEINT) * (n_total + 1))
+                - 3000000 * (n_total + 1) AS BIGINT) AS h_e6,
+           tie_term
+    FROM qsum, ties
+    """,
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (1952) across ALL event-type groups — the k-group
+    extension of mann_whitney_u, completing the nonparametric battery
+    (two-group ranks / two-group shape / k-group ranks). Same exact
+    integer construction: values quantize to hundredths, doubled midranks
+    come from the tie-group prefix (2·below + t + 1), and per group
+    S2_j = 2·R_j, so
+
+        H = 3·Σ S2_j²/n_j / (N(N+1)) − 3(N+1)
+
+    (S2_j = 2·R_j folds the classic 12/(N(N+1))·ΣR²/n constant's /4 into
+    the 3× factor)
+
+    h_e6 is computed as nested exact floors — (3e6·S2_j²) // n_j per
+    group (DuckDB HUGEINT; Spark's decimal (x − x%y)/y exact floor-div,
+    since `div` would overflow long), then // 4N(N+1) — identical on
+    both engines, zero float ops. The tie term Σ(t³−t) is emitted for
+    the caller's correction factor, as in mann_whitney_u. Width bound:
+    3e6·S2² < 1e38 holds to N ≈ 5e7 observations — past that a rank
+    test's p-value has long since saturated and the right move is
+    subsampling, not wider integers (documented, not silent).
+
+    Scale shape: the ordered window runs over the quantized value DOMAIN
+    (bounded support, the ks/mann-whitney argument), never the stream;
+    everything else is map-side-combinable aggregates and a k-row
+    combine."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"), "event_type"
+    )
+    per_vg = q.groupBy("v", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_v = q.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.select(
+        "v", "t", (F.sum("t").over(w) - F.col("t")).alias("below")
+    )
+    rank2 = 2 * F.col("below") + F.col("t") + 1
+    groups = (
+        per_vg.join(cum, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_j"),
+            F.sum(F.col("c") * rank2).cast("bigint").alias("s2_j"),
+        )
+    )
+    qsum = groups.select(
+        F.expr(
+            "CAST(3000000 AS DECIMAL(38,0)) * s2_j * s2_j"
+        ).alias("num"),
+        "n_j",
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST((num - num % CAST(n_j AS DECIMAL(38,0)))"
+                " / CAST(n_j AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            )
+        ).alias("qs"),
+        F.sum("n_j").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("k_groups"),
+    )
+    ties = cum.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term")
+    )
+    return (
+        qsum.crossJoin(F.broadcast(ties))
+        .withColumn(
+            "den",
+            F.expr(
+                "CAST(n_total AS DECIMAL(38,0))"
+                " * (CAST(n_total AS DECIMAL(38,0)) + 1)"
+            ),
+        )
+        .select(
+            "n_total",
+            "k_groups",
+            F.expr(
+                "CAST((qs - qs % den) / den AS DECIMAL(38,0))"
+                " - 3000000 * (CAST(n_total AS DECIMAL(38,0)) + 1)"
+            )
+            .cast("bigint")
+            .alias("h_e6"),
+            "tie_term",
+        )
+    )
