@@ -208,6 +208,17 @@ HEADLINE = [
     "simhash_lcg_candidates",
     "oph_lcg_lsh_pairs",
     "kmeans_assign_fixed_centroids",
+    # round-6 additions
+    "bloom_cross_exact_regime",
+    "semdedup_prune",
+    "misra_gries_heavy_hitters",
+    "kneser_ney_bigram_score",
+    "embedding_dim_profile",
+    "embedding_anisotropy",
+    "deletion_vector_read_stats",
+    "time_travel_read",
+    "kruskal_wallis_h",
+    "pass_at_k_estimates",
 ]
 
 

@@ -4888,7 +4888,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
+    # Pinned: the assignment feeds three consumers (both pair sides and
+    # the reconcile scan) — without the pin each re-runs the broadcast
+    # distance pass. Callers release via session.release_pinned().
+    assigned = _pin(
         pts.crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", "ev", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))

@@ -849,6 +849,44 @@ def main() -> int:
     )
     _rel()
 
+    # 78. SemDeDup: centroids broadcast (BNLJ from the crossJoin hint),
+    # the pair join keyed on cluster_id (equi SMJ/SHJ, never a cartesian),
+    # and the three-consumer assignment pinned.
+    dfq = qs["semdedup_prune"](spark, sf_dir)
+    p = plan_of(dfq)
+    check(
+        "semdedup_cluster_local_pairs",
+        "CartesianProduct" not in p
+        and ("SortMergeJoin" in p or "ShuffledHashJoin" in p)
+        and "InMemoryTableScan" in p,
+        "(broadcast centroids, cid-keyed pair join, pinned assignment)",
+    )
+    _rel()
+
+    # 79. Kneser-Ney: continuation tables join the bigram-TYPE table —
+    # no cartesian, no Python, n-gram extraction via explode not self-join.
+    dfq = qs["kneser_ney_bigram_score"](spark, sf_dir)
+    p = plan_of(dfq)
+    check(
+        "kneser_ney_type_table_joins",
+        "CartesianProduct" not in p
+        and "BatchEvalPython" not in p
+        and "BroadcastHashJoin" in p,
+        "(type-table joins, no cartesian)",
+    )
+
+    # 80. Misra-Gries: the only unkeyed ordered window runs over the
+    # merged summary (≤ partitions × k rows), never the stream — the
+    # stream side must show a keyed (_pid) window and map-side partial
+    # aggregation.
+    dfq = qs["misra_gries_heavy_hitters"](spark, sf_dir)
+    bad = unpartitioned_ordered_windows(dfq)
+    check(
+        "misra_gries_bounded_windows",
+        not bad and plan_of(dfq).count("HashAggregate") >= 4,
+        f"(keyed per-partition summaries; bounded trim) {bad}",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
