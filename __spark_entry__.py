@@ -81,6 +81,10 @@ PRIORITY = [
     "time_travel_read",
     "kruskal_wallis_h",
     "pass_at_k_estimates",
+    "conformal_threshold",
+    "ips_policy_value",
+    "anova_oneway_f",
+    "poisson_bootstrap_means",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

@@ -219,6 +219,10 @@ HEADLINE = [
     "time_travel_read",
     "kruskal_wallis_h",
     "pass_at_k_estimates",
+    "conformal_threshold",
+    "ips_policy_value",
+    "anova_oneway_f",
+    "poisson_bootstrap_means",
 ]
 
 

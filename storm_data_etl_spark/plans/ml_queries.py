@@ -5091,3 +5091,183 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("anisotropy_e6"),
     )
+
+
+@register(
+    "conformal_threshold",
+    f"""
+    WITH q AS (
+      SELECT event_type, event_id,
+             CAST(floor("value" * 100) AS BIGINT) AS score,
+             CASE WHEN {SP.lcg_bucket_sql('event_id')} < 50 THEN 1 ELSE 0 END
+               AS is_cal
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    cal AS (
+      SELECT event_type, score,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY score, event_id) AS rnk,
+             count(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM q WHERE is_cal = 1
+    ),
+    thr AS (
+      SELECT event_type, n_cal,
+             least((9 * n_cal + 18) // 10, n_cal) AS k,
+             score AS threshold
+      FROM cal WHERE rnk = least((9 * n_cal + 18) // 10, n_cal)
+    ),
+    ev AS (SELECT event_type, score FROM q WHERE is_cal = 0)
+    SELECT t.event_type,
+           CAST(t.n_cal AS BIGINT) AS n_cal,
+           CAST(t.k AS BIGINT) AS k,
+           t.threshold,
+           count(*) AS n_eval,
+           CAST((10000 * sum(CASE WHEN ev.score <= t.threshold THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS coverage_e4
+    FROM thr t JOIN ev USING (event_type)
+    GROUP BY t.event_type, t.n_cal, t.k, t.threshold
+    """,
+)
+def conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction calibration (Vovk et al.; Angelopoulos &
+    Bates 2021 §2): per group, the ⌈(n+1)(1−α)⌉-th smallest calibration
+    nonconformity score becomes the prediction threshold, guaranteeing
+    ≥ 1−α marginal coverage on exchangeable eval points. α = 0.1; the
+    calibration/eval split is the deterministic LCG 50/50; scores
+    quantize to integer hundredths so the order statistic is exact on
+    both engines (ties broken by event_id). The output re-measures
+    EMPIRICAL eval coverage per group against the chosen threshold — the
+    gate certifies the order-statistic pick AND the coverage accounting
+    (expected ≈ 9000 e4, the conformal guarantee made visible).
+
+    Scale shape: the rank window is PARTITIONED by group (parallel); the
+    threshold table is one row per group and broadcasts into the eval
+    scan; no global sorts. At 100 TB the exact per-group order statistic
+    is the only sort-bound step and shards by group."""
+    q = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("score"),
+            (SP.lcg_bucket("event_id") < 50).alias("is_cal"),
+        )
+    )
+    wq = Window.partitionBy("event_type")
+    cal = (
+        q.filter("is_cal")
+        .withColumn(
+            "rnk",
+            F.row_number().over(wq.orderBy("score", "event_id")),
+        )
+        .withColumn("n_cal", F.count(F.lit(1)).over(wq))
+    )
+    k = F.least(F.expr("(9 * n_cal + 18) div 10"), F.col("n_cal"))
+    thr = cal.filter(F.col("rnk") == k).select(
+        "event_type",
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        k.cast("bigint").alias("k"),
+        F.col("score").alias("threshold"),
+    )
+    ev = q.filter(~F.col("is_cal")).select("event_type", "score")
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n_cal", "k", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.expr(
+                "(10000 * sum(CASE WHEN score <= threshold THEN 1 ELSE 0 END))"
+                " div count(*)"
+            )
+            .cast("bigint")
+            .alias("coverage_e4"),
+        )
+    )
+
+
+@register(
+    "ips_policy_value",
+    """
+    WITH q AS (
+      SELECT user_id % 16 AS ctx, event_type AS action,
+             CAST(floor("value" * 100) AS BIGINT) AS r
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    counts AS (
+      SELECT ctx, action, CAST(count(*) AS BIGINT) AS c_ax
+      FROM q GROUP BY ctx, action
+    ),
+    ctx_tot AS (SELECT ctx, CAST(sum(c_ax) AS BIGINT) AS c_x FROM counts GROUP BY ctx),
+    scored AS (
+      SELECT q.ctx, q.r, c.c_ax, x.c_x,
+             CASE WHEN q.action = (CASE WHEN q.ctx < 8 THEN 'purchase'
+                                        ELSE 'click' END)
+                  THEN 1 ELSE 0 END AS matched
+      FROM q JOIN counts c ON c.ctx = q.ctx AND c.action = q.action
+             JOIN ctx_tot x ON x.ctx = q.ctx
+    )
+    SELECT count(*) AS n_logged,
+           CAST(sum(matched) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN matched = 1
+                         THEN (1000000 * r * c_x) // c_ax ELSE 0 END)
+                // count(*) AS BIGINT) AS ips_value_e6,
+           CAST(sum(CASE WHEN matched = 1 THEN (1000000 * c_x) // c_ax
+                         ELSE 0 END) // count(*) AS BIGINT) AS mean_weight_e6
+    FROM scored
+    """,
+)
+def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation with inverse propensity scoring (Horvitz &
+    Thompson 1952; Dudík et al. 2011) — the RLHF-adjacent counterfactual
+    estimate: value of a TARGET policy (purchase for contexts 0-7, click
+    for 8-15) from logged behavior data, weighting each matching row by
+    1/p̂(a|x) with propensities ESTIMATED from the log itself (empirical
+    c_ax/c_x — the standard plug-in). Per-row weights are exact integer
+    floors ((1e6·r·c_x) div c_ax) before the mean, so the distributed
+    sum is order-free; mean_weight_e6 ≈ 1e6 diagnoses propensity health
+    (self-normalization denominator).
+
+    Scale shape: the propensity table is (contexts × actions) rows —
+    broadcast; the scan joins it twice by key and aggregates to ONE row.
+    No windows, no sorts; overflow bound 1e6·r·c_x < 1e18 holds to
+    ~1e9 rows per context (document past that: shard contexts)."""
+    q = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.pmod(F.col("user_id"), F.lit(16)).alias("ctx"),
+            F.col("event_type").alias("action"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("r"),
+        )
+    )
+    counts = q.groupBy("ctx", "action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ax")
+    )
+    ctx_tot = counts.groupBy("ctx").agg(
+        F.sum("c_ax").cast("bigint").alias("c_x")
+    )
+    target = F.when(F.col("ctx") < 8, F.lit("purchase")).otherwise(
+        F.lit("click")
+    )
+    scored = (
+        q.join(F.broadcast(counts), ["ctx", "action"])
+        .join(F.broadcast(ctx_tot), "ctx")
+        .withColumn("matched", (F.col("action") == target).cast("int"))
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_logged"),
+        F.sum("matched").cast("bigint").alias("n_matched"),
+        F.expr(
+            "sum(CASE WHEN matched = 1"
+            " THEN (1000000 * r * c_x) div c_ax ELSE 0 END) div count(*)"
+        )
+        .cast("bigint")
+        .alias("ips_value_e6"),
+        F.expr(
+            "sum(CASE WHEN matched = 1 THEN (1000000 * c_x) div c_ax"
+            " ELSE 0 END) div count(*)"
+        )
+        .cast("bigint")
+        .alias("mean_weight_e6"),
+    )

@@ -3560,3 +3560,231 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tie_term",
         )
     )
+
+
+@register(
+    "anova_oneway_f",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(floor("value" * 100) AS BIGINT) AS x
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_j,
+             CAST(sum(x) AS BIGINT) AS s_j,
+             CAST(sum(x * x) AS HUGEINT) AS x2_j
+      FROM q GROUP BY event_type
+    ),
+    nt AS (
+      SELECT CAST(sum(n_j) AS BIGINT) AS n,
+             CAST(sum(s_j) AS HUGEINT) AS s,
+             CAST(sum(x2_j) AS HUGEINT) AS x2,
+             count(*) AS k
+      FROM g
+    ),
+    av AS (
+      SELECT CAST(sum((CAST(nt.n AS HUGEINT) * g.s_j * g.s_j) // g.n_j)
+                  AS HUGEINT) AS a
+      FROM g, nt
+    )
+    SELECT n, k,
+           CAST((CAST(1000000 AS HUGEINT) * (a - s * s) * (n - k))
+                // ((CAST(n AS HUGEINT) * x2 - a) * (k - 1)) AS BIGINT)
+             AS f_e6,
+           CAST((a - s * s) // n AS BIGINT) AS ss_between,
+           CAST((CAST(n AS HUGEINT) * x2 - a) // n AS BIGINT) AS ss_within
+    FROM nt, av
+    """,
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across all event-type groups — the parametric
+    companion to kruskal_wallis_h, completing the battery (Welch's t is
+    two-group; this is the k-group equal-variance F). Scaled through by
+    N so every quantity is integer: N·SSB = Σ N·S_j²/n_j − S² and
+    N·SSW = N·ΣX² − Σ N·S_j²/n_j share the single per-group floor
+    A = Σ ⌊N·S_j²/n_j⌋, computed as DuckDB HUGEINT // and Spark's
+    decimal (x − x%y)/y exact floor-division; F_e6 is one wide division
+    of the two. ss_between / ss_within are emitted (integer-scaled) for
+    the caller's effect-size math. Width bound: 1e6·N·S²·N < 1e38 holds
+    to N ≈ 5e7 hundredths-quantized observations — same documented
+    envelope and rationale as kruskal_wallis_h (a mean test on more
+    samples than that has saturated long before the integers do).
+
+    Scale shape: one map-side-combinable group aggregate (k rows), one
+    k-row combine. No windows, no sorts, no floats."""
+    q = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum("x").cast("bigint").alias("s_j"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("x2_j"),
+    )
+    n_tot = g.agg(F.sum("n_j").cast("bigint").alias("n"))
+    joined = g.crossJoin(F.broadcast(n_tot))
+    per = joined.select(
+        "n",
+        "n_j",
+        "s_j",
+        "x2_j",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * s_j * s_j) AS DECIMAL(38,0))"
+        ).alias("num"),
+    ).select(
+        "n",
+        "n_j",
+        "s_j",
+        "x2_j",
+        F.expr(
+            "CAST((num - num % CAST(n_j AS DECIMAL(38,0)))"
+            " / CAST(n_j AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        ).alias("q_j"),
+    )
+    tot = per.groupBy("n").agg(
+        F.sum("s_j").cast("decimal(38,0)").alias("s"),
+        F.sum("x2_j").cast("decimal(38,0)").alias("x2"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("q_j").alias("a"),
+    )
+    return tot.withColumn(
+        "num", F.expr("CAST(1000000 AS DECIMAL(38,0)) * (a - s * s) * (n - k)")
+    ).withColumn(
+        "den", F.expr("(CAST(n AS DECIMAL(38,0)) * x2 - a) * (k - 1)")
+    ).select(
+        "n",
+        "k",
+        F.expr("CAST((num - num % den) / den AS DECIMAL(38,0))")
+        .cast("bigint")
+        .alias("f_e6"),
+        F.expr(
+            "CAST(((a - s * s) - (a - s * s) % CAST(n AS DECIMAL(38,0)))"
+            " / CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        )
+        .cast("bigint")
+        .alias("ss_between"),
+        F.expr(
+            "CAST(((CAST(n AS DECIMAL(38,0)) * x2 - a)"
+            " - (CAST(n AS DECIMAL(38,0)) * x2 - a) % CAST(n AS DECIMAL(38,0)))"
+            " / CAST(n AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+        )
+        .cast("bigint")
+        .alias("ss_within"),
+    )
+
+
+@register(
+    "poisson_bootstrap_means",
+    f"""
+    WITH q AS (
+      SELECT event_id, CAST(floor("value" * 100) AS BIGINT) AS x
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    reps AS (
+      SELECT b.b AS rep, q.x,
+             {SP.lcg_bucket_sql('q.event_id * 64 + b.b', 10000)} AS u
+      FROM q, unnest(range(0, 32)) AS b(b)
+    ),
+    weighted AS (
+      SELECT rep, x,
+             CASE WHEN u < 3678 THEN 0 WHEN u < 7357 THEN 1
+                  WHEN u < 9196 THEN 2 WHEN u < 9810 THEN 3
+                  WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5
+                  ELSE 6 END AS w
+      FROM reps
+    ),
+    means AS (
+      SELECT rep,
+             CAST(sum(w) AS BIGINT) AS n_eff,
+             CAST((1000000 * sum(w * x)) // sum(w) AS BIGINT) AS rep_mean_e6
+      FROM weighted GROUP BY rep
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rep_mean_e6, rep) AS rnk
+      FROM means
+    )
+    SELECT rep, n_eff, rep_mean_e6,
+           (SELECT rep_mean_e6 FROM ranked WHERE rnk = 2) AS boot_lo_e6,
+           (SELECT rep_mean_e6 FROM ranked WHERE rnk = 31) AS boot_hi_e6
+    FROM means
+    """,
+)
+def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams"; Hanley & MacGibbon 2006) — THE distributed
+    bootstrap: classical resampling needs n draws from n rows (a global
+    shuffle per replicate), but Binomial(n, 1/n) → Poisson(1), so each
+    row independently contributes a Poisson(1)-weighted copy to every
+    replicate — one narrow pass, no coordination. Weights come from the
+    shared LCG's inverse-CDF on a 1e4 grid (thresholds = e4 floors of
+    the Poisson(1) CDF: 3678/7357/9196/9810/9963/9994), so both engines
+    draw IDENTICAL weights; replicate means are integer floors; the 32
+    replicate means plus the 5th/95th-ish order statistics (ranks 2 and
+    31 of 32) are all hash-certified.
+
+    Scale shape: the only cost is the ×32 row amplification (flatMap,
+    narrow, no shuffle) feeding one 32-key map-side-combinable aggregate;
+    the CI order statistics run over exactly 32 rows. For 100 TB inputs
+    prefer B ≤ 64 or bag-of-little-bootstraps (Kleiner et al. 2014) —
+    the plan shape is the same."""
+    q = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    reps = q.select(
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+        "event_id",
+    ).select(
+        "rep",
+        "x",
+        SP.lcg_bucket(
+            F.col("event_id") * 64 + F.col("rep"), 10000
+        ).alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < 3678, 0)
+        .when(F.col("u") < 7357, 1)
+        .when(F.col("u") < 9196, 2)
+        .when(F.col("u") < 9810, 3)
+        .when(F.col("u") < 9963, 4)
+        .when(F.col("u") < 9994, 5)
+        .otherwise(6)
+    )
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.expr("(1000000 * sum(w * x)) div sum(w)")
+            .cast("bigint")
+            .alias("rep_mean_e6"),
+        )
+    )
+    # 32 rows by construction: constant-key windows are single-task by
+    # design (non-foldable constant, see heavy_hitters).
+    one = F.spark_partition_id() * 0 + 1
+    ranked = means.repartition(1).withColumn(
+        "rnk", F.row_number().over(Window.partitionBy(one).orderBy("rep_mean_e6", "rep"))
+    )
+    lohi = ranked.withColumn(
+        "boot_lo_e6",
+        F.max(F.when(F.col("rnk") == 2, F.col("rep_mean_e6"))).over(
+            Window.partitionBy(one)
+        ),
+    ).withColumn(
+        "boot_hi_e6",
+        F.max(F.when(F.col("rnk") == 31, F.col("rep_mean_e6"))).over(
+            Window.partitionBy(one)
+        ),
+    )
+    return lohi.select("rep", "n_eff", "rep_mean_e6", "boot_lo_e6", "boot_hi_e6")
