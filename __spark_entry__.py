@@ -85,6 +85,8 @@ PRIORITY = [
     "ips_policy_value",
     "anova_oneway_f",
     "poisson_bootstrap_means",
+    "vocab_growth_stats",
+    "moe_router_load_balance",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

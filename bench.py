@@ -223,6 +223,8 @@ HEADLINE = [
     "ips_policy_value",
     "anova_oneway_f",
     "poisson_bootstrap_means",
+    "vocab_growth_stats",
+    "moe_router_load_balance",
 ]
 
 

@@ -2116,3 +2116,64 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(100)
     )
+
+
+# =====================================================================
+# vocabulary-growth / tail diagnostics (Heaps- and Zipf-tail inputs)
+# =====================================================================
+
+@register(
+    "vocab_growth_stats",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    cnt AS (
+      SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+           CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS ttr_e6,
+           CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS hapax_share_e6
+    FROM cnt GROUP BY source
+    """,
+)
+def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth diagnostics per source: type-token ratio, hapax
+    and dis legomena counts, and the hapax share of the vocabulary — the
+    raw inputs to Heaps'-law growth estimates and Good-Turing mass
+    (P(unseen) ≈ V1/N), and the practical signals behind tokenizer vocab
+    sizing and junk-source detection (OCR noise and boilerplate sit at
+    the two hapax-share extremes). Complements vocab_coverage (the HEAD
+    of the frequency distribution) with the TAIL.
+
+    Scale shape: one token explode + one map-side-combinable (source,
+    token) count; the stats are a second count-keyed aggregate emitting
+    one row per source. No windows, no sorts, all integers."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "source",
+            F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("n_dis"),
+        F.expr("(1000000 * count(*)) div sum(c)").cast("bigint").alias("ttr_e6"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) div count(*)"
+        )
+        .cast("bigint")
+        .alias("hapax_share_e6"),
+    )

@@ -5271,3 +5271,153 @@ def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_weight_e6"),
     )
+
+
+@register(
+    "moe_router_load_balance",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS f1,
+             CAST(length(text) AS BIGINT) AS f2,
+             CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT)
+               AS f3,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS f4
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    ftot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(f1) AS BIGINT) AS s1, CAST(sum(f2) AS BIGINT) AS s2,
+             CAST(sum(f3) AS BIGINT) AS s3, CAST(sum(f4) AS BIGINT) AS s4
+      FROM feats
+    ),
+    scores AS (
+      SELECT doc_id, k.k AS expert,
+             ((1 - 2 * ((k.k // 1) % 2)) * (f1 * n_docs - s1)
+              + (1 - 2 * ((k.k // 2) % 2)) * (f2 * n_docs - s2)
+              + (1 - 2 * ((k.k // 4) % 2)) * (f3 * n_docs - s3)
+              + (1 - 2 * ((k.k // 8) % 2)) * (f4 * n_docs - s4)) AS s
+      FROM feats, ftot, unnest(range(0, 8)) AS k(k)
+    ),
+    routed AS (
+      SELECT doc_id, expert, s FROM (
+        SELECT doc_id, expert, s,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, expert) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    loads AS (
+      SELECT expert, CAST(count(*) AS BIGINT) AS n_routed,
+             CAST(sum(s) AS BIGINT) AS score_mass
+      FROM routed GROUP BY expert
+    ),
+    tot AS (SELECT CAST(sum(n_routed) AS BIGINT) AS n FROM loads)
+    SELECT expert, n_routed,
+           CAST((1000000 * n_routed) // n AS BIGINT) AS load_e6,
+           score_mass,
+           CAST((8 * 1000000 * sum(n_routed * n_routed) OVER ())
+                // (n * n) AS BIGINT) AS balance_loss_e6
+    FROM loads, tot
+    """,
+)
+def moe_router_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-Experts router audit (Shazeer et al. 2017 §4; Fedus et
+    al. Switch Transformer 2021 eq. 4): documents hard-route to the
+    argmax of K = 8 expert scores — integer dots of 4 mean-CENTERED text
+    features (scaled by N to stay integral: f_i·N − Σf_i) against the ±1
+    sign pattern coded by expert k's bits, so the 8 experts own the 8
+    sign orthants of the deviation space: routing is content-dependent,
+    non-degenerate, and exactly reproducible on both engines (raw
+    all-positive features would make the all-plus expert win every doc —
+    centering is what makes the audit mean something). Emits
+    per-expert load and the load-balancing loss K·Σf_i² (the f·P aux
+    loss with hard routing, where P ≡ f) in e6 — 1e6 means perfectly
+    balanced, K×1e6 means collapse onto one expert: THE number an MoE
+    data pipeline watches when curating router training batches.
+
+    Scale shape: features are one codegen scan; the K-way fan-out is an
+    8-element explode; argmax is a doc-keyed window (parallel); loads
+    aggregate to 8 rows, and the balance loss is a window over those 8.
+    No joins with data-sized sides, no floats."""
+    feats = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "doc_id",
+            F.size(X.tokens("text")).cast("bigint").alias("f1"),
+            F.length("text").cast("bigint").alias("f2"),
+            F.length(F.regexp_replace("text", "[^aeiou]", ""))
+            .cast("bigint")
+            .alias("f3"),
+            F.length(F.regexp_replace("text", "[^0-9]", ""))
+            .cast("bigint")
+            .alias("f4"),
+        )
+    )
+    ftot = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f1").cast("bigint").alias("s1"),
+        F.sum("f2").cast("bigint").alias("s2"),
+        F.sum("f3").cast("bigint").alias("s3"),
+        F.sum("f4").cast("bigint").alias("s4"),
+    )
+    sign = lambda div: 1 - 2 * (  # noqa: E731
+        F.floor(F.col("expert") / div).cast("bigint") % 2
+    )
+    scores = (
+        feats.crossJoin(F.broadcast(ftot))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("expert"),
+            "f1", "f2", "f3", "f4", "n_docs", "s1", "s2", "s3", "s4",
+        )
+        .select(
+            "doc_id",
+            "expert",
+            (
+                sign(1) * (F.col("f1") * F.col("n_docs") - F.col("s1"))
+                + sign(2) * (F.col("f2") * F.col("n_docs") - F.col("s2"))
+                + sign(4) * (F.col("f3") * F.col("n_docs") - F.col("s3"))
+                + sign(8) * (F.col("f4") * F.col("n_docs") - F.col("s4"))
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "expert")
+    routed = scores.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    loads = routed.groupBy("expert").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_routed"),
+        F.sum("s").cast("bigint").alias("score_mass"),
+    )
+    tot = loads.agg(F.sum("n_routed").cast("bigint").alias("n"))
+    # 8 rows by construction: constant-key window single-task by design.
+    one = F.spark_partition_id() * 0 + 1
+    return (
+        loads.crossJoin(F.broadcast(tot))
+        .repartition(1)
+        .withColumn(
+            "balance_loss_e6",
+            (
+                F.lit(8000000).cast("decimal(38,0)")
+                * F.sum(F.col("n_routed") * F.col("n_routed")).over(
+                    Window.partitionBy(one)
+                )
+            ).cast("decimal(38,0)"),
+        )
+        .select(
+            "expert",
+            "n_routed",
+            F.expr("(1000000 * n_routed) div n").cast("bigint").alias("load_e6"),
+            "score_mass",
+            F.expr(
+                "CAST((balance_loss_e6 - balance_loss_e6 % (CAST(n AS DECIMAL(38,0)) * n))"
+                " / (CAST(n AS DECIMAL(38,0)) * n) AS DECIMAL(38,0))"
+            )
+            .cast("bigint")
+            .alias("balance_loss_e6"),
+        )
+    )

@@ -238,3 +238,71 @@ def test_poisson_bootstrap_weights_and_determinism(spark, tmp_path):
         assert lo == m and hi == m
         # Poisson(1) mean 1: n_eff near 500 (generous envelope)
         assert 350 <= n_eff <= 650
+
+
+def test_moe_router_python_replica(spark, tmp_path):
+    """Full Python replica of the centered-feature orthant routing and the
+    K*sum(f^2) balance loss."""
+    texts = ["alpha beta", "zzzz", "a e i o u 1 2 3", "qq qq qq qq qq qq",
+             "numbers 123456789", "eee"]
+    docs = [(i + 1, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    import re
+
+    feats = {}
+    for i, txt in enumerate(texts):
+        f1 = len(txt.strip().split())
+        f2 = len(txt)
+        f3 = len(re.sub(r"[^aeiou]", "", txt))
+        f4 = len(re.sub(r"[^0-9]", "", txt))
+        feats[i + 1] = (f1, f2, f3, f4)
+    n = len(feats)
+    sums = [sum(v[i] for v in feats.values()) for i in range(4)]
+    routed = {}
+    for doc, fv in feats.items():
+        best = None
+        for k in range(8):
+            s = sum(
+                (1 - 2 * ((k >> i) & 1)) * (fv[i] * n - sums[i])
+                for i in range(4)
+            )
+            if best is None or s > best[0] or (s == best[0] and k < best[1]):
+                best = (s, k)
+        routed[doc] = best[1]
+    from collections import Counter
+
+    loads = Counter(routed.values())
+    expected_loss = 8 * 1000000 * sum(c * c for c in loads.values()) // (n * n)
+
+    got = {
+        r.expert: r
+        for r in Q.REGISTRY["moe_router_load_balance"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert {k: v.n_routed for k, v in got.items()} == dict(loads)
+    for r in got.values():
+        assert r.balance_loss_e6 == expected_loss
+
+
+def test_vocab_growth_hapax_accounting(spark, tmp_path):
+    docs = [(1, "a a b c", "en", "s0", 7), (2, "c d", "en", "s1", 3)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in Q.REGISTRY["vocab_growth_stats"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # s0: tokens a,a,b,c -> V=3, hapax {b,c}, dis {a}
+    assert (got["s0"].n_tokens, got["s0"].vocab_size) == (4, 3)
+    assert (got["s0"].n_hapax, got["s0"].n_dis) == (2, 1)
+    assert got["s0"].ttr_e6 == 1000000 * 3 // 4
+    assert got["s0"].hapax_share_e6 == 1000000 * 2 // 3
+    # s1: c,d both hapax (per-source counting)
+    assert (got["s1"].n_hapax, got["s1"].vocab_size) == (2, 2)
