@@ -292,3 +292,75 @@ def streaming_change_detector(
         outputMode="Append",
         timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    k: int = 64,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Cross-batch Misra-Gries heavy hitters in the state store — the
+    streaming twin of `operators.heavy_hitters.misra_gries_summary`,
+    built on the same mergeability result (Agarwal et al. PODS 2012
+    §3.1): each of ``num_shards`` state keys owns the MG(k) summary of
+    ITS deterministic hash-shard of the key space, updated per
+    micro-batch by pointwise-add + trim. Because a key always hashes to
+    the same shard, the union of shard summaries is a valid global
+    MG(num_shards·k) summary at any moment — exact while every shard
+    stays within capacity, and never undercounting a key by more than
+    its shard's stream-length/(k+1) past it.
+
+    State is O(k) per shard (two arrays), bounded for the stream's
+    lifetime; each micro-batch emits the touched shards' full summaries
+    (append mode — downstream keeps the latest per (shard, key)).
+
+    Scale shape: the only shuffle is the groupBy on the shard id —
+    num_shards parallel state partitions, each a tiny dict merge per
+    batch. At 100 TB/day streams raise num_shards, not k."""
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(num_shards))
+    keyed = stream.select(
+        shard.alias("_shard"), F.col(key_col).cast("string").alias("hh_key")
+    )
+    out_schema = "shard int, hh_key string, est_count long"
+    state_schema = "keys array<string>, counts array<long>"
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary = {}
+        touched = False
+        for pdf in batches:
+            for hk, c in pdf["hh_key"].value_counts().items():
+                touched = True
+                summary[hk] = summary.get(hk, 0) + int(c)
+        if not touched:
+            return
+        if len(summary) > k:
+            # MG trim: subtract the (k+1)-th largest, drop non-positive.
+            # Deterministic tie-break on key so replays converge.
+            ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+            thr = ordered[k][1]
+            summary = {hk: c - thr for hk, c in ordered[:k] if c - thr > 0}
+        items = sorted(summary.items())
+        state.update(([hk for hk, _ in items], [c for _, c in items]))
+        yield pd.DataFrame(
+            [
+                {"shard": int(key[0]), "hh_key": hk, "est_count": c}
+                for hk, c in items
+            ]
+        )
+
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -227,3 +227,77 @@ def test_two_phase_agg_guards(spark):
     salted = df.withColumnRenamed("v", "_salt")
     with pytest.raises(ValueError, match="_salt"):
         two_phase_agg(salted, ["k"], {"m": ("max", "_salt")})
+
+
+def test_streaming_heavy_hitters_cross_batch(spark, tmp_path):
+    """Cross-batch MG: exact counts while shards stay within capacity;
+    a second micro-batch merges into existing state (pointwise add)."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "src_hh")
+    _os.makedirs(src)
+
+    def write_batch(fname, rows):
+        with open(_os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_batch("b0.json", [{"k": "a"}] * 5 + [{"k": "b"}] * 2)
+    stream = spark.readStream.schema("k string").json(src)
+    hh = streaming_heavy_hitters(stream, "k", k=8, num_shards=4)
+    q = (
+        hh.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hh_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b1.json", [{"k": "a"}] * 3 + [{"k": "c"}] * 4)
+        q.processAllAvailable()
+        # append mode: keep the LATEST emission per key (max batch id via
+        # monotonic arrival — use the largest est per key, counts only grow
+        # in the exactness regime)
+        rows = spark.sql("select * from hh_out").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r.hh_key] = max(latest.get(r.hh_key, 0), r.est_count)
+    assert latest == {"a": 8, "b": 2, "c": 4}
+
+
+def test_streaming_heavy_hitters_trims_at_capacity(spark, tmp_path):
+    """Capacity 2, one shard: 6 distinct keys with a dominant one — the
+    heavy key survives every trim and never overcounts."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "src_hh2")
+    _os.makedirs(src)
+    rows = [{"k": "hot"}] * 30 + [{"k": f"cold{i}"} for i in range(5) for _ in range(2)]
+    with open(_os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("k string").json(src)
+    hh = streaming_heavy_hitters(stream, "k", k=2, num_shards=1)
+    q = (
+        hh.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hh_out2")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.hh_key: r.est_count for r in spark.sql("select * from hh_out2").collect()}
+    finally:
+        q.stop()
+    assert len(got) <= 2
+    assert "hot" in got
+    n = len(rows)
+    assert 30 - n // 3 <= got["hot"] <= 30
