@@ -87,6 +87,7 @@ PRIORITY = [
     "poisson_bootstrap_means",
     "vocab_growth_stats",
     "moe_router_load_balance",
+    "suffix_longest_repeat",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

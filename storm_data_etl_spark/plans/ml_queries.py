@@ -5421,3 +5421,112 @@ def moe_router_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance_loss_e6"),
         )
     )
+
+
+@register(
+    "suffix_longest_repeat",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(coalesce(text, '')) > 0
+    ),
+    suf AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p) AS suf
+      FROM d, unnest(range(1, length(text) + 1)) AS p(p)
+    ),
+    ordered AS (
+      SELECT doc_id, pos, suf,
+             row_number() OVER (ORDER BY suf, doc_id, pos) AS rn
+      FROM suf
+    ),
+    adj AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a, a.suf AS sa, b.suf AS sb
+      FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+    ),
+    lcps AS (
+      SELECT doc_a, pos_a,
+             coalesce((SELECT min(i.i)
+                       FROM unnest(range(1, least(len(sa), len(sb)) + 1)) AS i(i)
+                       WHERE substr(sa, i.i, 1) <> substr(sb, i.i, 1)) - 1,
+                      least(len(sa), len(sb))) AS lcp
+      FROM adj
+    ),
+    mx AS (SELECT CAST(max(lcp) AS BIGINT) AS max_lcp FROM lcps)
+    SELECT (SELECT count(*) FROM suf) AS n_suffixes,
+           mx.max_lcp,
+           (SELECT count(*) FROM lcps WHERE lcp = mx.max_lcp)
+             AS n_pairs_at_max,
+           (SELECT substr(d2.text, q.pos_a, CAST(mx.max_lcp AS INT))
+            FROM lcps q JOIN d d2 ON d2.doc_id = q.doc_a
+            WHERE q.lcp = mx.max_lcp
+            ORDER BY q.doc_a, q.pos_a LIMIT 1) AS repeat_text
+    FROM mx
+    """,
+)
+def suffix_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest repeated substring over the whole corpus (within or
+    across documents) via a DISTRIBUTED SUFFIX ARRAY — the Lee et al.
+    2022 ExactSubstr primitive, and the capstone this repo's dedup tier
+    has bracketed since round 3: substring_dup_spans proves fixed-length
+    duplicated grams, max_dup_gram_bracket brackets the longest span in
+    [16,256); this query names its exact length, count, and text.
+
+    Construction is Manber-Myers prefix doubling (operators/suffix.py):
+    ceil(log2(max doc len)) rounds of equi-join + TWO-PHASE dense rank
+    (range partition → local row_number → broadcast offsets — no
+    single-task windows over data; the only unkeyed windows are
+    global_rank's ~#partitions-row offset scans). Adjacent-suffix LCP is
+    chunked 128-char codegen folds over survivors. The DuckDB oracle is
+    the LITERAL algorithm — materialize every suffix string, sort,
+    first-mismatch scan — so a hash match certifies the entire doubling
+    construction against the definition. The oracle's O(L²) suffix
+    materialization is exactly what the Spark side exists to avoid: the
+    engine never stores a suffix, only (doc, pos, rank) triples.
+
+    Scale shape: each doubling round is one keyed self-join plus a
+    dense rank of the distinct pair table; rounds grow with log(max doc
+    length), not corpus size. Peak state: two (doc,pos,rank) tables.
+    At 100 TB this is the known shuffle-heavy construction (log L global
+    sorts) — the price of EXACT substring dedup, paid once per corpus
+    snapshot; the sketch tier (minhash/simhash/CDC) remains the cheap
+    screen in front of it."""
+    from storm_data_etl_spark.operators.suffix import adjacent_lcp, suffix_array
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
+        .select("doc_id", "text")
+    )
+    sa = suffix_array(docs)
+    lcp = adjacent_lcp(sa, docs)
+    n_suffixes = docs.select(
+        F.sum(F.length("text")).cast("bigint").alias("n_suffixes")
+    )
+    mx = lcp.agg(F.max("lcp").cast("bigint").alias("max_lcp"))
+    at_max = lcp.join(
+        F.broadcast(mx), F.col("lcp") == F.col("max_lcp")
+    )
+    n_at_max = at_max.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_at_max"),
+        F.min(F.struct("doc_a", "pos_a")).alias("_first"),
+    ).select(
+        "n_pairs_at_max",
+        F.col("_first.doc_a").alias("_fdoc"),
+        F.col("_first.pos_a").alias("_fpos"),
+    )
+    best = (
+        n_at_max.join(
+            docs.select(F.col("doc_id").alias("_fdoc"), "text"), "_fdoc"
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "n_pairs_at_max",
+            "max_lcp",
+            F.expr("substr(text, _fpos, CAST(max_lcp AS INT))").alias(
+                "repeat_text"
+            ),
+        )
+    )
+    return n_suffixes.crossJoin(F.broadcast(best)).select(
+        "n_suffixes", "max_lcp", "n_pairs_at_max", "repeat_text"
+    )

@@ -306,3 +306,43 @@ def test_vocab_growth_hapax_accounting(spark, tmp_path):
     assert got["s0"].hapax_share_e6 == 1000000 * 2 // 3
     # s1: c,d both hapax (per-source counting)
     assert (got["s1"].n_hapax, got["s1"].vocab_size) == (2, 2)
+
+
+def test_suffix_array_and_longest_repeat(spark, tmp_path):
+    """Suffix array order matches a literal Python suffix sort; the
+    longest-repeat readout names the exact repeated substring."""
+    docs = [(1, "banana", "en", "s0", 6), (2, "ananas", "en", "s0", 6),
+            (3, "xyzzy", "en", "s1", 5)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from storm_data_etl_spark.operators.suffix import suffix_array
+
+    texts = {d: t for d, t, *_ in docs}
+    sa = suffix_array(
+        spark.read.parquet(f"{tmp_path}/documents.parquet").select("doc_id", "text")
+    )
+    got = [(r.doc_id, r.pos) for r in sa.orderBy("sa_rank").collect()]
+    ref = sorted(
+        (t[i - 1:], d, i) for d, t in texts.items() for i in range(1, len(t) + 1)
+    )
+    assert got == [(d, i) for _, d, i in ref]
+
+    row = Q.REGISTRY["suffix_longest_repeat"].runner(spark, str(tmp_path)).collect()[0]
+    # longest repeat: "anana" (banana pos 2 vs ananas pos 1), length 5
+    assert row.max_lcp == 5
+    assert row.repeat_text == "anana"
+    assert row.n_suffixes == 17
+
+
+def test_suffix_longest_repeat_cross_doc_exact_copy(spark, tmp_path):
+    """Two identical docs: the longest repeat is the full document."""
+    docs = [(1, "hello world", "en", "s0", 11), (2, "hello world", "en", "s1", 11),
+            (3, "other", "en", "s1", 5)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    row = Q.REGISTRY["suffix_longest_repeat"].runner(spark, str(tmp_path)).collect()[0]
+    assert row.max_lcp == 11
+    assert row.repeat_text == "hello world"
