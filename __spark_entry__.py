@@ -88,6 +88,7 @@ PRIORITY = [
     "vocab_growth_stats",
     "moe_router_load_balance",
     "suffix_longest_repeat",
+    "suffix_lcp_histogram",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

@@ -5530,3 +5530,75 @@ def suffix_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_suffixes.crossJoin(F.broadcast(best)).select(
         "n_suffixes", "max_lcp", "n_pairs_at_max", "repeat_text"
     )
+
+
+@register(
+    "suffix_lcp_histogram",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(coalesce(text, '')) > 0
+    ),
+    suf AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p) AS suf
+      FROM d, unnest(range(1, length(text) + 1)) AS p(p)
+    ),
+    ordered AS (
+      SELECT doc_id, pos, suf,
+             row_number() OVER (ORDER BY suf, doc_id, pos) AS rn
+      FROM suf
+    ),
+    adj AS (
+      SELECT a.suf AS sa, b.suf AS sb
+      FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+    ),
+    lcps AS (
+      SELECT coalesce((SELECT min(i.i)
+                       FROM unnest(range(1, least(len(sa), len(sb)) + 1)) AS i(i)
+                       WHERE substr(sa, i.i, 1) <> substr(sb, i.i, 1)) - 1,
+                      least(len(sa), len(sb))) AS lcp
+      FROM adj
+    )
+    SELECT CASE WHEN lcp = 0 THEN 0 WHEN lcp < 4 THEN 1 WHEN lcp < 16 THEN 2
+                WHEN lcp < 64 THEN 3 WHEN lcp < 256 THEN 4 ELSE 5 END
+             AS lcp_bucket,
+           count(*) AS n_pairs,
+           CAST(sum(lcp) AS BIGINT) AS total_lcp,
+           CAST(max(lcp) AS BIGINT) AS max_lcp
+    FROM lcps GROUP BY 1
+    """,
+)
+def suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LCP ARRAY, certified distributionally — the sharpening
+    LIMITS.md promised beyond suffix_longest_repeat's scalar readout:
+    every adjacent-suffix LCP value in the corpus feeds this hash
+    (bucketed counts + per-bucket LCP mass + per-bucket max), so a wrong
+    LCP ANYWHERE in the array — not just at the maximum — breaks the
+    gate. This is the repeated-substring SPECTRUM: bucket 0/1 mass is
+    unique text, bucket 4-5 mass is the duplication the ExactSubstr
+    dedup policy (Lee et al. 2022 use >= 50-token spans) would cut.
+
+    Same machinery as suffix_longest_repeat (prefix-doubling array +
+    chunked LCP folds, operators/suffix.py) against the same literal
+    materialize-sort-scan oracle; only the readout widens."""
+    from storm_data_etl_spark.operators.suffix import adjacent_lcp, suffix_array
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
+        .select("doc_id", "text")
+    )
+    lcp = adjacent_lcp(suffix_array(docs), docs)
+    bucket = (
+        F.when(F.col("lcp") == 0, 0)
+        .when(F.col("lcp") < 4, 1)
+        .when(F.col("lcp") < 16, 2)
+        .when(F.col("lcp") < 64, 3)
+        .when(F.col("lcp") < 256, 4)
+        .otherwise(5)
+    )
+    return lcp.groupBy(bucket.alias("lcp_bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("lcp").cast("bigint").alias("total_lcp"),
+        F.max("lcp").cast("bigint").alias("max_lcp"),
+    )
