@@ -887,6 +887,32 @@ def main() -> int:
         f"(keyed per-partition summaries; bounded trim) {bad}",
     )
 
+    # 81. Suffix array: the prefix-doubling construction must stay keyed —
+    # no cartesian products, no Python nodes, and the total-order rank
+    # must go through range partitioning (two-phase global_rank). The
+    # LONGEST-REPEAT readout's lineage is checkpoint-truncated (the LCP
+    # loop), so assert on the suffix_array() stage, whose plan still
+    # shows the final global_rank, and separately on the readout.
+    from storm_data_etl_spark.operators.suffix import suffix_array as _sa
+    from storm_data_etl_spark.plans.tables import t as _t
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        "length(coalesce(text, '')) > 0"
+    ).select("doc_id", "text")
+    p_sa = plan_of(_sa(docs))
+    p_read = plan_of(qs["suffix_longest_repeat"](spark, sf_dir))
+    check(
+        "suffix_array_keyed_rounds",
+        "rangepartitioning" in p_sa.lower()
+        and all(
+            bad not in pl
+            for pl in (p_sa, p_read)
+            for bad in ("CartesianProduct", "BatchEvalPython", "MapInPandas")
+        ),
+        "(keyed joins, two-phase ranks, no Python)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
