@@ -89,6 +89,7 @@ PRIORITY = [
     "moe_router_load_balance",
     "suffix_longest_repeat",
     "suffix_lcp_histogram",
+    "dup_aware_loss_weights",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

@@ -225,6 +225,7 @@ HEADLINE = [
     "poisson_bootstrap_means",
     "vocab_growth_stats",
     "moe_router_load_balance",
+    "dup_aware_loss_weights",
 ]
 
 

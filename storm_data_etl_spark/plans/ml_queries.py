@@ -5602,3 +5602,64 @@ def suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lcp").cast("bigint").alias("total_lcp"),
         F.max("lcp").cast("bigint").alias("max_lcp"),
     )
+
+
+@register(
+    "dup_aware_loss_weights",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_SQL_NORM}) AS fingerprint FROM documents
+    ),
+    grouped AS (
+      SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_dups
+      FROM fp GROUP BY fingerprint
+    ),
+    weighted AS (
+      SELECT fp.source, g.n_dups,
+             CAST(1000000 // g.n_dups AS BIGINT) AS w_e6
+      FROM fp JOIN grouped g USING (fingerprint)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_dups = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(max(n_dups) AS BIGINT) AS max_dup_count,
+           CAST(sum(w_e6) AS BIGINT) AS effective_mass_e6
+    FROM weighted GROUP BY source
+    """,
+)
+def dup_aware_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware example weighting — the SOFT alternative to hard
+    dedup: instead of dropping duplicates, weight each document by
+    1/n_dups so every CONTENT fingerprint contributes unit loss mass
+    regardless of copy count (the convexity argument behind
+    count-weighted sampling in dedup ablations; hard first-wins dedup is
+    the w in {0,1} special case this generalizes). Emits the per-source
+    accounting: effective unique mass Σ 1e6/n_dups vs raw doc count —
+    the gap is exactly what duplicated boilerplate would have
+    over-trained on.
+
+    Scale shape: one fingerprint pass (md5 of normalized text, codegen),
+    one map-side-combinable group count, one keyed join of the ≤-corpus
+    fingerprint table back to the scan, one per-source aggregate. The
+    weights are exact integer floors, so the distributed sum is
+    order-free."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.fingerprint("text").alias("fingerprint")
+    )
+    grouped = docs.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups")
+    )
+    weighted = docs.join(grouped, "fingerprint").select(
+        "source",
+        "n_dups",
+        F.expr("1000000 div n_dups").cast("bigint").alias("w_e6"),
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_dups") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_singletons"),
+        F.max("n_dups").cast("bigint").alias("max_dup_count"),
+        F.sum("w_e6").cast("bigint").alias("effective_mass_e6"),
+    )
