@@ -90,6 +90,7 @@ PRIORITY = [
     "suffix_longest_repeat",
     "suffix_lcp_histogram",
     "dup_aware_loss_weights",
+    "lsh_s_curve",
     # re-verification backlog: hash-passed in round 1 only — refresh their
     # records (oldest-first, then alphabetical; computed from
     # CORRECTNESS_r*.json)

@@ -5663,3 +5663,224 @@ def dup_aware_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_dups").cast("bigint").alias("max_dup_count"),
         F.sum("w_e6").cast("bigint").alias("effective_mass_e6"),
     )
+
+
+@register(
+    "lsh_s_curve",
+    r"""
+    WITH norm AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9À-ɏ一-鿿]+', ' ', 'g')), ' ') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT id, unnest(
+      CASE WHEN len(words) >= 3
+           THEN list_distinct(list_transform(range(1, len(words) - 3 + 2),
+                              i -> array_to_string(words[i:i+2], ' ')))
+           ELSE [array_to_string(words, ' ')] END) AS shingle FROM norm
+    ),
+    ids AS (
+      SELECT id,
+             CASE WHEN shingle = '' THEN 0
+                  ELSE list_reduce(
+                         list_transform(regexp_split_to_array(shingle, ''),
+                                        c -> CAST(unicode(c) AS BIGINT)),
+                         (a, b) -> (a * 31 + b) % 2147483647)
+             END AS sid
+      FROM sh
+    ),
+    hashed AS (
+      SELECT id, i.i AS i,
+             ((CAST(1103515245 AS BIGINT) * (i.i + 1) + 12345) % 2147483647)
+               * sid % 2147483647
+               + (CAST(12345 AS BIGINT) * (i.i + 1) + 999331) % 2147483647
+               AS raw
+      FROM ids, unnest(range(0, 16)) AS i(i)
+    ),
+    sig AS (
+      SELECT id, i, min(raw % 2147483647) AS minh
+      FROM hashed GROUP BY id, i
+    ),
+    configs AS (SELECT unnest([1, 2, 4, 8]) AS r),
+    bands AS (
+      SELECT c.r, s.id, s.i // c.r AS band,
+             string_agg(s.minh, ':' ORDER BY s.i) AS band_key
+      FROM sig s, configs c GROUP BY c.r, s.id, s.i // c.r
+    ),
+    cand AS (
+      SELECT DISTINCT a.r, a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.r = b.r AND a.band = b.band AND a.band_key = b.band_key
+       AND a.id < b.id
+    ),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.id = i.id_a
+                   JOIN sizes sb ON sb.id = i.id_b
+      WHERE 5 * i.n_inter >= 2 * (sa.n_sh + sb.n_sh - i.n_inter)
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+    hits AS (
+      SELECT c.r, CAST(count(*) AS BIGINT) AS n_hits
+      FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+      GROUP BY c.r
+    ),
+    per AS (
+      SELECT c.r, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM cand c GROUP BY c.r
+    )
+    SELECT per.r AS rows_per_band,
+           CAST(16 // per.r AS BIGINT) AS n_bands,
+           per.n_candidates,
+           nt.n_truth,
+           coalesce(h.n_hits, 0) AS n_hits,
+           CASE WHEN nt.n_truth = 0 THEN 0
+                ELSE CAST((10000 * coalesce(h.n_hits, 0)) // nt.n_truth
+                          AS BIGINT) END AS recall_e4,
+           CASE WHEN per.n_candidates = 0 THEN 0
+                ELSE CAST((10000 * coalesce(h.n_hits, 0)) // per.n_candidates
+                          AS BIGINT) END AS precision_e4
+    FROM per LEFT JOIN hits h ON h.r = per.r CROSS JOIN nt
+    """,
+)
+def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-CURVE, measured and hash-certified end to end: for band
+    configurations (b, r) in {(16,1), (8,2), (4,4), (2,8)} over the SAME
+    16 certified LCG minhashes as minhash_lcg_lsh_pairs, the candidate
+    recall and precision against EXACT shingle Jaccard >= 0.4 (the
+    threshold compare is rational — 5·|∩| >= 2·|∪| — no division).
+    This is the table an engineer reads to pick (b, r): theory says
+    P(candidate) = 1 − (1 − s^r)^b, monotone in bands — small r floods
+    candidates at high recall, large r starves them. Every quantity
+    (candidate counts per config, truth-set size, hits, e4 ratios)
+    feeds the oracle hash, so the banding/bucketing machinery is
+    certified at every operating point, not just the production (4,4).
+
+    Scale shape: the minhash pipeline is the certified scale-clean one;
+    the config fan-out multiplies only the BAND table (16 rows per doc
+    regardless of r). The exact-Jaccard truth side is the definitional
+    all-pairs-by-shingle oracle — a measurement harness run at gate
+    scale; production keeps (4,4) and never materializes truth. The r=1
+    config is deliberately included as the flood case the curve warns
+    about."""
+    docs = t(spark, sf_dir, "documents")
+    P = 2147483647
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"), X.shingles("text", 3).alias("shingles")
+        )
+        .select("id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sh = _pin(sh)  # feeds signature + sizes + intersection legs
+    ids = sh.select(
+        "id",
+        F.aggregate(
+            F.split("shingle", ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(P).cast("long"),
+        ).alias("sid"),
+    )
+    hashed = ids.select(
+        "id",
+        F.posexplode(F.sequence(F.lit(0), F.lit(15))).alias("i", "_i2"),
+        "sid",
+    ).select(
+        "id",
+        "i",
+        (
+            ((F.lit(1103515245).cast("long") * (F.col("i") + 1) + 12345) % P)
+            * F.col("sid").cast("long") % P
+            + (F.lit(12345).cast("long") * (F.col("i") + 1) + 999331) % P
+        ).alias("raw"),
+    )
+    sig = hashed.groupBy("id", "i").agg((F.min(F.col("raw") % P)).alias("minh"))
+    configs = spark.createDataFrame([(1,), (2,), (4,), (8,)], "r int")
+    band_key = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i").alias("i"), F.col("minh").alias("m")))
+            ),
+            lambda x: x["m"].cast("string"),
+        ),
+        ":",
+    )
+    bands = (
+        sig.crossJoin(F.broadcast(configs))
+        .groupBy("r", "id", F.expr("i div r").alias("band"))
+        .agg(band_key.alias("band_key"))
+    )
+    bands = _pin(bands)  # both self-join legs
+    a = bands.select(
+        "r", F.col("band").alias("band"), F.col("band_key").alias("bk"),
+        F.col("id").alias("id_a"),
+    )
+    b = bands.select(
+        F.col("r").alias("rb"), F.col("band").alias("band_b"),
+        F.col("band_key").alias("bk_b"), F.col("id").alias("id_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("r") == F.col("rb"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("bk") == F.col("bk_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("r", "id_a", "id_b")
+        .distinct()
+    )
+    cand = _pin(cand)  # per-config counts + hit join
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    s2 = sh.select(F.col("id").alias("id_b2"), F.col("shingle").alias("sh2"))
+    inter = (
+        sh.join(
+            s2,
+            (F.col("shingle") == F.col("sh2")) & (F.col("id") < F.col("id_b2")),
+        )
+        .groupBy(F.col("id").alias("id_a"), F.col("id_b2").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .filter(
+            5 * F.col("n_inter") >= 2 * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select("id_a", "id_b")
+    )
+    truth = _pin(truth)
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    hits = cand.join(truth, ["id_a", "id_b"]).groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    per = cand.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    return (
+        per.join(hits, "r", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("r").cast("int").alias("rows_per_band"),
+            F.expr("16 div r").cast("bigint").alias("n_bands"),
+            "n_candidates",
+            "n_truth",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.when(F.col("n_truth") == 0, F.lit(0))
+            .otherwise(F.expr("(10000 * coalesce(n_hits, 0)) div n_truth"))
+            .cast("bigint")
+            .alias("recall_e4"),
+            F.when(F.col("n_candidates") == 0, F.lit(0))
+            .otherwise(
+                F.expr("(10000 * coalesce(n_hits, 0)) div n_candidates")
+            )
+            .cast("bigint")
+            .alias("precision_e4"),
+        )
+    )

@@ -45,8 +45,8 @@ def test_registry_size_floor():
     """The operator inventory must not silently shrink (SURVEY §2 coverage)."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    assert len(qs) >= 276, f"query registry shrank: {len(qs)}"
-    assert len(oracles) >= 262, f"oracle coverage shrank: {len(oracles)}"
+    assert len(qs) >= 277, f"query registry shrank: {len(qs)}"
+    assert len(oracles) >= 263, f"oracle coverage shrank: {len(oracles)}"
 
 
 def _newest_correctness_keys() -> set[str]:
