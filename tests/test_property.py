@@ -471,3 +471,63 @@ def test_boilerplate_chunk_removal_matches_python_model(spark, docs):
             math.floor(1_000_000 * kept / total),
         )
     assert got == want
+
+
+# ------------------------------------------------- round-6 operator models
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=24).filter(
+            lambda s: len(s) > 0
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_suffix_array_matches_python_suffix_sort(spark, texts):
+    """The distributed prefix-doubling array equals a literal Python
+    suffix sort (total order including byte-identical suffix ties) on
+    adversarial small corpora — tiny alphabet maximizes ties and repeated
+    substrings, the hard cases for doubling and the -1 sentinel."""
+    from storm_data_etl_spark.operators.suffix import suffix_array
+
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.pos)
+        for r in suffix_array(df).orderBy("sa_rank").collect()
+    ]
+    ref = sorted(
+        (t[i - 1:], d, i) for d, t in docs for i in range(1, len(t) + 1)
+    )
+    assert got == [(d, i) for _, d, i in ref]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=6),
+)
+@SETTINGS
+def test_misra_gries_bounds_hold_on_random_streams(spark, keys, k):
+    """For ANY stream and any capacity: estimates never overcount, each
+    undercounts by at most n/(k+1), at most k survivors, and every key
+    with true frequency > n/(k+1) survives."""
+    from collections import Counter
+
+    from storm_data_etl_spark.operators.heavy_hitters import misra_gries_summary
+
+    df = spark.createDataFrame([(x,) for x in keys], "hh_key bigint").repartition(4)
+    got = {
+        r.hh_key: r.est_count
+        for r in misra_gries_summary(df, "hh_key", k=k).collect()
+    }
+    true = Counter(keys)
+    n = len(keys)
+    bound = n // (k + 1)
+    assert len(got) <= k
+    for key, est in got.items():
+        assert est <= true[key]
+        assert true[key] - est <= bound
+    for key, c in true.items():
+        if c > bound:
+            assert key in got
