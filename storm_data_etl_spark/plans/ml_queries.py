@@ -5236,7 +5236,8 @@ def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
-            F.pmod(F.col("user_id"), F.lit(16)).alias("ctx"),
+            # truncated %, not pmod: matches DuckDB's % for negative ids
+            (F.col("user_id") % 16).alias("ctx"),
             F.col("event_type").alias("action"),
             F.floor(F.col("value") * 100).cast("bigint").alias("r"),
         )
@@ -5500,7 +5501,9 @@ def suffix_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = suffix_array(docs)
     lcp = adjacent_lcp(sa, docs)
     n_suffixes = docs.select(
-        F.sum(F.length("text")).cast("bigint").alias("n_suffixes")
+        F.coalesce(F.sum(F.length("text")), F.lit(0))
+        .cast("bigint")
+        .alias("n_suffixes")
     )
     mx = lcp.agg(F.max("lcp").cast("bigint").alias("max_lcp"))
     at_max = lcp.join(
@@ -5515,8 +5518,14 @@ def suffix_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_first.pos_a").alias("_fpos"),
     )
     best = (
+        # LEFT join: a degenerate corpus with zero adjacent suffix pairs
+        # (exactly one non-empty suffix) leaves _fdoc NULL; the oracle
+        # still emits its 1 row (NULL max_lcp / repeat_text, 0 pairs),
+        # so keep the row instead of dropping it on the NULL key.
         n_at_max.join(
-            docs.select(F.col("doc_id").alias("_fdoc"), "text"), "_fdoc"
+            docs.select(F.col("doc_id").alias("_fdoc"), "text"),
+            "_fdoc",
+            "left",
         )
         .crossJoin(F.broadcast(mx))
         .select(

@@ -3424,7 +3424,8 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         t(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
-        .select(F.pmod(F.col("user_id"), F.lit(199)).alias("hh_key"))
+        # truncated %, not pmod: matches DuckDB's % for negative ids
+        .select((F.col("user_id") % 199).alias("hh_key"))
     )
     summary = misra_gries_summary(s, "hh_key", k=256)
     n_stream = s.agg(F.count(F.lit(1)).alias("n_stream"))

@@ -327,6 +327,17 @@ def streaming_heavy_hitters(
     out_schema = "shard int, hh_key string, est_count long"
     state_schema = "keys array<string>, counts array<long>"
 
+    # NULL keys are counted as a regular key — same semantics as the batch
+    # twin misra_gries_summary (a plain groupBy counts NULL as a group).
+    # Internally every key is escape-encoded ("v"+key for values, "n" for
+    # NULL) so the summary dict sorts uniformly and the array<string>
+    # state never stores a null element; emit decodes back to NULL.
+    def _enc(hk) -> str:
+        return "n" if hk is None else "v" + hk
+
+    def _dec(s: str):
+        return None if s == "n" else s[1:]
+
     def update(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -337,14 +348,17 @@ def streaming_heavy_hitters(
             summary = {}
         touched = False
         for pdf in batches:
-            for hk, c in pdf["hh_key"].value_counts().items():
+            # dropna=False: keep NULL keys (pandas excludes NaN by default,
+            # which would silently drop every null-key row — ADVICE r6).
+            for hk, c in pdf["hh_key"].value_counts(dropna=False).items():
                 touched = True
-                summary[hk] = summary.get(hk, 0) + int(c)
+                ek = _enc(hk if isinstance(hk, str) else None)
+                summary[ek] = summary.get(ek, 0) + int(c)
         if not touched:
             return
         if len(summary) > k:
             # MG trim: subtract the (k+1)-th largest, drop non-positive.
-            # Deterministic tie-break on key so replays converge.
+            # Deterministic tie-break on (encoded) key so replays converge.
             ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
             thr = ordered[k][1]
             summary = {hk: c - thr for hk, c in ordered[:k] if c - thr > 0}
@@ -352,7 +366,7 @@ def streaming_heavy_hitters(
         state.update(([hk for hk, _ in items], [c for _, c in items]))
         yield pd.DataFrame(
             [
-                {"shard": int(key[0]), "hh_key": hk, "est_count": c}
+                {"shard": int(key[0]), "hh_key": _dec(hk), "est_count": c}
                 for hk, c in items
             ]
         )

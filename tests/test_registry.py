@@ -131,8 +131,8 @@ def test_priority_head_is_oracle_backed():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    missing = [n for n in entry.PRIORITY if n not in qs]
-    assert not missing, f"PRIORITY names not in registry: {missing}"
+    missing = [n for n in entry._priority() if n not in qs]
+    assert not missing, f"priority names not in registry: {missing}"
     head = list(qs)[:50]
     ng = set(entry.never_gated())
     stale_rows_only = [n for n in head if n not in oracles and n not in ng]
@@ -150,3 +150,27 @@ def test_priority_head_is_oracle_backed():
     assert not stale_rows_only, (
         f"already-recorded rows-only entries waste head slots: {stale_rows_only}"
     )
+
+
+def test_priority_is_derived_oldest_first():
+    """Round-7 rotation contract (VERDICT r6 task 1): the gate head is
+    DERIVED from the CORRECTNESS_r*.json records, not hand-listed —
+    never-gated first, then oracle-backed by ascending newest-pass round
+    (name tiebreak), then rows-only entries last (their re-run can only
+    reproduce the weaker rows-only evidence)."""
+    newest = entry._newest_pass_round()
+    order = entry._priority()
+    oracles = entry.oracle_sql()
+    assert list(entry.queries()) == order
+
+    never = [n for n in order if n not in newest]
+    gated = [n for n in order if n in newest]
+    # never-gated block is contiguous at the front
+    assert order[: len(never)] == never
+    # within gated: every oracle-backed entry precedes every rows-only one
+    kinds = [(n in oracles) for n in gated]
+    first_rows_only = kinds.index(False) if False in kinds else len(kinds)
+    assert all(kinds[:first_rows_only]) and not any(kinds[first_rows_only:])
+    # oracle-backed segment is sorted by (vintage, name)
+    ob = gated[:first_rows_only]
+    assert ob == sorted(ob, key=lambda n: (newest[n], n))

@@ -346,3 +346,21 @@ def test_suffix_longest_repeat_cross_doc_exact_copy(spark, tmp_path):
     row = Q.REGISTRY["suffix_longest_repeat"].runner(spark, str(tmp_path)).collect()[0]
     assert row.max_lcp == 11
     assert row.repeat_text == "hello world"
+
+
+def test_suffix_longest_repeat_degenerate_single_suffix(spark, tmp_path):
+    """ADVICE r6: a corpus with exactly one non-empty suffix has zero
+    adjacent suffix pairs — the query must still emit the oracle's 1-row
+    shape (NULL max_lcp / repeat_text, 0 pairs), not drop to 0 rows via
+    the inner join on the NULL first-pair doc."""
+    docs = [(1, "z", "en", "s0", 1), (2, "", "en", "s0", 0)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = Q.REGISTRY["suffix_longest_repeat"].runner(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    row = rows[0]
+    assert row.n_suffixes == 1
+    assert row.max_lcp is None
+    assert row.n_pairs_at_max == 0
+    assert row.repeat_text is None

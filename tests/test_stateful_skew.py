@@ -301,3 +301,38 @@ def test_streaming_heavy_hitters_trims_at_capacity(spark, tmp_path):
     assert "hot" in got
     n = len(rows)
     assert 30 - n // 3 <= got["hot"] <= 30
+
+
+def test_streaming_heavy_hitters_counts_null_keys(spark, tmp_path):
+    """NULL keys count as a regular key — same semantics as the batch twin
+    misra_gries_summary (groupBy counts NULL as a group). ADVICE r6: the
+    old value_counts() default silently dropped every null-key row."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "src_hh3")
+    _os.makedirs(src)
+    rows = [{"k": None}] * 4 + [{"k": "x"}] * 3 + [{"k": "n"}] * 2
+    with open(_os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("k string").json(src)
+    hh = streaming_heavy_hitters(stream, "k", k=8, num_shards=2)
+    q = (
+        hh.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hh_out3")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.hh_key: r.est_count
+            for r in spark.sql("select * from hh_out3").collect()
+        }
+    finally:
+        q.stop()
+    # the literal key "n" must not collide with the NULL sentinel encoding
+    assert got == {None: 4, "x": 3, "n": 2}
