@@ -145,6 +145,233 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exact_substr_cut(
+    docs: DataFrame,
+    min_len: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr span-removal dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" §4.1) — the production
+    transform the suffix array exists to power: every duplicated span of
+    length >= min_len is removed from the corpus EXCEPT its first
+    occurrence (global (doc_id, pos) order per duplicate class).
+
+    Precise semantics (deterministic, oracle-expressible):
+      - position p in doc d is a DUPLICATE-START if the min_len-gram at p
+        occurs >= 2 times corpus-wide AND (d, p) is not the first
+        occurrence of that gram (first = min (doc_id, pos));
+      - the cut set of a doc is the union of [p, p+min_len-1] over its
+        duplicate-starts; covering a span of any length M >= min_len this
+        way cuts exactly the union of its non-first copies, because every
+        min_len-window inside a duplicated M-span is itself duplicated;
+      - output rows are the docs with a non-empty cut set: the text with
+        cut characters removed, plus audit counts.
+
+    Returns (doc_id, orig_len, deduped_len, n_cut_chars, deduped_text).
+
+    Scale shape: duplicate detection rides the suffix array — a suffix's
+    longest repeated prefix is max(LCP with its two suffix-order
+    neighbors), so "gram at p duplicated" == "adjacent LCP >= min_len"
+    WITHOUT materializing the corpus's grams (the naive gram groupBy
+    shuffles corpus_bytes x min_len; the SA path shuffles (doc,pos,rank)
+    triples). Grams are extracted only for the duplicated subset (to
+    identify classes and keep the first copy) — on natural corpora a
+    small fraction. Interval merge and segment reassembly are per-doc
+    keyed windows + one keyed aggregate; per-doc state is bounded by the
+    doc's own cut count (<= doc length)."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).filter(F.length("text") > 0)
+    dup_pos = _dup_positions(d, min_len)
+    return _cut_from_dup_positions(d, dup_pos, min_len)
+
+
+def _dup_positions(d: DataFrame, min_len: int) -> DataFrame:
+    """(doc_id, pos) of every position whose min_len-gram occurs >= 2
+    times in d, via the suffix array: a suffix's L-prefix occurs
+    elsewhere iff an adjacent suffix-order neighbor shares >= L chars."""
+    sa = suffix_array(d)
+    lcp = adjacent_lcp(sa, d)
+    hits = lcp.filter(F.col("lcp") >= min_len)
+    return (
+        hits.select(F.col("doc_a").alias("doc_id"), F.col("pos_a").alias("pos"))
+        .unionByName(
+            hits.select(F.col("doc_b").alias("doc_id"), F.col("pos_b").alias("pos"))
+        )
+        .distinct()
+    )
+
+
+def _cut_from_dup_positions(
+    d: DataFrame, dup_pos: DataFrame, min_len: int
+) -> DataFrame:
+    """Keep-first + interval algebra + rebuild, given the duplicated
+    positions (shared by the global and sharded detection paths)."""
+    # Keep-first per gram class: extract the gram text only for the
+    # duplicated subset, rank occurrences by (doc_id, pos).
+    from pyspark.sql import Window
+
+    grams = dup_pos.join(d, "doc_id").select(
+        "doc_id", "pos", F.expr(f"substr(text, pos, {min_len})").alias("g")
+    )
+    occ_w = Window.partitionBy("g").orderBy("doc_id", "pos")
+    cuts = (
+        grams.withColumn("occ", F.row_number().over(occ_w))
+        .filter(F.col("occ") >= 2)
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(min_len - 1)).alias("e"),
+        )
+    )
+
+    # Merge overlapping/adjacent cut intervals per doc (gaps-and-islands:
+    # new island iff s > running max(e) + 1; first row's NULL running max
+    # coalesces to 0 so s=1 starts island 0 — mirrored in the SQL twin).
+    doc_w = Window.partitionBy("doc_id").orderBy("s", "e")
+    run_max = F.max("e").over(doc_w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = cuts.withColumn(
+        "ni", F.when(F.col("s") > F.coalesce(run_max, F.lit(0)) + 1, 1).otherwise(0)
+    ).withColumn(
+        "isl", F.sum("ni").over(doc_w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+
+    # Kept segments = complement of the merged cuts within [1, len]:
+    # the gap before each cut plus one tail segment after the last cut.
+    seg_w = Window.partitionBy("doc_id").orderBy("ms")
+    gaps = merged.select(
+        "doc_id",
+        (F.coalesce(F.lag("me").over(seg_w), F.lit(0)) + 1).alias("ks"),
+        (F.col("ms") - 1).alias("ke"),
+    )
+    lens = d.select("doc_id", F.length("text").alias("orig_len"))
+    tail = (
+        merged.groupBy("doc_id")
+        .agg(F.max("me").alias("last_e"))
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("last_e") + 1).alias("ks"),
+            F.col("orig_len").alias("ke"),
+        )
+    )
+    segs = gaps.unionByName(tail)
+
+    seg_txt = segs.join(d, "doc_id").select(
+        "doc_id",
+        "ks",
+        F.expr("substr(text, ks, greatest(0, ke - ks + 1))").alias("seg"),
+    )
+    rebuilt = seg_txt.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ks", "seg"))),
+                lambda x: x["seg"],
+            ),
+            "",
+        ).alias("deduped_text")
+    )
+    return rebuilt.join(lens, "doc_id").select(
+        "doc_id",
+        "orig_len",
+        F.length("deduped_text").alias("deduped_len"),
+        (F.col("orig_len") - F.length("deduped_text")).alias("n_cut_chars"),
+        "deduped_text",
+    )
+
+
+def exact_substr_cut_sharded(
+    docs: DataFrame,
+    min_len: int = 32,
+    n_shards: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sharded ExactSubstr — the 100 TB deployment mode (docs/SCALE.md
+    "Suffix-array family"): Lee et al. 2022 build per-shard suffix
+    arrays and reconcile across shards; one global prefix-doubling build
+    over 100 TB is log(L) corpus-wide sorts, while per-shard builds are
+    independent jobs whose shuffle width is bounded by the shard.
+
+    EXACT by construction — per-shard ∪ cross-shard ≡ global:
+      - WITHIN-shard duplicated positions come from each shard's own
+        suffix array (_dup_positions on the shard's docs);
+      - CROSS-shard duplicates (gram unique inside every shard it
+        touches, duplicated only across) are reconciled with 8-byte
+        xxhash64 gram FINGERPRINTS: positions whose fingerprint spans
+        >= 2 shards are candidates, then candidates are VERIFIED on the
+        actual gram text (count >= 2 per gram), so a hash collision can
+        only add a verified-away candidate, never a wrong cut.
+    Every occurrence of a globally-duplicated gram lands in the union:
+    if it has a same-shard twin the shard SA finds it; otherwise all its
+    twins are in other shards and the fingerprint join finds it. The
+    keep-first ranking then runs on the union with the same global
+    (doc_id, pos) order as the unsharded path — identical output
+    (pinned in tests/test_round7_ops.py on planted cross-shard dups).
+
+    Scale shape: the fingerprint pass shuffles 8 bytes/position instead
+    of L chars (the reconcile is corpus-linear but narrow); gram text is
+    materialized only for spanning candidates; the per-shard SA builds
+    are embarrassingly parallel across jobs. What sharding alone would
+    MISS without the reconcile is exactly the spanning-fingerprint set
+    this pass recovers — see SCALE.md for the bound discussion."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).filter(F.length("text") > 0)
+    shard_of = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards))
+
+    # Phase 1 — within-shard duplicates via per-shard suffix arrays.
+    within = None
+    for s in range(n_shards):
+        part = d.filter(shard_of == s)
+        dp = _dup_positions(part, min_len)
+        within = dp if within is None else within.unionByName(dp)
+
+    # Phase 2 — cross-shard reconcile on gram fingerprints.
+    fp = d.filter(F.length("text") >= min_len).select(
+        "doc_id",
+        shard_of.alias("_shard"),
+        # guard above matters: sequence(1, stop) with stop < 1 would emit a
+        # DESCENDING [1, 0] sequence, not an empty one
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(min_len - 1))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        "_shard",
+        "pos",
+        F.xxhash64(F.expr(f"substr(text, pos, {min_len})")).alias("_fp"),
+    )
+    spanning = (
+        fp.groupBy("_fp")
+        .agg(F.countDistinct("_shard").alias("_ns"))
+        .filter(F.col("_ns") >= 2)
+        .select("_fp")
+    )
+    candidates = fp.join(spanning, "_fp").select("doc_id", "pos")
+    # Verify candidates on the actual gram (collision safety): only grams
+    # with a true count >= 2 survive.
+    cand_grams = candidates.join(d, "doc_id").select(
+        "doc_id", "pos", F.expr(f"substr(text, pos, {min_len})").alias("g")
+    )
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy("g")
+    cross = (
+        cand_grams.withColumn("_n", F.count(F.lit(1)).over(gw))
+        .filter(F.col("_n") >= 2)
+        .select("doc_id", "pos")
+    )
+
+    dup_pos = within.unionByName(cross).distinct()
+    return _cut_from_dup_positions(d, dup_pos, min_len)
+
+
 def adjacent_lcp(sa: DataFrame, docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", max_rounds: int = 64) -> DataFrame:
     """LCP between each adjacent suffix pair in suffix-array order.

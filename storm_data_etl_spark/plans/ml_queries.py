@@ -5613,6 +5613,113 @@ def suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_SUBSTR_L = 32
+
+@register(
+    "exact_substr_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(coalesce(text, '')) > 0
+    ),
+    g AS (
+      SELECT doc_id, p.p AS pos, substr(text, p.p, {_EXACT_SUBSTR_L}) AS g
+      FROM d, unnest(range(1, length(text) - {_EXACT_SUBSTR_L} + 2)) AS p(p)
+      WHERE length(text) >= {_EXACT_SUBSTR_L}
+    ),
+    o AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS cnt,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS occ
+      FROM g
+    ),
+    cuts AS (
+      SELECT doc_id, pos AS s, pos + {_EXACT_SUBSTR_L} - 1 AS e
+      FROM o WHERE cnt >= 2 AND occ >= 2
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM cuts
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS isl
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, isl, min(s) AS ms, max(e) AS me
+      FROM isl2 GROUP BY doc_id, isl
+    ),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1 AS ks,
+             ms - 1 AS ke
+      FROM merged
+      UNION ALL
+      SELECT m.doc_id, max(m.me) + 1 AS ks, max(length(d2.text)) AS ke
+      FROM merged m JOIN d d2 USING (doc_id) GROUP BY m.doc_id
+    ),
+    seg_txt AS (
+      SELECT s.doc_id, s.ks,
+             substr(d2.text, CAST(s.ks AS INT),
+                    CAST(greatest(0, s.ke - s.ks + 1) AS INT)) AS seg
+      FROM segs s JOIN d d2 USING (doc_id)
+    ),
+    red AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY ks) AS deduped_text
+      FROM seg_txt GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           length(d2.text) AS orig_len,
+           length(coalesce(r.deduped_text, '')) AS deduped_len,
+           length(d2.text) - length(coalesce(r.deduped_text, '')) AS n_cut_chars,
+           coalesce(r.deduped_text, '') AS deduped_text
+    FROM red r JOIN d d2 USING (doc_id)
+    """,
+)
+def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span-removal dedup (Lee et al. 2022 §4.1) — the
+    PRODUCTION transform on the suffix array, closing the round-6 gap
+    where the capstone was read-only diagnostics: every duplicated span
+    of length >= {L} chars is cut from the corpus except its first
+    occurrence (min (doc_id, pos) per duplicate class), and the emitted
+    rows are the changed docs with their rebuilt text — the driver
+    hashes the full deduped text, so a single mis-cut character anywhere
+    breaks the gate.
+
+    Removal semantics pinned in tests/test_round7_ops.py hand-computed
+    cases: which copy survives (global first), boundary handling (cut
+    intervals merge when overlapping OR adjacent; kept segments are the
+    complement within [1, len], so cuts at position 1 / doc end / whole
+    doc all rebuild correctly, a fully-duplicated doc emitting '').
+
+    The oracle is the gram-window formulation of the SAME semantics:
+    duplicated-L-gram positions via count()-over-gram, keep-first via
+    row_number, then identical interval algebra in SQL — independent of
+    the suffix-array machinery it certifies (a suffix's L-prefix is
+    duplicated iff an adjacent suffix-array neighbor shares >= L chars).
+
+    Scale shape (operators/suffix.py exact_substr_cut): the SA detects
+    duplicated positions without materializing grams (the oracle's gram
+    table is corpus_bytes x L — the quadratic-ish blowup the index
+    avoids); grams are extracted only for the duplicated subset;
+    interval merge + reassembly are per-doc keyed windows. Index-build
+    cost class (see bench.py INDEX_BUILDS), not interactive."""
+    from storm_data_etl_spark.operators.suffix import exact_substr_cut
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
+        .select("doc_id", "text")
+    )
+    return exact_substr_cut(docs, min_len=_EXACT_SUBSTR_L)
+
+
 @register(
     "dup_aware_loss_weights",
     f"""
