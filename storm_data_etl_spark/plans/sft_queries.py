@@ -1099,3 +1099,376 @@ def pass_at_k_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_pass_at_k_e9"),
     )
+
+
+# =====================================================================
+# Inter-annotator agreement + pairwise-preference strength (round 7)
+# =====================================================================
+
+#: Two deterministic "annotators" over documents, shared by the
+#: agreement queries: rater Q labels by the composite quality score
+#: (functions/text.quality_score), rater H by the cheap length+punct
+#: heuristic alone. Correlated but not identical — exactly the
+#: imperfect-agreement regime κ/α are built to quantify. Produces CTE
+#: `ratings(doc_id, source, rq, rh)` with labels in {0,1,2}; prepend
+#: the quality CTEs.
+_SQL_RATINGS_CTE = f"""
+    ratings AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN q.quality >= 0.8 THEN 2
+                  WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS rq,
+             CASE WHEN s.n >= 200 AND s.n <= 20000 AND s.p <= 0.2 THEN 2
+                  WHEN s.n >= 50 AND s.p <= 0.4 THEN 1 ELSE 0 END AS rh
+      FROM documents d
+      JOIN qual q ON q.doc_id = d.doc_id
+      JOIN sig s ON s.doc_id = d.doc_id
+    )"""
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_RATINGS_CTE."""
+    docs = t(spark, sf_dir, "documents")
+    q = X.quality_score("text")
+    n = X.char_count("text")
+    p = X.punct_ratio("text")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(q >= 0.8, 2).when(q >= 0.5, 1).otherwise(0).alias("rq"),
+        F.when((n >= 200) & (n <= 20000) & (p <= 0.2), 2)
+        .when((n >= 50) & (p <= 0.4), 1)
+        .otherwise(0)
+        .alias("rh"),
+    )
+
+
+@register(
+    "cohen_kappa_agreement",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS_CTE},
+    m AS (
+      SELECT source,
+             count(*) AS n,
+             CAST(sum(CASE WHEN rq = rh THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(sum(CASE WHEN rq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+             CAST(sum(CASE WHEN rq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(sum(CASE WHEN rq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+             CAST(sum(CASE WHEN rh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN rh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN rh = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+      FROM ratings GROUP BY source
+    )
+    SELECT source, n, agree,
+           CASE WHEN n * n - (a0*b0 + a1*b1 + a2*b2) = 0 THEN NULL
+                WHEN n * agree - (a0*b0 + a1*b1 + a2*b2) >= 0
+                THEN (1000000 * (n * agree - (a0*b0 + a1*b1 + a2*b2)))
+                     // (n * n - (a0*b0 + a1*b1 + a2*b2))
+                ELSE -((1000000 * ((a0*b0 + a1*b1 + a2*b2) - n * agree))
+                       // (n * n - (a0*b0 + a1*b1 + a2*b2)))
+           END AS kappa_e6
+    FROM m
+    """,
+)
+def cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ (Cohen 1960) per source between two deterministic
+    annotators (quality-score bands vs a length+punct heuristic) — the
+    inter-annotator agreement audit run before trusting a rating table
+    as training signal. κ = (p_o − p_e)/(1 − p_e) with chance agreement
+    p_e from the raters' marginals; emitted as exact integer
+    κ·1e6 = (n·agree − Σ_k a_k·b_k) tdiv (n² − Σ_k a_k·b_k), truncated
+    toward zero SYMMETRICALLY on both engines (κ < 0, agreement below
+    chance, divides negatives — Spark div and DuckDB // disagree on
+    floor-vs-trunc there, so both sides spell out the sign; the ADVICE
+    r6 pmod lesson applied preemptively). NULL when p_e = 1 (degenerate
+    one-class marginals).
+
+    Scale: one narrow scan → one tiny groupBy(source) of conditional
+    counts; capacity n < 3e9 docs/source before n² leaves BIGINT
+    (docs/LIMITS.md round-7 note)."""
+    r = _ratings(spark, sf_dir)
+    conds = [
+        F.sum(F.when(F.col("rq") == k, 1).otherwise(0)).cast("bigint").alias(f"a{k}")
+        for k in (0, 1, 2)
+    ] + [
+        F.sum(F.when(F.col("rh") == k, 1).otherwise(0)).cast("bigint").alias(f"b{k}")
+        for k in (0, 1, 2)
+    ]
+    m = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("rq") == F.col("rh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        *conds,
+    )
+    pe = F.col("a0") * F.col("b0") + F.col("a1") * F.col("b1") + F.col("a2") * F.col("b2")
+    num = F.col("n") * F.col("agree") - pe
+    den = F.col("n") * F.col("n") - pe
+    kappa = (
+        F.when(den == 0, F.lit(None).cast("bigint"))
+        .when(num >= 0, F.expr("1000000 * num div den"))
+        .otherwise(-F.expr("(1000000 * (-num)) div den"))
+    )
+    return m.withColumn("num", num).withColumn("den", den).select(
+        "source",
+        "n",
+        "agree",
+        kappa.cast("bigint").alias("kappa_e6"),
+    )
+
+
+@register(
+    "krippendorff_alpha_nominal",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS_CTE},
+    m AS (
+      SELECT source,
+             count(*) AS n,
+             CAST(sum(CASE WHEN rq <> rh THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN rq = 0 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN rh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN rq = 1 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN rh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN rq = 2 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN rh = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM ratings GROUP BY source
+    )
+    SELECT source, n, d,
+           CASE WHEN n * ((2*n) * (2*n - 1) - (c0*(c0-1) + c1*(c1-1) + c2*(c2-1))) = 0
+                THEN NULL
+                WHEN n * ((2*n) * (2*n - 1) - (c0*(c0-1) + c1*(c1-1) + c2*(c2-1)))
+                     - d * (2*n) * (2*n - 1) >= 0
+                THEN (1000000 * (n * ((2*n) * (2*n - 1) - (c0*(c0-1) + c1*(c1-1) + c2*(c2-1)))
+                                 - d * (2*n) * (2*n - 1)))
+                     // (n * ((2*n) * (2*n - 1) - (c0*(c0-1) + c1*(c1-1) + c2*(c2-1))))
+                ELSE -((1000000 * (d * (2*n) * (2*n - 1)
+                                   - n * ((2*n) * (2*n - 1) - (c0*(c0-1) + c1*(c1-1) + c2*(c2-1)))))
+                       // (n * ((2*n) * (2*n - 1) - (c0*(c0-1) + c1*(c1-1) + c2*(c2-1)))))
+           END AS alpha_e6
+    FROM m
+    """,
+)
+def krippendorff_alpha_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's α (nominal metric, 2 raters, no missing values —
+    Krippendorff 2004 §11) per source over the same rating table as
+    cohen_kappa_agreement. α = 1 − D_o/D_e with D_o = d/n (disagreeing
+    units) and D_e the no-replacement pooled disagreement
+    (N(N−1) − Σ_c n_c(n_c−1)) / (N(N−1)), N = 2n pooled values. Exact
+    integer form: α·1e6 = (A − B) tdiv A with
+    A = n·(N(N−1) − Σ_c n_c(n_c−1)), B = d·N(N−1); sign-symmetric
+    truncation and NULL-on-degenerate as in κ. α differs from κ
+    exactly in its chance model (pooled marginals, finite-sample
+    correction) — having both gated catches a wrong chance term that
+    either alone might mask.
+
+    Scale: identical single-aggregate shape; capacity 4n³·1e6 < 2^63 →
+    n < 120k docs/source in BIGINT (docs/LIMITS.md; recast both sides
+    to HUGEINT/DECIMAL(38,0) past that)."""
+    r = _ratings(spark, sf_dir)
+    conds = [
+        (
+            F.sum(F.when(F.col("rq") == k, 1).otherwise(0))
+            + F.sum(F.when(F.col("rh") == k, 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias(f"c{k}")
+        for k in (0, 1, 2)
+    ]
+    m = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("rq") != F.col("rh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        *conds,
+    )
+    n, d = F.col("n"), F.col("d")
+    pairs_all = (2 * n) * (2 * n - 1)
+    same = sum(F.col(f"c{k}") * (F.col(f"c{k}") - 1) for k in (0, 1, 2))
+    a_ = n * (pairs_all - same)
+    b_ = d * pairs_all
+    m2 = m.withColumn("A", a_).withColumn("B", b_)
+    alpha = (
+        F.when(F.col("A") == 0, F.lit(None).cast("bigint"))
+        .when(F.col("A") - F.col("B") >= 0, F.expr("(1000000 * (A - B)) div A"))
+        .otherwise(-F.expr("(1000000 * (B - A)) div A"))
+    )
+    return m2.select("source", "n", "d", alpha.cast("bigint").alias("alpha_e6"))
+
+
+
+@register(
+    "bradley_terry_strength",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    base AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q_e4
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    wl AS (
+      SELECT CASE WHEN a.q_e4 > b.q_e4 THEN a.source ELSE b.source END AS w,
+             CASE WHEN a.q_e4 > b.q_e4 THEN b.source ELSE a.source END AS l
+      FROM base a JOIN base b ON b.doc_id = a.doc_id + 37
+      WHERE a.source <> b.source AND a.q_e4 <> b.q_e4
+    ),
+    g AS (SELECT least(w, l) AS x, greatest(w, l) AS y, count(*) AS n
+          FROM wl GROUP BY 1, 2),
+    sym AS (SELECT x AS i, y AS j, n FROM g
+            UNION ALL SELECT y AS i, x AS j, n FROM g),
+    players AS (SELECT DISTINCT i FROM sym),
+    wins AS (
+      SELECT p.i, CAST(count(wl.w) AS BIGINT) AS w
+      FROM players p LEFT JOIN wl ON wl.w = p.i GROUP BY p.i
+    ),
+    gtot AS (SELECT i, CAST(sum(n) AS BIGINT) AS n_games FROM sym GROUP BY i),
+    p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS p FROM players),
+    d1 AS (
+      SELECT s.i, sum((CAST(s.n AS HUGEINT) * 1000000000000) // (pa.p + pb.p)) AS d
+      FROM sym s JOIN p0 pa ON pa.i = s.i JOIN p0 pb ON pb.i = s.j
+      GROUP BY s.i
+    ),
+    r1 AS (
+      SELECT d1.i, (CAST(w.w + 1 AS HUGEINT) * 1000000000000000000) // d1.d AS praw
+      FROM d1 JOIN wins w ON w.i = d1.i
+    ),
+    p1 AS (
+      SELECT i, CAST(greatest(1, (praw * 1000000) // (SELECT sum(praw) FROM r1)) AS BIGINT) AS p
+      FROM r1
+    ),
+    d2 AS (
+      SELECT s.i, sum((CAST(s.n AS HUGEINT) * 1000000000000) // (pa.p + pb.p)) AS d
+      FROM sym s JOIN p1 pa ON pa.i = s.i JOIN p1 pb ON pb.i = s.j
+      GROUP BY s.i
+    ),
+    r2 AS (
+      SELECT d2.i, (CAST(w.w + 1 AS HUGEINT) * 1000000000000000000) // d2.d AS praw
+      FROM d2 JOIN wins w ON w.i = d2.i
+    ),
+    p2 AS (
+      SELECT i, CAST(greatest(1, (praw * 1000000) // (SELECT sum(praw) FROM r2)) AS BIGINT) AS p
+      FROM r2
+    ),
+    d3 AS (
+      SELECT s.i, sum((CAST(s.n AS HUGEINT) * 1000000000000) // (pa.p + pb.p)) AS d
+      FROM sym s JOIN p2 pa ON pa.i = s.i JOIN p2 pb ON pb.i = s.j
+      GROUP BY s.i
+    ),
+    r3 AS (
+      SELECT d3.i, (CAST(w.w + 1 AS HUGEINT) * 1000000000000000000) // d3.d AS praw
+      FROM d3 JOIN wins w ON w.i = d3.i
+    ),
+    p3 AS (
+      SELECT i, CAST(greatest(1, (praw * 1000000) // (SELECT sum(praw) FROM r3)) AS BIGINT) AS p
+      FROM r3
+    )
+    SELECT p3.i AS source, gtot.n_games, wins.w AS n_wins,
+           p3.p AS strength_e6
+    FROM p3 JOIN gtot ON gtot.i = p3.i JOIN wins ON wins.i = p3.i
+    """,
+)
+def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry (1952) player strengths from pairwise preferences
+    via THREE unrolled minorization-maximization iterations (Hunter 2004
+    MM: p_i <- W_i / sum_j n_ij/(p_i + p_j)), the reward-model-adjacent
+    strength fit over source-vs-source quality wins. Matches pair doc k
+    against doc k+37 (offset coprime to the 25-doc source blocks, so the
+    comparison graph CONNECTS all sources — consecutive pairing would
+    give disjoint 2-cliques where only within-pair strengths are
+    identified); winner = higher quality e4, ties and same-source pairs
+    dropped.
+
+    Every iteration is EXACT fixed-point integer arithmetic so the
+    distributed sums are order-free and both engines agree bit-for-bit:
+    p in e6 units, D_i = sum_j (n_ij*1e12 tdiv (p_i+p_j)) (per-term
+    floor, exact integer sum), praw_i = (W_i+1)*1e18 tdiv D_i (the +1 is
+    Laplace smoothing so zero-win players keep positive strength — MM is
+    undefined at W=0), renormalized to sum ~1e6 with a >=1 floor. The
+    DuckDB twin unrolls the same three iterations as chained CTEs in
+    HUGEINT; Spark uses DECIMAL(38,0) products with div. Capacity
+    bounds (docs/LIMITS.md): per-player wins < 4.6e6 and games < 1.8e7
+    per iteration before praw/D leave BIGINT.
+
+    Scale shape: the iteration state is ONE row per player (sources:
+    tiny) — every join against `sym` is a broadcast; the only
+    corpus-size work is the one-pass match derivation (self-join on
+    doc_id+37, an equi-join) and its groupBys."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.floor(X.quality_score("text") * 10000 + 0.5).cast("bigint").alias("q_e4"),
+    )
+    b = base.select(
+        (F.col("doc_id") - 37).alias("doc_id"),
+        F.col("source").alias("source_b"),
+        F.col("q_e4").alias("q_b"),
+    )
+    wl = (
+        base.join(b, "doc_id")
+        .filter((F.col("source") != F.col("source_b")) & (F.col("q_e4") != F.col("q_b")))
+        .select(
+            F.when(F.col("q_e4") > F.col("q_b"), F.col("source"))
+            .otherwise(F.col("source_b"))
+            .alias("w"),
+            F.when(F.col("q_e4") > F.col("q_b"), F.col("source_b"))
+            .otherwise(F.col("source"))
+            .alias("l"),
+        )
+    )
+    g = wl.groupBy(
+        F.least("w", "l").alias("x"), F.greatest("w", "l").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sym = g.select(F.col("x").alias("i"), F.col("y").alias("j"), "n").unionByName(
+        g.select(F.col("y").alias("i"), F.col("x").alias("j"), "n")
+    )
+    players = sym.select("i").distinct()
+    wins = (
+        players.join(wl.groupBy("w").agg(F.count(F.lit(1)).alias("_w")),
+                     players["i"] == F.col("w"), "left")
+        .select("i", F.coalesce("_w", F.lit(0)).cast("bigint").alias("w"))
+    )
+    gtot = sym.groupBy("i").agg(F.sum("n").cast("bigint").alias("n_games"))
+
+    p = players.select("i", F.lit(1000000).cast("bigint").alias("p"))
+    for _ in range(3):
+        pa = p.select("i", F.col("p").alias("pa"))
+        pb = p.select(F.col("i").alias("j"), F.col("p").alias("pb"))
+        d = (
+            sym.join(F.broadcast(pa), "i")
+            .join(F.broadcast(pb), "j")
+            .select(
+                "i",
+                F.expr(
+                    "(CAST(n AS DECIMAL(38,0)) * 1000000000000) div (pa + pb)"
+                ).alias("term"),
+            )
+            .groupBy("i")
+            .agg(F.sum("term").cast("decimal(38,0)").alias("dsum"))
+        )
+        praw = d.join(wins, "i").select(
+            "i",
+            F.expr(
+                "(CAST(w + 1 AS DECIMAL(38,0)) * 1000000000000000000) div dsum"
+            ).alias("praw"),
+        )
+        tot = praw.agg(F.sum("praw").cast("decimal(38,0)").alias("tot"))
+        p = praw.crossJoin(F.broadcast(tot)).select(
+            "i",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr("(CAST(praw AS DECIMAL(38,0)) * 1000000) div tot").cast(
+                    "bigint"
+                ),
+            ).alias("p"),
+        )
+    return (
+        p.join(gtot, "i")
+        .join(wins, "i")
+        .select(
+            F.col("i").alias("source"),
+            "n_games",
+            F.col("w").alias("n_wins"),
+            F.col("p").alias("strength_e6"),
+        )
+    )
