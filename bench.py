@@ -50,6 +50,12 @@ os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
 
 #: Headline set: the scans/joins/windows that dominate real workloads, plus
 #: the engine's own enrichment hot path and the training-data operators.
+#:
+#: BENCH-ON-LAND POLICY (VERDICT r7 task 3): every new registry query joins
+#: HEADLINE the round it lands — or a named sidecar (INDEX_BUILDS for
+#: one-shot index builds) with the reason stated in its comment. Nothing
+#: ships unmeasured; "cheap by construction" is an argument, a bench row is
+#: evidence.
 HEADLINE = [
     "pricing_summary",
     "join_multiway",
@@ -227,7 +233,62 @@ HEADLINE = [
     "moe_router_load_balance",
     "dup_aware_loss_weights",
     "lsh_s_curve",
+    # round-7 additions (benched starting round 8 — the policy above was
+    # written after they landed; exact_substr_dedup is in INDEX_BUILDS)
+    "cohen_kappa_agreement",
+    "krippendorff_alpha_nominal",
+    "bradley_terry_strength",
+    # round-8 additions
+    "fleiss_kappa_agreement",
+    "elo_sequential_ratings",
+    "exact_substr_token_dedup",
 ]
+
+#: Queries registered BEFORE the bench-on-land policy that never joined
+#: HEADLINE — sub-second early-round relational/window/scan queries whose
+#: plan shapes are covered by a same-family headline entry. FROZEN: this
+#: set may only shrink (promote to HEADLINE); tests/test_registry.py
+#: asserts every registry query is in HEADLINE ∪ INDEX_BUILDS ∪ this set,
+#: so a new query that skips the bench turns pytest red.
+LEGACY_UNBENCHED = frozenset({
+    "ann_ivf_topk", "ann_lsh_topk", "anomaly_zscore_events",
+    "ansi_safe_division", "anti_join_missing", "approx_sketches",
+    "audience_overlap_matrix", "behavior_signatures", "bigram_lm_score",
+    "binary_payload_stats", "bounding_box", "bpe_token_budget",
+    "chi_square_independence", "chunk_dedup_groups", "collation_group_count",
+    "collation_join_sort", "conditional_counts", "containment_near_dup",
+    "corpus_after_dedup", "count_parity", "cross_source_overlap",
+    "cube_counts", "dedup_cluster_assign", "distinct_count", "doc_chunking",
+    "doc_quality_filter", "doc_quality_scores", "edit_distance_verify",
+    "embedding_near_dup_exact", "embedding_near_dup_lsh",
+    "embedding_norm_stats", "embedding_quantize_error",
+    "entity_match_scores", "enum_membership", "event_transition_matrix",
+    "ewma_last", "filter_compound", "filter_disjunctive",
+    "fk_integrity_audit", "frequent_event_trigrams", "gapfill_forward_fill",
+    "global_max", "group_count_composite", "hll_distinct_rollup",
+    "hourly_event_counts", "incremental_agg_maintenance",
+    "interval_union_merge", "jaccard_prefix_filtered", "join_field_compare",
+    "key_skew_profile", "lang_id_distribution", "lateral_top_orders",
+    "markup_strip_stats", "minhash_dedup_verified", "moving_avg_7d",
+    "multitouch_attribution", "nested_order_rollup", "nth_value_podium",
+    "ntile_quartiles", "null_presence", "oph_dedup_verified",
+    "payload_byte_profile", "per_source_cap", "percentile_ranks",
+    "pii_redaction_stats", "pivot_counts", "pmi_collocations",
+    "props_json_stats", "psi_drift_bins", "quarterly_order_report",
+    "rank_in_group", "recursive_digit_hierarchy",
+    "repeated_ngram_contamination", "repetition_signals",
+    "retention_cohorts", "rolling_distinct_types", "rollup_counts",
+    "running_total", "semantic_decontamination", "semi_join", "sessionize",
+    "set_except", "set_intersect", "skew_salted_distinct",
+    "skew_salted_topk", "spatial_knn", "sql_udf_value_bands",
+    "storm_enrich_golden", "stratified_sample_mix", "table_profile",
+    "tfidf_top_terms", "time_to_conversion", "token_entropy",
+    "token_shard_packing", "top_groups", "train_val_test_split",
+    "transpose_metrics", "trend_slope_by_type", "union_by_name",
+    "unpivot_metrics", "url_host_stats", "value_change_points",
+    "value_corr_by_type", "value_histogram", "vocab_coverage",
+    "weighted_sample_mix", "winsorized_stats", "zorder_curve_stats",
+})
 
 #: Index-build sidecar (VERDICT r6 task 3): the suffix-array family is an
 #: index BUILD (prefix doubling = log(L) global sorts, 24 s-class at
@@ -240,6 +301,9 @@ INDEX_BUILDS = [
     "suffix_longest_repeat",
     "suffix_lcp_histogram",
     "exact_substr_dedup",
+    # sharded 100 TB mode beside the global build: the reconcile overhead
+    # vs per-shard saving is a standing measured pair (VERDICT r7 task 5)
+    "exact_substr_sharded_dedup",
 ]
 INDEX_BUILD_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
@@ -277,6 +341,14 @@ def main() -> None:
     runners = {name: _q.REGISTRY[name].runner for name in HEADLINE if name in _q.REGISTRY}
     runners["enrich_throughput"] = enrich_throughput
 
+    # Dev-loop subset filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    # entries (and skips the sidecar unless an INDEX_BUILDS name is listed).
+    # The driver never sets it, so round artifacts are always the full set.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only_set = {s.strip() for s in only.split(",") if s.strip()}
+    if only_set:
+        runners = {n: f for n, f in runners.items() if n in only_set}
+
     # Warmup: absorb JVM + codegen startup.
     t(spark, SF_DIR, "lineitem").agg(F.count(F.lit(1))).collect()
 
@@ -304,23 +376,35 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Index-build sidecar: one-shot timings at fixed sf pair (see
-    # INDEX_BUILDS note). Kept out of `total` by design.
+    # INDEX_BUILDS note). Kept out of `total` by design. A missing SF
+    # directory or a sidecar failure must never discard the headline
+    # results already measured (ADVICE r7) — skip absent dirs, isolate
+    # each entry behind try/except.
     index_builds: dict[str, dict[str, float]] = {}
     for name in INDEX_BUILDS:
-        if name not in _q.REGISTRY:
+        if name not in _q.REGISTRY or (only_set and name not in only_set):
             continue
         index_builds[name] = {}
         for ib_dir in INDEX_BUILD_SFS:
+            if not os.path.isdir(ib_dir):
+                continue
             ib_sf = ib_dir.rstrip("/").split("sf")[-1]
-            start = time.perf_counter()
-            _q.REGISTRY[name].runner(spark, ib_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            index_builds[name][ib_sf] = round(time.perf_counter() - start, 3)
-            release_pinned()
+            try:
+                start = time.perf_counter()
+                _q.REGISTRY[name].runner(spark, ib_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                index_builds[name][ib_sf] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # record, don't kill the bench run
+                index_builds[name][ib_sf] = -1.0
+                print(f"index_build {name}@{ib_sf} failed: {exc}", file=sys.stderr)
+            finally:
+                release_pinned()
 
     # Complete per-query record — the artifact the judge can read in full.
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # Subset runs must not clobber the round artifact.
+    full_name = "BENCH_SUBSET.json" if only_set else "BENCH_FULL.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as f:
         json.dump(
             {
@@ -351,7 +435,7 @@ def main() -> None:
         "index_builds_sf0_01_sec": round(
             sum(v.get("0.01", 0.0) for v in index_builds.values()), 3
         ),
-        "full": "BENCH_FULL.json",
+        "full": full_name,
     }
     print_order = ["enrich_throughput"] + [n for n in times if n != "enrich_throughput"]
     for name in print_order:

@@ -79,6 +79,15 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def stopword_hits(col: ColumnOrName, lang: str = "en") -> Column:
+    """Raw count of lowercased tokens that are ``lang`` stopwords — the
+    integer numerator behind stopword_ratio, exposed so integer-exact
+    consumers (fleiss_kappa_agreement's rater T) can band on it without
+    a float division."""
+    tk = F.transform(tokens(col), lambda w: F.lower(w))
+    return F.size(F.filter(tk, lambda w: w.isin(*STOPWORDS[lang])))
+
+
 def stopword_ratio(col: ColumnOrName, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang`` (quality signal)."""
     tk = F.transform(tokens(col), lambda w: F.lower(w))

@@ -284,6 +284,149 @@ def _cut_from_dup_positions(
     )
 
 
+def exact_substr_cut_tokens(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """TOKEN-mode ExactSubstr span-removal dedup — Lee et al. 2022 run
+    their dedup over 50-BPE-token windows, not characters (VERDICT r7
+    task 4); this is the same keep-first removal semantics as
+    exact_substr_cut with every boundary landing on a token boundary:
+
+      - token position p in doc d is a DUPLICATE-START if the
+        min_tokens-gram of TOKENS at p occurs >= 2 times corpus-wide and
+        (d, p) is not the class's first occurrence (min (doc_id, pos));
+      - cut intervals [p, p+min_tokens-1] are unioned per doc over TOKEN
+        indices, the kept token segments are the complement, and the doc
+        is rebuilt by flattening the kept segments in order;
+      - output rows are docs with a non-empty cut set.
+
+    Input is (id_col, tokens_col: array<string>) — tokenizer-agnostic,
+    so the caller picks the token model: whitespace tokens for the
+    oracle-gated registry query, operators/bpe.segment_words_df output
+    for real BPE boundaries (composed in tests/test_round8_ops.py).
+    Precondition: tokens must not contain U+001F (the gram separator);
+    whitespace/BPE tokenizers can't produce it.
+
+    Returns (doc_id, orig_n_tokens, deduped_n_tokens, n_cut_tokens,
+    deduped_text) with deduped_text the kept tokens joined by ' '
+    (canonical single-space form — char offsets are not preserved, token
+    boundaries are the unit here; the char-vs-token semantic difference
+    is documented in docs/SCALE.md).
+
+    Scale shape: fixed-L duplicate detection uses the 8-byte xxhash64
+    window-FINGERPRINT pass proven in exact_substr_cut_sharded's
+    reconcile — shuffle is 8 B/token-position, never corpus x L token
+    text; gram text is materialized only for fingerprint-duplicated
+    candidates and then VERIFIED (count >= 2 on the real gram), so a
+    hash collision can only add a verified-away candidate, never a
+    wrong cut. (The suffix array earns its log(L)-sorts build cost when
+    you need EXACT variable-length spans / the LCP spectrum; for a
+    fixed min_tokens transform the narrow fingerprint pass is the
+    cheaper corpus-linear plan.) Interval merge and reassembly are
+    per-doc keyed windows, state bounded by per-doc cut counts."""
+    from pyspark.sql import Window
+
+    L = min_tokens
+    sep = "\x1f"  # unit-separator: precondition above bars it from tokens
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks")
+    ).filter(F.size("toks") > 0)
+    lens = d.select("doc_id", F.size("toks").alias("orig_n_tokens"))
+
+    # Window fingerprints: one 8-byte hash per token position (guard the
+    # sequence stop — see exact_substr_cut_sharded's descending-sequence
+    # note).
+    fp = d.filter(F.size("toks") >= L).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(L - 1))).alias("tpos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "tpos",
+        F.xxhash64(
+            F.array_join(F.slice(F.col("toks"), F.col("tpos"), F.lit(L)), sep)
+        ).alias("_fp"),
+    )
+    dupfp = (
+        fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= 2)
+    ).select("_fp")
+    candidates = fp.join(dupfp, "_fp").select("doc_id", "tpos")
+
+    # Verify on the real gram text + keep-first per verified class.
+    cand_grams = candidates.join(d, "doc_id").select(
+        "doc_id",
+        "tpos",
+        F.array_join(F.slice(F.col("toks"), F.col("tpos"), F.lit(L)), sep).alias("g"),
+    )
+    gw = Window.partitionBy("g")
+    occ_w = Window.partitionBy("g").orderBy("doc_id", "tpos")
+    cuts = (
+        cand_grams.withColumn("_cnt", F.count(F.lit(1)).over(gw))
+        .withColumn("occ", F.row_number().over(occ_w))
+        .filter((F.col("_cnt") >= 2) & (F.col("occ") >= 2))
+        .select(
+            "doc_id",
+            F.col("tpos").alias("s"),
+            (F.col("tpos") + F.lit(L - 1)).alias("e"),
+        )
+    )
+
+    # Interval union over token indices (same gaps-and-islands as the
+    # char path), then rebuild from kept token segments.
+    doc_w = Window.partitionBy("doc_id").orderBy("s", "e")
+    run_max = F.max("e").over(doc_w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = cuts.withColumn(
+        "ni", F.when(F.col("s") > F.coalesce(run_max, F.lit(0)) + 1, 1).otherwise(0)
+    ).withColumn(
+        "isl", F.sum("ni").over(doc_w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    seg_w = Window.partitionBy("doc_id").orderBy("ms")
+    gaps = merged.select(
+        "doc_id",
+        (F.coalesce(F.lag("me").over(seg_w), F.lit(0)) + 1).alias("ks"),
+        (F.col("ms") - 1).alias("ke"),
+    )
+    tail = (
+        merged.groupBy("doc_id")
+        .agg(F.max("me").alias("last_e"))
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("last_e") + 1).alias("ks"),
+            F.col("orig_n_tokens").alias("ke"),
+        )
+    )
+    segs = gaps.unionByName(tail)
+    seg_toks = segs.join(d, "doc_id").select(
+        "doc_id",
+        "ks",
+        F.slice(
+            F.col("toks"), F.col("ks"), F.greatest(F.lit(0), F.col("ke") - F.col("ks") + 1)
+        ).alias("seg"),
+    )
+    rebuilt = seg_toks.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ks", "seg"))),
+                lambda x: x["seg"],
+            )
+        ).alias("kept")
+    )
+    return rebuilt.join(lens, "doc_id").select(
+        "doc_id",
+        "orig_n_tokens",
+        F.size("kept").alias("deduped_n_tokens"),
+        (F.col("orig_n_tokens") - F.size("kept")).alias("n_cut_tokens"),
+        F.array_join(F.col("kept"), " ").alias("deduped_text"),
+    )
+
+
 def exact_substr_cut_sharded(
     docs: DataFrame,
     min_len: int = 32,

@@ -5615,9 +5615,11 @@ def suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXACT_SUBSTR_L = 32
 
-@register(
-    "exact_substr_dedup",
-    f"""
+#: Gram-window oracle for ExactSubstr removal semantics — shared verbatim
+#: by the global and sharded registrations: the sharded path is proven
+#: per-shard ∪ cross-shard ≡ global, so ONE SQL definition gating both is
+#: itself part of the claim (a sharded-mode divergence breaks its gate).
+_EXACT_SUBSTR_SQL = f"""
     WITH d AS (
       SELECT doc_id, text FROM documents
       WHERE length(coalesce(text, '')) > 0
@@ -5680,8 +5682,10 @@ _EXACT_SUBSTR_L = 32
            length(d2.text) - length(coalesce(r.deduped_text, '')) AS n_cut_chars,
            coalesce(r.deduped_text, '') AS deduped_text
     FROM red r JOIN d d2 USING (doc_id)
-    """,
-)
+    """
+
+
+@register("exact_substr_dedup", _EXACT_SUBSTR_SQL)
 def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span-removal dedup (Lee et al. 2022 §4.1) — the
     PRODUCTION transform on the suffix array, closing the round-6 gap
@@ -5718,6 +5722,135 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return exact_substr_cut(docs, min_len=_EXACT_SUBSTR_L)
+
+
+@register("exact_substr_sharded_dedup", _EXACT_SUBSTR_SQL)
+def exact_substr_sharded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED ExactSubstr — the claimed 100 TB deployment mode
+    (operators/suffix.exact_substr_cut_sharded: per-shard suffix arrays +
+    8-byte xxhash64 cross-shard fingerprint reconcile), registered with
+    the IDENTICAL gram-window oracle as exact_substr_dedup: the sharded
+    path's whole claim is per-shard ∪ cross-shard ≡ global, so it must
+    hash-match the same SQL — the planted-duplicate equivalence test
+    (tests/test_round7_ops.py) now has a corpus-scale driver-gate twin,
+    and bench.py INDEX_BUILDS times it beside the global build (VERDICT
+    r7 task 5: the reconcile overhead vs per-shard saving is a measured
+    number, not an argument). n_shards = 4 at test scale — enough that
+    most duplicate pairs land cross-shard (p = 3/4), exercising the
+    reconcile as the main detection path."""
+    from storm_data_etl_spark.operators.suffix import exact_substr_cut_sharded
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.length(F.coalesce(F.col("text"), F.lit(""))) > 0)
+        .select("doc_id", "text")
+    )
+    return exact_substr_cut_sharded(docs, min_len=_EXACT_SUBSTR_L, n_shards=4)
+
+
+_EXACT_SUBSTR_LT = 8
+
+@register(
+    "exact_substr_token_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+    g AS (
+      SELECT doc_id, p.p AS pos,
+             array_to_string(toks[p.p:p.p + {_EXACT_SUBSTR_LT - 1}], chr(31)) AS g
+      FROM dl, unnest(range(1, n - {_EXACT_SUBSTR_LT} + 2)) AS p(p)
+      WHERE n >= {_EXACT_SUBSTR_LT}
+    ),
+    o AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS cnt,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS occ
+      FROM g
+    ),
+    cuts AS (
+      SELECT doc_id, pos AS s, pos + {_EXACT_SUBSTR_LT} - 1 AS e
+      FROM o WHERE cnt >= 2 AND occ >= 2
+    ),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM cuts
+    ),
+    isl2 AS (
+      SELECT doc_id, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS isl
+      FROM isl
+    ),
+    merged AS (
+      SELECT doc_id, isl, min(s) AS ms, max(e) AS me
+      FROM isl2 GROUP BY doc_id, isl
+    ),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(me) OVER (PARTITION BY doc_id ORDER BY ms), 0) + 1 AS ks,
+             ms - 1 AS ke
+      FROM merged
+      UNION ALL
+      SELECT m.doc_id, max(m.me) + 1 AS ks, max(dl2.n) AS ke
+      FROM merged m JOIN dl dl2 USING (doc_id) GROUP BY m.doc_id
+    ),
+    seg_toks AS (
+      SELECT s.doc_id, s.ks,
+             CASE WHEN s.ke >= s.ks
+                  THEN dl2.toks[CAST(s.ks AS INT):CAST(s.ke AS INT)]
+                  ELSE []::VARCHAR[] END AS seg
+      FROM segs s JOIN dl dl2 USING (doc_id)
+    ),
+    red AS (
+      SELECT doc_id, flatten(list(seg ORDER BY ks)) AS kept
+      FROM seg_toks GROUP BY doc_id
+    )
+    SELECT r.doc_id,
+           dl2.n AS orig_n_tokens,
+           len(r.kept) AS deduped_n_tokens,
+           dl2.n - len(r.kept) AS n_cut_tokens,
+           coalesce(array_to_string(r.kept, ' '), '') AS deduped_text
+    FROM red r JOIN dl dl2 USING (doc_id)
+    """,
+)
+def exact_substr_token_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-mode ExactSubstr (Lee et al. 2022 dedup on 50-BPE-token
+    windows; VERDICT r7 task 4): duplicated runs of >= {L}=8 whitespace
+    tokens are cut except the global first occurrence, cuts land on
+    token boundaries, and changed docs are re-emitted as canonical
+    single-space text — the driver hashes the rebuilt text, so one
+    mis-cut TOKEN anywhere breaks the gate. Same keep-first + interval
+    union semantics as exact_substr_dedup, with token indices as the
+    coordinate system (char-vs-token semantics contrast documented in
+    docs/SCALE.md).
+
+    The registry entry fixes the token model to whitespace tokens (the
+    one tokenizer both engines share exactly); the OPERATOR
+    (operators/suffix.exact_substr_cut_tokens) is tokenizer-agnostic
+    over array<string> and is composed with the real BPE segmenter in
+    tests/test_round8_ops.py — a trained-artifact token model can't be
+    oracle-gated, a fixed deterministic one can.
+
+    Scale shape: fixed-L window dedup detects duplicates with the 8-byte
+    xxhash64 fingerprint pass (shuffle 8 B/position, never corpus x L
+    token text) + gram-text verification — the exact reconcile shape
+    proven in the sharded char path; the oracle is the direct gram-window
+    formulation of the same semantics."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens("text").alias("tokens")
+    )
+    from storm_data_etl_spark.operators.suffix import exact_substr_cut_tokens
+
+    return exact_substr_cut_tokens(docs, min_tokens=_EXACT_SUBSTR_LT)
 
 
 @register(

@@ -1184,7 +1184,10 @@ def cohen_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-class marginals).
 
     Scale: one narrow scan → one tiny groupBy(source) of conditional
-    counts; capacity n < 3e9 docs/source before n² leaves BIGINT
+    counts; capacity n < 3.0e6 docs/source — the binding term is
+    1e6·(n·agree − Σ a_k·b_k) ≤ 1e6·n², which leaves BIGINT at
+    n ≈ 3.0e6 (Spark non-ANSI would wrap silently there while DuckDB
+    errors); recast to DECIMAL(38,0) past that
     (docs/LIMITS.md round-7 note)."""
     r = _ratings(spark, sf_dir)
     conds = [
@@ -1398,7 +1401,7 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.floor(X.quality_score("text") * 10000 + 0.5).cast("bigint").alias("q_e4"),
-    )
+    ).localCheckpoint(eager=True)  # quality regex pass runs ONCE, not per join side
     b = base.select(
         (F.col("doc_id") - 37).alias("doc_id"),
         F.col("source").alias("source_b"),
@@ -1415,19 +1418,27 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("source"))
             .alias("l"),
         )
-    )
+    ).localCheckpoint(eager=True)  # feeds sym AND wins — one match pass
     g = wl.groupBy(
         F.least("w", "l").alias("x"), F.greatest("w", "l").alias("y")
     ).agg(F.count(F.lit(1)).alias("n"))
     sym = g.select(F.col("x").alias("i"), F.col("y").alias("j"), "n").unionByName(
         g.select(F.col("y").alias("i"), F.col("x").alias("j"), "n")
     )
+    # Lineage cuts (the pagerank/suffix-array discipline): sym/wins feed
+    # every MM iteration, and each iteration consumes p TWICE (pa, pb) and
+    # praw twice (tot + renorm) — without cutting, the corpus-scale match
+    # derivation re-executes ~3^k times across k unrolled iterations
+    # (measured 129 s at sf0.1 the round this query first got a bench row;
+    # 2.5 s after the cuts — the bench-on-land policy's first catch).
+    # Every checkpointed table is one row per player/pair: tiny.
+    sym = sym.localCheckpoint(eager=True)
     players = sym.select("i").distinct()
     wins = (
         players.join(wl.groupBy("w").agg(F.count(F.lit(1)).alias("_w")),
                      players["i"] == F.col("w"), "left")
         .select("i", F.coalesce("_w", F.lit(0)).cast("bigint").alias("w"))
-    )
+    ).localCheckpoint(eager=True)
     gtot = sym.groupBy("i").agg(F.sum("n").cast("bigint").alias("n_games"))
 
     p = players.select("i", F.lit(1000000).cast("bigint").alias("p"))
@@ -1452,6 +1463,7 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(CAST(w + 1 AS DECIMAL(38,0)) * 1000000000000000000) div dsum"
             ).alias("praw"),
         )
+        praw = praw.localCheckpoint(eager=True)  # reused by tot AND renorm
         tot = praw.agg(F.sum("praw").cast("decimal(38,0)").alias("tot"))
         p = praw.crossJoin(F.broadcast(tot)).select(
             "i",
@@ -1461,7 +1473,7 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "bigint"
                 ),
             ).alias("p"),
-        )
+        ).localCheckpoint(eager=True)  # consumed twice next round (pa, pb)
     return (
         p.join(gtot, "i")
         .join(wins, "i")
@@ -1471,4 +1483,288 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("n_wins"),
             F.col("p").alias("strength_e6"),
         )
+    )
+
+
+# =====================================================================
+# Multi-rater agreement + sequential rating updates (round 8)
+# =====================================================================
+
+#: THREE deterministic annotators over documents (the κ/α pair above is
+#: 2-rater by construction; Fleiss needs m ≥ 3): rater 1 = quality-score
+#: bands (rq above), rater 2 = length+punct heuristic (rh above),
+#: rater 3 = token-volume + stopword-band heuristic — banded on INTEGER
+#: comparisons (sw_hits·20 ≥ n_tok ⇔ ratio ≥ 0.05) so no float ratio
+#: enters the label. Produces CTE ratings3(doc_id, source, r1, r2, r3),
+#: labels in {0,1,2}; prepend the quality CTEs.
+_SQL_RATINGS3_CTE = """
+    ratings3 AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN q.quality >= 0.8 THEN 2
+                  WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN s.n >= 200 AND s.n <= 20000 AND s.p <= 0.2 THEN 2
+                  WHEN s.n >= 50 AND s.p <= 0.4 THEN 1 ELSE 0 END AS r2,
+             CASE WHEN s.n_tok >= 40 AND s.sw_hits * 20 >= s.n_tok
+                       AND s.sw_hits * 10 <= s.n_tok * 6 THEN 2
+                  WHEN s.n_tok >= 10 THEN 1 ELSE 0 END AS r3
+      FROM documents d
+      JOIN qual q ON q.doc_id = d.doc_id
+      JOIN sig s ON s.doc_id = d.doc_id
+    )"""
+
+
+def _ratings3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _SQL_RATINGS3_CTE."""
+    docs = t(spark, sf_dir, "documents")
+    q = X.quality_score("text")
+    n = X.char_count("text")
+    p = X.punct_ratio("text")
+    n_tok = X.token_count("text")
+    sw = X.stopword_hits("text")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(q >= 0.8, 2).when(q >= 0.5, 1).otherwise(0).alias("r1"),
+        F.when((n >= 200) & (n <= 20000) & (p <= 0.2), 2)
+        .when((n >= 50) & (p <= 0.4), 1)
+        .otherwise(0)
+        .alias("r2"),
+        F.when((n_tok >= 40) & (sw * 20 >= n_tok) & (sw * 10 <= n_tok * 6), 2)
+        .when(n_tok >= 10, 1)
+        .otherwise(0)
+        .alias("r3"),
+    )
+
+
+@register(
+    "fleiss_kappa_agreement",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS3_CTE},
+    m AS (
+      SELECT source, count(*) AS n,
+             CAST(sum((CASE WHEN r1 = r2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r1 = r3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r2 = r3 THEN 1 ELSE 0 END)) AS BIGINT) AS pairs,
+             CAST(sum((CASE WHEN r1 = 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r2 = 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r3 = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS c0,
+             CAST(sum((CASE WHEN r1 = 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r2 = 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r3 = 1 THEN 1 ELSE 0 END)) AS BIGINT) AS c1,
+             CAST(sum((CASE WHEN r1 = 2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r2 = 2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r3 = 2 THEN 1 ELSE 0 END)) AS BIGINT) AS c2
+      FROM ratings3 GROUP BY source
+    )
+    SELECT source, n, pairs,
+           CASE WHEN 9 * n * n - (c0*c0 + c1*c1 + c2*c2) = 0 THEN NULL
+                WHEN 3 * n * pairs - (c0*c0 + c1*c1 + c2*c2) >= 0
+                THEN (1000000 * (3 * n * pairs - (c0*c0 + c1*c1 + c2*c2)))
+                     // (9 * n * n - (c0*c0 + c1*c1 + c2*c2))
+                ELSE -((1000000 * ((c0*c0 + c1*c1 + c2*c2) - 3 * n * pairs))
+                       // (9 * n * n - (c0*c0 + c1*c1 + c2*c2)))
+           END AS kappa_e6
+    FROM m
+    """,
+)
+def fleiss_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ (Fleiss 1971) per source for m = 3 fixed raters, k = 3
+    categories — the multi-rater generalization the 2-rater κ/α pair
+    above can't express (VERDICT r7 task 6). For m = 3 the per-item
+    category multiplicities satisfy Σ_j n_ij² = m + 2·(agreeing pairs),
+    so the whole statistic reduces to ONE conditional-aggregate scan:
+    with P = Σ_i pairs_i and c_j the pooled category counts,
+    κ = (3n·P − Σ_j c_j²) / (9n² − Σ_j c_j²) exactly. Emitted as exact
+    integer κ·1e6 with sign-symmetric truncation (Spark div vs DuckDB //
+    disagree on floor-vs-trunc for negatives — both sides spell out the
+    sign); NULL when the chance term is degenerate (all 3n labels in one
+    category). Rater 3 bands on integer cross-multiplications, never a
+    float ratio, so label parity is exact by construction.
+
+    Scale: one narrow documents scan → one tiny groupBy(source);
+    capacity 9e6·n² < 2⁶³ → n < 1.0e6 docs/source in BIGINT
+    (docs/LIMITS.md round-8 note); recast to DECIMAL(38,0) past that."""
+    r = _ratings3(spark, sf_dir)
+    pairs = (
+        F.when(F.col("r1") == F.col("r2"), 1).otherwise(0)
+        + F.when(F.col("r1") == F.col("r3"), 1).otherwise(0)
+        + F.when(F.col("r2") == F.col("r3"), 1).otherwise(0)
+    )
+    cs = [
+        (
+            F.sum(
+                F.when(F.col("r1") == k, 1).otherwise(0)
+                + F.when(F.col("r2") == k, 1).otherwise(0)
+                + F.when(F.col("r3") == k, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"c{k}")
+        )
+        for k in (0, 1, 2)
+    ]
+    m = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pairs).cast("bigint").alias("pairs"),
+        *cs,
+    )
+    csq = F.col("c0") * F.col("c0") + F.col("c1") * F.col("c1") + F.col("c2") * F.col("c2")
+    num = 3 * F.col("n") * F.col("pairs") - csq
+    den = 9 * F.col("n") * F.col("n") - csq
+    kappa = (
+        F.when(den == 0, F.lit(None).cast("bigint"))
+        .when(num >= 0, F.expr("1000000 * knum div kden"))
+        .otherwise(-F.expr("(1000000 * (-knum)) div kden"))
+    )
+    return (
+        m.withColumn("knum", num.cast("bigint"))
+        .withColumn("kden", den.cast("bigint"))
+        .select("source", "n", "pairs", kappa.cast("bigint").alias("kappa_e6"))
+    )
+
+
+@register(
+    "elo_sequential_ratings",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    base AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q_e4
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    wl AS (
+      SELECT a.doc_id AS match_id,
+             CASE WHEN a.q_e4 > b.q_e4 THEN a.source ELSE b.source END AS w,
+             CASE WHEN a.q_e4 > b.q_e4 THEN b.source ELSE a.source END AS l
+      FROM base a JOIN base b ON b.doc_id = a.doc_id + 37
+      WHERE a.source <> b.source AND a.q_e4 <> b.q_e4
+    ),
+    pm AS (
+      SELECT match_id, w AS player, l AS opp, 1.0::DOUBLE AS s FROM wl
+      UNION ALL
+      SELECT match_id, l AS player, w AS opp, 0.0::DOUBLE AS s FROM wl
+    ),
+    anchor AS (
+      SELECT player AS src,
+             (1000000 * CAST(sum(s) AS BIGINT)) // count(*) AS anchor_e6
+      FROM pm GROUP BY player
+    ),
+    zt AS (
+      SELECT pm.player, pm.match_id, pm.s,
+             (a.anchor_e6 * 2)::DOUBLE + pm.s AS z
+      FROM pm JOIN anchor a ON a.src = pm.opp
+    ),
+    folded AS (
+      SELECT player,
+             count(*) AS n_matches,
+             CAST(sum(s) AS BIGINT) AS n_wins,
+             list_reduce(
+               list_prepend(500000.0::DOUBLE, list(z ORDER BY match_id)),
+               (acc, zz) -> acc + 32000.0::DOUBLE * (
+                   (zz - 2.0::DOUBLE * floor(zz * 0.5::DOUBLE))
+                 - (0.5::DOUBLE
+                    + (acc - floor(zz * 0.5::DOUBLE))
+                      / (2.0::DOUBLE * (200000.0::DOUBLE
+                                        + abs(acc - floor(zz * 0.5::DOUBLE)))))
+               )
+             ) AS r
+      FROM zt GROUP BY player
+    )
+    SELECT player AS source, n_matches, n_wins,
+           CAST(floor(r) AS BIGINT) AS elo_e6_floor
+    FROM folded
+    """,
+)
+def elo_sequential_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elo-style SEQUENTIAL rating updates — the order-dependent twin of
+    bradley_terry_strength (VERDICT r7 task 6): same doc_id+37 match
+    derivation, but each player's rating evolves match-by-match in
+    match_id order, r ← r + K·(S − E), instead of converging to the
+    order-free MM fixed point. Decoupled single-pass form (standard for
+    large-scale one-pass rating): the opponent side of the expected
+    score uses a FIXED per-player anchor (overall win rate in e6 units,
+    integer-exact) rather than the opponent's running rating — full
+    coupled Elo is a single global serial chain, which no engine can
+    parallelize; per-player folds distribute.
+
+    Float-parity design (the ewma_last/holt pattern): each player's
+    (anchor_opp, outcome) sequence is packed into one exact double
+    z = 2·anchor_e6 + S (both < 2⁵³), the match list is ordered by the
+    unique match_id, and BOTH engines evaluate the identical left fold —
+    Spark `F.aggregate` with seed 500000.0, DuckDB `list_reduce` with the
+    seed prepended (its list_reduce takes no init) — with the identical
+    expression tree: E = 0.5 + d/(2·(200000+|d|)), an algebraic S-curve
+    built from +,−,×,÷,|·| only (IEEE-exact, bit-identical across
+    engines; the classic 10^(d/400) logistic would hit libm-vs-JVM pow
+    ULP skew). K = 32000 e6-units ≈ classic K=32.
+
+    Scale shape: one equi-join match pass + two tiny groupBys; the fold
+    state is one double per player and the collected per-player match
+    list is O(matches/player) — bounded by the pairing density, and the
+    same per-group-sequence capacity every ordered fold in this engine
+    declares (ewma_last, holt); shard the match timeline past ~1e6
+    matches/player."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.floor(X.quality_score("text") * 10000 + 0.5).cast("bigint").alias("q_e4"),
+    )
+    b = base.select(
+        (F.col("doc_id") - 37).alias("doc_id"),
+        F.col("source").alias("source_b"),
+        F.col("q_e4").alias("q_b"),
+    )
+    wl = (
+        base.join(b, "doc_id")
+        .filter((F.col("source") != F.col("source_b")) & (F.col("q_e4") != F.col("q_b")))
+        .select(
+            F.col("doc_id").alias("match_id"),
+            F.when(F.col("q_e4") > F.col("q_b"), F.col("source"))
+            .otherwise(F.col("source_b"))
+            .alias("w"),
+            F.when(F.col("q_e4") > F.col("q_b"), F.col("source_b"))
+            .otherwise(F.col("source"))
+            .alias("l"),
+        )
+    )
+    pm = wl.select(
+        "match_id", F.col("w").alias("player"), F.col("l").alias("opp"), F.lit(1.0).alias("s")
+    ).unionByName(
+        wl.select(
+            "match_id", F.col("l").alias("player"), F.col("w").alias("opp"), F.lit(0.0).alias("s")
+        )
+    )
+    anchor = pm.groupBy(F.col("player").alias("src")).agg(
+        F.expr("(1000000 * CAST(sum(s) AS BIGINT)) div count(*)").alias("anchor_e6")
+    )
+    zt = pm.join(F.broadcast(anchor), pm["opp"] == F.col("src")).select(
+        "player",
+        "match_id",
+        "s",
+        ((F.col("anchor_e6") * 2).cast("double") + F.col("s")).alias("z"),
+    )
+
+    def _elo_step(acc, zz):
+        o = F.floor(zz * F.lit(0.5)).cast("double")
+        s = zz - F.lit(2.0) * o
+        d = acc - o
+        e = F.lit(0.5) + d / (F.lit(2.0) * (F.lit(200000.0) + F.abs(d)))
+        return acc + F.lit(32000.0) * (s - e)
+
+    folded = zt.groupBy("player").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("s").cast("bigint").alias("n_wins"),
+        F.sort_array(F.collect_list(F.struct("match_id", "z"))).alias("ms"),
+    )
+    r = F.aggregate(
+        F.transform(F.col("ms"), lambda x: x["z"]),
+        F.lit(500000.0),
+        _elo_step,
+    )
+    return folded.select(
+        F.col("player").alias("source"),
+        "n_matches",
+        "n_wins",
+        F.floor(r).cast("bigint").alias("elo_e6_floor"),
     )

@@ -332,6 +332,12 @@ def streaming_heavy_hitters(
     # Internally every key is escape-encoded ("v"+key for values, "n" for
     # NULL) so the summary dict sorts uniformly and the array<string>
     # state never stores a null element; emit decodes back to NULL.
+    # STATE-FORMAT BREAK (round 7): checkpoints written by the pre-encoding
+    # code stored plain keys; restoring one here would decode each as
+    # s[1:] — and a legacy key may itself start with "v", so the formats
+    # are not reliably distinguishable at restore time. Old checkpoints
+    # must be discarded (fresh checkpointLocation); see docs/LIMITS.md
+    # "round 7" preconditions.
     def _enc(hk) -> str:
         return "n" if hk is None else "v" + hk
 

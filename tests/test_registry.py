@@ -49,6 +49,63 @@ def test_registry_size_floor():
     assert len(oracles) >= 263, f"oracle coverage shrank: {len(oracles)}"
 
 
+def test_bench_on_land_policy():
+    """Every registry query must be measured: in bench.py's HEADLINE, in
+    the INDEX_BUILDS sidecar, or in the FROZEN pre-policy LEGACY_UNBENCHED
+    set. A new query that joins none of them fails here — the bench-on-land
+    policy (VERDICT r7 task 3) enforced mechanically. LEGACY_UNBENCHED may
+    only shrink (promotions), never grow."""
+    import bench
+
+    qs = set(entry.queries())
+    benched = set(bench.HEADLINE) | set(bench.INDEX_BUILDS)
+    # Named entries must exist in the registry (catch typos/renames).
+    missing = benched - qs
+    assert not missing, f"bench names not in registry: {sorted(missing)}"
+    stale_legacy = bench.LEGACY_UNBENCHED - qs
+    assert not stale_legacy, f"LEGACY_UNBENCHED names gone: {sorted(stale_legacy)}"
+    unmeasured = qs - benched - bench.LEGACY_UNBENCHED
+    assert not unmeasured, (
+        f"new queries shipped without a bench row: {sorted(unmeasured)}"
+    )
+    double_listed = bench.LEGACY_UNBENCHED & benched
+    assert not double_listed, (
+        f"promoted queries still in LEGACY_UNBENCHED: {sorted(double_listed)}"
+    )
+
+
+def test_limits_doc_counts_match_registry():
+    """docs/LIMITS.md states the registry partition sizes in prose; that
+    sentence drifted from the live registry in BOTH rounds 6 and 7
+    (VERDICT r7 'What's wrong' #1). Parse the numbers out of the doc and
+    assert equality so any future drift turns pytest red the commit it
+    happens."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    text = open(os.path.join(here, "docs", "LIMITS.md")).read()
+    m = re.search(
+        r"(\d+) of (\d+) registered queries have no DuckDB oracle "
+        r"\((\d+) oracle-backed\)",
+        text,
+    )
+    assert m, "LIMITS.md no longer states the registry partition sentence"
+    rows_only_doc, registered_doc, oracle_doc = map(int, m.groups())
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert registered_doc == len(qs), (
+        f"LIMITS.md says {registered_doc} registered, registry has {len(qs)}"
+    )
+    assert oracle_doc == len(oracles), (
+        f"LIMITS.md says {oracle_doc} oracle-backed, registry has {len(oracles)}"
+    )
+    assert rows_only_doc == len(qs) - len(oracles), (
+        f"LIMITS.md says {rows_only_doc} rows-only, "
+        f"registry has {len(qs) - len(oracles)}"
+    )
+
+
 def _newest_correctness_keys() -> set[str]:
     """Query names recorded in the newest CORRECTNESS_r*.json (empty set if
     none exist). Zero-padded round numbers sort lexicographically."""

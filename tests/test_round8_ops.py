@@ -1,0 +1,221 @@
+"""Round-8 operators: Fleiss' κ (m=3 raters, hand-computed) and the
+Elo-style sequential rating fold (hand-folded expected values).
+
+The fixtures construct documents whose rater labels / quality bands are
+exactly derivable by hand from the banding rules in functions/text.py,
+so the expected statistics are computed independently here — not by
+re-running the engine code.
+"""
+
+import math
+
+from storm_data_etl_spark.plans import sft_queries as Q  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import queries as REG
+
+#: quality 1.0 → rq=2; n=220 ∈ [200,20000], p=0 → rh=2; 45 tokens,
+#: 10/45 stopwords → rt=2. Labels (2,2,2).
+T_HIGH = "the quick brown fox jumps over the lazy dog " * 5
+#: quality 0.325 → rq=0; n=3 < 50 → rh=0; 1 token < 10 → rt=0. (0,0,0).
+T_LOW = "!!!"
+#: quality 0.85 → rq=2; n=88 ∈ [50,200) → rh=1; 20 tokens < 40 → rt=1.
+T_MIX = "the fox runs far away " * 4
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_fixture_band_assumptions():
+    """The hand-derived label math below rests on these text shapes."""
+    assert len(T_HIGH) == 220
+    assert len(T_MIX) == 88
+    assert T_HIGH.split().count("the") == 10 and len(T_HIGH.split()) == 45
+    assert T_MIX.split().count("the") == 4 and len(T_MIX.split()) == 20
+
+
+def test_fleiss_kappa_hand_computed(spark, tmp_path):
+    """s1 holds labels (2,2,2),(0,0,0),(2,1,1): n=3, agreeing pairs
+    P=3+3+1=7, pooled counts c=(3,2,4), Σc²=29 →
+    κ·1e6 = 1e6·(3·3·7 − 29) / (9·9 − 29) = 34e6 tdiv 52 = 653846."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, T_MIX, "en", "s1", len(T_MIX)),
+        ],
+    )
+    rows = REG.REGISTRY["fleiss_kappa_agreement"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source, r.n, r.pairs) == ("s1", 3, 7)
+    assert r.kappa_e6 == 653846
+
+
+def test_fleiss_kappa_degenerate_null(spark, tmp_path):
+    """All 3n labels in one category → chance term 9n² = Σc², κ NULL."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(i, T_LOW, "en", "s2", len(T_LOW)) for i in (1, 2, 3)],
+    )
+    rows = REG.REGISTRY["fleiss_kappa_agreement"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0].pairs == 9 and rows[0].kappa_e6 is None
+
+
+def _elo_fold(zs):
+    """The exact fold both engines evaluate (bit-identical IEEE doubles —
+    the same expression tree, see elo_sequential_ratings docstring)."""
+    acc = 500000.0
+    for z in zs:
+        o = float(math.floor(z * 0.5))
+        s = z - 2.0 * o
+        d = acc - o
+        e = 0.5 + d / (2.0 * (200000.0 + abs(d)))
+        acc = acc + 32000.0 * (s - e)
+    return acc
+
+
+def test_elo_sequential_hand_folded(spark, tmp_path):
+    """Matches via doc_id+37 pairing: (1,38) s1 wins, (2,39) s2 wins,
+    (3,40) s1 wins. Anchors: s1 = 1e6·2//3 = 666666, s2 = 333333.
+    Expected ratings are the hand-evaluated fold over each player's
+    match_id-ordered packed list."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, T_HIGH, "en", "s1", len(T_HIGH)),
+            (38, T_LOW, "en", "s2", len(T_LOW)),
+            (39, T_HIGH, "en", "s2", len(T_HIGH)),
+            (40, T_LOW, "en", "s2", len(T_LOW)),
+        ],
+    )
+    got = {
+        r.source: r
+        for r in REG.REGISTRY["elo_sequential_ratings"].runner(spark, sf).collect()
+    }
+    assert set(got) == {"s1", "s2"}
+    assert (got["s1"].n_matches, got["s1"].n_wins) == (3, 2)
+    assert (got["s2"].n_matches, got["s2"].n_wins) == (3, 1)
+    # s1 faces anchor(s2)=333333: z = 2·333333 + s, match order (1,0,1)
+    exp_s1 = _elo_fold([666667.0, 666666.0, 666667.0])
+    # s2 faces anchor(s1)=666666: match order (0,1,0)
+    exp_s2 = _elo_fold([1333332.0, 1333333.0, 1333332.0])
+    assert got["s1"].elo_e6_floor == math.floor(exp_s1)
+    assert got["s2"].elo_e6_floor == math.floor(exp_s2)
+    # directional sanity — Elo scores against EXPECTATION, not raw wins:
+    # s1 beats a weak anchor (333333) only 2/3 vs expected E ≈ 0.727, so
+    # its rating falls; s2 takes 1/3 off a strong anchor (666666) vs
+    # expected E ≈ 0.273, so its rating rises.
+    assert got["s2"].elo_e6_floor > 500000 > got["s1"].elo_e6_floor
+
+
+def test_elo_order_dependence(spark, tmp_path):
+    """The fold is genuinely order-dependent: win-then-lose ≠ lose-then-
+    win (what separates this from the order-free Bradley-Terry twin)."""
+    a = _elo_fold([666667.0, 666666.0])
+    b = _elo_fold([666666.0, 666667.0])
+    assert a != b
+
+
+# ---------------------------------------------------------------------
+# Token-mode ExactSubstr (exact_substr_cut_tokens) — hand-computed
+# boundary semantics over token indices, plus the real-BPE composition.
+# ---------------------------------------------------------------------
+
+from storm_data_etl_spark.operators.suffix import exact_substr_cut_tokens
+
+
+def _tok_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+
+
+def _tcut(spark, rows, L):
+    out = exact_substr_cut_tokens(_tok_docs(spark, rows), min_tokens=L)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_token_cut_cross_doc_keep_first(spark):
+    """doc 1 holds the original 4-token run; doc 2 embeds a copy between
+    pre/post tokens: the copy is cut on token boundaries, doc 1 is
+    untouched (no row — unchanged)."""
+    run = ["alpha", "beta", "gamma", "delta"]
+    got = _tcut(spark, [(1, run), (2, ["pre"] + run + ["post"])], L=4)
+    assert set(got) == {2}
+    r = got[2]
+    assert (r.orig_n_tokens, r.deduped_n_tokens, r.n_cut_tokens) == (6, 2, 4)
+    assert r.deduped_text == "pre post"
+
+
+def test_token_cut_long_run_union(spark):
+    """A duplicated 6-token run under L=4 is covered by its three
+    4-windows — the interval union cuts all 6 tokens of the copy."""
+    run = ["a", "b", "c", "d", "e", "f"]
+    got = _tcut(spark, [(1, run), (2, ["x"] + run + ["y"])], L=4)
+    r = got[2]
+    assert (r.orig_n_tokens, r.deduped_n_tokens, r.n_cut_tokens) == (8, 2, 6)
+    assert r.deduped_text == "x y"
+
+
+def test_token_whole_doc_duplicate_rebuilds_empty(spark):
+    got = _tcut(spark, [(1, ["p", "q", "r", "s"]), (2, ["p", "q", "r", "s"])], L=4)
+    assert set(got) == {2}
+    assert (got[2].deduped_n_tokens, got[2].deduped_text) == (0, "")
+
+
+def test_token_short_docs_untouched(spark):
+    """Docs shorter than L tokens can never be cut (no window fits)."""
+    got = _tcut(spark, [(1, ["a", "b", "c"]), (2, ["a", "b", "c"])], L=4)
+    assert got == {}
+
+
+def test_token_boundary_no_partial_tokens(spark):
+    """Cuts are whole tokens: a duplicated run bordered by distinct
+    tokens whose TEXT partially overlaps the run's chars is untouched —
+    the coordinate system is token indices, not characters."""
+    run = ["aa", "bb", "cc", "dd"]
+    # doc 2's surrounding tokens share characters with the run's
+    # endpoints; only the exact 4-token window is removed.
+    got = _tcut(spark, [(1, run), (2, ["zaa", *run, "ddz"])], L=4)
+    r = got[2]
+    assert r.deduped_text == "zaa ddz"
+    assert r.n_cut_tokens == 4
+
+
+def test_token_bpe_composition(spark):
+    """The operator is tokenizer-agnostic: compose with the REAL BPE
+    segmenter (operators/bpe) — a duplicated sentence segments into the
+    same subword sequence in both docs, and the token-mode cut removes
+    the copy on SUBWORD boundaries (VERDICT r7 task 4 'compose them')."""
+    from storm_data_etl_spark.operators.bpe import segment_word, train_bpe_merges
+
+    corpus = spark.createDataFrame(
+        [("the storm surge flooded the coastal town tonight",)], "text string"
+    )
+    merges = train_bpe_merges(corpus, n_merges=20)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def bpe_tokens(sentence: str) -> list[str]:
+        out: list[str] = []
+        for w in sentence.split():
+            out.extend(segment_word(w, ranks))
+        return out
+
+    dup = "the storm surge flooded the coastal town tonight"
+    toks_a = bpe_tokens(dup)
+    toks_b = bpe_tokens("unrelated preamble here") + toks_a
+    L = min(4, len(toks_a))
+    got = _tcut(spark, [(1, toks_a), (2, toks_b)], L=L)
+    assert 2 in got and 1 not in got
+    r = got[2]
+    # every subword of the duplicated sentence is cut, whole-token-wise
+    assert r.n_cut_tokens == len(toks_a)
+    assert r.deduped_text == " ".join(bpe_tokens("unrelated preamble here"))

@@ -913,6 +913,61 @@ def main() -> int:
     )
     _rel()
 
+    # 82. Round-8 stats tier. Bradley-Terry's lineage is checkpoint-cut
+    # per MM iteration (the 129 s → 0.1 s bench-on-land catch), so its
+    # final plan reads checkpointed RDDs — assert the ABSENCE of
+    # corpus-scale recompute (no parquet scan survives in the final plan)
+    # plus no cartesian/Python. Fleiss' κ must be ONE aggregate over one
+    # scan; Elo's only ordered windows are keyed by player.
+    p_bt = plan_of(qs["bradley_terry_strength"](spark, sf_dir))
+    check(
+        "bradley_terry_checkpointed_iterations",
+        "Scan ExistingRDD" in p_bt
+        and "Scan parquet" not in p_bt
+        and "CartesianProduct" not in p_bt
+        and "BatchEvalPython" not in p_bt,
+        "(iteration state off checkpoints; no corpus recompute in final plan)",
+    )
+    _rel()
+    dfq = qs["fleiss_kappa_agreement"](spark, sf_dir)
+    p_fk = plan_of(dfq)
+    check(
+        "fleiss_kappa_single_scan",
+        # formatted explain prints each node twice (tree + detail):
+        # one scan node == 2 substring hits, partial+final agg == 4.
+        p_fk.count("Scan parquet") <= 2
+        and p_fk.count("HashAggregate") >= 4
+        and not unpartitioned_ordered_windows(dfq),
+        "(one scan, map-side partial agg, no windows)",
+    )
+    dfq = qs["elo_sequential_ratings"](spark, sf_dir)
+    bad = unpartitioned_ordered_windows(dfq)
+    p_elo = plan_of(dfq)
+    check(
+        "elo_player_keyed_fold",
+        not bad
+        and "CartesianProduct" not in p_elo
+        and "BatchEvalPython" not in p_elo,
+        f"(player-keyed collect+fold; no global windows) {bad}",
+    )
+    _rel()
+
+    # 83. Token-mode ExactSubstr: detection must ride the 8-byte
+    # fingerprint pass — the first corpus-wide shuffle key is the hash,
+    # never L-token gram text; windows are keyed (g / doc_id), no Python.
+    dfq = qs["exact_substr_token_dedup"](spark, sf_dir)
+    p_tok = plan_of(dfq)
+    bad = unpartitioned_ordered_windows(dfq)
+    check(
+        "exact_substr_token_fingerprint_detection",
+        "xxhash64" in p_tok
+        and not bad
+        and "CartesianProduct" not in p_tok
+        and "BatchEvalPython" not in p_tok,
+        f"(fingerprint dup detection; keyed windows) {bad}",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
