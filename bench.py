@@ -242,6 +242,9 @@ HEADLINE = [
     "fleiss_kappa_agreement",
     "elo_sequential_ratings",
     "exact_substr_token_dedup",
+    "kendall_tau_b_raters",
+    "rbo_rankers_overlap",
+    "chao1_vocab_richness",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

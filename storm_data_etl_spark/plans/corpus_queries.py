@@ -2177,3 +2177,72 @@ def vocab_growth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hapax_share_e6"),
     )
+
+
+@register(
+    "chao1_vocab_richness",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    cnt AS (
+      SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+    ),
+    m AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2
+      FROM cnt GROUP BY source
+    )
+    SELECT source, n_tokens, vocab_size, h1, h2,
+           100 * vocab_size + (100 * h1 * (h1 - 1)) // (2 * (h2 + 1))
+             AS chao1_x100,
+           (1000000 * h1) // n_tokens AS gt_unseen_e6
+    FROM m
+    """,
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 total-vocabulary estimate per source (Chao 1984,
+    bias-corrected form: V̂ = V + f₁(f₁−1)/(2(f₂+1)) — defined even when
+    no dis legomena exist, unlike the classic f₁²/2f₂) plus the
+    Good-Turing unseen-probability mass P₀ ≈ f₁/N — the "how much
+    vocabulary haven't we crawled yet" readout that sits on top of
+    vocab_growth_stats' raw hapax counts when sizing a tokenizer or
+    deciding whether a source is exhausted. All integer arithmetic:
+    chao1·100 and P₀·1e6 by truncating division (every operand
+    non-negative, so Spark div ≡ DuckDB //).
+
+    Scale: identical shape to vocab_growth_stats — one token explode,
+    one map-side-combinable (source, token) count, one per-source
+    aggregate. Capacity: 100·f₁² < 2⁶³ → f₁ < 3.0e8 hapaxes/source
+    (docs/LIMITS.md round-8 note)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "source",
+            F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    m = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("h1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("h2"),
+    )
+    return m.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        "h1",
+        "h2",
+        F.expr("100 * vocab_size + (100 * h1 * (h1 - 1)) div (2 * (h2 + 1))")
+        .cast("bigint")
+        .alias("chao1_x100"),
+        F.expr("(1000000 * h1) div n_tokens").cast("bigint").alias("gt_unseen_e6"),
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import vectors as V
-from storm_data_etl_spark.plans.ml_queries import _sql_cosine
+from storm_data_etl_spark.plans.ml_queries import _SQL_QUALITY_CTES, _sql_cosine
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
 
@@ -456,4 +456,129 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.count_distinct("curl").alias("n_canonical"),
         (F.count(F.lit(1)) - F.count_distinct("curl")).alias("n_dupes"),
+    )
+
+
+# =====================================================================
+# Rank-biased overlap between two rankers (Webber et al. 2010) — round 8
+# =====================================================================
+
+#: RBO truncation depth and persistence for rbo_rankers_overlap.
+_RBO_K = 10
+#: Embedded weight literals: WL[j] = (1-p) * Σ_{i=j..k} p^(i-1)/i for
+#: p = 0.9, k = 10 — the swap-sum form of RBO_MIN@k (see docstring).
+#: Constants are 17-significant-digit reprs so both engines parse the
+#: identical double; they multiply exact integer counts in ONE fixed
+#: left-associated expression, so no cross-engine float-order hazard.
+_RBO_WL = (
+    "0.23541639942571427",
+    "0.13541639942571423",
+    "0.09041639942571428",
+    "0.06341639942571428",
+    "0.04519139942571428",
+    "0.03206939942571428",
+    "0.022227899425714282",
+    "0.01463588514",
+    "0.00865717389",
+    "0.00387420489",
+)
+_RBO_EXPR = " + ".join(
+    f"c{j} * {w}" for j, w in enumerate(_RBO_WL, start=1)
+)
+_RBO_CJ_SQL = ",\n             ".join(
+    f"CAST(sum(CASE WHEN m = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
+    for j in range(1, _RBO_K + 1)
+)
+
+
+@register(
+    "rbo_rankers_overlap",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    base AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q_e4,
+             length(coalesce(d.text, '')) AS n_chars
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q_e4 DESC, doc_id) AS ra,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rb
+      FROM base
+    ),
+    tops AS (
+      SELECT source, greatest(ra, rb) AS m
+      FROM ranked WHERE ra <= {_RBO_K} AND rb <= {_RBO_K}
+    ),
+    cj AS (
+      SELECT source,
+             {_RBO_CJ_SQL}
+      FROM tops GROUP BY source
+    )
+    SELECT source,
+           (c1 + c2 + c3 + c4 + c5 + c6 + c7 + c8 + c9 + c10) AS n_overlap,
+           CAST(floor(1000000.0 * ({_RBO_EXPR})) AS BIGINT) AS rbo_min_e6
+    FROM cj
+    """,
+)
+def rbo_rankers_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) at depth k = 10, p = 0.9
+    between two per-source document rankers — quality-score order vs
+    raw-length order — the ranking-comparison readout used to decide
+    whether a cheap ranker can replace an expensive one (here: does doc
+    length proxy quality?). RBO_MIN truncated at k (the lower bound; no
+    extrapolation term), the right variant for comparing two concrete
+    top-k lists.
+
+    Exactness: RBO = Σ_i (1−p)·p^(i−1)·X_i/i with X_i = |top-i ∩ top-i|.
+    Swapping the sums over depth i and items (an item with
+    m = max(rank_a, rank_b) enters every X_i with i ≥ m) gives
+    RBO = Σ_j c_j·W_j with c_j = #items{{m = j}} (exact integers from
+    one conditional aggregate) and W_j = (1−p)·Σ_{{i=j..k}} p^(i−1)/i —
+    constants embedded as 17-digit literals, identical doubles in both
+    engines. The whole float path is ONE fixed left-associated
+    expression over the ten integer counts; no pow(), no float
+    aggregation order.
+
+    Scale: one documents scan → two keyed rank windows (source-
+    partitioned) → a ≤ k-row-per-source aggregate. Ranks tie-break on
+    doc_id so both engines order identically. Sources with fewer than k
+    docs simply have shorter lists (smaller overlap counts) — RBO_MIN
+    semantics, documented, not an edge case."""
+    from storm_data_etl_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.floor(X.quality_score("text") * 10000 + 0.5).cast("bigint").alias("q_e4"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+    )
+    wa = Window.partitionBy("source").orderBy(F.desc("q_e4"), "doc_id")
+    wb = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = base.select(
+        "source",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    tops = ranked.filter(
+        (F.col("ra") <= _RBO_K) & (F.col("rb") <= _RBO_K)
+    ).select("source", F.greatest("ra", "rb").alias("m"))
+    cjs = [
+        F.sum(F.when(F.col("m") == j, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"c{j}")
+        for j in range(1, _RBO_K + 1)
+    ]
+    cj = tops.groupBy("source").agg(*cjs)
+    overlap = sum(F.col(f"c{j}") for j in range(1, _RBO_K + 1))
+    return cj.select(
+        "source",
+        overlap.alias("n_overlap"),
+        F.floor(F.lit(1000000.0) * F.expr(_RBO_EXPR)).cast("bigint").alias(
+            "rbo_min_e6"
+        ),
     )

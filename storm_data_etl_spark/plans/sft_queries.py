@@ -1768,3 +1768,119 @@ def elo_sequential_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_wins",
         F.floor(r).cast("bigint").alias("elo_e6_floor"),
     )
+
+
+@register(
+    "kendall_tau_b_raters",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS_CTE},
+    cells AS (
+      SELECT source, rq, rh, CAST(count(*) AS BIGINT) AS c
+      FROM ratings GROUP BY source, rq, rh
+    ),
+    pairs AS (
+      SELECT a.source,
+             CAST(sum(CASE WHEN (a.rq - b.rq) * (a.rh - b.rh) > 0 THEN a.c * b.c
+                           WHEN (a.rq - b.rq) * (a.rh - b.rh) < 0 THEN -(a.c * b.c)
+                           ELSE 0 END) AS BIGINT) AS cd2
+      FROM cells a JOIN cells b ON b.source = a.source
+      GROUP BY a.source
+    ),
+    m AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c) * sum(c)
+                  - (SELECT sum(rc * rc) FROM (
+                       SELECT sum(c) AS rc FROM cells c2
+                       WHERE c2.source = cells.source GROUP BY c2.rq))
+               AS BIGINT) AS dx,
+             CAST(sum(c) * sum(c)
+                  - (SELECT sum(cc * cc) FROM (
+                       SELECT sum(c) AS cc FROM cells c3
+                       WHERE c3.source = cells.source GROUP BY c3.rh))
+               AS BIGINT) AS dy
+      FROM cells GROUP BY source
+    )
+    SELECT m.source, m.n, p.cd2, m.dx, m.dy,
+           CASE WHEN m.dx = 0 OR m.dy = 0 THEN NULL
+                ELSE CAST(floor((1000000.0 * p.cd2)
+                                / sqrt(CAST(m.dx * m.dy AS DOUBLE))) AS BIGINT)
+           END AS tau_b_e6
+    FROM m JOIN pairs p ON p.source = m.source
+    """,
+)
+def kendall_tau_b_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the two deterministic raters per source —
+    the ORDINAL member of the agreement family (κ/α treat labels as
+    nominal; τ-b asks whether the raters ORDER documents the same way,
+    which is what matters when bands feed a threshold). Computed from
+    the 3×3 contingency table, never from n² document pairs: with cell
+    counts c_ij, the ordered-pair concordance sum is
+    cd2 = Σ_{{ab}} c_a·c_b·sign((rq_a−rq_b)(rh_a−rh_b)) = 2(C−D), and the
+    tie-adjusted denominators are dx = n² − Σ_i r_i², dy = n² − Σ_j c_j²
+    (ordered pairs differing in x resp. y), so
+    τ_b = cd2 / sqrt(dx·dy) — the textbook (C−D)/√((n₀−Tx)(n₀−Ty)) with
+    every term doubled. Emitted as floor(1e6·τ_b): IEEE sqrt and divide
+    are correctly rounded (unlike pow/ln), so the double is bit-identical
+    across engines given the identical integer inputs, and floor (true
+    floor on both) needs no sign gymnastics.
+
+    Scale: one documents scan → one groupBy(source, rq, rh) into ≤ 9
+    cells/source; the cell self-join is 81 rows/source. Capacity:
+    dx·dy ≤ n⁴ must stay in BIGINT → n < 55k docs/source
+    (docs/LIMITS.md round-8 note); recast the product to DOUBLE earlier
+    if sources exceed that."""
+    r = _ratings(spark, sf_dir)
+    cells = r.groupBy("source", "rq", "rh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    b = cells.select(
+        F.col("source").alias("source_b"),
+        F.col("rq").alias("rq_b"),
+        F.col("rh").alias("rh_b"),
+        F.col("c").alias("c_b"),
+    )
+    sgn = (F.col("rq") - F.col("rq_b")) * (F.col("rh") - F.col("rh_b"))
+    pairs = (
+        cells.join(b, cells["source"] == b["source_b"])
+        .select(
+            "source",
+            F.when(sgn > 0, F.col("c") * F.col("c_b"))
+            .when(sgn < 0, -(F.col("c") * F.col("c_b")))
+            .otherwise(F.lit(0))
+            .alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.sum("term").cast("bigint").alias("cd2"))
+    )
+    rows = cells.groupBy("source", "rq").agg(F.sum("c").alias("rc"))
+    cols = cells.groupBy("source", "rh").agg(F.sum("c").alias("cc"))
+    n = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    dx = rows.groupBy("source").agg(
+        F.sum(F.col("rc") * F.col("rc")).cast("bigint").alias("sr2")
+    )
+    dy = cols.groupBy("source").agg(
+        F.sum(F.col("cc") * F.col("cc")).cast("bigint").alias("sc2")
+    )
+    m = (
+        n.join(dx, "source")
+        .join(dy, "source")
+        .select(
+            "source",
+            "n",
+            (F.col("n") * F.col("n") - F.col("sr2")).cast("bigint").alias("dx"),
+            (F.col("n") * F.col("n") - F.col("sc2")).cast("bigint").alias("dy"),
+        )
+    )
+    tau = F.when(
+        (F.col("dx") == 0) | (F.col("dy") == 0), F.lit(None).cast("bigint")
+    ).otherwise(
+        F.floor(
+            (F.lit(1000000.0) * F.col("cd2"))
+            / F.sqrt((F.col("dx") * F.col("dy")).cast("double"))
+        ).cast("bigint")
+    )
+    return (
+        m.join(pairs, "source")
+        .select("source", "n", "cd2", "dx", "dy", tau.alias("tau_b_e6"))
+    )

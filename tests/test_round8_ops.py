@@ -10,6 +10,8 @@ re-running the engine code.
 import math
 
 from storm_data_etl_spark.plans import sft_queries as Q  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import retrieval_queries as RQ  # noqa: F401
+from storm_data_etl_spark.plans import corpus_queries as CQ  # noqa: F401
 from storm_data_etl_spark.plans import queries as REG
 
 #: quality 1.0 → rq=2; n=220 ∈ [200,20000], p=0 → rh=2; 45 tokens,
@@ -219,3 +221,88 @@ def test_token_bpe_composition(spark):
     # every subword of the duplicated sentence is cut, whole-token-wise
     assert r.n_cut_tokens == len(toks_a)
     assert r.deduped_text == " ".join(bpe_tokens("unrelated preamble here"))
+
+
+# ---------------------------------------------------------------------
+# Kendall τ-b, RBO, Chao1 — hand-computed expected values.
+# ---------------------------------------------------------------------
+
+
+def test_kendall_tau_b_hand_computed(spark, tmp_path):
+    """Fleiss fixture labels per doc: rq = (2,0,2), rh = (2,0,1).
+    Pairs: (1,2) concordant, (1,3) rq-tied, (2,3) concordant → C=2, D=0,
+    cd2 = 2(C−D) = 4; dx = n² − Σr_i² = 9−5 = 4, dy = 9−3 = 6;
+    τ_b = 4/√24 = 0.81649658… → floor 1e6 = 816496."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, T_MIX, "en", "s1", len(T_MIX)),
+        ],
+    )
+    rows = REG.REGISTRY["kendall_tau_b_raters"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n, r.cd2, r.dx, r.dy) == (3, 4, 4, 6)
+    assert r.tau_b_e6 == 816496
+
+
+#: lower quality (0.625: long-token/no-stopword penalties) but LONGER
+#: than T_MIX — reverses the two rankers' orders.
+T_LONG_JUNK = "x" * 300
+
+
+def test_rbo_reversed_rankers(spark, tmp_path):
+    """Two docs ranked opposite ways by the two rankers: both items have
+    m = max(ra, rb) = 2 → c₂ = 2 →
+    RBO_MIN = 2·W₂ = 0.27083279885142846 → floor 1e6 = 270832."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_MIX, "en", "s1", len(T_MIX)),
+            (2, T_LONG_JUNK, "en", "s1", len(T_LONG_JUNK)),
+        ],
+    )
+    rows = REG.REGISTRY["rbo_rankers_overlap"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_overlap, rows[0].rbo_min_e6) == (2, 270832)
+
+
+def test_rbo_identical_rankers(spark, tmp_path):
+    """Quality and length order agree (T_HIGH ≻ T_MIX ≻ T_LOW on both) →
+    m = rank for every item, c₁=c₂=c₃=1 →
+    RBO_MIN = W₁+W₂+W₃ = 0.46124919827714278 → floor 1e6 = 461249."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_MIX, "en", "s1", len(T_MIX)),
+            (3, T_LOW, "en", "s1", len(T_LOW)),
+        ],
+    )
+    rows = REG.REGISTRY["rbo_rankers_overlap"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_overlap, rows[0].rbo_min_e6) == (3, 461249)
+
+
+def test_chao1_hand_computed(spark, tmp_path):
+    """One doc 'a a b c': V=3, f₁=2, f₂=1, N=4 →
+    chao1·100 = 300 + (100·2·1)//(2·2) = 350; P₀·1e6 = 2e6//4 = 500000."""
+    sf = _write_docs(spark, tmp_path, [(1, "a a b c", "en", "s1", 7)])
+    rows = REG.REGISTRY["chao1_vocab_richness"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_tokens, r.vocab_size, r.h1, r.h2) == (4, 3, 2, 1)
+    assert (r.chao1_x100, r.gt_unseen_e6) == (350, 500000)
+
+
+def test_chao1_no_dis_legomena_defined(spark, tmp_path):
+    """f₂ = 0 must stay finite (bias-corrected form): 'a b' → V=2, f₁=2,
+    f₂=0 → chao1·100 = 200 + (100·2·1)//2 = 300."""
+    sf = _write_docs(spark, tmp_path, [(1, "a b", "en", "s1", 3)])
+    r = REG.REGISTRY["chao1_vocab_richness"].runner(spark, sf).collect()[0]
+    assert r.chao1_x100 == 300
