@@ -245,6 +245,7 @@ HEADLINE = [
     "kendall_tau_b_raters",
     "rbo_rankers_overlap",
     "chao1_vocab_richness",
+    "ndcg_at_10_length_ranker",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

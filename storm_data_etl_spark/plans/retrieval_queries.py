@@ -582,3 +582,128 @@ def rbo_rankers_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rbo_min_e6"
         ),
     )
+
+
+# =====================================================================
+# nDCG@10 of the length ranker against quality-band relevance — round 8
+# =====================================================================
+
+#: 1/log2(i+1) discount literals for ranks 1..10 and their prefix sums
+#: P[0..10] (P[m] = Σ_{i<=m} L_i), embedded as 17-digit reprs so both
+#: engines parse identical doubles. log2 never executes inside either
+#: engine — the constants are the only place it ever ran.
+_NDCG_L = (
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+)
+_NDCG_P = (
+    "0.0", "1.0", "1.6309297535714575", "2.1309297535714578",
+    "2.5616063116448506", "2.9484591188793923", "3.3046663059874146",
+    "3.637999639320748", "3.953464516106477", "4.254494511770458",
+    "4.543559338088346",
+)
+_NDCG_DCG_EXPR = " + ".join(f"d{i} * {w}" for i, w in enumerate(_NDCG_L, start=1))
+_NDCG_DI_SQL = ",\n             ".join(
+    f"CAST(sum(CASE WHEN rk = {i} THEN rel ELSE 0 END) AS BIGINT) AS d{i}"
+    for i in range(1, 11)
+)
+_NDCG_P_SQL = "[" + ", ".join(_NDCG_P) + "]"
+
+
+@register(
+    "ndcg_at_10_length_ranker",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    base AS (
+      SELECT d.doc_id, d.source,
+             length(coalesce(d.text, '')) AS n_chars,
+             CASE WHEN q.quality >= 0.8 THEN 2
+                  WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS rel
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT source, rel,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM base
+    ),
+    g AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_ret,
+             CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+             CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+             {_NDCG_DI_SQL}
+      FROM ranked WHERE rk <= 10 GROUP BY source
+    )
+    SELECT source, n_ret, g2, g1,
+           CASE WHEN g2 = 0 AND g1 = 0 THEN NULL
+                ELSE CAST(floor(1000000.0 * ({_NDCG_DCG_EXPR})
+                       / (2.0 * {_NDCG_P_SQL}[CAST(g2 + 1 AS INT)]
+                          + ({_NDCG_P_SQL}[CAST(g2 + g1 + 1 AS INT)]
+                             - {_NDCG_P_SQL}[CAST(g2 + 1 AS INT)])))
+                     AS BIGINT)
+           END AS ndcg_e6
+    FROM g
+    """,
+)
+def ndcg_at_10_length_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the cheap LENGTH ranker judged against quality-band
+    relevance (rel ∈ {{0,1,2}} = the rq bands) per source — the standard
+    graded-relevance ranking metric, answering the retrieval-eval
+    question the RBO query poses structurally: HOW GOOD is the proxy
+    ranking, not merely how similar. DCG = Σ rel_i/log2(i+1); nDCG
+    divides by the ideal ordering of the same gains.
+
+    Exactness without transcendentals in the engines: the ten discount
+    values and their prefix sums are EMBEDDED literals (log2 ran once,
+    here, generating the constants); per-rank gains d_i are exact
+    integer conditional aggregates (rank is unique per source), so DCG
+    is one fixed left-associated expression. IDCG exploits gains being
+    banded: the ideal list is all 2s then all 1s, so
+    IDCG = 2·P[g2] + (P[g2+g1] − P[g2]) — two array lookups into the
+    prefix-sum literals by the integer counts. floor(1e6·DCG/IDCG) is
+    engine-identical (IEEE divide, identical operands); NULL when every
+    retrieved doc has gain 0 (IDCG = 0).
+
+    Scale: one documents scan → one keyed rank window → a ≤ 10-row
+    aggregate per source. Same window as rbo_rankers_overlap's length
+    leg; an engine running both shares the shuffle."""
+    from storm_data_etl_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    q = X.quality_score("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        F.when(q >= 0.8, 2).when(q >= 0.5, 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = base.select(
+        "source", "rel", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 10)
+    dis = [
+        F.sum(F.when(F.col("rk") == i, F.col("rel")).otherwise(0))
+        .cast("bigint")
+        .alias(f"d{i}")
+        for i in range(1, 11)
+    ]
+    g = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ret"),
+        F.sum((F.col("rel") == 2).cast("int")).cast("bigint").alias("g2"),
+        F.sum((F.col("rel") == 1).cast("int")).cast("bigint").alias("g1"),
+        *dis,
+    )
+    parr = "array(" + ", ".join(_NDCG_P) + ")"
+    idcg = F.expr(
+        f"2.0 * element_at({parr}, CAST(g2 + 1 AS INT))"
+        f" + (element_at({parr}, CAST(g2 + g1 + 1 AS INT))"
+        f" - element_at({parr}, CAST(g2 + 1 AS INT)))"
+    )
+    ndcg = F.when(
+        (F.col("g2") == 0) & (F.col("g1") == 0), F.lit(None).cast("bigint")
+    ).otherwise(
+        F.floor(F.lit(1000000.0) * F.expr(_NDCG_DCG_EXPR) / idcg).cast("bigint")
+    )
+    return g.select("source", "n_ret", "g2", "g1", ndcg.alias("ndcg_e6"))

@@ -306,3 +306,42 @@ def test_chao1_no_dis_legomena_defined(spark, tmp_path):
     sf = _write_docs(spark, tmp_path, [(1, "a b", "en", "s1", 3)])
     r = REG.REGISTRY["chao1_vocab_richness"].runner(spark, sf).collect()[0]
     assert r.chao1_x100 == 300
+
+
+def test_ndcg_hand_computed(spark, tmp_path):
+    """Length order: JUNK(300, rel 1) ≻ HIGH(220, rel 2) ≻ MIX(88, rel 2)
+    ≻ LOW(3, rel 0). DCG = 1·L₁ + 2·L₂ + 2·L₃; g2=2, g1=1 →
+    IDCG = 2·P₂ + (P₃ − P₂). Expected floor computed here with the same
+    embedded literals and the same IEEE ops, independently of the
+    engines."""
+    from storm_data_etl_spark.plans.retrieval_queries import _NDCG_L, _NDCG_P
+
+    L = [float(x) for x in _NDCG_L]
+    P = [float(x) for x in _NDCG_P]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_MIX, "en", "s1", len(T_MIX)),
+            (3, T_LONG_JUNK, "en", "s1", len(T_LONG_JUNK)),
+            (4, T_LOW, "en", "s1", len(T_LOW)),
+        ],
+    )
+    rows = REG.REGISTRY["ndcg_at_10_length_ranker"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_ret, r.g2, r.g1) == (4, 2, 1)
+    dcg = 1 * L[0] + 2 * L[1] + 2 * L[2] + 0 * L[3]
+    idcg = 2.0 * P[2] + (P[3] - P[2])
+    assert r.ndcg_e6 == math.floor(1000000.0 * dcg / idcg)
+    assert 800000 < r.ndcg_e6 < 900000  # sanity band: good-not-ideal ranking
+
+
+def test_ndcg_all_zero_gain_null(spark, tmp_path):
+    """Every retrieved doc irrelevant → IDCG = 0 → NULL, not a crash."""
+    sf = _write_docs(
+        spark, tmp_path, [(i, T_LOW, "en", "s1", len(T_LOW)) for i in (1, 2)]
+    )
+    rows = REG.REGISTRY["ndcg_at_10_length_ranker"].runner(spark, sf).collect()
+    assert rows[0].ndcg_e6 is None
