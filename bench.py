@@ -246,6 +246,8 @@ HEADLINE = [
     "rbo_rankers_overlap",
     "chao1_vocab_richness",
     "ndcg_at_10_length_ranker",
+    "ece_calibration_error",
+    "tv_token_drift",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

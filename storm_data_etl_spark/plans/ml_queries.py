@@ -6133,3 +6133,165 @@ def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_e4"),
         )
     )
+
+
+# =====================================================================
+# ECE + token-distribution drift (round 8)
+# =====================================================================
+
+@register(
+    "ece_calibration_error",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    labeled AS (
+      SELECT d.source,
+             CAST(q.quality * 10000 AS BIGINT) AS score_e4,
+             least(9, CAST(floor(q.quality * 10) AS BIGINT)) AS bin,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM qual q JOIN documents d USING (doc_id)
+    ),
+    bins AS (
+      SELECT source, bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS sl,
+             CAST(sum(score_e4) AS BIGINT) AS ss
+      FROM labeled GROUP BY source, bin
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(abs(10000 * sl - ss)) AS BIGINT) AS t_abs,
+           CAST((100 * CAST(sum(abs(10000 * sl - ss)) AS BIGINT)) // sum(n)
+                AS BIGINT) AS ece_e6
+    FROM bins GROUP BY source
+    """,
+)
+def ece_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error per source — the SCALAR the
+    score_calibration_bins reliability table summarizes to, and the
+    number a curation pipeline actually thresholds on before trusting a
+    filter's probabilities. ECE = Σ_b (n_b/N)·|acc_b − conf_b| over the
+    same fixed decile bins; substituting the per-bin integer sums turns
+    every term into |1e4·Σlabel_b − Σscore_e4_b| / (1e4·N), so
+    ECE·1e6 = (100·Σ_b |1e4·sl_b − ss_b|) tdiv N — PURE integer
+    arithmetic end to end (the weighted absolute sum telescopes the n_b
+    denominators away; numerator and each |·| term are non-negative so
+    div ≡ //). No floats anywhere, hence nothing to quantize or
+    order-pin.
+
+    Scale: one quality-expression scan → groupBy(source, bin) (≤ 10
+    bins/source) → per-source aggregate. Capacity:
+    100·Σ|·| ≤ 1e6·N < 2⁶³ → N < 9.2e12 docs — unbounded in practice."""
+    docs = t(spark, sf_dir, "documents")
+    q = X.quality_score("text")
+    labeled = docs.select(
+        "source",
+        (q * 10000).cast("bigint").alias("score_e4"),
+        F.least(F.lit(9), F.floor(q * 10).cast("bigint")).alias("bin"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    bins = labeled.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("sl"),
+        F.sum("score_e4").cast("bigint").alias("ss"),
+    )
+    return bins.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.abs(10000 * F.col("sl") - F.col("ss"))).cast("bigint").alias("t_abs"),
+        F.expr("(100 * sum(abs(10000 * sl - ss))) div sum(n)")
+        .cast("bigint")
+        .alias("ece_e6"),
+    )
+
+
+@register(
+    "tv_token_drift",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    sc AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, tok
+    ),
+    gc AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM sc GROUP BY tok
+    ),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sc GROUP BY source),
+    ng AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gc),
+    joined AS (
+      SELECT s.source,
+             CAST(sum(abs(s.c * ng.n - g.g * ns.n_s)) AS HUGEINT) AS t_in,
+             CAST(sum(g.g) AS BIGINT) AS g_seen
+      FROM sc s JOIN gc g USING (tok) JOIN ns ON ns.source = s.source
+      CROSS JOIN ng
+      GROUP BY s.source, ns.n_s, ng.n
+    )
+    SELECT j.source, ns.n_s AS n_tokens,
+           CAST((1000000 * (j.t_in + CAST(ns.n_s AS HUGEINT) * (ng.n - j.g_seen)))
+                // (2 * CAST(ns.n_s AS HUGEINT) * ng.n) AS BIGINT) AS tv_e6
+    FROM joined j JOIN ns ON ns.source = j.source CROSS JOIN ng
+    """,
+)
+def tv_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between each source's token distribution
+    and the pooled corpus distribution — the exact, bounded-in-[0,1]
+    drift readout that PSI (psi_drift_bins) approximates with log-ratio
+    bins, and the token-level companion to DSIR's importance weights: a
+    source with high TV is the one whose inclusion shifts the training
+    distribution most. TV(P_s, P) = ½·Σ_i |p_i − q_i| over the GLOBAL
+    vocabulary; clearing denominators makes every term an exact integer:
+    Σ_i |c_i·N − g_i·N_s|, split as (tokens present in the source: one
+    equi-join on the source's own vocab) + (tokens absent from the
+    source: Σ g_i·N_s telescopes to N_s·(N − G_seen), no join against
+    the full vocabulary per source — the missing-mass trick that keeps
+    the plan source-vocab-sized instead of |vocab|×|sources|).
+    tv_e6 = (1e6·T) tdiv (2·N_s·N), computed in DECIMAL(38,0)/HUGEINT
+    (T ≤ 2·N_s·N ≈ 1e14 at sf0.1 and 1e6·T would leave BIGINT; all
+    operands non-negative so div ≡ //).
+
+    Scale: the (source, token) count is the vocab_growth shuffle; the
+    global count reuses it (one extra tok-keyed aggregate); the join is
+    per-source-vocab-sized. One narrow high-cardinality shuffle total."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select("source", F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"))
+    )
+    sc = docs.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    sc = _pin(sc)  # feeds the global count, the per-source totals, and the join
+    gc = sc.groupBy("tok").agg(F.sum("c").cast("bigint").alias("g"))
+    ns = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    ng = gc.agg(F.sum("g").cast("bigint").alias("n"))
+    joined = (
+        sc.join(gc, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.expr("abs(CAST(c AS DECIMAL(38,0)) * n - CAST(g AS DECIMAL(38,0)) * n_s)").alias(
+                "term"
+            ),
+            "g",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("term").cast("decimal(38,0)").alias("t_in"),
+            F.sum("g").cast("bigint").alias("g_seen"),
+        )
+    )
+    return (
+        joined.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.expr(
+                "CAST((1000000 * (t_in + CAST(n_s AS DECIMAL(38,0)) * (n - g_seen)))"
+                " div (2 * CAST(n_s AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("tv_e6"),
+        )
+    )

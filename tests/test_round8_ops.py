@@ -345,3 +345,42 @@ def test_ndcg_all_zero_gain_null(spark, tmp_path):
     )
     rows = REG.REGISTRY["ndcg_at_10_length_ranker"].runner(spark, sf).collect()
     assert rows[0].ndcg_e6 is None
+
+
+def test_ece_hand_computed(spark, tmp_path):
+    """HIGH(q=1.0, en): |1e4·1−10000| = 0; MIX(q=0.85, en): 1500;
+    LOW(q=0.325, de): 3250 → T = 4750, N = 3 →
+    ECE·1e6 = (100·4750)//3 = 158333. Every doc lands in its own bin, so
+    the per-bin reduction is checkable term by term."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_MIX, "en", "s1", len(T_MIX)),
+            (3, T_LOW, "de", "s1", len(T_LOW)),
+        ],
+    )
+    rows = REG.REGISTRY["ece_calibration_error"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_bins, r.t_abs) == (3, 3, 4750)
+    assert r.ece_e6 == 158333
+
+
+def test_tv_token_drift_hand_computed(spark, tmp_path):
+    """s1 = 'a a b' (a:2, b:1), s2 = 'a c' (a:1, c:1); global a:3,b:1,c:1,
+    N = 5. T(s1) = |10−9| + |5−3| + |0−3| = 6 → 6/(2·3·5) = 0.2;
+    T(s2) = |5−6| + |0−2| + |5−2| = 6 → 6/(2·2·5) = 0.3. The c-term of
+    s1 (and b-term of s2) exercises the missing-mass path."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a a b", "en", "s1", 5), (2, "a c", "en", "s2", 3)],
+    )
+    got = {
+        r.source: r
+        for r in REG.REGISTRY["tv_token_drift"].runner(spark, sf).collect()
+    }
+    assert (got["s1"].n_tokens, got["s1"].tv_e6) == (3, 200000)
+    assert (got["s2"].n_tokens, got["s2"].tv_e6) == (2, 300000)
