@@ -248,6 +248,8 @@ HEADLINE = [
     "ndcg_at_10_length_ranker",
     "ece_calibration_error",
     "tv_token_drift",
+    "quadratic_weighted_kappa",
+    "gopher_quality_gate",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

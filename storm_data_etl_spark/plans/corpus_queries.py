@@ -2246,3 +2246,121 @@ def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chao1_x100"),
         F.expr("(1000000 * h1) div n_tokens").cast("bigint").alias("gt_unseen_e6"),
     )
+
+
+@register(
+    "gopher_quality_gate",
+    r"""
+    WITH sig2 AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE list_sum(list_transform(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         w -> length(w))) END AS tok_chars,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         w -> list_contains(['the','and','of','to','a','in','is','that','for','with'], lower(w)))) END AS sw_hits,
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(list_filter(
+                         regexp_split_to_array(trim(text), '\s+'),
+                         w -> regexp_matches(w, '[A-Za-z]'))) END AS n_alpha,
+             len(regexp_extract_all(coalesce(text, ''), '#')) AS n_hash,
+             len(regexp_extract_all(coalesce(text, ''), '\.\.\.|…')) AS n_ell,
+             len(string_split(coalesce(text, ''), chr(10))) AS n_lines,
+             len(list_filter(string_split(coalesce(text, ''), chr(10)),
+                             l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+             len(list_filter(string_split(coalesce(text, ''), chr(10)),
+                             l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS n_ell_end
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN n_tok >= 50 AND n_tok <= 100000 THEN 0 ELSE 1 END AS f_wordcount,
+             CASE WHEN 3 * n_tok <= tok_chars AND tok_chars <= 10 * n_tok THEN 0 ELSE 1 END AS f_mwl,
+             CASE WHEN 10 * (n_hash + n_ell) <= n_tok THEN 0 ELSE 1 END AS f_symbol,
+             CASE WHEN 10 * n_alpha >= 8 * n_tok THEN 0 ELSE 1 END AS f_alpha,
+             CASE WHEN sw_hits >= 2 THEN 0 ELSE 1 END AS f_stopword,
+             CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 0 ELSE 1 END AS f_bullet,
+             CASE WHEN 10 * n_ell_end <= 3 * n_lines THEN 0 ELSE 1 END AS f_ellipsis
+      FROM sig2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_wordcount) AS BIGINT) AS fail_wordcount,
+           CAST(sum(f_mwl) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(f_symbol) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(f_alpha) AS BIGINT) AS fail_alpha_words,
+           CAST(sum(f_stopword) AS BIGINT) AS fail_stopwords,
+           CAST(sum(f_bullet) AS BIGINT) AS fail_bullet_lines,
+           CAST(sum(f_ellipsis) AS BIGINT) AS fail_ellipsis_lines,
+           CAST(sum(CASE WHEN f_wordcount + f_mwl + f_symbol + f_alpha
+                              + f_stopword + f_bullet + f_ellipsis = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM flags GROUP BY source
+    """,
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-free quality gate (Rae et al. 2021 §A1.1,
+    the rule set C4's successor pipelines actually deploy), per source:
+    seven deterministic rules — word count ∈ [50, 100k], mean word
+    length ∈ [3, 10], hash/ellipsis symbol ratio ≤ 0.1, ≥ 80% of words
+    contain an alphabetic char, ≥ 2 stopwords, ≤ 90% bullet-started
+    lines, ≤ 30% ellipsis-ended lines — each emitted as a per-source
+    fail count plus the all-rules pass count. Every threshold is an
+    integer CROSS-MULTIPLICATION (3·n_tok ≤ tok_chars, 10·n_alpha ≥
+    8·n_tok, …): no ratio division ever happens, so there is no float
+    anywhere and no rounding edge to disagree on.
+
+    Scale: one documents scan, all JVM string/array expressions
+    (split/filter/regexp_count), one groupBy(source). The per-doc
+    signals reuse the established tokenizer parity (trim + \\s+ split ≡
+    regexp_split_to_array) and add line-level splits on chr(10), which
+    both engines define identically."""
+    docs = t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = X.tokens("text")
+    lines = F.split(txt, "\n")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    sw = X.stopword_hits("text")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    n_hash = F.regexp_count(txt, F.lit("#"))
+    n_ell = F.regexp_count(txt, F.lit(r"\.\.\.|…"))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]")))
+    n_ell_end = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    flags = docs.select(
+        "source",
+        F.when((n_tok >= 50) & (n_tok <= 100000), 0).otherwise(1).alias("f_wordcount"),
+        F.when((3 * n_tok <= tok_chars) & (tok_chars <= 10 * n_tok), 0)
+        .otherwise(1)
+        .alias("f_mwl"),
+        F.when(10 * (n_hash + n_ell) <= n_tok, 0).otherwise(1).alias("f_symbol"),
+        F.when(10 * n_alpha >= 8 * n_tok, 0).otherwise(1).alias("f_alpha"),
+        F.when(sw >= 2, 0).otherwise(1).alias("f_stopword"),
+        F.when(10 * n_bullet <= 9 * n_lines, 0).otherwise(1).alias("f_bullet"),
+        F.when(10 * n_ell_end <= 3 * n_lines, 0).otherwise(1).alias("f_ellipsis"),
+    )
+    allf = (
+        F.col("f_wordcount")
+        + F.col("f_mwl")
+        + F.col("f_symbol")
+        + F.col("f_alpha")
+        + F.col("f_stopword")
+        + F.col("f_bullet")
+        + F.col("f_ellipsis")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f_wordcount").cast("bigint").alias("fail_wordcount"),
+        F.sum("f_mwl").cast("bigint").alias("fail_mean_word_len"),
+        F.sum("f_symbol").cast("bigint").alias("fail_symbol_ratio"),
+        F.sum("f_alpha").cast("bigint").alias("fail_alpha_words"),
+        F.sum("f_stopword").cast("bigint").alias("fail_stopwords"),
+        F.sum("f_bullet").cast("bigint").alias("fail_bullet_lines"),
+        F.sum("f_ellipsis").cast("bigint").alias("fail_ellipsis_lines"),
+        F.sum(F.when(allf == 0, 1).otherwise(0)).cast("bigint").alias("n_pass_all"),
+    )

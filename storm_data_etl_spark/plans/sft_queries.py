@@ -1884,3 +1884,94 @@ def kendall_tau_b_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.join(pairs, "source")
         .select("source", "n", "cd2", "dx", "dy", tau.alias("tau_b_e6"))
     )
+
+
+@register(
+    "quadratic_weighted_kappa",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS_CTE},
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((rq - rh) * (rq - rh)) AS BIGINT) AS wo,
+             CAST(sum(CASE WHEN rq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+             CAST(sum(CASE WHEN rq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(sum(CASE WHEN rq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+             CAST(sum(CASE WHEN rh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(sum(CASE WHEN rh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(sum(CASE WHEN rh = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+      FROM ratings GROUP BY source
+    )
+    SELECT source, n, wo,
+           (a0*b1 + a1*b0 + a1*b2 + a2*b1 + 4*(a0*b2 + a2*b0)) AS we_n,
+           CASE WHEN a0*b1 + a1*b0 + a1*b2 + a2*b1 + 4*(a0*b2 + a2*b0) = 0
+                THEN NULL
+                WHEN (a0*b1 + a1*b0 + a1*b2 + a2*b1 + 4*(a0*b2 + a2*b0))
+                     - n * wo >= 0
+                THEN (1000000 * ((a0*b1 + a1*b0 + a1*b2 + a2*b1
+                                  + 4*(a0*b2 + a2*b0)) - n * wo))
+                     // (a0*b1 + a1*b0 + a1*b2 + a2*b1 + 4*(a0*b2 + a2*b0))
+                ELSE -((1000000 * (n * wo - (a0*b1 + a1*b0 + a1*b2 + a2*b1
+                                             + 4*(a0*b2 + a2*b0))))
+                       // (a0*b1 + a1*b0 + a1*b2 + a2*b1 + 4*(a0*b2 + a2*b0)))
+           END AS qwk_e6
+    FROM m
+    """,
+)
+def quadratic_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted Cohen's κ (Cohen 1968) per source — the
+    ORDINAL-penalty member of the agreement family (plain κ counts a
+    0-vs-2 disagreement the same as 1-vs-2; QWK weights it 4×, which is
+    why it is the standard metric for graded/essay-style labels).
+    κ_w = 1 − Σ w_ij·O_ij / Σ w_ij·E_ij with w_ij = (i−j)² and
+    E_ij = a_i·b_j/n from the marginals; clearing the 1/n gives exact
+    integers: qwk·1e6 = (W_E − n·W_O) tdiv W_E where
+    W_O = Σ docs (rq−rh)² (one conditional sum) and
+    W_E = Σ_ij (i−j)²·a_i·b_j = a0b1+a1b0+a1b2+a2b1+4(a0b2+a2b0)
+    (the k = 3 expansion spelled out). Sign-symmetric truncation as in
+    cohen_kappa_agreement; NULL when the raters' marginals make every
+    expected disagreement zero (W_E = 0: both raters constant).
+
+    Scale: ONE conditional-aggregate scan — identical shape to κ/α.
+    Capacity: 1e6·W_E ≤ 4e6·n² < 2⁶³ → n < 1.5e6 docs/source
+    (docs/LIMITS.md round-8 note)."""
+    r = _ratings(spark, sf_dir)
+    conds = [
+        F.sum(F.when(F.col("rq") == k, 1).otherwise(0)).cast("bigint").alias(f"a{k}")
+        for k in (0, 1, 2)
+    ] + [
+        F.sum(F.when(F.col("rh") == k, 1).otherwise(0)).cast("bigint").alias(f"b{k}")
+        for k in (0, 1, 2)
+    ]
+    m = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("rq") - F.col("rh")) * (F.col("rq") - F.col("rh")))
+        .cast("bigint")
+        .alias("wo"),
+        *conds,
+    )
+    we = (
+        F.col("a0") * F.col("b1")
+        + F.col("a1") * F.col("b0")
+        + F.col("a1") * F.col("b2")
+        + F.col("a2") * F.col("b1")
+        + 4 * (F.col("a0") * F.col("b2") + F.col("a2") * F.col("b0"))
+    )
+    num = we - F.col("n") * F.col("wo")
+    qwk = (
+        F.when(we == 0, F.lit(None).cast("bigint"))
+        .when(num >= 0, F.expr("1000000 * qnum div qden"))
+        .otherwise(-F.expr("(1000000 * (-qnum)) div qden"))
+    )
+    return (
+        m.withColumn("qnum", num.cast("bigint"))
+        .withColumn("qden", we.cast("bigint"))
+        .select(
+            "source",
+            "n",
+            "wo",
+            F.col("qden").alias("we_n"),
+            qwk.cast("bigint").alias("qwk_e6"),
+        )
+    )

@@ -384,3 +384,66 @@ def test_tv_token_drift_hand_computed(spark, tmp_path):
     }
     assert (got["s1"].n_tokens, got["s1"].tv_e6) == (3, 200000)
     assert (got["s2"].n_tokens, got["s2"].tv_e6) == (2, 300000)
+
+
+def test_qwk_hand_computed(spark, tmp_path):
+    """Fleiss fixture: rq = (2,0,2), rh = (2,0,1) → W_O = 1;
+    marginals a = (1,0,2), b = (1,1,1) →
+    W_E = 1·1 + 0 + 0 + 2·1 + 4·(1 + 2) = 15;
+    QWK = (15 − 3·1)/15 = 0.8 → 800000."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, T_MIX, "en", "s1", len(T_MIX)),
+        ],
+    )
+    rows = REG.REGISTRY["quadratic_weighted_kappa"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n, r.wo, r.we_n) == (3, 1, 15)
+    assert r.qwk_e6 == 800000
+
+
+#: 54 tokens (≥ 50), mwl 3.89, no symbols/bullets, 12 stopwords → passes
+#: every Gopher rule.
+T_GOPHER_PASS = "the quick brown fox jumps over the lazy dog " * 6
+#: bullet list: every line bullet-started, 6 tokens, mwl 1, half
+#: non-alpha, no stopwords → fails wordcount, mwl, alpha, stopword, bullet.
+T_BULLETS = "- a\n- b\n- c"
+
+
+def test_gopher_gate_hand_computed(spark, tmp_path):
+    """Per-rule fail counts pinned per source: PASS doc passes all 7;
+    '!!!' fails exactly (wordcount, alpha, stopword); the bullet list
+    fails exactly (wordcount, mwl, alpha, stopword, bullet)."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_GOPHER_PASS, "en", "sP", len(T_GOPHER_PASS)),
+            (2, T_LOW, "en", "sL", len(T_LOW)),
+            (3, T_BULLETS, "en", "sB", len(T_BULLETS)),
+        ],
+    )
+    got = {
+        r.source: r
+        for r in REG.REGISTRY["gopher_quality_gate"].runner(spark, sf).collect()
+    }
+    p = got["sP"]
+    assert p.n_pass_all == 1 and sum(
+        [p.fail_wordcount, p.fail_mean_word_len, p.fail_symbol_ratio,
+         p.fail_alpha_words, p.fail_stopwords, p.fail_bullet_lines,
+         p.fail_ellipsis_lines]
+    ) == 0
+    l = got["sL"]
+    assert (l.fail_wordcount, l.fail_alpha_words, l.fail_stopwords) == (1, 1, 1)
+    assert (l.fail_mean_word_len, l.fail_symbol_ratio, l.fail_bullet_lines,
+            l.fail_ellipsis_lines) == (0, 0, 0, 0)
+    b = got["sB"]
+    assert (b.fail_wordcount, b.fail_mean_word_len, b.fail_alpha_words,
+            b.fail_stopwords, b.fail_bullet_lines) == (1, 1, 1, 1, 1)
+    assert (b.fail_symbol_ratio, b.fail_ellipsis_lines) == (0, 0)
+    assert b.n_pass_all == 0
