@@ -43,6 +43,11 @@ def main() -> int:
         for name in bench.HEADLINE
         if name in _q.REGISTRY
     }
+    # Same dev-loop subset filter as bench.py.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only_set = {s.strip() for s in only.split(",") if s.strip()}
+    if only_set:
+        runners = {n: f for n, f in runners.items() if n in only_set}
 
     results: dict[str, dict[str, float]] = {}
     sfs: list[float] = []
