@@ -384,3 +384,76 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    order_col: str = "event_id",
+    gap_ns: int = 30 * 60 * 1_000_000_000,
+) -> DataFrame:
+    """Cross-batch gap sessionization — the stateful-streaming twin of the
+    oracle-gated batch `sessionize` query (plans/window_queries.py): a
+    session break is a per-key event-time gap > ``gap_ns``; each
+    micro-batch emits an updated (key, n_sessions, n_events, last_ts)
+    snapshot per touched key. State is O(1) per key (three scalars) —
+    the same composable-state discipline as streaming_running_stats;
+    Spark's native session_window covers windowed AGGREGATES, but a
+    running session COUNTER with cross-batch carry is exactly the
+    order-dependent recursion applyInPandasWithState exists for.
+
+    Ordering contract (documented, test-pinned): rows are sorted by
+    (ts, order_col) WITHIN each batch; across batches the fold follows
+    arrival order. The result is exactly the batch twin whenever each
+    key's event time is non-decreasing across batch boundaries (true for
+    replayed logs and watermarked sources); a genuinely late row joins
+    the CURRENT session (its negative gap can never exceed gap_ns) —
+    sessions are never double-counted, the late row's session attribution
+    is the only divergence. NULL timestamps are dropped (they carry no
+    event-time and would poison the gap arithmetic)."""
+    ktype = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, n_sessions long, n_events long, last_ts long"
+    )
+    state_schema = "last_ts long, n_sessions long, n_events long"
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (0, 0, 0)
+        )
+        touched = False
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[ts_col])
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            for ts in pdf[ts_col].astype("int64"):
+                if n_events == 0 or ts - last_ts > gap_ns:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = int(ts)
+                touched = True
+        if not touched:
+            return
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    "n_sessions": n_sessions,
+                    "n_events": n_events,
+                    "last_ts": last_ts,
+                }
+            ]
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

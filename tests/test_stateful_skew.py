@@ -336,3 +336,89 @@ def test_streaming_heavy_hitters_counts_null_keys(spark, tmp_path):
         q.stop()
     # the literal key "n" must not collide with the NULL sentinel encoding
     assert got == {None: 4, "x": 3, "n": 2}
+
+
+def test_streaming_sessionize_cross_batch_equals_batch_twin(spark, tmp_path):
+    """streaming_sessionize replayed over time-ordered micro-batches ends
+    at exactly the batch sessionize answer (lag-window, 30-min gap) on
+    the union — the streaming/batch-twin exactness discipline. Sessions
+    split across a batch BOUNDARY must not double-count, and a gap
+    inside one batch must still split."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Window
+    from storm_data_etl_spark.streaming.stateful import streaming_sessionize
+
+    MIN = 60 * 1_000_000_000  # one minute in ns
+    # user 1: events at 0m, 10m | 10m+31m (gap>30 splits ACROSS batches),
+    #         then 100m (in-batch split later)
+    # user 2: single session entirely inside batch 0
+    b0 = [
+        {"user_id": 1, "event_id": 1, "ts_ns": 0 * MIN},
+        {"user_id": 1, "event_id": 2, "ts_ns": 10 * MIN},
+        {"user_id": 2, "event_id": 3, "ts_ns": 5 * MIN},
+        {"user_id": 2, "event_id": 4, "ts_ns": 6 * MIN},
+    ]
+    b1 = [
+        {"user_id": 1, "event_id": 5, "ts_ns": 41 * MIN},  # 31m gap → new
+        {"user_id": 1, "event_id": 6, "ts_ns": 100 * MIN},  # 59m gap → new
+        {"user_id": 1, "event_id": 7, "ts_ns": 101 * MIN},  # same session
+    ]
+    src = str(tmp_path / "src_sess")
+    _os.makedirs(src)
+
+    def write_batch(fname, rows):
+        with open(_os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_batch("b0.json", b0)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts_ns long"
+    ).json(src)
+    out = streaming_sessionize(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b1.json", b1)
+        q.processAllAvailable()
+        rows = spark.sql("select * from sess_out order by n_events").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:  # later snapshots have larger n_events per key
+        latest[r.user_id] = r
+
+    # batch twin on the union (same 30-min gap rule)
+    gap_ns = 30 * MIN
+    union = spark.createDataFrame(
+        b0 + b1, "user_id long, event_id long, ts_ns long"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    import pyspark.sql.functions as F
+
+    twin = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in union.select(
+            "user_id",
+            F.when(
+                F.lag("ts_ns").over(w).isNull()
+                | ((F.col("ts_ns") - F.lag("ts_ns").over(w)) > gap_ns),
+                1,
+            )
+            .otherwise(0)
+            .alias("ns"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert twin[1] == (3, 5) and twin[2] == (1, 2)  # hand-computed
+    for uid, (ns, ne) in twin.items():
+        assert (latest[uid].n_sessions, latest[uid].n_events) == (ns, ne)
