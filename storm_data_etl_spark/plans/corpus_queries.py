@@ -2320,12 +2320,16 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_split_to_array) and add line-level splits on chr(10), which
     both engines define identically."""
     docs = t(spark, sf_dir, "documents")
+    # Coalesce ONCE and feed the coalesced column everywhere: X.tokens(NULL)
+    # is NULL (size -1/NULL), which would flip every token rule to "fail"
+    # while the oracle's coalesce sees 0 tokens — found by the
+    # null-injection audit the day this query landed.
     txt = F.coalesce(F.col("text"), F.lit(""))
-    toks = X.tokens("text")
+    toks = X.tokens(txt)
     lines = F.split(txt, "\n")
     n_tok = F.size(toks)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
-    sw = X.stopword_hits("text")
+    sw = X.stopword_hits(txt)
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
     n_hash = F.regexp_count(txt, F.lit("#"))
     n_ell = F.regexp_count(txt, F.lit(r"\.\.\.|…"))

@@ -426,6 +426,11 @@ def test_gopher_gate_hand_computed(spark, tmp_path):
             (1, T_GOPHER_PASS, "en", "sP", len(T_GOPHER_PASS)),
             (2, T_LOW, "en", "sL", len(T_LOW)),
             (3, T_BULLETS, "en", "sB", len(T_BULLETS)),
+            # NULL text ≡ empty: 0 tokens → fails wordcount + stopword
+            # ONLY (0 ≤ 0 cross-multiplications pass). Locks the
+            # null-injection regression: Spark tokens(NULL) is NULL, not
+            # [], unless the query coalesces first.
+            (4, None, "en", "sN", 0),
         ],
     )
     got = {
@@ -447,3 +452,7 @@ def test_gopher_gate_hand_computed(spark, tmp_path):
             b.fail_stopwords, b.fail_bullet_lines) == (1, 1, 1, 1, 1)
     assert (b.fail_symbol_ratio, b.fail_ellipsis_lines) == (0, 0)
     assert b.n_pass_all == 0
+    n = got["sN"]
+    assert (n.fail_wordcount, n.fail_stopwords) == (1, 1)
+    assert (n.fail_mean_word_len, n.fail_symbol_ratio, n.fail_alpha_words,
+            n.fail_bullet_lines, n.fail_ellipsis_lines) == (0, 0, 0, 0, 0)
