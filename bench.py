@@ -250,6 +250,11 @@ HEADLINE = [
     "tv_token_drift",
     "quadratic_weighted_kappa",
     "gopher_quality_gate",
+    "krippendorff_alpha_interval",
+    "mrr_at_10_ranker",
+    "map_at_10_ranker",
+    "simpson_diversity_index",
+    "gini_token_concentration",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

@@ -2368,3 +2368,166 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f_ellipsis").cast("bigint").alias("fail_ellipsis_lines"),
         F.sum(F.when(allf == 0, 1).otherwise(0)).cast("bigint").alias("n_pass_all"),
     )
+
+
+@register(
+    "simpson_diversity_index",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    cnt AS (
+      SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+    ),
+    m AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS s2,
+             CAST(max(c) AS BIGINT) AS c_max
+      FROM cnt GROUP BY source
+    )
+    SELECT source, n_tokens, vocab_size,
+           CASE WHEN n_tokens < 2 THEN NULL
+                ELSE (1000000 * s2) // (n_tokens * (n_tokens - 1)) END
+             AS simpson_e6,
+           CASE WHEN n_tokens < 2 THEN NULL
+                ELSE 1000000 - (1000000 * s2) // (n_tokens * (n_tokens - 1)) END
+             AS gini_simpson_e6,
+           (1000000 * c_max) // n_tokens AS top_share_e6
+    FROM m
+    """,
+)
+def simpson_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration λ (Simpson 1949, unbiased no-replacement
+    form λ = Σ_c f_c(f_c−1)/(N(N−1))) per source over whitespace token
+    types, its complement 1−λ (the Gini–Simpson diversity), and the
+    single-most-common-token share — the lexical-diversity readout that
+    catches template/boilerplate-dominated sources which richness counts
+    like Chao1 miss entirely: a source can have a huge vocabulary AND
+    spend 60% of its mass on one token.
+
+    All integer arithmetic: λ·1e6 = (1e6·Σf(f−1)) tdiv (N(N−1)), every
+    operand non-negative (Spark div ≡ DuckDB //); the complement is
+    derived from the SAME truncated value so the pair is consistent by
+    construction; NULL when N < 2 (pair probability undefined).
+
+    Scale: identical shape to chao1_vocab_richness — one token explode,
+    one map-side-combinable (source, token) count, one per-source
+    aggregate; an engine running both shares the whole plan. Capacity:
+    1e6·Σf(f−1) ≤ 1e6·f_max·N < 2⁶³ → f_max·N < 9.2e12 (e.g. the top
+    type at 3e6 occurrences in a 3e6-token source); recast the numerator
+    to DECIMAL(38,0) past that (docs/LIMITS.md round-8 note)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "source",
+            F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    m = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("s2"),
+        F.max("c").cast("bigint").alias("c_max"),
+    )
+    lam = F.expr("(1000000 * s2) div (n_tokens * (n_tokens - 1))")
+    return m.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.when(F.col("n_tokens") < 2, F.lit(None).cast("bigint"))
+        .otherwise(lam)
+        .cast("bigint")
+        .alias("simpson_e6"),
+        F.when(F.col("n_tokens") < 2, F.lit(None).cast("bigint"))
+        .otherwise(1000000 - lam)
+        .cast("bigint")
+        .alias("gini_simpson_e6"),
+        F.expr("(1000000 * c_max) div n_tokens")
+        .cast("bigint")
+        .alias("top_share_e6"),
+    )
+
+
+@register(
+    "gini_token_concentration",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    cnt AS (
+      SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+    ),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c, tok) AS i
+      FROM cnt
+    ),
+    m AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(i * c) AS BIGINT) AS s
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_tokens, vocab_size,
+           (1000000 * (2 * s - (vocab_size + 1) * n_tokens))
+             // (vocab_size * n_tokens) AS gini_e6
+    FROM m
+    """,
+)
+def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-source token-frequency distribution —
+    the inequality summary of HOW the token mass is spread over the
+    vocabulary (0 = perfectly even, →1 = one type owns everything),
+    computed from frequencies sorted ascending via the rank identity
+    G = (2·Σᵢ i·f₍ᵢ₎ − (V+1)·N)/(V·N). Together with Simpson (pairwise
+    collision) and Chao1 (unseen richness) this completes the
+    distributional triptych a corpus-mix audit reads per source.
+
+    Exact integers throughout: ranks come from one source-keyed
+    row_number over (count, token) — the token tie-break is for
+    determinism only, since equal counts contribute the same Σi·f over
+    any permutation of their rank block; the numerator 2S − (V+1)N is
+    ≥ 0 exactly (Chebyshev sum inequality on the ascending order), so
+    truncating division agrees across engines with no sign case.
+
+    Scale: the (source, token) count is the same map-side-combinable
+    aggregate as chao1/simpson; the rank window is source-keyed over
+    VOCABULARY rows (types, not tokens — millions, not billions).
+    Capacity: Σ i·f ≤ V·N → 1e6·2·V·N < 2⁶³ → V·N < 4.6e12 in BIGINT
+    (docs/LIMITS.md round-8 note)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(
+            "source",
+            F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy("c", "tok")
+    ranked = cnt.select("source", "c", F.row_number().over(w).alias("i"))
+    m = ranked.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("s"),
+    )
+    return m.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        F.expr(
+            "(1000000 * (2 * s - (vocab_size + 1) * n_tokens))"
+            " div (vocab_size * n_tokens)"
+        )
+        .cast("bigint")
+        .alias("gini_e6"),
+    )

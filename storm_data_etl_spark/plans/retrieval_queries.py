@@ -707,3 +707,210 @@ def ndcg_at_10_length_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1000000.0) * F.expr(_NDCG_DCG_EXPR) / idcg).cast("bigint")
     )
     return g.select("source", "n_ret", "g2", "g1", ndcg.alias("ndcg_e6"))
+
+
+# =====================================================================
+# MRR@10 and MAP@10 of the length ranker — round 8 continuation
+# =====================================================================
+
+#: Queries-per-source fan for mrr/map: each document lands in query
+#: bucket doc_id % 16, giving ~n/16 docs per ranked list — enough lists
+#: that the means are real aggregates, few enough that every list is
+#: non-trivial at sf0.001.
+_IR_QBUCKETS = 16
+
+
+@register(
+    "mrr_at_10_ranker",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    base AS (
+      SELECT d.doc_id, d.source, d.doc_id % {_IR_QBUCKETS} AS qid,
+             length(coalesce(d.text, '')) AS n_chars,
+             CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS rel
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT source, qid, rel,
+             row_number() OVER (PARTITION BY source, qid
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM base
+    ),
+    perq AS (
+      SELECT source, qid,
+             min(CASE WHEN rel = 1 AND rk <= 10 THEN rk END) AS fr
+      FROM ranked GROUP BY source, qid
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           (1000000 * CAST(sum(coalesce(2520 // fr, 0)) AS BIGINT))
+             // (2520 * count(*)) AS mrr_e6
+    FROM perq GROUP BY source
+    """,
+)
+def mrr_at_10_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 (mean reciprocal rank) of the cheap LENGTH ranker against
+    binary quality relevance (rel = quality ≥ 0.5), per source — the
+    first-hit-position readout that complements nDCG's graded-gain view:
+    retrieval stacks that feed a RAG or dedup-candidate stage care about
+    "how deep until the first good document", not total gain. Queries
+    are the doc_id % {_IR_QBUCKETS} buckets within each source; a query
+    with no relevant doc in its top 10 contributes 0 (standard MRR).
+
+    Exactness with NO floats anywhere: 1/r for r ≤ 10 is carried as the
+    exact integer 2520/r (2520 = lcm(1..10) divides evenly for every
+    rank), so Σ_q 1/r_q = S/2520 with S an exact integer sum, and
+    MRR·1e6 = (1e6·S) tdiv (2520·Q) — every operand non-negative, so
+    Spark div ≡ DuckDB //. The reciprocal never exists as a double.
+
+    Scale: one documents scan → one (source, qid)-keyed rank window →
+    two tiny aggregates. Same shuffle key family as the nDCG/RBO
+    windows. Capacity: 1e6·S ≤ 1e6·2520·Q < 2⁶³ → Q < 3.6e9
+    queries/source — unreachable (docs/LIMITS.md round-8 note)."""
+    from storm_data_etl_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    q = X.quality_score("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _IR_QBUCKETS).alias("qid"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        F.when(q >= 0.5, 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("source", "qid").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = base.select(
+        "source", "qid", "rel", F.row_number().over(w).alias("rk")
+    )
+    perq = ranked.groupBy("source", "qid").agg(
+        F.min(
+            F.when((F.col("rel") == 1) & (F.col("rk") <= 10), F.col("rk"))
+        ).alias("fr")
+    )
+    return perq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.col("fr").isNotNull().cast("int")).cast("bigint").alias("n_hit"),
+        F.expr(
+            "(1000000 * sum(coalesce(2520 div fr, 0))) div (2520 * count(*))"
+        )
+        .cast("bigint")
+        .alias("mrr_e6"),
+    )
+
+
+@register(
+    "map_at_10_ranker",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    base AS (
+      SELECT d.doc_id, d.source, d.doc_id % {_IR_QBUCKETS} AS qid,
+             length(coalesce(d.text, '')) AS n_chars,
+             CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS rel
+      FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT source, qid, rel,
+             row_number() OVER (PARTITION BY source, qid
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM base
+    ),
+    cum AS (
+      SELECT source, qid, rel, rk,
+             CAST(sum(rel) OVER (PARTITION BY source, qid ORDER BY rk
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS h
+      FROM ranked
+    ),
+    perq AS (
+      SELECT source, qid,
+             CAST(sum(CASE WHEN rel = 1 AND rk <= 10
+                           THEN h * (2520 // rk) ELSE 0 END) AS BIGINT)
+               AS apnum,
+             least(CAST(sum(rel) AS BIGINT), 10) AS rq
+      FROM cum GROUP BY source, qid
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN rq >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+           CASE WHEN sum(CASE WHEN rq >= 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE (1000000 * CAST(sum(CASE WHEN rq >= 1
+                                              THEN apnum * (2520 // rq)
+                                              ELSE 0 END) AS BIGINT))
+                     // (6350400 * CAST(sum(CASE WHEN rq >= 1 THEN 1 ELSE 0 END)
+                                        AS BIGINT))
+           END AS map_e6
+    FROM perq GROUP BY source
+    """,
+)
+def map_at_10_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 (mean average precision) of the length ranker against
+    binary quality relevance, per source, over the same
+    doc_id % {_IR_QBUCKETS} query buckets as mrr_at_10_ranker —
+    the area-under-PR summary that distinguishes a ranker that front-
+    loads ALL its relevant docs from one that merely finds the first
+    fast (MRR cannot tell those apart). AP@10 = (1/min(R,10)) ·
+    Σ_{{i≤10, rel_i}} P@i with P@i = hits_i/i; queries with zero
+    relevant docs are excluded from the mean (TREC convention).
+
+    Exactness with NO floats: P@i = hits_i/i carried as the exact
+    integer hits_i·(2520/i); AP·2520² = apnum·(2520/R) stays integer
+    because R ≤ 10 divides 2520; MAP·1e6 = (1e6·Σ) tdiv (2520²·Q)
+    with 2520² = 6350400 — all operands non-negative. The cumulative
+    hit counter is an explicit ROWS UNBOUNDED PRECEDING running sum on
+    the unique rank key, identical frame on both engines.
+
+    Scale: one scan → one (source, qid) rank window + one running-sum
+    window on the SAME key (single shuffle, two sorts) → tiny
+    aggregates. Capacity: apnum ≤ 10·10·2520, ×(2520/R)·1e6 →
+    6.4e14·Q < 2⁶³ → Q < 14k queries/source in BIGINT
+    (docs/LIMITS.md round-8 note)."""
+    from storm_data_etl_spark.functions import text as X
+
+    docs = t(spark, sf_dir, "documents")
+    q = X.quality_score("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _IR_QBUCKETS).alias("qid"),
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("n_chars"),
+        F.when(q >= 0.5, 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("source", "qid").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = base.select(
+        "source", "qid", "rel", F.row_number().over(w).alias("rk")
+    )
+    wc = (
+        Window.partitionBy("source", "qid")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ranked.withColumn("h", F.sum("rel").over(wc).cast("bigint"))
+    perq = cum.groupBy("source", "qid").agg(
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("rk") <= 10),
+                F.col("h") * F.expr("2520 div rk"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("apnum"),
+        F.least(F.sum("rel").cast("bigint"), F.lit(10)).alias("rq"),
+    )
+    evalq = F.sum((F.col("rq") >= 1).cast("int"))
+    return perq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        evalq.cast("bigint").alias("n_eval"),
+        F.when(evalq == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "(1000000 * sum(CASE WHEN rq >= 1"
+                "                    THEN apnum * (2520 div rq)"
+                "                    ELSE 0 END))"
+                " div (6350400 * sum(CASE WHEN rq >= 1 THEN 1 ELSE 0 END))"
+            )
+        )
+        .cast("bigint")
+        .alias("map_e6"),
+    )

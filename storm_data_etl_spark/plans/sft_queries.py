@@ -1299,6 +1299,90 @@ def krippendorff_alpha_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m2.select("source", "n", "d", alpha.cast("bigint").alias("alpha_e6"))
 
 
+@register(
+    "krippendorff_alpha_interval",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS_CTE},
+    m AS (
+      SELECT source,
+             count(*) AS n,
+             CAST(sum((rq - rh) * (rq - rh)) AS BIGINT) AS sd,
+             CAST(sum(CASE WHEN rq = 0 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN rh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN rq = 1 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN rh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN rq = 2 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN rh = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM ratings GROUP BY source
+    )
+    SELECT source, n, sd,
+           CASE WHEN 2 * (c0*c1 + c1*c2 + 4*c0*c2) = 0 THEN NULL
+                WHEN 2 * (c0*c1 + c1*c2 + 4*c0*c2) - 2 * sd * (2*n - 1) >= 0
+                THEN (1000000 * (2 * (c0*c1 + c1*c2 + 4*c0*c2)
+                                 - 2 * sd * (2*n - 1)))
+                     // (2 * (c0*c1 + c1*c2 + 4*c0*c2))
+                ELSE -((1000000 * (2 * sd * (2*n - 1)
+                                   - 2 * (c0*c1 + c1*c2 + 4*c0*c2)))
+                       // (2 * (c0*c1 + c1*c2 + 4*c0*c2)))
+           END AS alpha_e6
+    FROM m
+    """,
+)
+def krippendorff_alpha_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's α with the INTERVAL metric δ(c,c') = (c−c')²
+    (Krippendorff 2004 §11.3) per source over the same 2-rater table as
+    the nominal-metric twin above — the right agreement statistic when
+    the labels {0,1,2} are ordered quality bands rather than unordered
+    categories: a 0-vs-2 disagreement (δ = 4) should cost four times a
+    0-vs-1 (δ = 1), which the nominal metric cannot express.
+
+    Exact integer form, quadratic not cubic: with sd = Σ_i (rq_i−rh_i)²,
+    pooled counts c_k over the N = 2n values, and pooled pair-weight sum
+    S_e = Σ_{{c,c'}} n_c·n_c'·(c−c')² = 2(c0·c1 + c1·c2 + 4·c0·c2),
+    α = 1 − (sd/n)·(N(N−1)/S_e); the n cancels against N = 2n, giving
+    α·1e6 = 1e6·(S_e − 2·sd·(2n−1)) tdiv S_e — sign-symmetric
+    truncation (α < 0 is agreement below chance), NULL when S_e = 0
+    (all 2n pooled labels identical). Having nominal AND interval α
+    gated together pins the δ-weighting itself: a wrong weight matrix
+    moves one but not the other.
+
+    Scale: identical one-scan / one-tiny-groupBy(source) shape as the κ
+    family; capacity 1e6·S_e ≤ 1.6e7·n² < 2⁶³ → n < 7.6e5 docs/source
+    in BIGINT (docs/LIMITS.md round-8 note); recast to DECIMAL(38,0)
+    past that."""
+    r = _ratings(spark, sf_dir)
+    conds = [
+        (
+            F.sum(F.when(F.col("rq") == k, 1).otherwise(0))
+            + F.sum(F.when(F.col("rh") == k, 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias(f"c{k}")
+        for k in (0, 1, 2)
+    ]
+    diff = F.col("rq") - F.col("rh")
+    m = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(diff * diff).cast("bigint").alias("sd"),
+        *conds,
+    )
+    se = 2 * (
+        F.col("c0") * F.col("c1")
+        + F.col("c1") * F.col("c2")
+        + 4 * F.col("c0") * F.col("c2")
+    )
+    num = se - 2 * F.col("sd") * (2 * F.col("n") - 1)
+    m2 = m.withColumn("ase", se.cast("bigint")).withColumn(
+        "anum", num.cast("bigint")
+    )
+    alpha = (
+        F.when(F.col("ase") == 0, F.lit(None).cast("bigint"))
+        .when(F.col("anum") >= 0, F.expr("(1000000 * anum) div ase"))
+        .otherwise(-F.expr("(1000000 * (-anum)) div ase"))
+    )
+    return m2.select("source", "n", "sd", alpha.cast("bigint").alias("alpha_e6"))
+
 
 @register(
     "bradley_terry_strength",

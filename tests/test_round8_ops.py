@@ -456,3 +456,153 @@ def test_gopher_gate_hand_computed(spark, tmp_path):
     assert (n.fail_wordcount, n.fail_stopwords) == (1, 1)
     assert (n.fail_mean_word_len, n.fail_symbol_ratio, n.fail_alpha_words,
             n.fail_bullet_lines, n.fail_ellipsis_lines) == (0, 0, 0, 0, 0)
+
+
+# =====================================================================
+# Round-8 continuation: interval α, MRR/MAP@10, Simpson, Gini
+# =====================================================================
+
+#: quality 0.475 → rq=0 (len_band 0.5·0.3 + punct 1.0·0.2 + sw 0.3·0.25
+#: + mwl 0.2·0.25); n=60 ∈ [50,200), p=0 → rh=1. Labels (0,1), rel=0.
+T_NEG_A = "a" * 60
+#: quality 0.7 → rq=1 (len_band 0, the other three bands max); n=25 < 50
+#: → rh=0. Labels (1,0), rel=1.
+T_NEG_B = "the fox runs far away now"
+
+
+def test_interval_alpha_fixture_assumptions():
+    assert len(T_NEG_A) == 60
+    assert len(T_NEG_B) == 25 and len(T_NEG_B.split()) == 6
+
+
+def test_krippendorff_interval_hand_computed(spark, tmp_path):
+    """Units (2,2),(0,0),(2,1): n=3, sd=1; pooled c=(2,1,3) →
+    S_e = 2·(2·1 + 1·3 + 4·2·3) = 58, num = 58 − 2·1·5 = 48 →
+    α·1e6 = 48e6 tdiv 58 = 827586."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, T_MIX, "en", "s1", len(T_MIX)),
+        ],
+    )
+    rows = REG.REGISTRY["krippendorff_alpha_interval"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source, r.n, r.sd) == ("s1", 3, 1)
+    assert r.alpha_e6 == 827586
+
+
+def test_krippendorff_interval_negative_and_null(spark, tmp_path):
+    """s1 = units (0,1),(1,0): sd=2, pooled c0=2,c1=2 → S_e=8,
+    num = 8 − 2·2·3 = −4 → α·1e6 = −(4e6 tdiv 8) = −500000 (below-chance
+    agreement exercises the sign-symmetric truncation branch).
+    s2 = both raters all-0 → S_e = 0 → NULL."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_NEG_A, "en", "s1", len(T_NEG_A)),
+            (2, T_NEG_B, "en", "s1", len(T_NEG_B)),
+            (3, T_LOW, "en", "s2", len(T_LOW)),
+            (4, T_LOW, "en", "s2", len(T_LOW)),
+        ],
+    )
+    rows = {
+        r.source: r
+        for r in REG.REGISTRY["krippendorff_alpha_interval"].runner(spark, sf).collect()
+    }
+    assert rows["s1"].sd == 2 and rows["s1"].alpha_e6 == -500000
+    assert rows["s2"].sd == 0 and rows["s2"].alpha_e6 is None
+
+
+#: MRR/MAP fixture: qid = doc_id % 16. Query 1 (ids ≡ 1 mod 16) ranks by
+#: length desc: T_MIX(88, rel=1), T_NEG_A(60, rel=0), T_NEG_B(25, rel=1),
+#: T_LOW(3, rel=0) → first hit rank 1; AP = (1/1 + 2/3)/2 = 5/6.
+#: Query 2 (ids ≡ 2 mod 16) is all-irrelevant → MRR contributes 0,
+#: MAP excludes it.
+def _ir_fixture(spark, tmp_path):
+    return _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_MIX, "en", "s1", len(T_MIX)),
+            (17, T_NEG_A, "en", "s1", len(T_NEG_A)),
+            (33, T_NEG_B, "en", "s1", len(T_NEG_B)),
+            (49, T_LOW, "en", "s1", len(T_LOW)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (18, T_NEG_A, "en", "s1", len(T_NEG_A)),
+        ],
+    )
+
+
+def test_mrr_at_10_hand_computed(spark, tmp_path):
+    """Query 1 first relevant at rank 1 (2520/1), query 2 no hit (0) →
+    MRR·1e6 = 1e6·2520 tdiv (2520·2) = 500000."""
+    sf = _ir_fixture(spark, tmp_path)
+    rows = REG.REGISTRY["mrr_at_10_ranker"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source, r.n_queries, r.n_hit) == ("s1", 2, 1)
+    assert r.mrr_e6 == 500000
+
+
+def test_map_at_10_hand_computed(spark, tmp_path):
+    """Query 1: hits at ranks 1 (h=1) and 3 (h=2) → apnum = 1·2520 +
+    2·840 = 4200, R=2 → ap_scaled = 4200·1260 = 5292000; query 2 has
+    R=0 (excluded) → MAP·1e6 = 1e6·5292000 tdiv (6350400·1) = 833333
+    (= floor(5/6 · 1e6))."""
+    sf = _ir_fixture(spark, tmp_path)
+    rows = REG.REGISTRY["map_at_10_ranker"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source, r.n_queries, r.n_eval) == ("s1", 2, 1)
+    assert r.map_e6 == 833333
+
+
+def test_simpson_diversity_hand_computed(spark, tmp_path):
+    """s1 tokens {x,x,y}: N=3, V=2, Σf(f−1)=2 → λ·1e6 = 2e6 tdiv 6 =
+    333333, complement 666667, top share 2e6 tdiv 3 = 666666.
+    s2 has a single token → N < 2 → both indices NULL."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "x x y", "en", "s1", 5),
+            (2, "z", "en", "s2", 1),
+        ],
+    )
+    rows = {
+        r.source: r
+        for r in REG.REGISTRY["simpson_diversity_index"].runner(spark, sf).collect()
+    }
+    r1 = rows["s1"]
+    assert (r1.n_tokens, r1.vocab_size) == (3, 2)
+    assert r1.simpson_e6 == 333333
+    assert r1.gini_simpson_e6 == 666667
+    assert r1.top_share_e6 == 666666
+    r2 = rows["s2"]
+    assert r2.simpson_e6 is None and r2.gini_simpson_e6 is None
+    assert r2.top_share_e6 == 1000000
+
+
+def test_gini_concentration_hand_computed(spark, tmp_path):
+    """s1 counts (a:1, b:3) ascending → S = 1·1 + 2·3 = 7 →
+    G·1e6 = 1e6·(14 − 3·4) tdiv (2·4) = 250000. s2 uniform (a,b,c once
+    each) → 2S = (V+1)·N exactly → G = 0."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "b b b a", "en", "s1", 7),
+            (2, "a b c", "en", "s2", 5),
+        ],
+    )
+    rows = {
+        r.source: r
+        for r in REG.REGISTRY["gini_token_concentration"].runner(spark, sf).collect()
+    }
+    assert rows["s1"].gini_e6 == 250000
+    assert rows["s2"].gini_e6 == 0

@@ -968,6 +968,28 @@ def main() -> int:
     )
     _rel()
 
+    # 84. Round-8 continuation tier: every member is one documents scan
+    # plus keyed aggregates/windows — no cartesians, no Python, and any
+    # window is partitioned (source / source+qid keyed).
+    for name, label in (
+        ("krippendorff_alpha_interval", "one scan, tiny groupBy(source)"),
+        ("mrr_at_10_ranker", "source+qid keyed rank window"),
+        ("map_at_10_ranker", "source+qid rank + running-sum windows"),
+        ("simpson_diversity_index", "map-side (source,token) count"),
+        ("gini_token_concentration", "source-keyed vocab rank window"),
+    ):
+        dfq = qs[name](spark, sf_dir)
+        p_n = plan_of(dfq)
+        bad = unpartitioned_ordered_windows(dfq)
+        check(
+            f"r8_cont_{name}",
+            not bad
+            and "CartesianProduct" not in p_n
+            and "BatchEvalPython" not in p_n,
+            f"({label}; keyed windows only) {bad}",
+        )
+        _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
