@@ -255,6 +255,8 @@ HEADLINE = [
     "map_at_10_ranker",
     "simpson_diversity_index",
     "gini_token_concentration",
+    "cusum_drift_scores",
+    "edit_distance_near_dup",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

@@ -6295,3 +6295,82 @@ def tv_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_e6"),
         )
     )
+
+
+# =====================================================================
+# Edit-distance verification of near-dup candidate pairs — round 8
+# =====================================================================
+
+@register(
+    "edit_distance_near_dup",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, source,
+             substr(regexp_replace(lower(coalesce(text, '')),
+                                   '[^a-z0-9 ]+', '', 'g'),
+                    1, 120) AS ntext
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source,
+             levenshtein(a.ntext, b.ntext) AS dist,
+             greatest(length(a.ntext), length(b.ntext)) AS max_len
+      FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 37
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN max_len > 0 AND 10 * dist <= max_len
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(sum(dist) AS BIGINT) AS sum_dist
+    FROM pairs GROUP BY source
+    """,
+)
+def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification pass over near-dup CANDIDATE pairs —
+    the exact-but-expensive confirm stage a fuzzy-dedup pipeline runs
+    after cheap candidate generation (MinHash/SimHash bands), here over
+    the deterministic doc_id → doc_id+37 pair construction the other
+    pairwise audits share. Levenshtein distance on both engines over a
+    canonicalized prefix: lowercase → strip to [a-z0-9 ] → first 120
+    chars. The canonicalization is load-bearing for BOTH correctness and
+    cost: pure-ASCII input sidesteps the engines' differing unicode
+    unit counting (JVM UTF-16 vs DuckDB codepoints), and the 120-char
+    cap bounds the O(len²) DP at 14.4k cells/pair — the knob a real
+    deployment sets by its candidate-pair budget. Near = dist ≤ 10% of
+    the longer string (integer cross-multiplication, no ratio).
+
+    Scale: one narrow scan (doc_id, source, 120-char prefix) → ONE
+    equi-join on the shifted id (shuffle or broadcast by size) → exact
+    integer aggregate. Pair count = corpus size, never corpus²: the
+    operator verifies candidates, it does not generate them — chaining
+    after minhash_lsh_pairs replaces the id-shift join with the band
+    join's output. All counts/sums are BIGINTs; no capacity edge below
+    ~1e18 total edit operations per source."""
+    norm = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9 ]+", ""
+            ),
+            1,
+            120,
+        ).alias("ntext"),
+    )
+    a = norm.alias("a")
+    b = norm.select((F.col("doc_id") - 37).alias("jid"), F.col("ntext").alias("btext"))
+    pairs = a.join(b, F.col("a.doc_id") == F.col("jid")).select(
+        F.col("a.source").alias("source"),
+        F.levenshtein(F.col("a.ntext"), F.col("btext")).alias("dist"),
+        F.greatest(F.length("a.ntext"), F.length("btext")).alias("max_len"),
+    )
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("dist") == 0).cast("int")).cast("bigint").alias("n_exact"),
+        F.sum(((F.col("max_len") > 0) & (10 * F.col("dist") <= F.col("max_len"))).cast("int"))
+        .cast("bigint")
+        .alias("n_near"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+    )

@@ -3789,3 +3789,106 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return lohi.select("rep", "n_eff", "rep_mean_e6", "boot_lo_e6", "boot_hi_e6")
+
+
+# =====================================================================
+# CUSUM drift detection (ordered per-type fold) — round 8
+# =====================================================================
+
+@register(
+    "cusum_drift_scores",
+    """
+    WITH xe AS (
+      SELECT event_type, event_id,
+             CAST(floor("value" * 10000 + 0.5) AS BIGINT) AS x_e4
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    k AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(x_e4) AS BIGINT) // CAST(count(*) AS BIGINT) AS k_e4
+      FROM xe GROUP BY event_type
+    ),
+    d AS (
+      SELECT xe.event_type, xe.event_id, xe.x_e4 - k.k_e4 AS dev
+      FROM xe JOIN k ON k.event_type = xe.event_type
+    ),
+    folded AS (
+      SELECT event_type,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list(dev ORDER BY event_id)),
+               (acc, dd) -> greatest(CAST(0 AS BIGINT), acc + dd)
+             ) AS cusum_pos_e4,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list(-dev ORDER BY event_id)),
+               (acc, dd) -> greatest(CAST(0 AS BIGINT), acc + dd)
+             ) AS cusum_neg_e4
+      FROM d GROUP BY event_type
+    )
+    SELECT k.event_type, k.n_events, k.k_e4,
+           f.cusum_pos_e4, f.cusum_neg_e4
+    FROM k JOIN folded f ON f.event_type = k.event_type
+    """,
+)
+def cusum_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift statistic (Page 1954) per event type: the one-sided
+    cumulative sums S⁺ = max(0, S⁺ + (x − k)) and S⁻ = max(0, S⁻ + (k − x))
+    folded over the event stream in event_id order, with reference level
+    k = the type's own mean — the classic sequential change-point
+    statistic a metrics pipeline runs to catch level shifts that PSI-style
+    binned snapshots (psi_drift_bins) smear out. A large terminal S⁺/S⁻
+    means the tail of the stream sits above/below the long-run level.
+
+    ORDER-DEPENDENT by construction (the max-clamp is non-commutative),
+    so it rides the engine's ordered-fold discipline (ewma_last /
+    elo_sequential_ratings): both engines fold the identical
+    integer list in identical event_id order — and the state is an exact
+    BIGINT (x quantized to e4 BEFORE differencing; k_e4 a truncating
+    nonneg division), so unlike the EWMA there is no float to drift.
+
+    Scale: one events scan → tiny per-type mean (broadcast back) → one
+    shuffle on event_type → per-type ordered fold. Per-type event lists
+    are collected into one task (the ewma/elo capacity line: ≤ ~1e6
+    events/type; shard the timeline past that — docs/LIMITS.md round-8
+    note). Capacity: |dev| ≤ max(x_e4), so S ≤ n·max(x_e4) — 2⁶³ allows
+    n·x̂ < 9.2e18 (e.g. 1e9 events at x̂ ≤ 9e9)."""
+    xe = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 10000 + 0.5).cast("bigint").alias("x_e4"),
+        )
+    )
+    k = xe.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("CAST(sum(x_e4) AS BIGINT) div CAST(count(*) AS BIGINT)")
+        .cast("bigint")
+        .alias("k_e4"),
+    )
+    d = xe.join(F.broadcast(k.select("event_type", "k_e4")), "event_type").select(
+        "event_type",
+        "event_id",
+        (F.col("x_e4") - F.col("k_e4")).alias("dev"),
+    )
+    devs = F.transform(
+        F.sort_array(F.collect_list(F.struct("event_id", "dev"))),
+        lambda s: s["dev"],
+    )
+    zero = F.lit(0).cast("bigint")
+
+    def _cusum(sign: int):
+        return F.aggregate(
+            devs if sign > 0 else F.transform(devs, lambda v: -v),
+            zero,
+            lambda acc, dd: F.greatest(zero, acc + dd),
+        )
+
+    folded = d.groupBy("event_type").agg(
+        _cusum(+1).alias("cusum_pos_e4"),
+        _cusum(-1).alias("cusum_neg_e4"),
+    )
+    return k.join(folded, "event_type").select(
+        "event_type", "n_events", "k_e4", "cusum_pos_e4", "cusum_neg_e4"
+    )

@@ -606,3 +606,75 @@ def test_gini_concentration_hand_computed(spark, tmp_path):
     }
     assert rows["s1"].gini_e6 == 250000
     assert rows["s2"].gini_e6 == 0
+
+
+# =====================================================================
+# Round-8 continuation: CUSUM ordered fold + edit-distance verification
+# =====================================================================
+
+import datetime as _dt
+
+from storm_data_etl_spark.plans import window_queries  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import ml_queries  # noqa: F401 (registry)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_cusum_hand_computed_and_order_dependent(spark, tmp_path):
+    """Type t: values (1,3,2) in event_id order → k_e4 = 20000, devs
+    (−1e4, +1e4, 0) → S⁺ folds 0→10000→10000, S⁻ folds 1e4→0→0.
+    Type u holds the SAME multiset permuted to (3,1,2): devs
+    (+1e4, −1e4, 0) → S⁺ 10000→0→0, S⁻ 0→10000→10000 — identical inputs,
+    different order, different statistic: pins that both engines fold in
+    event_id order, not arrival/plan order."""
+    ts = _dt.datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        str(tmp_path),
+        [
+            (1, ts, 10, "t", 1.0, "{}"),
+            (2, ts, 10, "t", 3.0, "{}"),
+            (3, ts, 10, "t", 2.0, "{}"),
+            (4, ts, 10, "u", 3.0, "{}"),
+            (5, ts, 10, "u", 1.0, "{}"),
+            (6, ts, 10, "u", 2.0, "{}"),
+        ],
+    )
+    rows = {
+        r.event_type: r
+        for r in REG.REGISTRY["cusum_drift_scores"].runner(spark, str(tmp_path)).collect()
+    }
+    rt, ru = rows["t"], rows["u"]
+    assert (rt.n_events, rt.k_e4) == (3, 20000)
+    assert (rt.cusum_pos_e4, rt.cusum_neg_e4) == (10000, 0)
+    assert (ru.n_events, ru.k_e4) == (3, 20000)
+    assert (ru.cusum_pos_e4, ru.cusum_neg_e4) == (0, 10000)
+
+
+def test_edit_distance_hand_computed(spark, tmp_path):
+    """Pair (1, 38): 'hello world' vs 'hello w0rld!' normalizes to
+    'hello world' / 'hello w0rld' → dist 1, max_len 11, near
+    (10·1 ≤ 11). Pair (2, 39): 'xyz' vs 'XYZ.' both normalize to 'xyz'
+    → dist 0, exact. Docs without a +37 partner contribute nothing."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "hello world", "en", "s1", 11),
+            (38, "hello w0rld!", "en", "s1", 12),
+            (2, "xyz", "en", "s1", 3),
+            (39, "XYZ.", "en", "s1", 4),
+            (100, "lonely doc", "en", "s1", 10),
+        ],
+    )
+    rows = REG.REGISTRY["edit_distance_near_dup"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source, r.n_pairs, r.n_exact, r.n_near, r.sum_dist) == (
+        "s1", 2, 1, 2, 1,
+    )

@@ -977,6 +977,8 @@ def main() -> int:
         ("map_at_10_ranker", "source+qid rank + running-sum windows"),
         ("simpson_diversity_index", "map-side (source,token) count"),
         ("gini_token_concentration", "source-keyed vocab rank window"),
+        ("cusum_drift_scores", "type-keyed ordered fold, broadcast mean"),
+        ("edit_distance_near_dup", "one shifted-id equi-join, no pair blowup"),
     ):
         dfq = qs[name](spark, sf_dir)
         p_n = plan_of(dfq)
