@@ -257,6 +257,8 @@ HEADLINE = [
     "gini_token_concentration",
     "cusum_drift_scores",
     "edit_distance_near_dup",
+    "mcc_binary_quality",
+    "langid_confidence_margin",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

@@ -6374,3 +6374,92 @@ def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_near"),
         F.sum("dist").cast("bigint").alias("sum_dist"),
     )
+
+
+@register(
+    "langid_confidence_margin",
+    # Same faithful SQL model of functions/text.py lang_scores as
+    # lang_id_distribution, read for CONFIDENCE: top-minus-second margin.
+    """
+    WITH tk AS (
+      SELECT source, text,
+             list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                            w -> lower(w)) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT source,
+        len(list_filter(toks, w -> list_contains(
+          ['der','die','das','und','ist','von','mit','für','auf','ein'], w))) AS s_de,
+        len(list_filter(toks, w -> list_contains(
+          ['the','and','of','to','a','in','is','that','for','with'], w))) AS s_en,
+        len(list_filter(toks, w -> list_contains(
+          ['el','la','los','las','y','de','un','una','es','para'], w))) AS s_es,
+        len(list_filter(toks, w -> list_contains(
+          ['le','la','les','et','de','un','une','est','pour','dans'], w))) AS s_fr,
+        (length(text) - length(replace(text, '的', '')))
+          + (length(text) - length(replace(text, '是', '')))
+          + (length(text) - length(replace(text, '在', '')))
+          + (length(text) - length(replace(text, '了', '')))
+          + (length(text) - length(replace(text, '和', '')))
+          + (length(text) - length(replace(text, '有', '')))
+          + (length(text) - length(replace(text, '我', '')))
+          + (length(text) - length(replace(text, '不', '')))
+          + (length(text) - length(replace(text, '人', '')))
+          + (length(text) - length(replace(text, '这', ''))) AS s_zh
+      FROM tk
+    ), ranked AS (
+      SELECT source,
+             list_sort([s_de, s_en, s_es, s_fr, s_zh], 'DESC') AS sc
+      FROM s
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN sc[1] <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_und,
+           CAST(sum(CASE WHEN sc[1] > 0 AND sc[1] = sc[2] THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tied,
+           CAST(sum(CASE WHEN sc[1] - sc[2] >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_margin_ge3,
+           CAST(sum(sc[1] - sc[2]) AS BIGINT) AS sum_margin
+    FROM ranked GROUP BY source
+    """,
+)
+def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFIDENCE audit per source: the margin between the
+    top and second-best per-language stopword scores of the lang_id
+    heuristic (lang_id_distribution reports WHAT was predicted; this
+    reports how decisively). A corpus-mix pipeline uses exactly this
+    readout to route ambiguous documents (tied or thin-margin scores)
+    to a heavier classifier instead of trusting the cheap one —
+    the CCNet/fastText-threshold pattern with the engine's own scores.
+
+    Exactness: scores are integer hit counts; top and runner-up come
+    from sorting the fixed 5-element score array DESC inside the row
+    (Spark sort_array ≡ DuckDB list_sort on integers), so margins,
+    tie flags, and the und gate are all pure-integer — no float exists.
+
+    Scale: one documents scan, per-row array ops in whole-stage codegen,
+    one tiny groupBy(source). No capacity edge: margins are bounded by
+    token counts."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scores = X.lang_scores("text")
+    arr = F.sort_array(
+        F.array(*[scores[lang] for lang in ("de", "en", "es", "fr", "zh")]),
+        asc=False,
+    )
+    ranked = docs.select(
+        "source",
+        F.element_at(arr, 1).alias("top"),
+        F.element_at(arr, 2).alias("second"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("top") <= 0).cast("int")).cast("bigint").alias("n_und"),
+        F.sum(((F.col("top") > 0) & (F.col("top") == F.col("second"))).cast("int"))
+        .cast("bigint")
+        .alias("n_tied"),
+        F.sum(((F.col("top") - F.col("second")) >= 3).cast("int"))
+        .cast("bigint")
+        .alias("n_margin_ge3"),
+        F.sum(F.col("top") - F.col("second")).cast("bigint").alias("sum_margin"),
+    )

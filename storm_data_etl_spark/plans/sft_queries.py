@@ -2059,3 +2059,92 @@ def quadratic_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             qwk.cast("bigint").alias("qwk_e6"),
         )
     )
+
+
+@register(
+    "mcc_binary_quality",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS_CTE},
+    m AS (
+      SELECT source,
+             CAST(sum(CASE WHEN rq >= 1 AND rh >= 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN rq = 0 AND rh >= 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN rq >= 1 AND rh = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN rq = 0 AND rh = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM ratings GROUP BY source
+    )
+    SELECT source, tp, fp, fn, tn,
+           CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0 OR (tn+fn) = 0
+                THEN NULL
+                ELSE CAST(floor(1000000.0 * CAST(tp*tn - fp*fn AS DOUBLE)
+                       / sqrt(CAST((tp+fp)*(tp+fn) AS DOUBLE)
+                              * CAST((tn+fp)*(tn+fn) AS DOUBLE)))
+                     AS BIGINT)
+           END AS mcc_e6
+    FROM m
+    """,
+)
+def mcc_binary_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient (Matthews 1975) per source between
+    the two deterministic raters BINARIZED at the keep/drop line
+    (label ≥ 1) — the balanced-accuracy summary a quality-filter audit
+    reports when the keep rate is skewed and raw agreement is inflated
+    by the majority class (the exact failure mode κ corrects one way and
+    MCC another; both gated pins the confusion-matrix plumbing).
+
+    Exactness: the confusion counts are exact integers from one scan;
+    MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)) is evaluated
+    as ONE fixed expression over those integers — the two pair-products
+    are formed in BIGINT then cast to DOUBLE, and IEEE sqrt/divide are
+    correctly rounded, so the emitted floor is engine-identical (the
+    kendall_tau_b_raters discipline — sqrt is parity-safe, pow/ln are
+    not). NULL when any marginal is empty (MCC undefined).
+
+    Scale: one narrow scan → one tiny groupBy(source). Capacity: each
+    pair-product ≤ n²/4 in BIGINT → n < 6.1e9 docs/source before the
+    BIGINT product wraps; the double mantissa loses exactness past
+    products of 2⁵³ (n ≈ 1.9e8) where the floor may differ by 1 ulp —
+    recast both engines to DECIMAL/higher precision past that
+    (docs/LIMITS.md round-8 note)."""
+    r = _ratings(spark, sf_dir)
+    m = r.groupBy("source").agg(
+        F.sum(F.when((F.col("rq") >= 1) & (F.col("rh") >= 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("rq") == 0) & (F.col("rh") >= 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("rq") >= 1) & (F.col("rh") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("rq") == 0) & (F.col("rh") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    degenerate = (
+        ((F.col("tp") + F.col("fp")) == 0)
+        | ((F.col("tp") + F.col("fn")) == 0)
+        | ((F.col("tn") + F.col("fp")) == 0)
+        | ((F.col("tn") + F.col("fn")) == 0)
+    )
+    mcc = F.floor(
+        F.lit(1000000.0)
+        * (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("double")
+        / F.sqrt(
+            ((F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))).cast("double")
+            * ((F.col("tn") + F.col("fp")) * (F.col("tn") + F.col("fn"))).cast("double")
+        )
+    ).cast("bigint")
+    return m.select(
+        "source",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(degenerate, F.lit(None).cast("bigint")).otherwise(mcc).alias("mcc_e6"),
+    )

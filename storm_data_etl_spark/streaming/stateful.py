@@ -13,6 +13,7 @@ shuffles on id exactly like the batch D1 window, but incrementally.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -446,6 +447,78 @@ def streaming_sessionize(
                     "n_sessions": n_sessions,
                     "n_events": n_events,
                     "last_ts": last_ts,
+                }
+            ]
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    k_e4: int,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    scale: int = 10000,
+) -> DataFrame:
+    """Cross-batch CUSUM drift detection — the stateful-streaming twin of
+    the oracle-gated batch `cusum_drift_scores` (plans/window_queries.py):
+    one-sided Page statistics S⁺ ← max(0, S⁺ + (x − k)) and
+    S⁻ ← max(0, S⁻ + (k − x)) folded per key, with the reference level
+    ``k_e4`` FROZEN by the caller (a baseline-window mean) — the actual
+    monitoring deployment shape, where the batch query's retrospective
+    own-mean k is unavailable mid-stream. Each micro-batch emits an
+    updated (key, n_events, cusum_pos_e4, cusum_neg_e4) snapshot per
+    touched key.
+
+    Exactness discipline: values are quantized to integers
+    (floor(x·scale + 0.5) — the identical IEEE double expression the
+    batch query evaluates) BEFORE differencing, and the whole fold is
+    exact Python int arithmetic, so the final snapshot equals the batch
+    twin to the bit whenever rows arrive in ``order_col`` order across
+    batches (within a batch they are sorted; the test pins this).
+    State is O(1) per key (three BIGINTs); NULL values are dropped
+    (they carry no measurement — same rule as the batch query's
+    value-IS-NOT-NULL gate)."""
+    ktype = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, n_events long, cusum_pos_e4 long, cusum_neg_e4 long"
+    )
+    state_schema = "s_pos long, s_neg long, n long"
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s_pos, s_neg, n = state.get if state.exists else (0, 0, 0)
+        touched = False
+        for pdf in batches:
+            pdf = pdf.dropna(subset=[value_col])
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(order_col)
+            for x in pdf[value_col].astype(float):
+                dev = int(math.floor(x * scale + 0.5)) - k_e4
+                s_pos = max(0, s_pos + dev)
+                s_neg = max(0, s_neg - dev)
+                n += 1
+                touched = True
+        if not touched:
+            return
+        state.update((s_pos, s_neg, n))
+        yield pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    "n_events": n,
+                    "cusum_pos_e4": s_pos,
+                    "cusum_neg_e4": s_neg,
                 }
             ]
         )

@@ -678,3 +678,57 @@ def test_edit_distance_hand_computed(spark, tmp_path):
     assert (r.source, r.n_pairs, r.n_exact, r.n_near, r.sum_dist) == (
         "s1", 2, 1, 2, 1,
     )
+
+
+def test_mcc_hand_computed(spark, tmp_path):
+    """s1 binarized pairs: TP=2 (T_HIGH, T_MIX), FP=1 (T_NEG_A), FN=1
+    (T_NEG_B), TN=1 (T_LOW) → MCC = (2−1)/√(3·3·2·2) = 1/6 →
+    floor(1e6/6) = 166666. s2 all-negative → tp+fp = 0 → NULL.
+    s3 pure disagreement (FP=1, FN=1) → MCC = −1 → −1000000 (the
+    negative branch and the floor-of-negative edge)."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, T_MIX, "en", "s1", len(T_MIX)),
+            (4, T_NEG_A, "en", "s1", len(T_NEG_A)),
+            (5, T_NEG_B, "en", "s1", len(T_NEG_B)),
+            (6, T_LOW, "en", "s2", len(T_LOW)),
+            (7, T_LOW, "en", "s2", len(T_LOW)),
+            (8, T_NEG_A, "en", "s3", len(T_NEG_A)),
+            (9, T_NEG_B, "en", "s3", len(T_NEG_B)),
+        ],
+    )
+    rows = {
+        r.source: r
+        for r in REG.REGISTRY["mcc_binary_quality"].runner(spark, sf).collect()
+    }
+    r1 = rows["s1"]
+    assert (r1.tp, r1.fp, r1.fn, r1.tn) == (2, 1, 1, 1)
+    assert r1.mcc_e6 == 166666
+    assert rows["s2"].mcc_e6 is None
+    assert rows["s3"].mcc_e6 == -1000000
+
+
+def test_langid_margin_hand_computed(spark, tmp_path):
+    """T_HIGH: 10 'the' hits, every other language 0 → margin 10
+    (confident). T_LOW: all scores 0 → und. 'de la' scores 2 for BOTH
+    es and fr → top = second = 2 → tied, margin 0. Totals: n_docs 3,
+    n_und 1, n_tied 1, n_margin_ge3 1, sum_margin 10."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, "de la", "es", "s1", 5),
+        ],
+    )
+    rows = REG.REGISTRY["langid_confidence_margin"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_und, r.n_tied, r.n_margin_ge3, r.sum_margin) == (
+        3, 1, 1, 1, 10,
+    )

@@ -422,3 +422,93 @@ def test_streaming_sessionize_cross_batch_equals_batch_twin(spark, tmp_path):
     assert twin[1] == (3, 5) and twin[2] == (1, 2)  # hand-computed
     for uid, (ns, ne) in twin.items():
         assert (latest[uid].n_sessions, latest[uid].n_events) == (ns, ne)
+
+
+def test_streaming_cusum_cross_batch_equals_batch_twin(spark, tmp_path):
+    """streaming_cusum replayed over event_id-ordered micro-batches ends at
+    exactly the registered batch cusum_drift_scores answer on the union —
+    the streaming/batch-twin exactness discipline. The fixture's values
+    are chosen so each type's retrospective mean (the batch query's k)
+    equals the frozen k_e4=20000 fed to the stream, making the two
+    reference levels coincide. Type 'u' arrives UNSORTED within its batch
+    file (ids 5,4,6) to pin the within-batch order_col sort."""
+    import datetime as _dt
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import streaming_cusum
+
+    # type t: values (1,3,2) at ids 1,2,3 split ACROSS batches → carry.
+    # type u: same multiset permuted (3,1,2) at ids 4,5,6, one batch,
+    #         file rows out of order.
+    b0 = [
+        {"event_type": "t", "event_id": 1, "value": 1.0},
+        {"event_type": "t", "event_id": 2, "value": 3.0},
+        {"event_type": "u", "event_id": 5, "value": 1.0},
+        {"event_type": "u", "event_id": 4, "value": 3.0},
+        {"event_type": "u", "event_id": 6, "value": 2.0},
+    ]
+    b1 = [
+        {"event_type": "t", "event_id": 3, "value": 2.0},
+        {"event_type": "t", "event_id": 7, "value": None},  # dropped
+    ]
+    src = str(tmp_path / "src_cusum")
+    _os.makedirs(src)
+
+    def write_batch(fname, rows):
+        with open(_os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_batch("b0.json", b0)
+    stream = spark.readStream.schema(
+        "event_type string, event_id long, value double"
+    ).json(src)
+    out = streaming_cusum(stream, k_e4=20000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b1.json", b1)
+        q.processAllAvailable()
+        rows = spark.sql("select * from cusum_out").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:  # later snapshots have larger n_events per key
+        if r.event_type not in latest or r.n_events > latest[r.event_type].n_events:
+            latest[r.event_type] = r
+
+    # batch twin: the REGISTERED query over the union written as events
+    # parquet (its retrospective per-type mean = the frozen k by fixture
+    # construction: both types hold {1,2,3} → mean 2.0 → k_e4 = 20000).
+    ts = _dt.datetime(2024, 1, 1)
+    union = [
+        (r["event_id"], ts, 1, r["event_type"], r["value"], "{}")
+        for r in b0 + b1
+    ]
+    spark.createDataFrame(
+        union,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from storm_data_etl_spark.plans import window_queries  # noqa: F401
+    from storm_data_etl_spark.plans.queries import REGISTRY
+
+    twin = {
+        r.event_type: r
+        for r in REGISTRY["cusum_drift_scores"].runner(spark, str(tmp_path)).collect()
+    }
+    assert set(latest) == set(twin) == {"t", "u"}
+    for et in ("t", "u"):
+        assert twin[et].k_e4 == 20000  # fixture premise
+        assert latest[et].n_events == twin[et].n_events
+        assert latest[et].cusum_pos_e4 == twin[et].cusum_pos_e4
+        assert latest[et].cusum_neg_e4 == twin[et].cusum_neg_e4
+    # and the hand numbers, so the twin agreement is not vacuous
+    assert (latest["t"].cusum_pos_e4, latest["t"].cusum_neg_e4) == (10000, 0)
+    assert (latest["u"].cusum_pos_e4, latest["u"].cusum_neg_e4) == (0, 10000)

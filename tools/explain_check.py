@@ -979,6 +979,8 @@ def main() -> int:
         ("gini_token_concentration", "source-keyed vocab rank window"),
         ("cusum_drift_scores", "type-keyed ordered fold, broadcast mean"),
         ("edit_distance_near_dup", "one shifted-id equi-join, no pair blowup"),
+        ("mcc_binary_quality", "one scan, tiny groupBy(source)"),
+        ("langid_confidence_margin", "per-row codegen array ops, one groupBy"),
     ):
         dfq = qs[name](spark, sf_dir)
         p_n = plan_of(dfq)
