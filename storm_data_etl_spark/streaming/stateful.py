@@ -83,6 +83,7 @@ def streaming_running_stats(
     value_col: str = "value",
     alpha: float = 0.2,
     ttl_ms: int | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Cross-batch per-key running aggregates: count, sum, min, max and an
     EWMA (s ← α·x + (1−α)·s in arrival order) maintained in the state
@@ -97,6 +98,13 @@ def streaming_running_stats(
     recursion is what needs applyInPandasWithState. ``ttl_ms`` bounds the
     store for keys gone cold (same caveat as streaming_first_wins_dedup:
     only with real triggers).
+
+    ``order_col`` (optional) applies the sessionize/cusum within-batch
+    ordering discipline: rows are sorted by it inside each micro-batch
+    before folding, making the EWMA reproducible when the source's
+    intra-batch row order isn't (multi-partition sources). The
+    count/sum/min/max legs are order-free either way; default None keeps
+    the historical arrival-order behavior for single-partition replays.
     """
     ktype = stream.schema[key_col].dataType.simpleString()
     out_schema = (
@@ -121,6 +129,8 @@ def streaming_running_stats(
         )
         touched = False
         for pdf in batches:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col)
             # Null/NaN values would contaminate total/ewma for the key's whole
             # lifetime (NaN propagates through every later update) — dropna
             # removes both (pandas treats None and float NaN alike here).

@@ -512,3 +512,48 @@ def test_streaming_cusum_cross_batch_equals_batch_twin(spark, tmp_path):
     # and the hand numbers, so the twin agreement is not vacuous
     assert (latest["t"].cusum_pos_e4, latest["t"].cusum_neg_e4) == (10000, 0)
     assert (latest["u"].cusum_pos_e4, latest["u"].cusum_neg_e4) == (0, 10000)
+
+
+def test_streaming_running_stats_order_col_sorts_within_batch(spark, tmp_path):
+    """With order_col set, the EWMA folds in event_id order regardless of
+    file row order; count/sum/min/max are order-free and unchanged. The
+    expected EWMA is hand-folded over the SORTED values."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import streaming_running_stats
+
+    src = str(tmp_path / "src_rs_ord")
+    _os.makedirs(src)
+    # file order (3.0, 1.0, 2.0) but event_id order (1.0, 2.0, 3.0)
+    rows = [
+        {"user_id": 1, "event_id": 3, "value": 3.0},
+        {"user_id": 1, "event_id": 1, "value": 1.0},
+        {"user_id": 1, "event_id": 2, "value": 2.0},
+    ]
+    with open(_os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, value double"
+    ).json(src)
+    out = streaming_running_stats(stream, order_col="event_id")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rs_ord_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from rs_ord_out").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.total, r.vmin, r.vmax) == (3, 6.0, 1.0, 3.0)
+    # hand fold over (1, 2, 3): s=1 → 0.2*2+0.8*1=1.2 → 0.2*3+0.8*1.2=1.56
+    ewma = 1.0
+    for x in (2.0, 3.0):
+        ewma = 0.2 * x + 0.8 * ewma
+    assert r.ewma == ewma
