@@ -371,20 +371,20 @@ def oph_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.oph_verified_pairs(docs, num_bins=64, bands=16, threshold=0.5)
 
 
-@register(
-    "lang_id_distribution",
-    # Faithful SQL model of functions/text.py lang_id: lowercased
-    # whitespace tokens, per-language stopword hit counts (zh: per-char
-    # substring counts over the raw text), argmax with lexicographic
-    # tie-break, 'und' when all scores are zero.
-    """
-    WITH tk AS (
-      SELECT lang AS labeled, text,
+def _sql_lang_scores_ctes(keep: str) -> str:
+    """Faithful SQL model of functions/text.py lang_scores, shared by
+    every lang-id-family oracle so the stopword lists exist in exactly
+    ONE SQL string (plus the Python STOPWORDS source of truth):
+    lowercased whitespace tokens, per-language stopword hit counts
+    (zh: per-char substring counts over the raw text). Produces CTEs
+    tk/s carrying ``keep`` alongside s_de..s_zh."""
+    return f"""tk AS (
+      SELECT {keep}, text,
              list_transform(regexp_split_to_array(trim(text), '\\s+'),
                             w -> lower(w)) AS toks
       FROM documents WHERE text IS NOT NULL
     ), s AS (
-      SELECT labeled,
+      SELECT {keep.split(' AS ')[-1]},
         len(list_filter(toks, w -> list_contains(
           ['der','die','das','und','ist','von','mit','für','auf','ein'], w))) AS s_de,
         len(list_filter(toks, w -> list_contains(
@@ -404,7 +404,15 @@ def oph_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
           + (length(text) - length(replace(text, '人', '')))
           + (length(text) - length(replace(text, '这', ''))) AS s_zh
       FROM tk
-    )
+    )"""
+
+
+@register(
+    "lang_id_distribution",
+    # argmax over the shared lang-scores model with lexicographic
+    # tie-break, 'und' when all scores are zero.
+    f"""
+    WITH {_sql_lang_scores_ctes("lang AS labeled")}
     SELECT labeled,
       CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
            WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
@@ -6321,7 +6329,7 @@ def tv_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_exact,
-           CAST(sum(CASE WHEN max_len > 0 AND 10 * dist <= max_len
+           CAST(sum(CASE WHEN 10 * dist <= max_len
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
            CAST(sum(dist) AS BIGINT) AS sum_dist
     FROM pairs GROUP BY source
@@ -6339,7 +6347,10 @@ def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit counting (JVM UTF-16 vs DuckDB codepoints), and the 120-char
     cap bounds the O(len²) DP at 14.4k cells/pair — the knob a real
     deployment sets by its candidate-pair budget. Near = dist ≤ 10% of
-    the longer string (integer cross-multiplication, no ratio).
+    the longer string (integer cross-multiplication, no ratio), a
+    SUPERSET of exact — dist = 0 satisfies 10·dist ≤ max_len for every
+    length including two empty-normalizing texts, so n_near − n_exact
+    is always the non-trivial near count.
 
     Scale: one narrow scan (doc_id, source, 120-char prefix) → ONE
     equi-join on the shifted id (shuffle or broadcast by size) → exact
@@ -6369,7 +6380,7 @@ def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.sum((F.col("dist") == 0).cast("int")).cast("bigint").alias("n_exact"),
-        F.sum(((F.col("max_len") > 0) & (10 * F.col("dist") <= F.col("max_len"))).cast("int"))
+        F.sum((10 * F.col("dist") <= F.col("max_len")).cast("int"))
         .cast("bigint")
         .alias("n_near"),
         F.sum("dist").cast("bigint").alias("sum_dist"),
@@ -6378,36 +6389,10 @@ def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "langid_confidence_margin",
-    # Same faithful SQL model of functions/text.py lang_scores as
-    # lang_id_distribution, read for CONFIDENCE: top-minus-second margin.
-    """
-    WITH tk AS (
-      SELECT source, text,
-             list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                            w -> lower(w)) AS toks
-      FROM documents WHERE text IS NOT NULL
-    ), s AS (
-      SELECT source,
-        len(list_filter(toks, w -> list_contains(
-          ['der','die','das','und','ist','von','mit','für','auf','ein'], w))) AS s_de,
-        len(list_filter(toks, w -> list_contains(
-          ['the','and','of','to','a','in','is','that','for','with'], w))) AS s_en,
-        len(list_filter(toks, w -> list_contains(
-          ['el','la','los','las','y','de','un','una','es','para'], w))) AS s_es,
-        len(list_filter(toks, w -> list_contains(
-          ['le','la','les','et','de','un','une','est','pour','dans'], w))) AS s_fr,
-        (length(text) - length(replace(text, '的', '')))
-          + (length(text) - length(replace(text, '是', '')))
-          + (length(text) - length(replace(text, '在', '')))
-          + (length(text) - length(replace(text, '了', '')))
-          + (length(text) - length(replace(text, '和', '')))
-          + (length(text) - length(replace(text, '有', '')))
-          + (length(text) - length(replace(text, '我', '')))
-          + (length(text) - length(replace(text, '不', '')))
-          + (length(text) - length(replace(text, '人', '')))
-          + (length(text) - length(replace(text, '这', ''))) AS s_zh
-      FROM tk
-    ), ranked AS (
+    # The SAME shared lang-scores SQL model as lang_id_distribution,
+    # read for CONFIDENCE: top-minus-second margin.
+    f"""
+    WITH {_sql_lang_scores_ctes("source")}, ranked AS (
       SELECT source,
              list_sort([s_de, s_en, s_es, s_fr, s_zh], 'DESC') AS sc
       FROM s

@@ -3801,7 +3801,7 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH xe AS (
       SELECT event_type, event_id,
              CAST(floor("value" * 10000 + 0.5) AS BIGINT) AS x_e4
-      FROM events WHERE "value" IS NOT NULL
+      FROM events WHERE "value" IS NOT NULL AND NOT isnan("value")
     ),
     k AS (
       SELECT event_type,
@@ -3854,7 +3854,11 @@ def cusum_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·x̂ < 9.2e18 (e.g. 1e9 events at x̂ ≤ 9e9)."""
     xe = (
         t(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        # NaN is not NULL: without the isnan gate Spark's non-ANSI cast
+        # would fold a phantom sample while DuckDB errors on the cast —
+        # and the streaming twin's dropna skips NaN rows. All three
+        # paths now agree: null AND NaN measurements carry no signal.
+        .filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
         .select(
             "event_type",
             "event_id",

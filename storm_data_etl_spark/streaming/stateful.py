@@ -128,9 +128,22 @@ def streaming_running_stats(
             state.get if state.exists else (0, 0.0, float("inf"), float("-inf"), 0.0)
         )
         touched = False
+        if order_col is not None:
+            # One concat + stable sort over the WHOLE micro-batch: chunk-
+            # local sorts would fold in the wrong global order whenever a
+            # key spans Arrow chunks (> maxRecordsPerBatch rows), and an
+            # unstable sort would reorder duplicate order_col values.
+            chunks = list(batches)
+            batches = iter(
+                [
+                    pd.concat(chunks, ignore_index=True).sort_values(
+                        order_col, kind="stable"
+                    )
+                ]
+                if chunks
+                else []
+            )
         for pdf in batches:
-            if order_col is not None:
-                pdf = pdf.sort_values(order_col)
             # Null/NaN values would contaminate total/ewma for the key's whole
             # lifetime (NaN propagates through every later update) — dropna
             # removes both (pandas treats None and float NaN alike here).
@@ -435,20 +448,22 @@ def streaming_sessionize(
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (0, 0, 0)
         )
-        touched = False
-        for pdf in batches:
-            pdf = pdf.dropna(subset=[ts_col])
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values([ts_col, order_col])
-            for ts in pdf[ts_col].astype("int64"):
-                if n_events == 0 or ts - last_ts > gap_ns:
-                    n_sessions += 1
-                n_events += 1
-                last_ts = int(ts)
-                touched = True
-        if not touched:
+        # Concat then ONE stable sort: chunk-local sorts would interleave
+        # wrongly when a key's micro-batch spans Arrow chunks
+        # (> maxRecordsPerBatch rows) — the gap recursion is order-
+        # sensitive (the make_change_detector discipline).
+        chunks = [pdf.dropna(subset=[ts_col]) for pdf in batches]
+        chunks = [c for c in chunks if not c.empty]
+        if not chunks:
             return
+        whole = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, order_col], kind="stable"
+        )
+        for ts in whole[ts_col].astype("int64"):
+            if n_events == 0 or ts - last_ts > gap_ns:
+                n_sessions += 1
+            n_events += 1
+            last_ts = int(ts)
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             [
@@ -507,20 +522,23 @@ def streaming_cusum(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         s_pos, s_neg, n = state.get if state.exists else (0, 0, 0)
-        touched = False
-        for pdf in batches:
-            pdf = pdf.dropna(subset=[value_col])
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(order_col)
-            for x in pdf[value_col].astype(float):
-                dev = int(math.floor(x * scale + 0.5)) - k_e4
-                s_pos = max(0, s_pos + dev)
-                s_neg = max(0, s_neg - dev)
-                n += 1
-                touched = True
-        if not touched:
+        # Arrow delivers a key's micro-batch as an ITERATOR of chunks;
+        # sorting each chunk locally would fold in the wrong global order
+        # whenever a key spans chunks (> maxRecordsPerBatch rows) — and
+        # the max-clamp is non-commutative. Concat first, ONE stable sort
+        # (the make_change_detector discipline).
+        chunks = [pdf.dropna(subset=[value_col]) for pdf in batches]
+        chunks = [c for c in chunks if not c.empty]
+        if not chunks:
             return
+        whole = pd.concat(chunks, ignore_index=True).sort_values(
+            order_col, kind="stable"
+        )
+        for x in whole[value_col].astype(float):
+            dev = int(math.floor(x * scale + 0.5)) - k_e4
+            s_pos = max(0, s_pos + dev)
+            s_neg = max(0, s_neg - dev)
+            n += 1
         state.update((s_pos, s_neg, n))
         yield pd.DataFrame(
             [

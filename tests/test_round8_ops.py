@@ -732,3 +732,45 @@ def test_langid_margin_hand_computed(spark, tmp_path):
     assert (r.n_docs, r.n_und, r.n_tied, r.n_margin_ge3, r.sum_margin) == (
         3, 1, 1, 1, 10,
     )
+
+
+def test_cusum_nan_values_excluded(spark, tmp_path):
+    """NaN is not NULL: the value gate must drop NaN measurements on both
+    engines (Spark's non-ANSI cast would otherwise fold a phantom sample
+    while DuckDB errors; the streaming twin's dropna skips them). The
+    statistic over (1,3,2,NaN) equals the statistic over (1,3,2)."""
+    ts = _dt.datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        str(tmp_path),
+        [
+            (1, ts, 10, "t", 1.0, "{}"),
+            (2, ts, 10, "t", 3.0, "{}"),
+            (3, ts, 10, "t", 2.0, "{}"),
+            (4, ts, 10, "t", float("nan"), "{}"),
+        ],
+    )
+    rows = REG.REGISTRY["cusum_drift_scores"].runner(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_events, r.k_e4, r.cusum_pos_e4, r.cusum_neg_e4) == (
+        3, 20000, 10000, 0,
+    )
+
+
+def test_edit_distance_empty_pair_near_superset(spark, tmp_path):
+    """Two texts that normalize to '' (pure punctuation) pair at dist 0,
+    max_len 0: counted as BOTH exact and near — near is a superset of
+    exact, so n_near − n_exact is never negative."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "!!!", "en", "s1", 3),
+            (38, "???", "en", "s1", 3),
+        ],
+    )
+    rows = REG.REGISTRY["edit_distance_near_dup"].runner(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_pairs, r.n_exact, r.n_near, r.sum_dist) == (1, 1, 1, 0)

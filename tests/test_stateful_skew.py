@@ -557,3 +557,62 @@ def test_streaming_running_stats_order_col_sorts_within_batch(spark, tmp_path):
     for x in (2.0, 3.0):
         ewma = 0.2 * x + 0.8 * ewma
     assert r.ewma == ewma
+
+
+def test_streaming_cusum_sorts_across_arrow_chunks(spark, tmp_path):
+    """With arrow.maxRecordsPerBatch=2, one key's 6-row micro-batch is
+    delivered as 3 pandas chunks; rows are written globally shuffled so
+    chunk-LOCAL sorting would fold in the wrong order (the max-clamp is
+    non-commutative). Pins the concat-then-one-stable-sort fix: values
+    (1,2,3,1,2,3) in event_id order with k=2.0 give S⁺=10000, S⁻=10000;
+    the shuffled arrival order would give different clamp points."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.stateful import streaming_cusum
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        src = str(tmp_path / "src_cusum_chunks")
+        _os.makedirs(src)
+        # event_id order values: 1,2,3,1,2,3 (k=2 → devs -1,0,+1,-1,0,+1
+        # e4-scaled). File order interleaves ids across chunk boundaries.
+        rows = [
+            {"event_type": "t", "event_id": 6, "value": 3.0},
+            {"event_type": "t", "event_id": 1, "value": 1.0},
+            {"event_type": "t", "event_id": 4, "value": 1.0},
+            {"event_type": "t", "event_id": 3, "value": 3.0},
+            {"event_type": "t", "event_id": 2, "value": 2.0},
+            {"event_type": "t", "event_id": 5, "value": 2.0},
+        ]
+        with open(_os.path.join(src, "b0.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "event_type string, event_id long, value double"
+        ).json(src)
+        out = streaming_cusum(stream, k_e4=20000)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cusum_chunks_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("select * from cusum_chunks_out").collect()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_events == 6
+    # Hand fold over the id-ordered devs (-1,0,+1,-1,0,+1)·1e4:
+    # S⁺ → 0,0,10000,0,0,10000 (final 10000)
+    # S⁻ → 10000,10000,0,10000,10000,0 (final 0).
+    # A chunk-LOCAL sort of the file order ((6,1),(4,3),(2,5)) folds
+    # devs (-1,+1,+1,-1,0,0)·1e4 instead → S⁻ ends at 10000, not 0 —
+    # so this assertion discriminates the bug.
+    assert (r.cusum_pos_e4, r.cusum_neg_e4) == (10000, 0)
