@@ -259,6 +259,8 @@ HEADLINE = [
     "edit_distance_near_dup",
     "mcc_binary_quality",
     "langid_confidence_margin",
+    "benford_chi2_by_type",
+    "runs_test_randomness",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

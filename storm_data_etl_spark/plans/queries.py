@@ -38,6 +38,14 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: Runner) -> Runner:
+        # A duplicate name would SILENTLY replace the earlier query in the
+        # dict — dropping it from the registry, its gate slot, and its
+        # bench row with no error anywhere (this bit a round-8 addition).
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate registry query name {name!r} "
+                f"(first registered as {REGISTRY[name].runner.__module__})"
+            )
         REGISTRY[name] = QueryDef(runner=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 

@@ -3896,3 +3896,239 @@ def cusum_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.join(folded, "event_type").select(
         "event_type", "n_events", "k_e4", "cusum_pos_e4", "cusum_neg_e4"
     )
+
+
+# =====================================================================
+# Benford first-digit audit + Wald–Wolfowitz runs test — round 8
+# =====================================================================
+
+#: Benford P(d) = log10(1 + 1/d) as 17-digit literals — log10 ran once,
+#: here; neither engine ever executes a transcendental.
+_BENFORD_P = (
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514",
+)
+#: χ² as one fixed left-associated 9-term sum over the integer digit
+#: counts: ((c_d − n·p_d))²/(n·p_d), identical expression both engines.
+_BENFORD_CHI2 = " + ".join(
+    f"((CAST(c{d} AS DOUBLE) - CAST(n_pos AS DOUBLE) * {p})"
+    f" * (CAST(c{d} AS DOUBLE) - CAST(n_pos AS DOUBLE) * {p}))"
+    f" / (CAST(n_pos AS DOUBLE) * {p})"
+    for d, p in enumerate(_BENFORD_P, start=1)
+)
+_BENFORD_CD_SQL = ",\n             ".join(
+    f"CAST(sum(CASE WHEN fd = '{d}' THEN 1 ELSE 0 END) AS BIGINT) AS c{d}"
+    for d in range(1, 10)
+)
+
+
+@register(
+    "benford_chi2_by_type",
+    f"""
+    WITH xe AS (
+      SELECT event_type,
+             CAST(floor("value" * 10000 + 0.5) AS BIGINT) AS x_e4
+      FROM events
+      WHERE "value" IS NOT NULL AND NOT isnan("value") AND "value" > 0
+    ),
+    fd AS (
+      SELECT event_type, substr(CAST(x_e4 AS VARCHAR), 1, 1) AS fd
+      FROM xe WHERE x_e4 > 0
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_pos,
+             {_BENFORD_CD_SQL}
+      FROM fd GROUP BY event_type
+    )
+    SELECT event_type, n_pos, c1, c9,
+           CAST(floor(1000.0 * ({_BENFORD_CHI2})) AS BIGINT) AS chi2_e3
+    FROM m
+    """,
+)
+def benford_chi2_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit χ² audit per event type
+    (Benford 1938; Nigrini's fraud-detection χ² form) — the cheap
+    synthetic-data detector a training pipeline points at numeric
+    columns: naturally-occurring magnitudes follow P(d) = log10(1+1/d),
+    while generated or template-filled numbers usually don't, and the
+    χ² distance against the Benford expectation ranks which slices to
+    inspect.
+
+    Exactness: digits are taken from the STRING form of the e4-quantized
+    BIGINT (identical integer→string rendering on both engines — never
+    from float formatting, which differs); the nine digit counts are
+    exact integers; P(d) are embedded 17-digit literals (log10 ran once,
+    generating this source); χ² is ONE fixed left-associated 9-term
+    expression over the counts — IEEE multiply/subtract/divide on
+    identical operands, so floor(1e3·χ²) matches bit-for-bit. Zero and
+    negative measurements are excluded by definition (no first
+    significant digit).
+
+    Scale: one events scan → one tiny groupBy(event_type). No capacity
+    edge below 2⁵³ events/type (double-exact integer counts)."""
+    xe = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.col("value") > 0)
+        )
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 10000 + 0.5).cast("bigint").alias("x_e4"),
+        )
+        .filter(F.col("x_e4") > 0)
+        .select("event_type", F.substring(F.col("x_e4").cast("string"), 1, 1).alias("fd"))
+    )
+    cds = [
+        F.sum(F.when(F.col("fd") == str(d), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"c{d}")
+        for d in range(1, 10)
+    ]
+    m = xe.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"), *cds
+    )
+    return m.select(
+        "event_type",
+        "n_pos",
+        "c1",
+        "c9",
+        F.floor(F.lit(1000.0) * F.expr(_BENFORD_CHI2)).cast("bigint").alias("chi2_e3"),
+    )
+
+
+@register(
+    "runs_test_randomness",
+    """
+    WITH xe AS (
+      SELECT event_type, event_id,
+             CAST(floor("value" * 10000 + 0.5) AS BIGINT) AS x_e4
+      FROM events WHERE "value" IS NOT NULL AND NOT isnan("value")
+    ),
+    k AS (
+      SELECT event_type,
+             CAST(sum(x_e4) AS BIGINT) // CAST(count(*) AS BIGINT) AS k_e4
+      FROM xe GROUP BY event_type
+    ),
+    signs AS (
+      SELECT xe.event_type, xe.event_id,
+             CASE WHEN xe.x_e4 > k.k_e4 THEN 1 ELSE 0 END AS s
+      FROM xe JOIN k ON k.event_type = xe.event_type
+      WHERE xe.x_e4 <> k.k_e4
+    ),
+    runs AS (
+      SELECT event_type, s,
+             CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                    ORDER BY event_id) IS DISTINCT FROM s
+                  THEN 1 ELSE 0 END AS r_start
+      FROM signs
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(count(*) - sum(s) AS BIGINT) AS n0,
+             CAST(sum(r_start) AS BIGINT) AS r
+      FROM runs GROUP BY event_type
+    )
+    SELECT event_type, n, n1, n0, r,
+           CASE WHEN n0 = 0 OR n1 = 0 OR 2 * n0 * n1 <= n THEN NULL
+                ELSE CAST(floor(1000000.0 *
+                       (CAST(r AS DOUBLE)
+                        - (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                           / CAST(n AS DOUBLE) + 1.0))
+                       / sqrt(2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                              * (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                                 - CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0))))
+                     AS BIGINT)
+           END AS z_e6
+    FROM m
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the sequence of
+    above/below-mean signs (event_id order) serially independent? Too
+    FEW runs = positive serial correlation (regimes, drift — what CUSUM
+    localizes); too MANY = oscillation. The complement to
+    cusum_drift_scores' level-shift view: CUSUM finds WHERE the level
+    moved, the runs z says whether the ordering carries structure at
+    all. Ties (x = reference) are excluded, the standard treatment.
+
+    Exactness: signs and run starts are pure integers (a source-keyed
+    lag window on the unique event_id — IS DISTINCT FROM so the first
+    row starts a run on both engines); the z statistic is ONE fixed
+    expression over four BIGINTs whose float path is IEEE
+    multiply/divide/sqrt on identical operands (the kendall_tau_b / MCC
+    discipline). NULL when a sign class is empty or σ = 0
+    (2·n0·n1 ≤ n).
+
+    Scale: one scan → tiny per-type mean (broadcast) → one event_type-
+    keyed lag window → tiny aggregate. Capacity: 2·n0·n1 ≤ n²/2 must
+    stay exact in DOUBLE → n < 1.3e8 events/type before the operand
+    rounds (recast to DECIMAL past that, docs/LIMITS.md round-8
+    note)."""
+    xe = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 10000 + 0.5).cast("bigint").alias("x_e4"),
+        )
+    )
+    k = xe.groupBy("event_type").agg(
+        F.expr("CAST(sum(x_e4) AS BIGINT) div CAST(count(*) AS BIGINT)")
+        .cast("bigint")
+        .alias("k_e4")
+    )
+    signs = (
+        xe.join(F.broadcast(k), "event_type")
+        .filter(F.col("x_e4") != F.col("k_e4"))
+        .select(
+            "event_type",
+            "event_id",
+            F.when(F.col("x_e4") > F.col("k_e4"), 1).otherwise(0).alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    runs = signs.select(
+        "event_type",
+        "s",
+        F.when(~F.lag("s").over(w).eqNullSafe(F.col("s")), 1)
+        .otherwise(0)
+        .alias("r_start"),
+    )
+    m = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n0"),
+        F.sum("r_start").cast("bigint").alias("r"),
+    )
+    nd = F.col("n").cast("double")
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    rd = F.col("r").cast("double")
+    mu = F.lit(2.0) * n0d * n1d / nd + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n0d * n1d * (F.lit(2.0) * n0d * n1d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    z = F.floor(F.lit(1000000.0) * (rd - mu) / F.sqrt(var)).cast("bigint")
+    degenerate = (
+        (F.col("n0") == 0)
+        | (F.col("n1") == 0)
+        | (2 * F.col("n0") * F.col("n1") <= F.col("n"))
+    )
+    return m.select(
+        "event_type",
+        "n",
+        "n1",
+        "n0",
+        "r",
+        F.when(degenerate, F.lit(None).cast("bigint")).otherwise(z).alias("z_e6"),
+    )

@@ -774,3 +774,75 @@ def test_edit_distance_empty_pair_near_superset(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_pairs, r.n_exact, r.n_near, r.sum_dist) == (1, 1, 1, 0)
+
+
+def test_benford_hand_computed(spark, tmp_path):
+    """Values (1.0, 2.5, 19.0) → e4 ints (10000, 25000, 190000) → first
+    digits (1,2,1): n_pos=3, c1=2, c9=0. χ² replicated over the same
+    embedded literals with the same IEEE expression shape. Zero,
+    negative, NaN, and NULL measurements are excluded by definition."""
+    import math as _m
+
+    from storm_data_etl_spark.plans.window_queries import _BENFORD_P
+
+    ts = _dt.datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        str(tmp_path),
+        [
+            (1, ts, 10, "t", 1.0, "{}"),
+            (2, ts, 10, "t", 2.5, "{}"),
+            (3, ts, 10, "t", 19.0, "{}"),
+            (4, ts, 10, "t", 0.0, "{}"),
+            (5, ts, 10, "t", -5.0, "{}"),
+            (6, ts, 10, "t", float("nan"), "{}"),
+            (7, ts, 10, "t", None, "{}"),
+        ],
+    )
+    rows = REG.REGISTRY["benford_chi2_by_type"].runner(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_pos, r.c1, r.c9) == (3, 2, 0)
+    counts = {1: 2, 2: 1}
+    chi2 = 0.0
+    for d, p in enumerate(_BENFORD_P, start=1):
+        pd_ = float(p)
+        c = float(counts.get(d, 0))
+        chi2 = chi2 + ((c - 3.0 * pd_) * (c - 3.0 * pd_)) / (3.0 * pd_)
+    assert r.chi2_e3 == _m.floor(1000.0 * chi2)
+
+
+def test_runs_test_hand_computed(spark, tmp_path):
+    """Type t: values (1,3,1,3) → mean 2 → signs (0,1,0,1) → R=4 runs,
+    n0=n1=2: μ=3, σ²=2/3 → z·1e6 = floor(1e6/√(2/3)) = 1224744 (perfect
+    oscillation → positive z). Type u: (1,3) → n0=n1=1, 2·n0·n1 = n →
+    σ=0 → NULL."""
+    import math as _m
+
+    ts = _dt.datetime(2024, 1, 1)
+    _write_events(
+        spark,
+        str(tmp_path),
+        [
+            (1, ts, 10, "t", 1.0, "{}"),
+            (2, ts, 10, "t", 3.0, "{}"),
+            (3, ts, 10, "t", 1.0, "{}"),
+            (4, ts, 10, "t", 3.0, "{}"),
+            (5, ts, 10, "u", 1.0, "{}"),
+            (6, ts, 10, "u", 3.0, "{}"),
+        ],
+    )
+    rows = {
+        r.event_type: r
+        for r in REG.REGISTRY["runs_test_randomness"].runner(spark, str(tmp_path)).collect()
+    }
+    rt = rows["t"]
+    assert (rt.n, rt.n1, rt.n0, rt.r) == (4, 2, 2, 4)
+    n0 = n1 = 2.0
+    n = 4.0
+    mu = 2.0 * n0 * n1 / n + 1.0
+    var = 2.0 * n0 * n1 * (2.0 * n0 * n1 - n) / (n * n * (n - 1.0))
+    assert rt.z_e6 == _m.floor(1000000.0 * (4.0 - mu) / _m.sqrt(var))
+    assert rt.z_e6 == 1224744
+    ru = rows["u"]
+    assert (ru.n, ru.r) == (2, 2) and ru.z_e6 is None

@@ -981,6 +981,8 @@ def main() -> int:
         ("edit_distance_near_dup", "one shifted-id equi-join, no pair blowup"),
         ("mcc_binary_quality", "one scan, tiny groupBy(source)"),
         ("langid_confidence_margin", "per-row codegen array ops, one groupBy"),
+        ("benford_chi2_by_type", "one scan, tiny groupBy(event_type)"),
+        ("runs_test_randomness", "type-keyed lag window, broadcast mean"),
     ):
         dfq = qs[name](spark, sf_dir)
         p_n = plan_of(dfq)
