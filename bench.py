@@ -261,6 +261,8 @@ HEADLINE = [
     "langid_confidence_margin",
     "benford_chi2_by_type",
     "runs_test_randomness",
+    "cochran_q_test",
+    "cronbach_alpha_raters",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined

@@ -2148,3 +2148,157 @@ def mcc_binary_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         F.when(degenerate, F.lit(None).cast("bigint")).otherwise(mcc).alias("mcc_e6"),
     )
+
+
+@register(
+    "cochran_q_test",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS3_CTE},
+    b AS (
+      SELECT source,
+             CASE WHEN r1 >= 1 THEN 1 ELSE 0 END AS b1,
+             CASE WHEN r2 >= 1 THEN 1 ELSE 0 END AS b2,
+             CASE WHEN r3 >= 1 THEN 1 ELSE 0 END AS b3
+      FROM ratings3
+    ),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(b1) AS BIGINT) AS c1,
+             CAST(sum(b2) AS BIGINT) AS c2,
+             CAST(sum(b3) AS BIGINT) AS c3,
+             CAST(sum((b1 + b2 + b3) * (b1 + b2 + b3)) AS BIGINT) AS sr2
+      FROM b GROUP BY source
+    )
+    SELECT source, n, c1, c2, c3,
+           CASE WHEN 3 * (c1 + c2 + c3) - sr2 = 0 THEN NULL
+                ELSE (1000000 * (2 * (3 * (c1*c1 + c2*c2 + c3*c3)
+                                      - (c1 + c2 + c3) * (c1 + c2 + c3))))
+                     // (3 * (c1 + c2 + c3) - sr2)
+           END AS q_e6
+    FROM m
+    """,
+)
+def cochran_q_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (Cochran 1950) per source for the k = 3 raters
+    BINARIZED at the keep/drop line — the significance-test member of
+    the agreement family: Fleiss' κ says HOW MUCH the raters agree,
+    Q says whether their keep RATES differ at all (the k-sample
+    generalization of McNemar). Q = (k−1)(kΣC_j² − N²)/(kN − ΣR_i²)
+    with column totals C_j, row totals R_i, N = ΣC.
+
+    Exact integers end to end: both the numerator (non-negative by
+    Cauchy-Schwarz) and the denominator ΣR_i(3−R_i) (non-negative
+    termwise) are BIGINTs from one conditional-aggregate scan, so
+    Q·1e6 is a truncating division identical on both engines; NULL
+    when every document is unanimous (denominator 0 — Q undefined).
+
+    Scale: one scan → one tiny groupBy(source). Capacity:
+    1e6·6·N² < 2⁶³ → N = 3n < 1.2e9 ratings/source in BIGINT
+    (docs/LIMITS.md round-8 note)."""
+    r = _ratings3(spark, sf_dir)
+    b = r.select(
+        "source",
+        *[
+            F.when(F.col(f"r{j}") >= 1, 1).otherwise(0).alias(f"b{j}")
+            for j in (1, 2, 3)
+        ],
+    )
+    rsum = F.col("b1") + F.col("b2") + F.col("b3")
+    m = b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("b1").cast("bigint").alias("c1"),
+        F.sum("b2").cast("bigint").alias("c2"),
+        F.sum("b3").cast("bigint").alias("c3"),
+        F.sum(rsum * rsum).cast("bigint").alias("sr2"),
+    )
+    ctot = F.col("c1") + F.col("c2") + F.col("c3")
+    csq = F.col("c1") * F.col("c1") + F.col("c2") * F.col("c2") + F.col("c3") * F.col("c3")
+    num = 2 * (3 * csq - ctot * ctot)
+    den = 3 * ctot - F.col("sr2")
+    m2 = m.withColumn("qnum", num.cast("bigint")).withColumn("qden", den.cast("bigint"))
+    q = F.when(F.col("qden") == 0, F.lit(None).cast("bigint")).otherwise(
+        F.expr("(1000000 * qnum) div qden")
+    )
+    return m2.select("source", "n", "c1", "c2", "c3", q.cast("bigint").alias("q_e6"))
+
+
+@register(
+    "cronbach_alpha_raters",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS3_CTE},
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1) AS BIGINT) AS s1,
+             CAST(sum(r2) AS BIGINT) AS s2,
+             CAST(sum(r3) AS BIGINT) AS s3,
+             CAST(sum(r1*r1) AS BIGINT) AS q1,
+             CAST(sum(r2*r2) AS BIGINT) AS q2,
+             CAST(sum(r3*r3) AS BIGINT) AS q3,
+             CAST(sum((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS qt
+      FROM ratings3 GROUP BY source
+    ),
+    v AS (
+      SELECT source, n,
+             (n * q1 - s1*s1) + (n * q2 - s2*s2) + (n * q3 - s3*s3) AS sv,
+             n * qt - (s1 + s2 + s3) * (s1 + s2 + s3) AS st
+      FROM m
+    )
+    SELECT source, n, sv, st,
+           CASE WHEN st = 0 THEN NULL
+                WHEN st - sv >= 0
+                THEN (1000000 * 3 * (st - sv)) // (2 * st)
+                ELSE -((1000000 * 3 * (sv - st)) // (2 * st))
+           END AS alpha_e6
+    FROM v
+    """,
+)
+def cronbach_alpha_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α (Cronbach 1951) per source treating the 3 raters as
+    items of one instrument — the internal-consistency RELIABILITY view
+    the agreement family lacks: κ asks "do raters give the same label",
+    α asks "do their scores covary enough that the summed score is a
+    reliable measurement" (the standard report line for any rubric).
+    α = k/(k−1)·(1 − ΣV_j/V_T); with k = 3, α = (3/2)·(V_T − ΣV_j)/V_T.
+
+    Exact integers: every variance appears only through the cleared
+    form n·Σx² − (Σx)² (the 1/(n(n−1)) denominators cancel in the
+    ratio), so α·1e6 = (3e6·(S_T − ΣS_j)) tdiv (2·S_T) over BIGINTs,
+    sign-symmetric truncation (α < 0 = negative average covariance),
+    NULL when the total score has zero variance. S_T − ΣS_j = 2·Σ of
+    pairwise cleared covariances — α and the κ family disagreeing
+    flags marginal-structure pathologies either alone would hide.
+
+    Scale: one scan → one tiny groupBy(source). Capacity:
+    3e6·S_T ≤ 3e6·36n² < 2⁶³ → n < 9.2e6 docs/source in BIGINT
+    (docs/LIMITS.md round-8 note); recast to DECIMAL(38,0) past that."""
+    r = _ratings3(spark, sf_dir)
+    tot = F.col("r1") + F.col("r2") + F.col("r3")
+    m = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(f"r{j}").cast("bigint").alias(f"s{j}") for j in (1, 2, 3)],
+        *[
+            F.sum(F.col(f"r{j}") * F.col(f"r{j}")).cast("bigint").alias(f"q{j}")
+            for j in (1, 2, 3)
+        ],
+        F.sum(tot * tot).cast("bigint").alias("qt"),
+    )
+    n = F.col("n")
+    sv = sum(
+        n * F.col(f"q{j}") - F.col(f"s{j}") * F.col(f"s{j}") for j in (1, 2, 3)
+    )
+    stot = F.col("s1") + F.col("s2") + F.col("s3")
+    st = n * F.col("qt") - stot * stot
+    v = m.withColumn("sv", sv.cast("bigint")).withColumn("st", st.cast("bigint"))
+    alpha = (
+        F.when(F.col("st") == 0, F.lit(None).cast("bigint"))
+        .when(
+            F.col("st") - F.col("sv") >= 0,
+            F.expr("(1000000 * 3 * (st - sv)) div (2 * st)"),
+        )
+        .otherwise(-F.expr("(1000000 * 3 * (sv - st)) div (2 * st)"))
+    )
+    return v.select("source", "n", "sv", "st", alpha.cast("bigint").alias("alpha_e6"))

@@ -846,3 +846,61 @@ def test_runs_test_hand_computed(spark, tmp_path):
     assert rt.z_e6 == 1224744
     ru = rows["u"]
     assert (ru.n, ru.r) == (2, 2) and ru.z_e6 is None
+
+
+def test_cochran_q_hand_computed(spark, tmp_path):
+    """s1 binarized rows (1,1,1),(0,0,0),(1,1,1),(0,1,0),(1,0,0):
+    C=(3,3,2), N=8, ΣR²=20 → Q = 2·(3·22 − 64)/(24 − 20) = 1 →
+    q_e6 = 1000000. s2 (two unanimous-keep docs) → denominator 0 →
+    NULL."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, T_MIX, "en", "s1", len(T_MIX)),
+            (4, T_NEG_A, "en", "s1", len(T_NEG_A)),
+            (5, T_NEG_B, "en", "s1", len(T_NEG_B)),
+            (6, T_HIGH, "en", "s2", len(T_HIGH)),
+            (7, T_HIGH, "en", "s2", len(T_HIGH)),
+        ],
+    )
+    rows = {
+        r.source: r
+        for r in REG.REGISTRY["cochran_q_test"].runner(spark, sf).collect()
+    }
+    r1 = rows["s1"]
+    assert (r1.n, r1.c1, r1.c2, r1.c3) == (5, 3, 3, 2)
+    assert r1.q_e6 == 1000000
+    assert rows["s2"].q_e6 is None
+
+
+def test_cronbach_alpha_hand_computed(spark, tmp_path):
+    """s1 scores (2,2,2),(0,0,0),(2,1,1): cleared item variances
+    S=(8,6,6) → ΣS=20, total-score S_T = 3·52 − 10² = 56 →
+    α·1e6 = 3e6·36 tdiv 112 = 964285 (α = 27/28). s2 rows
+    (0,1,0),(1,0,0),(0,0,0): S_T − ΣS = 2 − 4 = −2 → α = −1.5 →
+    −1500000 (negative average covariance exercises the sign branch)."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, T_HIGH, "en", "s1", len(T_HIGH)),
+            (2, T_LOW, "en", "s1", len(T_LOW)),
+            (3, T_MIX, "en", "s1", len(T_MIX)),
+            (4, T_NEG_A, "en", "s2", len(T_NEG_A)),
+            (5, T_NEG_B, "en", "s2", len(T_NEG_B)),
+            (6, T_LOW, "en", "s2", len(T_LOW)),
+        ],
+    )
+    rows = {
+        r.source: r
+        for r in REG.REGISTRY["cronbach_alpha_raters"].runner(spark, sf).collect()
+    }
+    r1 = rows["s1"]
+    assert (r1.n, r1.sv, r1.st) == (3, 20, 56)
+    assert r1.alpha_e6 == 964285
+    r2 = rows["s2"]
+    assert (r2.sv, r2.st) == (4, 2)
+    assert r2.alpha_e6 == -1500000

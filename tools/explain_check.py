@@ -983,6 +983,8 @@ def main() -> int:
         ("langid_confidence_margin", "per-row codegen array ops, one groupBy"),
         ("benford_chi2_by_type", "one scan, tiny groupBy(event_type)"),
         ("runs_test_randomness", "type-keyed lag window, broadcast mean"),
+        ("cochran_q_test", "one scan, tiny groupBy(source)"),
+        ("cronbach_alpha_raters", "one scan, tiny groupBy(source)"),
     ):
         dfq = qs[name](spark, sf_dir)
         p_n = plan_of(dfq)
