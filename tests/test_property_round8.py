@@ -203,3 +203,106 @@ def test_runs_test_formula(signs):
     # textbook Wald–Wolfowitz normal approximation — same μ/σ, so this
     # checks the run COUNTING identity (lag-based r_start sum ≡ 1+breaks)
     assert abs(z_e6 / 1e6 - (r - mu) / math.sqrt(var)) <= 1e-6 + 1e-9
+
+
+# ---------------------------------------------------------------------
+# Round-7/8 algebraic identities: reductions whose correctness is not
+# obvious from the SQL — proven here against the definitional form.
+# ---------------------------------------------------------------------
+
+
+@given(labels3)
+@SETTINGS
+def test_fleiss_m3_reduction(rows):
+    """The m = 3 shortcut Σ_j n_ij² = m + 2·(agreeing pairs) and the
+    resulting κ = (3n·P − Σc²)/(9n² − Σc²) must equal textbook Fleiss
+    (P̄, P̄_e over the per-item category multiplicities)."""
+    n = len(rows)
+    pairs = sum(
+        (a == b) + (a == c) + (b == c) for a, b, c in rows
+    )
+    cs = [0, 0, 0]
+    for a, b, c in rows:
+        cs[a] += 1
+        cs[b] += 1
+        cs[c] += 1
+    csq = sum(x * x for x in cs)
+    den = 9 * n * n - csq
+    if den == 0:
+        return  # NULL branch
+    kappa_e6 = _tdiv(1000000 * (3 * n * pairs - csq), den)
+    # textbook Fleiss 1971, m = 3: P_i = (Σ_j n_ij² − m)/(m(m−1))
+    m = 3
+    p_is = []
+    for a, b, c in rows:
+        nij = [0, 0, 0]
+        for lbl in (a, b, c):
+            nij[lbl] += 1
+        p_is.append((sum(x * x for x in nij) - m) / (m * (m - 1)))
+    p_bar = sum(p_is) / n
+    p_j = [x / (n * m) for x in cs]
+    p_e = sum(p * p for p in p_j)
+    kappa = (p_bar - p_e) / (1.0 - p_e)
+    assert abs(kappa_e6 / 1e6 - kappa) <= 1e-6 + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9999), st.booleans()),
+        min_size=1,
+        max_size=80,
+    )
+)
+@SETTINGS
+def test_ece_telescope(scored):
+    """ECE·1e6 = (100·Σ_b |1e4·Σlabel_b − Σscore_b|) tdiv N must equal
+    the definitional Σ_b (n_b/N)·|acc_b − conf_b| — the identity is that
+    the n_b denominators inside acc/conf cancel against the weight."""
+    bins: dict[int, list[tuple[int, bool]]] = {}
+    for s_e4, y in scored:
+        bins.setdefault(min(9, s_e4 // 1000), []).append((s_e4, y))
+    n = len(scored)
+    t_abs = sum(
+        abs(10000 * sum(y for _, y in rows_) - sum(s for s, _ in rows_))
+        for rows_ in bins.values()
+    )
+    ece_e6 = (100 * t_abs) // n
+    ece = sum(
+        (len(rows_) / n)
+        * abs(
+            sum(y for _, y in rows_) / len(rows_)
+            - sum(s for s, _ in rows_) / len(rows_) / 10000.0
+        )
+        for rows_ in bins.values()
+    )
+    assert abs(ece_e6 / 1e6 - ece) <= 1e-6 + 1e-9
+
+
+@given(
+    st.dictionaries(
+        st.integers(0, 12),  # token ids
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),  # (source count, other count)
+        min_size=1,
+        max_size=13,
+    )
+)
+@SETTINGS
+def test_tv_missing_mass_telescope(vocab):
+    """TV·1e6 = (1e6·(T_in + N_s·(N − G_seen))) tdiv (2·N_s·N) — the
+    missing-mass split (join only the source's own vocab; absent tokens
+    telescope) must equal the definitional ½·Σ|p_i − q_i| over the FULL
+    global vocabulary."""
+    # global counts g_i = source + other; source counts c_i
+    g = {t: sc + oc for t, (sc, oc) in vocab.items() if sc + oc > 0}
+    c = {t: sc for t, (sc, _) in vocab.items() if sc > 0}
+    n = sum(g.values())
+    n_s = sum(c.values())
+    if n_s == 0 or n == 0:
+        return  # source absent from the corpus
+    t_in = sum(abs(c[t] * n - g[t] * n_s) for t in c)
+    g_seen = sum(g[t] for t in c)
+    tv_e6 = (1000000 * (t_in + n_s * (n - g_seen))) // (2 * n_s * n)
+    tv = 0.5 * sum(
+        abs(c.get(t, 0) / n_s - g[t] / n) for t in g
+    )
+    assert abs(tv_e6 / 1e6 - tv) <= 1e-6 + 1e-9
