@@ -66,17 +66,29 @@ def _newest_pass_round() -> dict[str, int]:
     return newest
 
 
+#: Rows-only gate quota (VERDICT r8 task 3): how many rows-only-by-design
+#: queries are promoted into the 50-slot gate head each round. Without a
+#: quota the oldest-first rotation starves them forever (a re-run can only
+#: reproduce the weaker rows-only record, so they always sort last); with
+#: it, every rows-only entry re-executes under the driver at least every
+#: other round (6 entries / 3 slots), keeping that code path live.
+ROWS_ONLY_QUOTA = 3
+
+
 def _priority() -> list[str]:
     """DERIVED gate-head rotation (VERDICT r6 task 1): the driver's
     correctness gate samples the first 50 of queries(), so order the
     registry (1) never-gated queries first, in registration order — new
-    operators prove out the round they land; then (2) oracle-backed
-    queries oldest-record-first (newest passing round ascending, name as
-    the tiebreak) so stale hash evidence refreshes automatically every
-    round with no hand-listed head to maintain; then (3) rows-only
-    queries (no oracle), also oldest-first — last, because a re-run can
-    only ever reproduce their weaker rows-only record and would waste a
-    hash-proof slot."""
+    operators prove out the round they land; then (2) up to
+    ROWS_ONLY_QUOTA rows-only queries whose newest record is at least two
+    rounds stale, oldest-first — a small standing tail reservation so the
+    no-oracle code path re-executes under the driver every other round
+    instead of starving; then (3) oracle-backed queries
+    oldest-record-first (newest passing round ascending, name as the
+    tiebreak) so stale hash evidence refreshes automatically every round
+    with no hand-listed head to maintain; then (4) the remaining
+    rows-only queries — last, because a re-run can only ever reproduce
+    their weaker rows-only record and would waste a hash-proof slot."""
     newest = _newest_pass_round()
     names = list(_q.REGISTRY)
     never = [n for n in names if n not in newest]
@@ -89,7 +101,10 @@ def _priority() -> list[str]:
         (n for n in gated if _q.REGISTRY[n].oracle is None),
         key=lambda n: (newest[n], n),
     )
-    return never + oracle_backed + rows_only
+    max_round = max(newest.values(), default=0)
+    quota = [n for n in rows_only if newest[n] < max_round][:ROWS_ONLY_QUOTA]
+    rest_rows_only = [n for n in rows_only if n not in quota]
+    return never + quota + oracle_backed + rest_rows_only
 
 
 def never_gated() -> list[str]:

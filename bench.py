@@ -263,53 +263,127 @@ HEADLINE = [
     "runs_test_randomness",
     "cochran_q_test",
     "cronbach_alpha_raters",
+    # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
+    # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
+    # has a standing bench row; the policy's "may only shrink" set shrank
+    # to empty. Order: original frozen-set listing (oldest-first vintage).
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anomaly_zscore_events",
+    "ansi_safe_division",
+    "anti_join_missing",
+    "approx_sketches",
+    "audience_overlap_matrix",
+    "behavior_signatures",
+    "bigram_lm_score",
+    "binary_payload_stats",
+    "bounding_box",
+    "bpe_token_budget",
+    "chi_square_independence",
+    "chunk_dedup_groups",
+    "collation_group_count",
+    "collation_join_sort",
+    "conditional_counts",
+    "containment_near_dup",
+    "corpus_after_dedup",
+    "count_parity",
+    "cross_source_overlap",
+    "cube_counts",
+    "dedup_cluster_assign",
+    "distinct_count",
+    "doc_chunking",
+    "doc_quality_filter",
+    "doc_quality_scores",
+    "edit_distance_verify",
+    "embedding_near_dup_exact",
+    "embedding_near_dup_lsh",
+    "embedding_norm_stats",
+    "embedding_quantize_error",
+    "entity_match_scores",
+    "enum_membership",
+    "event_transition_matrix",
+    "ewma_last",
+    "filter_compound",
+    "filter_disjunctive",
+    "fk_integrity_audit",
+    "frequent_event_trigrams",
+    "gapfill_forward_fill",
+    "global_max",
+    "group_count_composite",
+    "hll_distinct_rollup",
+    "hourly_event_counts",
+    "incremental_agg_maintenance",
+    "interval_union_merge",
+    "jaccard_prefix_filtered",
+    "join_field_compare",
+    "key_skew_profile",
+    "lang_id_distribution",
+    "lateral_top_orders",
+    "markup_strip_stats",
+    "minhash_dedup_verified",
+    "moving_avg_7d",
+    "multitouch_attribution",
+    "nested_order_rollup",
+    "nth_value_podium",
+    "ntile_quartiles",
+    "null_presence",
+    "oph_dedup_verified",
+    "payload_byte_profile",
+    "per_source_cap",
+    "percentile_ranks",
+    "pii_redaction_stats",
+    "pivot_counts",
+    "pmi_collocations",
+    "props_json_stats",
+    "psi_drift_bins",
+    "quarterly_order_report",
+    "rank_in_group",
+    "recursive_digit_hierarchy",
+    "repeated_ngram_contamination",
+    "repetition_signals",
+    "retention_cohorts",
+    "rolling_distinct_types",
+    "rollup_counts",
+    "running_total",
+    "semantic_decontamination",
+    "semi_join",
+    "sessionize",
+    "set_except",
+    "set_intersect",
+    "skew_salted_distinct",
+    "skew_salted_topk",
+    "spatial_knn",
+    "sql_udf_value_bands",
+    "storm_enrich_golden",
+    "stratified_sample_mix",
+    "table_profile",
+    "tfidf_top_terms",
+    "time_to_conversion",
+    "token_entropy",
+    "token_shard_packing",
+    "top_groups",
+    "train_val_test_split",
+    "transpose_metrics",
+    "trend_slope_by_type",
+    "union_by_name",
+    "unpivot_metrics",
+    "url_host_stats",
+    "value_change_points",
+    "value_corr_by_type",
+    "value_histogram",
+    "vocab_coverage",
+    "weighted_sample_mix",
+    "winsorized_stats",
+    "zorder_curve_stats",
 ]
 
 #: Queries registered BEFORE the bench-on-land policy that never joined
-#: HEADLINE — sub-second early-round relational/window/scan queries whose
-#: plan shapes are covered by a same-family headline entry. FROZEN: this
-#: set may only shrink (promote to HEADLINE); tests/test_registry.py
-#: asserts every registry query is in HEADLINE ∪ INDEX_BUILDS ∪ this set,
-#: so a new query that skips the bench turns pytest red.
-LEGACY_UNBENCHED = frozenset({
-    "ann_ivf_topk", "ann_lsh_topk", "anomaly_zscore_events",
-    "ansi_safe_division", "anti_join_missing", "approx_sketches",
-    "audience_overlap_matrix", "behavior_signatures", "bigram_lm_score",
-    "binary_payload_stats", "bounding_box", "bpe_token_budget",
-    "chi_square_independence", "chunk_dedup_groups", "collation_group_count",
-    "collation_join_sort", "conditional_counts", "containment_near_dup",
-    "corpus_after_dedup", "count_parity", "cross_source_overlap",
-    "cube_counts", "dedup_cluster_assign", "distinct_count", "doc_chunking",
-    "doc_quality_filter", "doc_quality_scores", "edit_distance_verify",
-    "embedding_near_dup_exact", "embedding_near_dup_lsh",
-    "embedding_norm_stats", "embedding_quantize_error",
-    "entity_match_scores", "enum_membership", "event_transition_matrix",
-    "ewma_last", "filter_compound", "filter_disjunctive",
-    "fk_integrity_audit", "frequent_event_trigrams", "gapfill_forward_fill",
-    "global_max", "group_count_composite", "hll_distinct_rollup",
-    "hourly_event_counts", "incremental_agg_maintenance",
-    "interval_union_merge", "jaccard_prefix_filtered", "join_field_compare",
-    "key_skew_profile", "lang_id_distribution", "lateral_top_orders",
-    "markup_strip_stats", "minhash_dedup_verified", "moving_avg_7d",
-    "multitouch_attribution", "nested_order_rollup", "nth_value_podium",
-    "ntile_quartiles", "null_presence", "oph_dedup_verified",
-    "payload_byte_profile", "per_source_cap", "percentile_ranks",
-    "pii_redaction_stats", "pivot_counts", "pmi_collocations",
-    "props_json_stats", "psi_drift_bins", "quarterly_order_report",
-    "rank_in_group", "recursive_digit_hierarchy",
-    "repeated_ngram_contamination", "repetition_signals",
-    "retention_cohorts", "rolling_distinct_types", "rollup_counts",
-    "running_total", "semantic_decontamination", "semi_join", "sessionize",
-    "set_except", "set_intersect", "skew_salted_distinct",
-    "skew_salted_topk", "spatial_knn", "sql_udf_value_bands",
-    "storm_enrich_golden", "stratified_sample_mix", "table_profile",
-    "tfidf_top_terms", "time_to_conversion", "token_entropy",
-    "token_shard_packing", "top_groups", "train_val_test_split",
-    "transpose_metrics", "trend_slope_by_type", "union_by_name",
-    "unpivot_metrics", "url_host_stats", "value_change_points",
-    "value_corr_by_type", "value_histogram", "vocab_coverage",
-    "weighted_sample_mix", "winsorized_stats", "zorder_curve_stats",
-})
+#: HEADLINE. FROZEN: this set may only shrink (promote to HEADLINE);
+#: tests/test_registry.py asserts every registry query is in HEADLINE u
+#: INDEX_BUILDS u this set, so a new query that skips the bench turns
+#: pytest red. Round 9 drained the final 108 entries into HEADLINE
+#: (VERDICT r8 task 1) -- the set is now EMPTY and must stay that way.
+LEGACY_UNBENCHED: frozenset[str] = frozenset()
 
 #: Index-build sidecar (VERDICT r6 task 3): the suffix-array family is an
 #: index BUILD (prefix doubling = log(L) global sorts, 24 s-class at

@@ -145,7 +145,6 @@ def test_priority_head_never_gated_rotation():
     the grace no longer applies, and the strict invariant is enforced."""
     qs = list(entry.queries())
     head = qs[:50]
-    assert "approx_sketches" not in head
     ng = set(entry.never_gated())
     if set(head) <= _newest_correctness_keys():
         return  # post-gate, pre-rotation grace window (see docstring)
@@ -171,50 +170,38 @@ def test_priority_head_never_gated_rotation():
 
 def test_priority_head_is_oracle_backed():
     """The driver's gate samples the head of queries(): every PRIORITY name
-    must resolve, and any rows-only entry in the head must be there to
-    record its (weaker, by-design) evidence tier for the first time — a
-    rows-only query that ALREADY has a gate record wastes a hash-proof
-    slot.
-
-    Rotation-aware: a rows-only entry whose ONLY record is in the newest
-    CORRECTNESS_r*.json gets a grace pass — the driver writes that file at
-    round end, after PRIORITY was authored, so for exactly one record-drop
-    the head legitimately lags the records. A stale entry that persists
-    past the next rotation (i.e. appears in an OLDER record too) still
-    fails."""
-    import glob
-    import json
-    import os
-
+    must resolve, and any rows-only entry in the head must be either (a)
+    never-gated — recording its (weaker, by-design) evidence tier for the
+    first time — or (b) one of at most ROWS_ONLY_QUOTA stale quota entries
+    (VERDICT r8 task 3: newest record at least two rounds old, so the
+    no-oracle gate path re-executes every other round instead of
+    starving). Any other rows-only entry in the head wastes a hash-proof
+    slot."""
     qs = entry.queries()
     oracles = entry.oracle_sql()
     missing = [n for n in entry._priority() if n not in qs]
     assert not missing, f"priority names not in registry: {missing}"
     head = list(qs)[:50]
     ng = set(entry.never_gated())
-    stale_rows_only = [n for n in head if n not in oracles and n not in ng]
-    if stale_rows_only:
-        here = os.path.dirname(os.path.abspath(entry.__file__))
-        paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
-        older: set[str] = set()
-        for p in paths[:-1]:
-            try:
-                with open(p) as f:
-                    older.update(json.load(f))
-            except Exception:
-                continue
-        stale_rows_only = [n for n in stale_rows_only if n in older]
-    assert not stale_rows_only, (
-        f"already-recorded rows-only entries waste head slots: {stale_rows_only}"
+    newest = entry._newest_pass_round()
+    max_round = max(newest.values(), default=0)
+    rows_only_head = [n for n in head if n not in oracles and n not in ng]
+    assert len(rows_only_head) <= entry.ROWS_ONLY_QUOTA, (
+        f"rows-only head entries exceed the quota: {rows_only_head}"
+    )
+    fresh = [n for n in rows_only_head if newest.get(n, 0) >= max_round]
+    assert not fresh, (
+        f"freshly-gated rows-only entries waste head slots: {fresh}"
     )
 
 
 def test_priority_is_derived_oldest_first():
-    """Round-7 rotation contract (VERDICT r6 task 1): the gate head is
-    DERIVED from the CORRECTNESS_r*.json records, not hand-listed —
-    never-gated first, then oracle-backed by ascending newest-pass round
-    (name tiebreak), then rows-only entries last (their re-run can only
-    reproduce the weaker rows-only evidence)."""
+    """Round-9 rotation contract (VERDICT r6 task 1 + r8 task 3): the gate
+    head is DERIVED from the CORRECTNESS_r*.json records, not hand-listed —
+    never-gated first, then up to ROWS_ONLY_QUOTA stale rows-only quota
+    entries (oldest-first), then oracle-backed by ascending newest-pass
+    round (name tiebreak), then the remaining rows-only entries last
+    (their re-run can only reproduce the weaker rows-only evidence)."""
     newest = entry._newest_pass_round()
     order = entry._priority()
     oracles = entry.oracle_sql()
@@ -222,12 +209,24 @@ def test_priority_is_derived_oldest_first():
 
     never = [n for n in order if n not in newest]
     gated = [n for n in order if n in newest]
+    max_round = max(newest.values(), default=0)
     # never-gated block is contiguous at the front
     assert order[: len(never)] == never
-    # within gated: every oracle-backed entry precedes every rows-only one
+    # quota block: stale rows-only entries, oldest-first, capped
     kinds = [(n in oracles) for n in gated]
-    first_rows_only = kinds.index(False) if False in kinds else len(kinds)
-    assert all(kinds[:first_rows_only]) and not any(kinds[first_rows_only:])
+    first_oracle = kinds.index(True) if True in kinds else len(kinds)
+    quota = gated[:first_oracle]
+    assert len(quota) <= entry.ROWS_ONLY_QUOTA
+    for n in quota:
+        assert n not in oracles and newest[n] < max_round, (
+            f"quota entry '{n}' is not a stale rows-only query"
+        )
+    assert quota == sorted(quota, key=lambda n: (newest[n], n))
+    # after the quota: every oracle-backed entry precedes the remaining
+    # rows-only tail
+    rest = kinds[first_oracle:]
+    first_rows_only = rest.index(False) if False in rest else len(rest)
+    assert all(rest[:first_rows_only]) and not any(rest[first_rows_only:])
     # oracle-backed segment is sorted by (vintage, name)
-    ob = gated[:first_rows_only]
+    ob = gated[first_oracle : first_oracle + first_rows_only]
     assert ob == sorted(ob, key=lambda n: (newest[n], n))
