@@ -263,6 +263,8 @@ HEADLINE = [
     "runs_test_randomness",
     "cochran_q_test",
     "cronbach_alpha_raters",
+    # round-9 additions
+    "quality_model_train",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank
@@ -532,7 +534,10 @@ def main() -> None:
         ),
         "full": full_name,
     }
-    print_order = ["enrich_throughput"] + [n for n in times if n != "enrich_throughput"]
+    # enrich_throughput first when present (subset runs may filter it out).
+    print_order = [n for n in ("enrich_throughput",) if n in times] + [
+        n for n in times if n != "enrich_throughput"
+    ]
     for name in print_order:
         payload["queries"][name] = times[name]
         if len(json.dumps(payload)) > LINE_BUDGET:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from storm_data_etl_spark.functions import text as X
 from storm_data_etl_spark.functions import vectors as V
 from storm_data_etl_spark.plans.ml_queries import _SQL_QUALITY_CTES, _sql_cosine
 from storm_data_etl_spark.plans.queries import register
@@ -914,3 +915,269 @@ def map_at_10_ranker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("map_e6"),
     )
+
+
+# =====================================================================
+# In-engine quality-classifier TRAINING (VERDICT r8 task 5)
+# =====================================================================
+
+#: Learning-rate numerator for quality_model_train's gradient step
+#: (w -= lr * mean_grad with lr = _QMT_LR). Fixed and public: the
+#: contract is the deterministic distributed training plan, not the fit.
+_QMT_LR = 4
+_QMT_EPOCHS = 3
+#: Boundary-anchored features: each is an e4 fixed-point signal shifted so
+#: the heuristic label's decision surface sits near 0 (stopword ratio at
+#: 0.05, length at 200 chars, punct ratio at 0.2) — standardization a real
+#: training pipeline would do, expressed as exact integer offsets so the
+#: twin engines agree bit-for-bit. Centering is what lets 3 full-batch GD
+#: epochs move past the majority-class predictor (measured: 389/500 train
+#: accuracy vs 269/500 majority at sf0.001).
+_QMT_FEATURES = ("bias", "stop_anchor", "len_anchor", "uniq_center", "punct_anchor")
+
+
+def _qmt_oracle_sql() -> str:
+    """DuckDB twin of quality_model_train: the same 3 gradient-descent
+    epochs unrolled as chained CTEs in HUGEINT. Generated by a loop so
+    epoch arithmetic literally cannot drift between iterations."""
+    # Per-row forward pass template: weights table {w} x features fi.
+    def fwd(tag: str, w: str) -> str:
+        return f"""
+    z{tag} AS (
+      SELECT x1, x2, x3, x4, y,
+             w.w0 * 10000 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4
+               AS z10
+      FROM fi, {w} w
+    ),
+    zb{tag} AS (
+      SELECT x1, x2, x3, x4, y,
+             CASE WHEN z10 >= 0 THEN z10 // 10000
+                  ELSE -((-z10) // 10000) END AS z6
+      FROM z{tag}
+    ),
+    pe{tag} AS (
+      SELECT x1, x2, x3, x4, y,
+             500000 + CASE WHEN z6 >= 0
+                  THEN (z6 * 1000000) // (2 * (1000000 + z6))
+                  ELSE -(((-z6) * 1000000) // (2 * (1000000 - z6))) END AS p6
+      FROM zb{tag}
+    )"""
+
+    xs = ["10000", "x1", "x2", "x3", "x4"]
+    epochs = []
+    for k in range(1, _QMT_EPOCHS + 1):
+        gsums = ",\n             ".join(
+            f"CAST(coalesce(sum((p6 - y * 1000000) * {x}), 0) AS HUGEINT) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        wups = ",\n             ".join(
+            f"w.w{j} - CASE WHEN g.g{j} >= 0"
+            f" THEN ({_QMT_LR} * g.g{j}) // (greatest(g.n, 1) * 10000)"
+            f" ELSE -(({_QMT_LR} * (-g.g{j})) // (greatest(g.n, 1) * 10000)) END"
+            f" AS w{j}"
+            for j in range(5)
+        )
+        epochs.append(
+            fwd(str(k), f"w{k - 1}t")
+            + f""",
+    g{k} AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             {gsums}
+      FROM pe{k}
+    ),
+    w{k}t AS (
+      SELECT {wups}
+      FROM w{k - 1}t w, g{k} g
+    )"""
+        )
+    zeros = ", ".join(f"CAST(0 AS HUGEINT) AS w{j}" for j in range(5))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, CAST(w{j} AS BIGINT) AS weight_e6,"
+        f" CAST(s.n_train AS BIGINT) AS n_train,"
+        f" CAST(s.n_pos AS BIGINT) AS n_pos,"
+        f" CAST(a.n_correct AS BIGINT) AS n_correct"
+        f" FROM w{_QMT_EPOCHS}t, stats s, acc a"
+        for j, nm in enumerate(_QMT_FEATURES)
+    )
+    return f"""
+    WITH {_SQL_QUALITY_CTES},
+    d AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ),
+    fc AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             len(list_distinct(toks)) AS n_uniq,
+             len(list_filter(toks, w -> w IN ('a','the','of','and','to')))
+               AS n_stop,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) AS n_punct
+      FROM d
+    ),
+    fi AS (
+      SELECT f.doc_id,
+             CAST(least(CASE WHEN n_words > 0
+                             THEN (n_stop * 10000) // n_words ELSE 0 END,
+                        2000) - 500 AS HUGEINT) AS x1,
+             CAST(least(n_chars, 400) * 50 - 10000 AS HUGEINT) AS x2,
+             CAST(CASE WHEN n_words > 0 THEN (n_uniq * 10000) // n_words
+                       ELSE 0 END - 5000 AS HUGEINT) AS x3,
+             CAST(CASE WHEN n_chars > 0 THEN (n_punct * 10000) // n_chars
+                       ELSE 0 END - 2000 AS HUGEINT) AS x4,
+             CASE WHEN floor(q.quality * 10000 + 0.5) >= 9000
+                  THEN 1 ELSE 0 END AS y
+      FROM fc f JOIN qual q ON q.doc_id = f.doc_id
+    ),
+    w0t AS (SELECT {zeros}),{",".join(epochs)},{fwd("A", f"w{_QMT_EPOCHS}t")},
+    acc AS (
+      SELECT coalesce(sum(CASE WHEN (p6 >= 500000) = (y = 1)
+                                THEN 1 ELSE 0 END), 0) AS n_correct
+      FROM peA
+    ),
+    stats AS (
+      SELECT count(*) AS n_train, coalesce(sum(y), 0) AS n_pos FROM fi
+    )
+    {unions}
+    """
+
+
+@register("quality_model_train", _qmt_oracle_sql())
+def quality_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier IN-ENGINE (VERDICT r8 task 5):
+    full-batch logistic-regression gradient descent over every document,
+    _QMT_EPOCHS unrolled epochs, labels from the repo's existing
+    heuristic quality gate (functions/text.quality_score >= 0.9 — the
+    FineWeb/DCLM-style distillation setup: train a cheap linear model to
+    imitate a slower heuristic/judge; 0.9 splits the corpus ~54/46, so
+    beating the majority class is a meaningful fit signal), features the
+    scorer family's rational per-row signals, boundary-anchored (see
+    _QMT_FEATURES).
+
+    Every step is EXACT fixed-point integer arithmetic so the
+    distributed gradient sums are order-free and both engines agree
+    bit-for-bit: features x_j in e4 units, weights w_j in e6, logit
+    z_e6 = (sum_j w_j*x_j) tdiv 1e4, and the logistic sigmoid replaced
+    by the Elliott (1993) rational sigmoid p = 1/2 + z/(2*(1+|z|)) —
+    algebraic, so it has an exact integer form (libm exp() rounding is
+    engine-specific; exp-free training sidesteps it entirely), with the
+    same saturating S-shape. Gradient step: w_j -= (lr * sum_i
+    (p_i - y_i) * x_ij) tdiv (n * 1e4), lr = _QMT_LR, all tdivs
+    sign-split so Spark `div` (truncate) and DuckDB `//` (floor) agree.
+    Output: one row per coefficient (the bias + 4 signal weights),
+    plus n_train/n_pos and the final-epoch training accuracy count —
+    the trained vector is consumable by the quality_model_score plan
+    shape (tests/test_round9_ops.py wires it through an inference pass).
+
+    Scale shape (the bradley_terry MM discipline from day one): the
+    feature derivation — the only corpus-scale work — is localCheckpointed
+    ONCE and re-scanned per epoch (epochs+1 scans total: 3 training + 1
+    accuracy); the iteration state is a SINGLE weight row, broadcast into
+    each epoch's crossJoin (1-row broadcast aggregate, the documented
+    acceptable crossJoin class) and checkpointed per epoch so lineage
+    stays flat instead of 3^k. Gradient sums are DECIMAL(38,0)
+    (HUGEINT in the twin); capacity in docs/LIMITS.md.
+
+    Reference basis: the reference has no training surface; this extends
+    cmd/validate's re-derive-and-compare discipline
+    (cmd/validate/main.go:352-462) to model fitting, with the DuckDB twin
+    unrolling identical epochs."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    counts = docs.select(
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda x: x.isin("a", "the", "of", "and", "to"))).alias(
+            "n_stop"
+        ),
+        F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(r"[^a-zA-Z0-9_\s]")).alias("n_punct"),
+        (
+            F.floor(X.quality_score("text") * 10000 + 0.5) >= 9000
+        ).cast("int").alias("y"),
+    )
+    feats = counts.selectExpr(
+        "CAST(least(CASE WHEN n_words > 0"
+        "                THEN (n_stop * 10000) div n_words ELSE 0 END,"
+        "           2000) - 500 AS DECIMAL(38,0)) AS x1",
+        "CAST(least(n_chars, 400) * 50 - 10000 AS DECIMAL(38,0)) AS x2",
+        "CAST(CASE WHEN n_words > 0 THEN (n_uniq * 10000) div n_words"
+        "          ELSE 0 END - 5000 AS DECIMAL(38,0)) AS x3",
+        "CAST(CASE WHEN n_chars > 0 THEN (n_punct * 10000) div n_chars"
+        "          ELSE 0 END - 2000 AS DECIMAL(38,0)) AS x4",
+        "y",
+    ).localCheckpoint(eager=True)  # quality+token pass runs ONCE, not per epoch
+
+    def forward(df: DataFrame) -> DataFrame:
+        """Per-row integer forward pass: expects x1..x4, y, w0..w4."""
+        return (
+            df.selectExpr(
+                "x1", "x2", "x3", "x4", "y",
+                "w0 * 10000 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 AS z10",
+            )
+            .selectExpr(
+                "x1", "x2", "x3", "x4", "y",
+                "CASE WHEN z10 >= 0 THEN z10 div 10000"
+                "     ELSE -((-z10) div 10000) END AS z6",
+            )
+            .selectExpr(
+                "x1", "x2", "x3", "x4", "y",
+                "500000 + CASE WHEN z6 >= 0"
+                "     THEN (z6 * 1000000) div (2 * (1000000 + z6))"
+                "     ELSE -(((-z6) * 1000000) div (2 * (1000000 - z6))) END AS p6",
+            )
+        )
+
+    xs = ["10000", "x1", "x2", "x3", "x4"]
+    w = spark.range(1).selectExpr(
+        *[f"CAST(0 AS DECIMAL(38,0)) AS w{j}" for j in range(5)]
+    )
+    for _ in range(_QMT_EPOCHS):
+        g = forward(feats.crossJoin(F.broadcast(w))).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            *[
+                F.coalesce(
+                    F.sum(F.expr(f"(p6 - y * 1000000) * {x}")), F.lit(0)
+                )
+                .cast("decimal(38,0)")
+                .alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ],
+        )
+        w = w.crossJoin(g).selectExpr(
+            *[
+                f"CAST(w{j} - (CASE WHEN g{j} >= 0"
+                f" THEN ({_QMT_LR} * g{j}) div (greatest(n, 1) * 10000)"
+                f" ELSE -(({_QMT_LR} * (-g{j})) div (greatest(n, 1) * 10000))"
+                f" END) AS DECIMAL(38,0)) AS w{j}"
+                for j in range(5)
+            ]
+        ).localCheckpoint(eager=True)  # 1-row state: lineage cut per epoch
+
+    acc = forward(feats.crossJoin(F.broadcast(w))).agg(
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN (p6 >= 500000) = (y = 1) THEN 1 ELSE 0 END")),
+            F.lit(0),
+        ).alias("n_correct")
+    )
+    stats = feats.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.coalesce(F.sum("y"), F.lit(0)).alias("n_pos"),
+    )
+    out = w.crossJoin(stats).crossJoin(acc).localCheckpoint(eager=True)
+    parts = [
+        out.selectExpr(
+            f"'{nm}' AS feature",
+            f"CAST(w{j} AS BIGINT) AS weight_e6",
+            "CAST(n_train AS BIGINT) AS n_train",
+            "CAST(n_pos AS BIGINT) AS n_pos",
+            "CAST(n_correct AS BIGINT) AS n_correct",
+        )
+        for j, nm in enumerate(_QMT_FEATURES)
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res

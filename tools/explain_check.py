@@ -998,6 +998,23 @@ def main() -> int:
         )
         _rel()
 
+    # 85. Round-9: quality_model_train follows the bradley_terry iteration
+    # discipline from day one — features localCheckpointed once, the 1-row
+    # weight state checkpointed per epoch — so the FINAL plan reads
+    # checkpointed RDDs only: no parquet scan (no corpus recompute through
+    # 3 epochs of lineage), no cartesian beyond the 1-row broadcast
+    # crossJoins (which plan as BNLJ over checkpointed rows), no Python.
+    p_qt = plan_of(qs["quality_model_train"](spark, sf_dir))
+    check(
+        "quality_model_train_checkpointed_epochs",
+        "Scan ExistingRDD" in p_qt
+        and "Scan parquet" not in p_qt
+        and "CartesianProduct" not in p_qt
+        and "BatchEvalPython" not in p_qt,
+        "(epoch state off checkpoints; no corpus recompute in final plan)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
