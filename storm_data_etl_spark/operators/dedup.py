@@ -138,13 +138,24 @@ def jaccard_prefix_pairs(
     making the output identical to the all-pairs operator (the unit tests
     and the shared oracle pin that equivalence).
 
-    Plan shape: shingle pass persisted once; global frequency table joined
-    back (shuffle on shingle hash — uniform); per-doc rank window (shuffle
-    on id); candidate self-join only over prefix shingles; verify joins
-    restricted to candidate ids. The prefix length uses
-    n - floor(t·n) + 1 — one longer than strictly needed — so float edge
-    cases can only admit extra candidates (cost), never miss one
-    (correctness).
+    Plan shape (round 9, the bench-on-land drain's first plan fix): shingle
+    pass persisted once; global frequency table joined back (shuffle on
+    shingle hash — uniform); per-doc rank window (shuffle on id); candidate
+    self-join over prefix shingles ONLY, with PPJoin's two exact
+    candidate-side prunes evaluated inside the join probe (Xiao et al.
+    2008 §3): the LENGTH filter (J ≥ t ⇒ t·|B| ≤ |A|) and the POSITIONAL
+    filter (at the first common prefix shingle at ranks (i, j), overlap ≤
+    1 + min(|A|−i, |B|−j), which must reach ⌈t/(1+t)·(|A|+|B|)⌉ — valid
+    because the first common element of two t-similar sets provably sits
+    inside both prefixes). Verification then joins the surviving pairs to
+    the PER-DOCUMENT shingle-array table (one row per doc — broadcastable
+    at dim scale, doc-keyed shuffle at corpus scale) and intersects in
+    whole-stage codegen, instead of re-exploding pair × shingle rows
+    (which was 70% of the runtime at sf0.1: 6.5 s → the shingle-level
+    verify re-shuffled ~|pairs|·|A| rows). Prefix length uses
+    n - floor(t·n) + 1 — one longer than strictly needed — and both
+    filters subtract 1e-9 before comparing, so float edge cases can only
+    admit extra candidates (cost), never miss one (correctness).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -164,29 +175,47 @@ def jaccard_prefix_pairs(
         )
         .join(sizes, "id")
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "shingle")
+        .select("id", "shingle", "rn", F.col("n_shingles").alias("n"))
     )
+    # the self-join consumes ranked twice — pin so the freq join + rank
+    # window execute once, not per join side
+    ranked = _pin(ranked)
+    eps = 1e-9
+    alpha = threshold / (1.0 + threshold)  # overlap ≥ α·(|A|+|B|)
     cand = (
         ranked.alias("a")
         .join(
             ranked.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: t·max ≤ min is necessary for J ≥ t
+            & (F.col("a.n") >= threshold * F.col("b.n") - eps)
+            & (F.col("b.n") >= threshold * F.col("a.n") - eps)
+            # positional filter: overlap upper bound at this match
+            & (
+                1 + F.least(F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn"))
+                >= alpha * (F.col("a.n") + F.col("b.n")) - eps
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    common = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Doc-level verify table: shingles are distinct per doc (X.shingles),
+    # so |array_intersect| == the exact common-shingle count.
+    arrs = sh.groupBy("id").agg(
+        F.collect_list("shingle").alias("shs"),
+        F.count(F.lit(1)).alias("n"),
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    aa = arrs.select(
+        F.col("id").alias("id_a"), F.col("shs").alias("shs_a"), F.col("n").alias("n_a")
+    )
+    bb = arrs.select(
+        F.col("id").alias("id_b"), F.col("shs").alias("shs_b"), F.col("n").alias("n_b")
+    )
     jac = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(aa, "id_a")
+        .join(bb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

@@ -186,18 +186,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_prefix_filtered",
     f"""
-    WITH {_sql_jaccard_pairs(0.2)}
+    WITH {_sql_jaccard_pairs(0.8)}
     SELECT id_a, id_b, jaccard FROM jacpairs
     """,
 )
 def jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PPJoin-style prefix-filtered exact Jaccard pairs (threshold 0.2):
-    only each document's rarest n - floor(t·n) + 1 shingles are indexed,
-    collapsing candidate volume; survivors get a full intersection count,
-    so the result is IDENTICAL to ngram_jaccard_pairs — the oracle is the
-    same exact all-pairs SQL, pinning that equivalence at value level."""
+    """PPJoin-style prefix-filtered exact Jaccard pairs (threshold 0.8 —
+    the near-dup regime prefix filtering was built for): only each
+    document's rarest n - floor(t·n) + 1 shingles are indexed, PLUS the
+    exact length and positional prunes inside the candidate join and a
+    doc-array codegen verify (operators/dedup.jaccard_prefix_pairs).
+    Survivors get a full intersection count, so the result is IDENTICAL
+    to the all-pairs inverted index at the same threshold — the oracle is
+    the exact all-pairs SQL, pinning that equivalence at value level
+    (tests pin it at t = 0.2 AND 0.8).
+
+    Round-9 note (bench-on-land drain): this query originally ran at
+    t = 0.2, where the prefix keeps ~83% of all shingles and the PPJoin
+    machinery costs strictly more than the plain inverted index
+    (measured 6.5 s vs 1.1 s at sf0.1) — prefix filtering mathematically
+    cannot prune at low thresholds. The registered threshold moved to
+    0.8 (prefix = 0.2·n + 1) where the operator demonstrates its actual
+    contract; ngram_jaccard_pairs remains the low-threshold recall
+    path."""
     docs = t(spark, sf_dir, "documents")
-    return D.jaccard_prefix_pairs(docs, k=3, threshold=0.2)
+    return D.jaccard_prefix_pairs(docs, k=3, threshold=0.8)
 
 
 @register(

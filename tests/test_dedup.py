@@ -184,6 +184,18 @@ def test_prefix_filtered_equals_all_pairs(spark, sf_dir):
     }
     assert pref == exact
     assert exact  # non-degenerate: the corpus has planted near-dups
+    # and at the registered high-threshold regime (t=0.8), where the
+    # prefix + positional + length filters actually prune
+    exact8 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    pref8 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in jaccard_prefix_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    assert pref8 == exact8
+    assert exact8
 
 
 def test_label_propagation_two_cliques(spark):
