@@ -4132,3 +4132,181 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         F.when(degenerate, F.lit(None).cast("bigint")).otherwise(z).alias("z_e6"),
     )
+
+
+# =====================================================================
+# Streaming replay certificate (VERDICT r8 task 6): the cross-batch
+# stateful fold, proven equal to a batch query — under the driver gate.
+# =====================================================================
+
+@register(
+    "stream_replay_running_stats",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS batch_h, ts, event_id, value
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    b AS (
+      SELECT user_id, batch_h,
+             list(value ORDER BY ts, event_id) AS lv
+      FROM ev GROUP BY user_id, batch_h
+    ),
+    pfx AS (
+      SELECT user_id, batch_h,
+             flatten(list(lv) OVER (PARTITION BY user_id ORDER BY batch_h
+                                    ROWS UNBOUNDED PRECEDING)) AS plv
+      FROM b
+    ),
+    folded AS (
+      SELECT user_id, batch_h,
+             len(plv) AS n,
+             list_reduce(list_prepend(0.0::DOUBLE, plv::DOUBLE[]),
+                         (acc, x) -> acc + x) AS total,
+             list_reduce(plv::DOUBLE[], (acc, x) -> least(acc, x)) AS vmin,
+             list_reduce(plv::DOUBLE[], (acc, x) -> greatest(acc, x)) AS vmax,
+             list_reduce(plv::DOUBLE[],
+                         (acc, x) -> 0.2::DOUBLE * x
+                                     + (1.0::DOUBLE - 0.2::DOUBLE) * acc)
+               AS ewma
+      FROM pfx
+    )
+    SELECT user_id, batch_h,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor(total * 10000) AS BIGINT) AS total_e4,
+           CAST(floor(vmin * 10000) AS BIGINT) AS vmin_e4,
+           CAST(floor(vmax * 10000) AS BIGINT) AS vmax_e4,
+           CAST(floor(ewma * 10000) AS BIGINT) AS ewma_e4
+    FROM folded
+    """,
+)
+def stream_replay_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-certificate query (VERDICT r8 task 6): replays a
+    micro-batched execution of the streaming_running_stats kernel with
+    BATCH BOUNDARIES AS DATA and proves, under the driver's DuckDB hash
+    gate, that the cross-batch stateful fold equals the batch query over
+    the union — the streaming_cusum twin pattern made gate-visible.
+
+    Spark side: events are assigned to micro-batches by hour bucket
+    (batch_h = the trigger interval a real stream would see); per key,
+    an applyInPandas harness replays the batches IN ORDER through the
+    EXACT fold function the streaming kernel executes
+    (streaming/stateful.running_stats_fold — one function, two
+    harnesses: applyInPandasWithState in production, this replay under
+    the gate), carrying the (n, total, vmin, vmax, ewma) state tuple
+    across batch calls and emitting one snapshot per touched batch —
+    exactly the stream's append-mode output trace.
+
+    Oracle side: the same trace derived WITHOUT any batch machinery —
+    for every (key, batch) the prefix of values in batches <= b, folded
+    by an explicit ordered list_reduce with the identical expression
+    trees (total: 0.0-seeded +; ewma: 0.2*x + (1.0-0.2)*acc — the
+    literal subtraction is evaluated in SQL too, because Python's
+    1.0 - alpha and a handwritten 0.8 literal are DIFFERENT doubles).
+    Both engines fold identical lists in identical order, so all four
+    running doubles are bit-identical (the ewma_last/elo discipline);
+    outputs quantized to e4 integers.
+
+    A wrong state carry, wrong batch slicing, chunk-local sort (the
+    round-8 bug class), or dropped/duplicated snapshot breaks the hash.
+    NaN/NULL values are excluded on both sides (the kernel's dropna).
+
+    Scale shape: ONE shuffle on user_id for the replay (the same state
+    -store partitioning the real stream uses); the oracle's prefix lists
+    are per-key bounded. Python is Arrow-batched applyInPandas — the
+    deliberate exception for order-dependent stateful recursion, same
+    class as the streaming kernels themselves.
+
+    Reference basis: extends the reference's commit-after-load
+    at-least-once loop (internal/pipeline/pipeline.go:63-118) test
+    strategy — its integration tests replay fixed batches and assert
+    end-state (kafka_pipeline_test.go:158-286); this certifies the
+    whole per-batch trace instead."""
+    import pandas as pd
+
+    from storm_data_etl_spark.streaming.stateful import (
+        RUNNING_STATS_ZERO,
+        running_stats_fold,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts_utc")).alias("batch_h"),
+        "ts",
+        "event_id",
+        "value",
+        # shard-group pattern (streaming_heavy_hitters): one Arrow call
+        # per SHARD of keys, not per key — per-group Python invocation
+        # overhead multiplied by key count dominated the per-key form
+        # (measured 8.7 s pandas-per-key / 3.5 s numpy-per-key / the
+        # sharded numpy form below at sf0.1). Keys never split across
+        # shards, so per-key state/order semantics are unchanged.
+        F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("_shard"),
+    )
+    schema = (
+        "user_id long, batch_h timestamp, n long, total double, "
+        "vmin double, vmax double, ewma double"
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cols = ["user_id", "batch_h", "n", "total", "vmin", "vmax", "ewma"]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        # whole-shard stable sort (uid, batch, ts, event_id), then slice
+        # per key and per batch — the concat-then-sort discipline (never
+        # per-chunk) the round-8 fix established, applied shard-wide.
+        uids = pdf["user_id"].to_numpy()
+        bh = pdf["batch_h"].to_numpy()
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["ts"].to_numpy(), bh, uids)
+        )
+        uids, bh = uids[order], bh[order]
+        vals = pdf["value"].to_numpy(dtype=float)[order]
+        out_uid, out_bh, out_state = [], [], []
+        boundary = np.r_[
+            True, (uids[1:] != uids[:-1]) | (bh[1:] != bh[:-1])
+        ]
+        starts = np.flatnonzero(boundary)
+        bounds = np.r_[starts, len(bh)]
+        state = RUNNING_STATS_ZERO
+        prev_uid = None
+        for i, s in enumerate(starts):
+            if uids[s] != prev_uid:
+                state = RUNNING_STATS_ZERO  # new key: fresh state
+                prev_uid = uids[s]
+            xs = vals[s : bounds[i + 1]]
+            xs = xs[~np.isnan(xs)]
+            if not len(xs):
+                continue
+            state = running_stats_fold(state, [float(x) for x in xs])
+            out_uid.append(uids[s])
+            out_bh.append(bh[s])
+            out_state.append(state)
+        if not out_state:
+            return pd.DataFrame(columns=cols)
+        n, total, vmin, vmax, ewma = zip(*out_state)
+        return pd.DataFrame(
+            {
+                "user_id": out_uid,
+                "batch_h": out_bh,
+                "n": n,
+                "total": total,
+                "vmin": vmin,
+                "vmax": vmax,
+                "ewma": ewma,
+            },
+            columns=cols,
+        )
+
+    trace = ev.groupBy("_shard").applyInPandas(replay, schema)
+    return trace.select(
+        "user_id",
+        "batch_h",
+        "n",
+        F.floor(F.col("total") * 10000).cast("bigint").alias("total_e4"),
+        F.floor(F.col("vmin") * 10000).cast("bigint").alias("vmin_e4"),
+        F.floor(F.col("vmax") * 10000).cast("bigint").alias("vmax_e4"),
+        F.floor(F.col("ewma") * 10000).cast("bigint").alias("ewma_e4"),
+    )

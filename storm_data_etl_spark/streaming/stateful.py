@@ -21,6 +21,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+#: Running-stats zero state: (n, total, vmin, vmax, ewma).
+RUNNING_STATS_ZERO = (0, 0.0, float("inf"), float("-inf"), 0.0)
+
+
+def running_stats_fold(state: tuple, values, alpha: float = 0.2) -> tuple:
+    """The EXACT per-value fold streaming_running_stats applies, extracted
+    so the batch replay certificate (plans/window_queries.py
+    stream_replay_running_stats) executes the identical code path the
+    stream does — one function, two harnesses. ``values`` must already be
+    null-free floats in fold order; returns the updated state tuple."""
+    n, total, vmin, vmax, ewma = state
+    for x in values:
+        total += x
+        vmin = min(vmin, x)
+        vmax = max(vmax, x)
+        ewma = x if n == 0 else alpha * x + (1.0 - alpha) * ewma
+        n += 1
+    return (n, total, vmin, vmax, ewma)
+
 
 def streaming_first_wins_dedup(
     stream: DataFrame,
@@ -147,13 +166,12 @@ def streaming_running_stats(
             # Null/NaN values would contaminate total/ewma for the key's whole
             # lifetime (NaN propagates through every later update) — dropna
             # removes both (pandas treats None and float NaN alike here).
-            for x in pdf[value_col].dropna().astype(float):
+            xs = list(pdf[value_col].dropna().astype(float))
+            if xs:
                 touched = True
-                total += x
-                vmin = min(vmin, x)
-                vmax = max(vmax, x)
-                ewma = x if n == 0 else alpha * x + (1.0 - alpha) * ewma
-                n += 1
+                n, total, vmin, vmax, ewma = running_stats_fold(
+                    (n, total, vmin, vmax, ewma), xs, alpha
+                )
         if not touched:
             return
         state.update((n, total, vmin, vmax, ewma))

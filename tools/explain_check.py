@@ -1015,6 +1015,21 @@ def main() -> int:
     )
     _rel()
 
+    # 86. Round-9: streaming replay certificate — exactly ONE hash
+    # exchange, on the key shard (the shard-group pattern: keys never
+    # split across shards, so it models the stream's state-store
+    # partitioning), one Arrow-batched group-map stage (the deliberate
+    # Python exception for order-dependent stateful recursion), no joins.
+    p_sr = plan_of(qs["stream_replay_running_stats"](spark, sf_dir))
+    check(
+        "stream_replay_single_shard_shuffle",
+        {k.split("#")[0] for k in _re.findall(r"hashpartitioning\(([\w#]+)", p_sr)}
+        == {"_shard"}
+        and len(_re.findall(r"[+:]- FlatMapGroupsInPandas", p_sr)) == 1
+        and "Join" not in p_sr,
+        "(one shard exchange; one Arrow group-map; no joins)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
