@@ -265,6 +265,7 @@ HEADLINE = [
     "cronbach_alpha_raters",
     # round-9 additions
     "quality_model_train",
+    "quality_model_auc",
     "stream_replay_running_stats",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now

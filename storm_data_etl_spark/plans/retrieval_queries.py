@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from storm_data_etl_spark.functions import text as X
 from storm_data_etl_spark.functions import vectors as V
+from storm_data_etl_spark.operators import sampling as SP
 from storm_data_etl_spark.plans.ml_queries import _SQL_QUALITY_CTES, _sql_cosine
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
@@ -936,13 +937,10 @@ _QMT_EPOCHS = 3
 _QMT_FEATURES = ("bias", "stop_anchor", "len_anchor", "uniq_center", "punct_anchor")
 
 
-def _qmt_oracle_sql() -> str:
-    """DuckDB twin of quality_model_train: the same 3 gradient-descent
-    epochs unrolled as chained CTEs in HUGEINT. Generated by a loop so
-    epoch arithmetic literally cannot drift between iterations."""
-    # Per-row forward pass template: weights table {w} x features fi.
-    def fwd(tag: str, w: str) -> str:
-        return f"""
+def _qmt_fwd_sql(tag: str, w: str) -> str:
+    """Per-row forward-pass CTE template: weights table ``w`` × features
+    ``fi`` → z{tag} (raw logit), zb{tag} (e6 logit), pe{tag} (Elliott p6)."""
+    return f"""
     z{tag} AS (
       SELECT x1, x2, x3, x4, y,
              w.w0 * 10000 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 + w.w4 * x4
@@ -963,6 +961,13 @@ def _qmt_oracle_sql() -> str:
       FROM zb{tag}
     )"""
 
+
+def _qmt_sql_chain() -> str:
+    """Shared DuckDB CTE chain for the training family: features (fi),
+    the {_QMT_EPOCHS} unrolled GD epochs (w0t … w{E}t), and the final
+    forward pass (zA/zbA/peA). Generated by a loop so epoch arithmetic
+    literally cannot drift between iterations; quality_model_train and
+    quality_model_auc both build on this one string."""
     xs = ["10000", "x1", "x2", "x3", "x4"]
     epochs = []
     for k in range(1, _QMT_EPOCHS + 1):
@@ -978,7 +983,7 @@ def _qmt_oracle_sql() -> str:
             for j in range(5)
         )
         epochs.append(
-            fwd(str(k), f"w{k - 1}t")
+            _qmt_fwd_sql(str(k), f"w{k - 1}t")
             + f""",
     g{k} AS (
       SELECT CAST(count(*) AS HUGEINT) AS n,
@@ -991,16 +996,7 @@ def _qmt_oracle_sql() -> str:
     )"""
         )
     zeros = ", ".join(f"CAST(0 AS HUGEINT) AS w{j}" for j in range(5))
-    unions = "\n      UNION ALL ".join(
-        f"SELECT '{nm}' AS feature, CAST(w{j} AS BIGINT) AS weight_e6,"
-        f" CAST(s.n_train AS BIGINT) AS n_train,"
-        f" CAST(s.n_pos AS BIGINT) AS n_pos,"
-        f" CAST(a.n_correct AS BIGINT) AS n_correct"
-        f" FROM w{_QMT_EPOCHS}t, stats s, acc a"
-        for j, nm in enumerate(_QMT_FEATURES)
-    )
-    return f"""
-    WITH {_SQL_QUALITY_CTES},
+    return f"""{_SQL_QUALITY_CTES},
     d AS (
       SELECT doc_id, text,
              list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -1031,7 +1027,22 @@ def _qmt_oracle_sql() -> str:
                   THEN 1 ELSE 0 END AS y
       FROM fc f JOIN qual q ON q.doc_id = f.doc_id
     ),
-    w0t AS (SELECT {zeros}),{",".join(epochs)},{fwd("A", f"w{_QMT_EPOCHS}t")},
+    w0t AS (SELECT {zeros}),{",".join(epochs)},{_qmt_fwd_sql("A", f"w{_QMT_EPOCHS}t")}"""
+
+
+def _qmt_oracle_sql() -> str:
+    """DuckDB twin of quality_model_train: the shared training chain plus
+    the accuracy/stats readout unpivoted to one row per coefficient."""
+    unions = "\n      UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, CAST(w{j} AS BIGINT) AS weight_e6,"
+        f" CAST(s.n_train AS BIGINT) AS n_train,"
+        f" CAST(s.n_pos AS BIGINT) AS n_pos,"
+        f" CAST(a.n_correct AS BIGINT) AS n_correct"
+        f" FROM w{_QMT_EPOCHS}t, stats s, acc a"
+        for j, nm in enumerate(_QMT_FEATURES)
+    )
+    return f"""
+    WITH {_qmt_sql_chain()},
     acc AS (
       SELECT coalesce(sum(CASE WHEN (p6 >= 500000) = (y = 1)
                                 THEN 1 ELSE 0 END), 0) AS n_correct
@@ -1042,6 +1053,91 @@ def _qmt_oracle_sql() -> str:
     )
     {unions}
     """
+
+
+def _qmt_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-anchored e4 integer features + heuristic-gate label,
+    localCheckpointed ONCE (the quality regex + token pass must not
+    re-execute per epoch). Shared by quality_model_train and
+    quality_model_auc."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    counts = docs.select(
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda x: x.isin("a", "the", "of", "and", "to"))).alias(
+            "n_stop"
+        ),
+        F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(r"[^a-zA-Z0-9_\s]")).alias("n_punct"),
+        (
+            F.floor(X.quality_score("text") * 10000 + 0.5) >= 9000
+        ).cast("int").alias("y"),
+    )
+    return counts.selectExpr(
+        "CAST(least(CASE WHEN n_words > 0"
+        "                THEN (n_stop * 10000) div n_words ELSE 0 END,"
+        "           2000) - 500 AS DECIMAL(38,0)) AS x1",
+        "CAST(least(n_chars, 400) * 50 - 10000 AS DECIMAL(38,0)) AS x2",
+        "CAST(CASE WHEN n_words > 0 THEN (n_uniq * 10000) div n_words"
+        "          ELSE 0 END - 5000 AS DECIMAL(38,0)) AS x3",
+        "CAST(CASE WHEN n_chars > 0 THEN (n_punct * 10000) div n_chars"
+        "          ELSE 0 END - 2000 AS DECIMAL(38,0)) AS x4",
+        "y",
+    ).localCheckpoint(eager=True)
+
+
+def _qmt_forward(df: DataFrame) -> DataFrame:
+    """Per-row integer forward pass: expects x1..x4, y, w0..w4."""
+    return (
+        df.selectExpr(
+            "x1", "x2", "x3", "x4", "y",
+            "w0 * 10000 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 AS z10",
+        )
+        .selectExpr(
+            "x1", "x2", "x3", "x4", "y", "z10",
+            "CASE WHEN z10 >= 0 THEN z10 div 10000"
+            "     ELSE -((-z10) div 10000) END AS z6",
+        )
+        .selectExpr(
+            "x1", "x2", "x3", "x4", "y", "z10",
+            "500000 + CASE WHEN z6 >= 0"
+            "     THEN (z6 * 1000000) div (2 * (1000000 + z6))"
+            "     ELSE -(((-z6) * 1000000) div (2 * (1000000 - z6))) END AS p6",
+        )
+    )
+
+
+def _qmt_fit(spark: SparkSession, feats: DataFrame) -> DataFrame:
+    """The _QMT_EPOCHS unrolled full-batch GD epochs; returns the final
+    1-row weight DataFrame (w0..w4, DECIMAL(38,0)), checkpointed per
+    epoch (the bradley_terry lineage discipline)."""
+    xs = ["10000", "x1", "x2", "x3", "x4"]
+    w = spark.range(1).selectExpr(
+        *[f"CAST(0 AS DECIMAL(38,0)) AS w{j}" for j in range(5)]
+    )
+    for _ in range(_QMT_EPOCHS):
+        g = _qmt_forward(feats.crossJoin(F.broadcast(w))).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            *[
+                F.coalesce(
+                    F.sum(F.expr(f"(p6 - y * 1000000) * {x}")), F.lit(0)
+                )
+                .cast("decimal(38,0)")
+                .alias(f"g{j}")
+                for j, x in enumerate(xs)
+            ],
+        )
+        w = w.crossJoin(g).selectExpr(
+            *[
+                f"CAST(w{j} - (CASE WHEN g{j} >= 0"
+                f" THEN ({_QMT_LR} * g{j}) div (greatest(n, 1) * 10000)"
+                f" ELSE -(({_QMT_LR} * (-g{j})) div (greatest(n, 1) * 10000))"
+                f" END) AS DECIMAL(38,0)) AS w{j}"
+                for j in range(5)
+            ]
+        ).localCheckpoint(eager=True)  # 1-row state: lineage cut per epoch
+    return w
 
 
 @register("quality_model_train", _qmt_oracle_sql())
@@ -1084,79 +1180,9 @@ def quality_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmd/validate's re-derive-and-compare discipline
     (cmd/validate/main.go:352-462) to model fitting, with the DuckDB twin
     unrolling identical epochs."""
-    docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
-    counts = docs.select(
-        F.size(toks).alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
-        F.size(F.filter(toks, lambda x: x.isin("a", "the", "of", "and", "to"))).alias(
-            "n_stop"
-        ),
-        F.length("text").alias("n_chars"),
-        F.regexp_count("text", F.lit(r"[^a-zA-Z0-9_\s]")).alias("n_punct"),
-        (
-            F.floor(X.quality_score("text") * 10000 + 0.5) >= 9000
-        ).cast("int").alias("y"),
-    )
-    feats = counts.selectExpr(
-        "CAST(least(CASE WHEN n_words > 0"
-        "                THEN (n_stop * 10000) div n_words ELSE 0 END,"
-        "           2000) - 500 AS DECIMAL(38,0)) AS x1",
-        "CAST(least(n_chars, 400) * 50 - 10000 AS DECIMAL(38,0)) AS x2",
-        "CAST(CASE WHEN n_words > 0 THEN (n_uniq * 10000) div n_words"
-        "          ELSE 0 END - 5000 AS DECIMAL(38,0)) AS x3",
-        "CAST(CASE WHEN n_chars > 0 THEN (n_punct * 10000) div n_chars"
-        "          ELSE 0 END - 2000 AS DECIMAL(38,0)) AS x4",
-        "y",
-    ).localCheckpoint(eager=True)  # quality+token pass runs ONCE, not per epoch
-
-    def forward(df: DataFrame) -> DataFrame:
-        """Per-row integer forward pass: expects x1..x4, y, w0..w4."""
-        return (
-            df.selectExpr(
-                "x1", "x2", "x3", "x4", "y",
-                "w0 * 10000 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 AS z10",
-            )
-            .selectExpr(
-                "x1", "x2", "x3", "x4", "y",
-                "CASE WHEN z10 >= 0 THEN z10 div 10000"
-                "     ELSE -((-z10) div 10000) END AS z6",
-            )
-            .selectExpr(
-                "x1", "x2", "x3", "x4", "y",
-                "500000 + CASE WHEN z6 >= 0"
-                "     THEN (z6 * 1000000) div (2 * (1000000 + z6))"
-                "     ELSE -(((-z6) * 1000000) div (2 * (1000000 - z6))) END AS p6",
-            )
-        )
-
-    xs = ["10000", "x1", "x2", "x3", "x4"]
-    w = spark.range(1).selectExpr(
-        *[f"CAST(0 AS DECIMAL(38,0)) AS w{j}" for j in range(5)]
-    )
-    for _ in range(_QMT_EPOCHS):
-        g = forward(feats.crossJoin(F.broadcast(w))).agg(
-            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-            *[
-                F.coalesce(
-                    F.sum(F.expr(f"(p6 - y * 1000000) * {x}")), F.lit(0)
-                )
-                .cast("decimal(38,0)")
-                .alias(f"g{j}")
-                for j, x in enumerate(xs)
-            ],
-        )
-        w = w.crossJoin(g).selectExpr(
-            *[
-                f"CAST(w{j} - (CASE WHEN g{j} >= 0"
-                f" THEN ({_QMT_LR} * g{j}) div (greatest(n, 1) * 10000)"
-                f" ELSE -(({_QMT_LR} * (-g{j})) div (greatest(n, 1) * 10000))"
-                f" END) AS DECIMAL(38,0)) AS w{j}"
-                for j in range(5)
-            ]
-        ).localCheckpoint(eager=True)  # 1-row state: lineage cut per epoch
-
-    acc = forward(feats.crossJoin(F.broadcast(w))).agg(
+    feats = _qmt_feats(spark, sf_dir)
+    w = _qmt_fit(spark, feats)
+    acc = _qmt_forward(feats.crossJoin(F.broadcast(w))).agg(
         F.coalesce(
             F.sum(F.expr("CASE WHEN (p6 >= 500000) = (y = 1) THEN 1 ELSE 0 END")),
             F.lit(0),
@@ -1181,3 +1207,92 @@ def quality_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+def _qmt_auc_sql() -> str:
+    """DuckDB twin of quality_model_auc: the shared training chain, then
+    the tie-corrected Mann-Whitney AUC in exact integers over the final
+    forward pass's raw logits (zA)."""
+    return f"""
+    WITH {_qmt_sql_chain()},
+    sc AS (SELECT z10 AS s, y FROM zA),
+    ag AS (
+      SELECT s, CAST(count(*) AS HUGEINT) AS c,
+             CAST(coalesce(sum(y), 0) AS HUGEINT) AS c1
+      FROM sc GROUP BY s
+    ),
+    cm AS (
+      SELECT s, c, c1,
+             CAST(coalesce(sum(c) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS HUGEINT) AS cb
+      FROM ag
+    ),
+    tt AS (
+      SELECT CAST(coalesce(sum(c1), 0) AS HUGEINT) AS n1,
+             CAST(coalesce(sum(c - c1), 0) AS HUGEINT) AS n0,
+             CAST(coalesce(sum(c1 * (2 * cb + c + 1)), 0) AS HUGEINT) AS r2
+      FROM cm
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+                ELSE CAST((1000000 * (r2 - n1 * (n1 + 1))) // (2 * n1 * n0)
+                          AS BIGINT) END AS auc_e6
+    FROM tt
+    """
+
+
+@register("quality_model_auc", _qmt_auc_sql())
+def quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the in-engine-trained quality classifier IN-ENGINE:
+    tie-corrected ROC AUC of the trained model's raw logits against the
+    heuristic-gate labels, via the Mann-Whitney rank identity
+    AUC = (R1 − n1(n1+1)/2) / (n1·n0) with MIDRANKS for tied scores —
+    the standard eval a training pipeline runs right after the fit
+    (train → score → AUC, all distributed, no collect). Exact integer
+    arithmetic throughout: scores are the integer z10 logits; doubled
+    midranks r2 = 2·cum_before + tied_count + 1 keep the .5 midranks in
+    ℤ; AUC·1e6 = 1e6·(Σ_pos r2 − n1(n1+1)) tdiv (2·n1·n0), numerator
+    provably ≥ 0. NULL when either class is empty (AUC undefined).
+
+    Scale shape: reuses the shared training chain (_qmt_feats/_qmt_fit —
+    checkpointed features, 1-row broadcast weight state), one scoring
+    pass, a groupBy on the distinct logit value, and the two-phase
+    distributed prefix sum (operators/sampling.global_prefix_sum: range
+    shuffle + per-partition cumsum + broadcast #partitions-row offsets)
+    for the cumulative rank base — NEVER a single-task global window
+    over the score table. Capacity: r2 sums bounded by n² in
+    DECIMAL(38,0)/HUGEINT → n ≤ 1e15 rows (docs/LIMITS.md).
+
+    Reference basis: no training/eval surface exists in the reference;
+    this extends cmd/validate's derive-and-compare discipline
+    (cmd/validate/main.go:352-462) to model evaluation. The DuckDB twin
+    unrolls the identical chain; its bounded cm window runs over
+    distinct logits, and the driver's hash gate certifies the whole
+    train→score→rank→AUC pipeline end to end."""
+    feats = _qmt_feats(spark, sf_dir)
+    w = _qmt_fit(spark, feats)
+    scored = _qmt_forward(feats.crossJoin(F.broadcast(w))).select("z10", "y")
+    ag = scored.groupBy(F.col("z10").alias("s")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("decimal(38,0)").alias("c1"),
+    )
+    cm = SP.global_prefix_sum(ag, "c", ["s"], out_col="cb")
+    tt = cm.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("decimal(38,0)").alias("n1"),
+        F.coalesce(F.sum(F.col("c") - F.col("c1")), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("n0"),
+        F.coalesce(
+            F.sum(F.col("c1") * (2 * F.col("cb") + F.col("c") + 1)), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("r2"),
+    )
+    return tt.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_pos",
+        "CAST(n0 AS BIGINT) AS n_neg",
+        "CASE WHEN n1 = 0 OR n0 = 0 THEN NULL"
+        "     ELSE CAST((1000000 * (r2 - n1 * (n1 + 1))) div (2 * n1 * n0)"
+        "               AS BIGINT) END AS auc_e6",
+    )

@@ -1030,6 +1030,22 @@ def main() -> int:
         "(one shard exchange; one Arrow group-map; no joins)",
     )
 
+    # 87. Round-9: quality_model_auc — the rank base must be the two-phase
+    # prefix sum (range partitioning), never a single-task global window
+    # over the score table; epoch state off checkpoints like the trainer.
+    dfq = qs["quality_model_auc"](spark, sf_dir)
+    p_qa = plan_of(dfq)
+    bad = unpartitioned_ordered_windows(dfq, allow_keys=("_pid",))
+    check(
+        "quality_model_auc_two_phase_rank",
+        "rangepartitioning" in p_qa.lower()
+        and not bad
+        and "Scan parquet" not in p_qa
+        and "BatchEvalPython" not in p_qa,
+        f"(two-phase rank; checkpointed chain; no global score window) {bad}",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
