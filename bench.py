@@ -267,6 +267,9 @@ HEADLINE = [
     "quality_model_train",
     "quality_model_auc",
     "stream_replay_running_stats",
+    "jarque_bera_normality",
+    "effect_size_panel",
+    "t_closeness_audit",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

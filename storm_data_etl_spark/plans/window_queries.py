@@ -4310,3 +4310,464 @@ def stream_replay_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("vmax") * 10000).cast("bigint").alias("vmax_e4"),
         F.floor(F.col("ewma") * 10000).cast("bigint").alias("ewma_e4"),
     )
+
+
+# =====================================================================
+# Round 9 — statistics-family completion: moment-based normality test,
+# standardized effect sizes, and the t-closeness privacy audit.
+# =====================================================================
+
+@register(
+    "jarque_bera_normality",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(floor("value") AS BIGINT) AS v
+      FROM events
+      WHERE "value" IS NOT NULL AND NOT isnan("value")
+        AND event_type IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(v * v) AS BIGINT) AS s2,
+             CAST(sum(v * v * v) AS BIGINT) AS s3,
+             CAST(sum(v * v * v * v) AS BIGINT) AS s4
+      FROM q GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS md,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM s
+    ),
+    c AS (
+      SELECT event_type, n, md,
+             r2 - md * md AS m2,
+             r3 - CAST(3 AS DOUBLE) * md * r2
+                + CAST(2 AS DOUBLE) * md * md * md AS m3,
+             r4 - CAST(4 AS DOUBLE) * md * r3
+                + CAST(6 AS DOUBLE) * md * md * r2
+                - CAST(3 AS DOUBLE) * md * md * md * md AS m4
+      FROM m
+    ),
+    k AS (
+      SELECT event_type, n, m2,
+             m3 / (m2 * sqrt(m2)) AS skew,
+             m4 / (m2 * m2) - CAST(3 AS DOUBLE) AS exkurt
+      FROM c
+    )
+    SELECT event_type, n,
+           CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL
+                ELSE CAST(floor(CAST(1000000 AS DOUBLE) * skew) AS BIGINT)
+           END AS skew_e6,
+           CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL
+                ELSE CAST(floor(CAST(1000000 AS DOUBLE) * exkurt) AS BIGINT)
+           END AS exkurt_e6,
+           CASE WHEN m2 <= CAST(0 AS DOUBLE) THEN NULL
+                ELSE CAST(floor(
+                  CAST(10000 AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(6 AS DOUBLE))
+                  * (skew * skew + exkurt * exkurt / CAST(4 AS DOUBLE))
+                ) AS BIGINT)
+           END AS jb_e4
+    FROM k
+    """,
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per event type (Jarque & Bera 1980,
+    public literature): sample skewness and excess kurtosis from the first
+    four raw moments, JB = n/6 * (S^2 + K^2/4) — the moment-based
+    distributional gate completing the inference family (welch assumes
+    normality, this one CHECKS it; ks_two_sample/runs_test are its
+    nonparametric siblings).
+
+    Values quantize to integer UNITS (floor(value)) first so all four
+    power sums are exact BIGINTs on both engines — no accumulation-order
+    float noise. The moment->skew/kurt/JB chain is then closed-form
+    per-row IEEE double arithmetic over five integers with identical
+    expression trees on both sides (sqrt is IEEE-correctly-rounded, no
+    transcendentals). Constant groups (m2 <= 0) emit NULL statistics.
+
+    Exactness bound: the int64 fourth-power sum is exact while
+    n * max(v)^4 < 2^63 — ~1.6e8 rows per type at v <= 490 (same class
+    of documented bound as welch_ttest; DuckDB widens to HUGEINT past it,
+    Spark wraps, so the twins diverge TOGETHER with the data, loudly).
+    ONE conditional-aggregate scan, map-side partial agg, tiny shuffle."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("event_type").isNotNull()
+    )
+    v = F.floor(F.col("value")).cast("bigint")
+    s = ev.select(F.col("event_type"), v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).cast("bigint").alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v"))
+        .cast("bigint")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    three = F.lit(3).cast("double")
+    m2 = r2 - md * md
+    m3 = r3 - three * md * r2 + F.lit(2).cast("double") * md * md * md
+    m4 = (
+        r4
+        - F.lit(4).cast("double") * md * r3
+        + F.lit(6).cast("double") * md * md * r2
+        - three * md * md * md * md
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exkurt = m4 / (m2 * m2) - three
+    jb = (
+        F.lit(10000).cast("double")
+        * (nd / F.lit(6).cast("double"))
+        * (skew * skew + exkurt * exkurt / F.lit(4).cast("double"))
+    )
+    bad = m2 <= F.lit(0).cast("double")
+    e6 = F.lit(1000000).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(e6 * skew).cast("bigint"))
+        .alias("skew_e6"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(e6 * exkurt).cast("bigint"))
+        .alias("exkurt_e6"),
+        F.when(bad, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(jb).cast("bigint"))
+        .alias("jb_e4"),
+    )
+
+
+@register(
+    "effect_size_panel",
+    """
+    WITH q AS (
+      SELECT CAST(floor("value" * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('click', 'purchase')
+        AND "value" IS NOT NULL
+    ),
+    per_v AS (
+      SELECT v, CAST(sum(ia) AS BIGINT) AS a_cnt,
+             CAST(sum(ib) AS BIGINT) AS b_cnt,
+             CAST(count(*) AS BIGINT) AS t
+      FROM q GROUP BY v
+    ),
+    cum AS (
+      SELECT v, a_cnt, b_cnt, t,
+             CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS below
+      FROM per_v
+    ),
+    s AS (
+      SELECT
+        CAST(sum(a_cnt) AS BIGINT) AS n1,
+        CAST(sum(b_cnt) AS BIGINT) AS n2,
+        CAST(sum(a_cnt * v) AS BIGINT) AS s1,
+        CAST(sum(b_cnt * v) AS BIGINT) AS s2,
+        CAST(sum(a_cnt * v * v) AS BIGINT) AS q1,
+        CAST(sum(b_cnt * v * v) AS BIGINT) AS q2,
+        CAST(sum(a_cnt * (2 * below + t + 1)) AS BIGINT) AS r2a,
+        CAST(sum(b_cnt * (2 * below + t + 1)) AS BIGINT) AS r2b
+      FROM cum
+    ),
+    d AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / (CAST(100 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS m1,
+             CAST(s2 AS DOUBLE) / (CAST(100 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS m2,
+             (CAST(q1 AS DOUBLE) / CAST(10000 AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(100 AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(100 AS DOUBLE)) / CAST(n1 AS DOUBLE))
+               AS ss1,
+             (CAST(q2 AS DOUBLE) / CAST(10000 AS DOUBLE)
+              - (CAST(s2 AS DOUBLE) / CAST(100 AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(100 AS DOUBLE)) / CAST(n2 AS DOUBLE))
+               AS ss2,
+             r2a - n1 * (n1 + 1) AS u2a,
+             r2b - n2 * (n2 + 1) AS u2b
+      FROM s
+    )
+    SELECT n1, n2,
+           CAST(floor(CAST(1000000 AS DOUBLE) * (m1 - m2)
+             / sqrt((ss1 + ss2) / CAST(n1 + n2 - 2 AS DOUBLE))) AS BIGINT)
+             AS cohens_d_e6,
+           CAST(floor(CAST(1000000 AS DOUBLE) * (m1 - m2)
+             / sqrt((ss1 + ss2) / CAST(n1 + n2 - 2 AS DOUBLE))
+             * (CAST(1 AS DOUBLE) - CAST(3 AS DOUBLE)
+                / (CAST(4 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE) - CAST(9 AS DOUBLE))))
+             AS BIGINT) AS hedges_g_e6,
+           CAST(floor(CAST(1000000 AS DOUBLE) * CAST(u2a - u2b AS DOUBLE)
+             / (CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             AS BIGINT) AS cliffs_delta_e6
+    FROM d
+    """,
+)
+def effect_size_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes between the click and purchase value
+    distributions — the companion panel the inference family was missing:
+    a significance test (welch_ttest / mann_whitney_u) says WHETHER arms
+    differ, these say BY HOW MUCH. Cohen's d (pooled-variance), its
+    small-sample Hedges' g correction g = d * (1 - 3/(4N - 9)) (Hedges
+    1981), and the nonparametric Cliff's delta derived exactly from the
+    tie-aware doubled rank sums: with 2R computed from midranks,
+    2U = 2R - n(n+1) per arm, and delta = (#[a>b] - #[a<b]) / (n1*n2)
+    = (2U_a - 2U_b) / (2*n1*n2) — the half-tie terms cancel in the
+    difference, so delta is EXACT integer arithmetic until the final
+    scaled division.
+
+    Values quantize to integer hundredths first (the welch/mann-whitney
+    discipline): the moment sums are exact BIGINTs and the rank sums come
+    from the same per-value tie-group scan mann_whitney_u proved out —
+    one value-vocabulary-sized aggregate + a cumulative window over
+    distinct values, then a 1-row panel. Same int64 bound as welch_ttest
+    (~9e8 rows/arm at |value| <= 1000)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    )
+    q = ev.select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("event_type") == "click").cast("bigint").alias("ia"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("ib"),
+    )
+    per_v = q.groupBy("v").agg(
+        F.sum("ia").cast("bigint").alias("a_cnt"),
+        F.sum("ib").cast("bigint").alias("b_cnt"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_v.withColumn(
+        "below", (F.sum("t").over(w) - F.col("t")).cast("bigint")
+    )
+    s = cum.agg(
+        F.sum("a_cnt").cast("bigint").alias("n1"),
+        F.sum("b_cnt").cast("bigint").alias("n2"),
+        F.sum(F.col("a_cnt") * F.col("v")).cast("bigint").alias("s1"),
+        F.sum(F.col("b_cnt") * F.col("v")).cast("bigint").alias("s2"),
+        F.sum(F.col("a_cnt") * F.col("v") * F.col("v")).cast("bigint").alias("q1"),
+        F.sum(F.col("b_cnt") * F.col("v") * F.col("v")).cast("bigint").alias("q2"),
+        F.sum(F.col("a_cnt") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r2a"),
+        F.sum(F.col("b_cnt") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r2b"),
+    )
+    hundred = F.lit(100).cast("double")
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / (hundred * n1d)
+    m2 = F.col("s2").cast("double") / (hundred * n2d)
+    ss1 = (
+        F.col("q1").cast("double") / F.lit(10000).cast("double")
+        - (F.col("s1").cast("double") / hundred)
+        * (F.col("s1").cast("double") / hundred)
+        / n1d
+    )
+    ss2 = (
+        F.col("q2").cast("double") / F.lit(10000).cast("double")
+        - (F.col("s2").cast("double") / hundred)
+        * (F.col("s2").cast("double") / hundred)
+        / n2d
+    )
+    u2a = F.col("r2a") - F.col("n1") * (F.col("n1") + 1)
+    u2b = F.col("r2b") - F.col("n2") * (F.col("n2") + 1)
+    pooled = F.sqrt((ss1 + ss2) / (F.col("n1") + F.col("n2") - 2).cast("double"))
+    d = (m1 - m2) / pooled
+    g = d * (
+        F.lit(1).cast("double")
+        - F.lit(3).cast("double")
+        / (
+            F.lit(4).cast("double") * (F.col("n1") + F.col("n2")).cast("double")
+            - F.lit(9).cast("double")
+        )
+    )
+    e6 = F.lit(1000000).cast("double")
+    delta = (
+        e6
+        * (u2a - u2b).cast("double")
+        / (F.lit(2).cast("double") * n1d * n2d)
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.floor(e6 * d).cast("bigint").alias("cohens_d_e6"),
+        F.floor(e6 * g).cast("bigint").alias("hedges_g_e6"),
+        F.floor(delta).cast("bigint").alias("cliffs_delta_e6"),
+    )
+
+
+@register(
+    "t_closeness_audit",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor("value" / 100) AS BIGINT) AS value_band,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hour
+      FROM events WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+    ),
+    hours AS (SELECT DISTINCT hour FROM q),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM hours),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM q),
+    ch AS (SELECT hour, CAST(count(*) AS BIGINT) AS c_all FROM q GROUP BY hour),
+    cls AS (
+      SELECT event_type, value_band, CAST(count(*) AS BIGINT) AS n_g
+      FROM q GROUP BY 1, 2
+    ),
+    gh AS (
+      SELECT event_type, value_band, hour, CAST(count(*) AS BIGINT) AS c_g
+      FROM q GROUP BY 1, 2, 3
+    ),
+    dense AS (
+      SELECT cls.event_type, cls.value_band, cls.n_g, hours.hour,
+             coalesce(gh.c_g, 0) AS c_g, ch.c_all
+      FROM cls CROSS JOIN hours
+      LEFT JOIN gh ON gh.event_type = cls.event_type
+                  AND gh.value_band = cls.value_band
+                  AND gh.hour = hours.hour
+      JOIN ch ON ch.hour = hours.hour
+    ),
+    cumd AS (
+      SELECT event_type, value_band, n_g,
+             abs(sum(c_g) OVER (PARTITION BY event_type, value_band
+                                ORDER BY hour
+                                ROWS UNBOUNDED PRECEDING)
+                 * (SELECT n_total FROM tot)
+                 - sum(c_all) OVER (PARTITION BY event_type, value_band
+                                    ORDER BY hour
+                                    ROWS UNBOUNDED PRECEDING)
+                 * n_g) AS step
+      FROM dense
+    ),
+    per_class AS (
+      SELECT event_type, value_band, n_g,
+             CAST(floor(
+               CAST(1000000 AS DOUBLE) * CAST(sum(step) AS DOUBLE)
+               / (CAST(n_g AS DOUBLE) * CAST((SELECT n_total FROM tot) AS DOUBLE)
+                  * CAST((SELECT m FROM m) - 1 AS DOUBLE))
+             ) AS BIGINT) AS t_e6
+      FROM cumd
+      GROUP BY event_type, value_band, n_g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN t_e6 > 250000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_above_t,
+           CAST(sum(CASE WHEN t_e6 > 250000 THEN n_g ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(max(t_e6) AS BIGINT) AS max_t_e6
+    FROM per_class
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, public
+    literature) — the third rung of the release-gate ladder after
+    k_anonymity_audit and l_diversity_audit: a class can be k-anonymous
+    AND l-diverse yet still leak if its SENSITIVE-VALUE DISTRIBUTION
+    differs sharply from the table's. Over the quasi-identifier
+    (event_type, value_band), the sensitive attribute is the ORDERED
+    event hour; distance is the ordered-attribute Earth Mover's Distance
+    EMD = sum_i |cumP_i - cumQ_i| / (m - 1), reported per class and
+    rolled up (classes above t = 0.25, rows they expose, worst t).
+
+    Exactness: every cumulative term is cross-multiplied to the common
+    denominator n_g * N — |cum_g * N - cum_all * n_g| is an exact BIGINT
+    (bound: n_g * N < 2^63, ~3e9 rows at 1e9-row classes), summed
+    exactly, with ONE final scaled division per class. No floats until
+    the last floor.
+
+    Scale shape: two grouped counts on the (bounded) QI and QI x hour
+    keys, a broadcastable hours/global-counts side, and a cumulative
+    window PARTITIONED BY CLASS over at most 24 ordered hour rows — the
+    dense class x hour grid is |classes| * 24, never row-scale. The
+    global N and m ride in as 1-row broadcast scalars."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 100).cast("bigint").alias("value_band"),
+        F.hour("ts_utc").cast("bigint").alias("hour"),
+    )
+    q = _pin(q)  # scanned four times: hours, global counts, class counts
+    hours = q.select("hour").distinct()
+    tot = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    mrow = hours.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    ch = q.groupBy("hour").agg(F.count(F.lit(1)).cast("bigint").alias("c_all"))
+    cls = q.groupBy("event_type", "value_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    gh = q.groupBy("event_type", "value_band", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_g")
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(hours))
+        .join(
+            gh.withColumnsRenamed({"c_g": "_cg"}),
+            ["event_type", "value_band", "hour"],
+            "left",
+        )
+        .join(F.broadcast(ch), "hour")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "value_band",
+            "n_g",
+            "hour",
+            F.coalesce(F.col("_cg"), F.lit(0)).cast("bigint").alias("c_g"),
+            "c_all",
+            "n_total",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "value_band")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumd = dense.select(
+        "event_type",
+        "value_band",
+        "n_g",
+        F.abs(
+            F.sum("c_g").over(w) * F.col("n_total")
+            - F.sum("c_all").over(w) * F.col("n_g")
+        ).alias("step"),
+        "n_total",
+    )
+    per_class = (
+        cumd.groupBy("event_type", "value_band", "n_g", "n_total")
+        .agg(F.sum("step").cast("bigint").alias("steps"))
+        .crossJoin(F.broadcast(mrow))
+        .select(
+            "n_g",
+            F.floor(
+                F.lit(1000000).cast("double")
+                * F.col("steps").cast("double")
+                / (
+                    F.col("n_g").cast("double")
+                    * F.col("n_total").cast("double")
+                    * (F.col("m") - 1).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("t_e6"),
+        )
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("t_e6") > 250000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_above_t"),
+        F.sum(F.when(F.col("t_e6") > 250000, F.col("n_g")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.max("t_e6").cast("bigint").alias("max_t_e6"),
+    )
