@@ -270,6 +270,9 @@ HEADLINE = [
     "jarque_bera_normality",
     "effect_size_panel",
     "t_closeness_audit",
+    "link_prediction_scores",
+    "flesch_readability_by_lang",
+    "query_likelihood_dirichlet",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

@@ -2531,3 +2531,137 @@ def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_e6"),
     )
+
+
+@register(
+    "flesch_readability_by_lang",
+    """
+    WITH d AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT)
+               AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+               AS syl
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    scored AS (
+      SELECT lang,
+             CAST(floor(CAST(10000 AS DOUBLE) * (
+               CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+               - CAST(84.6 AS DOUBLE) * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+             )) AS BIGINT) AS fre_e4,
+             CAST(floor(CAST(10000 AS DOUBLE) * (
+               CAST(0.39 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+               + CAST(11.8 AS DOUBLE) * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+               - CAST(15.59 AS DOUBLE)
+             )) AS BIGINT) AS fkg_e4
+      FROM d WHERE w > 0
+    ),
+    g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(fre_e4) AS BIGINT) AS sfre,
+             CAST(min(fre_e4) AS BIGINT) AS min_fre_e4,
+             CAST(max(fre_e4) AS BIGINT) AS max_fre_e4,
+             CAST(sum(fkg_e4) AS BIGINT) AS sfkg
+      FROM scored GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           CASE WHEN sfre >= 0 THEN sfre // n_docs
+                ELSE -(((-sfre) + n_docs - 1) // n_docs) END AS mean_fre_e4,
+           min_fre_e4, max_fre_e4,
+           CASE WHEN sfkg >= 0 THEN sfkg // n_docs
+                ELSE -(((-sfkg) + n_docs - 1) // n_docs) END AS mean_fkg_e4
+    FROM g
+    """,
+)
+def flesch_readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade level per language
+    (Flesch 1948 / Kincaid et al. 1975, public literature) — the classic
+    surface-readability scorer a corpus-quality pipeline runs next to
+    gopher_quality_gate (rule thresholds) and quality_model_score
+    (learned): FRE = 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/word), FKG = 0.39*(w/s) + 11.8*(syl/w) - 15.59.
+
+    Counting conventions (deterministic, engine-mirrored): words are
+    maximal non-whitespace runs; sentences are maximal [.!?]+ runs
+    floored at 1 (unpunctuated text = one sentence); syllables are the
+    standard vowel-run heuristic (maximal [aeiouy]+ runs — word
+    boundaries break runs, so the text-global count equals the per-word
+    sum). Each doc's scores are per-row IEEE doubles over three exact
+    ints quantized to e4 BEFORE aggregation; the per-lang mean is then
+    sign-split truncating integer division over the exact e4 sums
+    (both branches keep the numerator positive, so Spark's `div` and
+    DuckDB's `//` — both truncate-toward-zero — agree with floor
+    semantics), never a float mean.
+
+    Scale shape: one document scan with three JVM-side regexp counts and
+    one groupBy(lang) partial+final aggregate — no shuffle beyond the
+    lang-keyed rollup, no Python anywhere."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "lang",
+            F.regexp_count(F.col("text"), F.lit("[^ \t\n\r]+"))
+            .cast("bigint")
+            .alias("w"),
+            F.greatest(
+                F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+            )
+            .cast("bigint")
+            .alias("s"),
+            F.regexp_count(F.col("text"), F.lit(r"[aeiouy]+"))
+            .cast("bigint")
+            .alias("syl"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    wd = F.col("w").cast("double")
+    sd = F.col("s").cast("double")
+    syld = F.col("syl").cast("double")
+    e4 = F.lit(10000).cast("double")
+    fre = e4 * (
+        F.lit(206.835).cast("double")
+        - F.lit(1.015).cast("double") * (wd / sd)
+        - F.lit(84.6).cast("double") * (syld / wd)
+    )
+    fkg = e4 * (
+        F.lit(0.39).cast("double") * (wd / sd)
+        + F.lit(11.8).cast("double") * (syld / wd)
+        - F.lit(15.59).cast("double")
+    )
+    scored = d.select(
+        "lang",
+        F.floor(fre).cast("bigint").alias("fre_e4"),
+        F.floor(fkg).cast("bigint").alias("fkg_e4"),
+    )
+    sums = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("fre_e4").cast("bigint").alias("sfre"),
+        F.min("fre_e4").cast("bigint").alias("min_fre_e4"),
+        F.max("fre_e4").cast("bigint").alias("max_fre_e4"),
+        F.sum("fkg_e4").cast("bigint").alias("sfkg"),
+    )
+    return sums.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "CASE WHEN sfre >= 0 THEN sfre div n_docs "
+            "ELSE -(((-sfre) + n_docs - 1) div n_docs) END"
+        )
+        .cast("bigint")
+        .alias("mean_fre_e4"),
+        "min_fre_e4",
+        "max_fre_e4",
+        F.expr(
+            "CASE WHEN sfkg >= 0 THEN sfkg div n_docs "
+            "ELSE -(((-sfkg) + n_docs - 1) div n_docs) END"
+        )
+        .cast("bigint")
+        .alias("mean_fkg_e4"),
+    )

@@ -1296,3 +1296,121 @@ def quality_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "     ELSE CAST((1000000 * (r2 - n1 * (n1 + 1))) div (2 * n1 * n0)"
         "               AS BIGINT) END AS auc_e6",
     )
+
+
+# =====================================================================
+# Language-model retrieval: Dirichlet-smoothed query likelihood
+# =====================================================================
+
+_QL_TERMS = ("spark", "join", "window")  # same query as bm25_keyword_search
+_QL_MU = 2000  # Zhai & Lafferty 2001's recommended prior mass
+
+
+def _ql_sql() -> str:
+    terms = _QL_TERMS
+    cf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tok = '{w}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS cf_{w}"
+        for w in terms
+    )
+    tf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tok = '{w}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{w}"
+        for w in terms
+    )
+    mu = f"CAST({_QL_MU} AS DOUBLE)"
+    lns = " + ".join(
+        f"ln((CAST(tf_{w} AS DOUBLE) + {mu} * (CAST(cf_{w} AS DOUBLE)"
+        f" / CAST(c_total AS DOUBLE))) / (CAST(dl AS DOUBLE) + {mu}))"
+        for w in terms
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS c_total, {cf_cols} FROM tok),
+    d AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, {tf_cols}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, dl,
+           CAST(floor(CAST(10000 AS DOUBLE) * ({lns})) AS BIGINT)
+             AS ql_score_e4
+    FROM d CROSS JOIN g
+    ORDER BY ql_score_e4 DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register("query_likelihood_dirichlet", _ql_sql())
+def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2001, public literature) — the language-modeling ranker completing
+    the lexical family next to BM25 (tf saturation) and TF-IDF (vector
+    space): score(d) = sum_q ln((tf_qd + mu * cf_q / |C|) / (|d| + mu)),
+    mu = 2000. Unlike BM25, every document scores (smoothing gives
+    unseen terms collection-level mass), so the ranking discriminates
+    even when no query term occurs.
+
+    Exactness: tf/dl/cf/|C| are exact integer counts from ONE grouped
+    pass over the exploded token stream; the score is a per-row sum of
+    exactly three ln terms in fixed literal order — no ln ever crosses
+    an aggregation boundary, strictly tighter than the proven
+    bigram_lm_score envelope (which sums data-many ln terms); floored
+    at e4 with doc_id tie-break, so a sub-quantum ulp divergence cannot
+    reorder the emitted top-10.
+
+    Scale shape: one token explode + groupBy(doc_id) partial+final
+    aggregate (tf and dl in the same pass); the collection stats ride in
+    as a 1-row broadcast; final top-10 is a TakeOrdered, never a global
+    sort."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", X.tokens("text").alias("w"))
+    )
+    tok = toks.select("doc_id", F.explode("w").alias("tok"))
+    g = tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_total"),
+        *[
+            F.sum(F.when(F.col("tok") == w, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"cf_{w}")
+            for w in _QL_TERMS
+        ],
+    )
+    d = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == w, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{w}")
+            for w in _QL_TERMS
+        ],
+    )
+    mu = F.lit(_QL_MU).cast("double")
+    dld = F.col("dl").cast("double")
+    score = None
+    for w in _QL_TERMS:
+        term = F.log(
+            (
+                F.col(f"tf_{w}").cast("double")
+                + mu * (F.col(f"cf_{w}").cast("double") / F.col("c_total").cast("double"))
+            )
+            / (dld + mu)
+        )
+        score = term if score is None else score + term
+    return (
+        d.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "dl",
+            F.floor(F.lit(10000).cast("double") * score)
+            .cast("bigint")
+            .alias("ql_score_e4"),
+        )
+        .orderBy(F.desc("ql_score_e4"), "doc_id")
+        .limit(10)
+    )

@@ -10,7 +10,10 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+from storm_data_etl_spark.plans import corpus_queries  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import lake_queries  # noqa: F401 (registry)
 from storm_data_etl_spark.plans import queries as Q
+from storm_data_etl_spark.plans import retrieval_queries  # noqa: F401 (registry)
 from storm_data_etl_spark.plans import window_queries  # noqa: F401 (registry)
 
 
@@ -132,3 +135,115 @@ def test_t_closeness_identical_distribution_is_zero(spark, tmp_path):
         0,
         0,
     )
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_link_prediction_hand_graph(spark, tmp_path):
+    """Co-purchase edges need >= 2 distinct orders: pairs {1,2} {2,3}
+    {3,4} {1,3} each co-occur twice (edges), {1,4} once (NOT an edge —
+    the floor drops it). Degrees 2,2,3,1; the only non-adjacent
+    two-hop pairs are (1,4) and (2,4), both through part 3 ->
+    cn = 1, ra_e6 = floor(1e6 / 3) = 333333."""
+    rows = []
+    orders = [
+        (1, 1), (1, 2), (2, 1), (2, 2),        # edge 1-2
+        (3, 2), (3, 3), (4, 2), (4, 3),        # edge 2-3
+        (5, 3), (5, 4), (6, 3), (6, 4),        # edge 3-4
+        (7, 1), (7, 3), (8, 1), (8, 3),        # edge 1-3
+        (9, 1), (9, 4),                        # single co-occurrence: no edge
+    ]
+    spark.createDataFrame(
+        orders, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = Q.REGISTRY["link_prediction_scores"].runner(spark, str(tmp_path)).collect()
+    from storm_data_etl_spark.session import release_pinned
+
+    release_pinned()
+    assert [
+        (r.part_a, r.part_b, r.common_neighbors, r.ra_e6) for r in got
+    ] == [(1, 4, 1, 333333), (2, 4, 1, 333333)]
+
+
+def test_flesch_hand_counts(spark, tmp_path):
+    """'aa bb. cc!' = 3 words, 2 sentence runs, 1 vowel run; 'zz zz' = 2
+    words, floor-1 sentence, 0 vowel runs. A 300-word one-sentence doc
+    goes deeply negative — exercising the sign-split floor mean (mirrored
+    in Python with the engine's IEEE expression order)."""
+    neg = ("a " * 300).strip()
+    rows = [
+        (0, "aa bb. cc!", "en", "s", 10),
+        (1, "zz zz", "de", "s", 5),
+        (2, neg, "fr", "s", 599),
+        (3, neg + " b", "fr", "s", 601),
+        (4, None, "en", "s", 0),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.lang: r
+        for r in Q.REGISTRY["flesch_readability_by_lang"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def fre_e4(w, s, syl):
+        return math.floor(
+            1e4 * (206.835 - 1.015 * (w / s) - 84.6 * (syl / w))
+        )
+
+    def fkg_e4(w, s, syl):
+        return math.floor(1e4 * (0.39 * (w / s) + 11.8 * (syl / w) - 15.59))
+
+    en = got["en"]
+    assert (en.n_docs, en.mean_fre_e4, en.mean_fkg_e4) == (
+        1,
+        fre_e4(3, 2, 1),
+        fkg_e4(3, 2, 1),
+    )
+    de = got["de"]
+    assert (de.n_docs, de.mean_fre_e4) == (1, fre_e4(2, 1, 0))
+    fr = got["fr"]
+    f1, f2 = fre_e4(300, 1, 300), fre_e4(301, 1, 300)
+    s = f1 + f2
+    mean = s // 2 if s >= 0 else -((-s + 1) // 2)
+    assert (fr.n_docs, fr.mean_fre_e4) == (2, mean)
+    assert fr.min_fre_e4 == min(f1, f2) and fr.max_fre_e4 == max(f1, f2)
+
+
+def test_query_likelihood_hand_smoothing(spark, tmp_path):
+    """c_total = 9, cf = (spark:3, join:1, window:1). Scores mirrored in
+    Python with the exact per-row ln-term order; d3 holds NO query term
+    yet still scores (the Dirichlet smoothing point) and ranks below the
+    term-bearing docs."""
+    rows = [
+        (1, "spark join window", "en", "s", 17),
+        (2, "spark spark other", "en", "s", 17),
+        (3, "nothing here extra", "en", "s", 18),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = Q.REGISTRY["query_likelihood_dirichlet"].runner(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 3
+
+    def score_e4(dl, tf):
+        mu, c = 2000.0, 9.0
+        cf = {"spark": 3.0, "join": 1.0, "window": 1.0}
+        s = 0.0
+        for w in ("spark", "join", "window"):
+            s += math.log((tf.get(w, 0.0) + mu * (cf[w] / c)) / (dl + mu))
+        return math.floor(1e4 * s)
+
+    exp = {
+        1: score_e4(3, {"spark": 1.0, "join": 1.0, "window": 1.0}),
+        2: score_e4(3, {"spark": 2.0}),
+        3: score_e4(3, {}),
+    }
+    assert [(r.doc_id, r.ql_score_e4) for r in got] == sorted(
+        ((d, s) for d, s in exp.items()), key=lambda x: (-x[1], x[0])
+    )
+    assert got[-1].doc_id == 3  # smoothed no-term doc ranks last, still present
