@@ -273,6 +273,7 @@ HEADLINE = [
     "link_prediction_scores",
     "flesch_readability_by_lang",
     "query_likelihood_dirichlet",
+    "stream_replay_sessionize",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

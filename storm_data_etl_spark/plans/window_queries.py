@@ -4771,3 +4771,131 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.max("t_e6").cast("bigint").alias("max_t_e6"),
     )
+
+
+@register(
+    "stream_replay_sessionize",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS batch_h,
+             epoch_ns(ts) AS tsn, event_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    marked AS (
+      SELECT user_id, batch_h, tsn,
+             CASE WHEN lag(tsn) OVER w IS NULL
+                    OR tsn - lag(tsn) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    ),
+    per_batch AS (
+      SELECT user_id, batch_h,
+             CAST(sum(is_start) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS ne,
+             CAST(max(tsn) AS BIGINT) AS mt
+      FROM marked GROUP BY user_id, batch_h
+    )
+    SELECT user_id, batch_h,
+           CAST(sum(st) OVER wb AS BIGINT) AS n_sessions,
+           CAST(sum(ne) OVER wb AS BIGINT) AS n_events,
+           CAST(max(mt) OVER wb AS BIGINT) AS last_ts
+    FROM per_batch
+    WINDOW wb AS (PARTITION BY user_id ORDER BY batch_h
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def stream_replay_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming replay certificate (the stream_replay_running_stats
+    pattern applied to the ORDER-DEPENDENT gap recursion): replays a
+    micro-batched execution of the streaming_sessionize kernel with batch
+    boundaries as data (hour buckets) and proves, under the driver's
+    DuckDB hash gate, that the cross-batch session counter equals the
+    batch query over the union.
+
+    Spark side: per key shard, an applyInPandas harness replays batches
+    in order through the EXACT fold the streaming kernel executes
+    (streaming/stateful.sessionize_fold — extracted so
+    applyInPandasWithState and this replay share one code path), carrying
+    (last_ts, n_sessions, n_events) across batch calls and emitting one
+    snapshot per touched (key, batch) — the stream's append-mode trace.
+
+    Oracle side: the same trace with NO batch machinery — a session start
+    is lag-gap > 30 min over (tsn, event_id) ordering per key, and each
+    batch snapshot is the running prefix (sum of starts, count, max ts)
+    over hour buckets. Every quantity is an exact int64 (epoch-ns,
+    counters) — unlike the running-stats certificate there is NO float
+    anywhere, so this one also pins the pure ordering/state-carry logic
+    with zero quantization envelope.
+
+    A wrong state carry, wrong batch slicing, chunk-local sort (the
+    round-8 bug class), double-counted session at a batch boundary (gap
+    measured against the PREVIOUS BATCH's last event), or dropped
+    snapshot breaks the hash.
+
+    Scale shape: ONE shuffle on the key shard (the state-store
+    partitioning the real stream uses); the oracle's windows are
+    key-partitioned. Arrow-batched applyInPandas is the deliberate
+    exception for order-dependent stateful recursion — the same class as
+    the streaming kernels themselves."""
+    import pandas as pd
+
+    from storm_data_etl_spark.streaming.stateful import (
+        SESSIONIZE_ZERO,
+        sessionize_fold,
+    )
+
+    gap_ns = 30 * 60 * 1_000_000_000
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts_utc")).alias("batch_h"),
+            F.col("ts_ns"),
+            "event_id",
+            # shard-group pattern (stream_replay_running_stats): one Arrow
+            # call per shard of keys, never per key.
+            F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("_shard"),
+        )
+    )
+    schema = (
+        "user_id long, batch_h timestamp, n_sessions long, n_events long, "
+        "last_ts long"
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cols = ["user_id", "batch_h", "n_sessions", "n_events", "last_ts"]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        # whole-shard stable sort (uid, batch, ts, event_id) — the
+        # concat-then-sort discipline, applied shard-wide; keys never
+        # split across shards so per-key order semantics are unchanged.
+        uids = pdf["user_id"].to_numpy()
+        bh = pdf["batch_h"].to_numpy()
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["ts_ns"].to_numpy(), bh, uids)
+        )
+        uids, bh = uids[order], bh[order]
+        tsn = pdf["ts_ns"].to_numpy(dtype="int64")[order]
+        out = []
+        boundary = np.r_[True, (uids[1:] != uids[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(boundary)
+        bounds = np.r_[starts, len(bh)]
+        state = SESSIONIZE_ZERO
+        prev_uid = None
+        for i, s in enumerate(starts):
+            if uids[s] != prev_uid:
+                state = SESSIONIZE_ZERO  # new key: fresh state
+                prev_uid = uids[s]
+            state = sessionize_fold(
+                state, [int(x) for x in tsn[s : bounds[i + 1]]], gap_ns
+            )
+            last_ts, n_sessions, n_events = state
+            out.append((uids[s], bh[s], n_sessions, n_events, last_ts))
+        return pd.DataFrame(out, columns=cols)
+
+    return ev.groupBy("_shard").applyInPandas(replay, schema)

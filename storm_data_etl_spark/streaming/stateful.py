@@ -41,6 +41,26 @@ def running_stats_fold(state: tuple, values, alpha: float = 0.2) -> tuple:
     return (n, total, vmin, vmax, ewma)
 
 
+#: Sessionize zero state: (last_ts, n_sessions, n_events).
+SESSIONIZE_ZERO = (0, 0, 0)
+
+
+def sessionize_fold(state: tuple, ts_values, gap_ns: int) -> tuple:
+    """The EXACT per-timestamp fold streaming_sessionize applies, extracted
+    so the batch replay certificate (plans/window_queries.py
+    stream_replay_sessionize) executes the identical code path the stream
+    does — one function, two harnesses (the running_stats_fold
+    discipline). ``ts_values`` must already be null-free int epoch-ns in
+    fold order; returns the updated (last_ts, n_sessions, n_events)."""
+    last_ts, n_sessions, n_events = state
+    for ts in ts_values:
+        if n_events == 0 or ts - last_ts > gap_ns:
+            n_sessions += 1
+        n_events += 1
+        last_ts = int(ts)
+    return (last_ts, n_sessions, n_events)
+
+
 def streaming_first_wins_dedup(
     stream: DataFrame,
     id_col: str = "id",
@@ -477,11 +497,11 @@ def streaming_sessionize(
         whole = pd.concat(chunks, ignore_index=True).sort_values(
             [ts_col, order_col], kind="stable"
         )
-        for ts in whole[ts_col].astype("int64"):
-            if n_events == 0 or ts - last_ts > gap_ns:
-                n_sessions += 1
-            n_events += 1
-            last_ts = int(ts)
+        last_ts, n_sessions, n_events = sessionize_fold(
+            (last_ts, n_sessions, n_events),
+            whole[ts_col].astype("int64"),
+            gap_ns,
+        )
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             [

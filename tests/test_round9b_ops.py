@@ -247,3 +247,54 @@ def test_query_likelihood_hand_smoothing(spark, tmp_path):
         ((d, s) for d, s in exp.items()), key=lambda x: (-x[1], x[0])
     )
     assert got[-1].doc_id == 3  # smoothed no-term doc ranks last, still present
+
+
+def test_stream_replay_sessionize_hand_trace(spark, tmp_path):
+    """User 1: events 10:50, 11:05 (15-min gap ACROSS the hour-batch
+    boundary -> same session; a per-batch state reset would double-count)
+    then 12:00 (55-min gap -> new session). Snapshots: batch 10h =
+    (1 session, 1 event), batch 11h = (1, 2), batch 12h = (2, 3).
+    User 2: one event -> (1, 1). last_ts = epoch-ns of the batch's last
+    folded event."""
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 10, 50), 1, "a", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 11, 5), 1, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 12, 0), 1, "a", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 10, 0), 2, "a", 1.0, "{}"),
+        (4, None, 1, "a", 1.0, "{}"),  # null ts dropped
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.user_id, r.batch_h.hour): (r.n_sessions, r.n_events, r.last_ts)
+        for r in Q.REGISTRY["stream_replay_sessionize"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def ns(h, m):
+        return int(dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp()) * 10**9
+
+    assert got == {
+        (1, 10): (1, 1, ns(10, 50)),
+        (1, 11): (1, 2, ns(11, 5)),
+        (1, 12): (2, 3, ns(12, 0)),
+        (2, 10): (1, 1, ns(10, 0)),
+    }
+
+
+def test_sessionize_fold_shared_with_streaming_kernel():
+    """The replay certificate and the streaming kernel must fold through
+    ONE function — the certificate is vacuous if the code paths diverge."""
+    import inspect
+
+    from storm_data_etl_spark.streaming import stateful as S
+
+    src = inspect.getsource(S.streaming_sessionize)
+    assert "sessionize_fold(" in src
+    # the fold itself: fresh key, gap break, exact carry
+    st = S.sessionize_fold(S.SESSIONIZE_ZERO, [100, 200], gap_ns=1000)
+    assert st == (200, 1, 2)
+    st = S.sessionize_fold(st, [1500], gap_ns=1000)   # 1300 > 1000 -> new
+    assert st == (1500, 2, 3)
+    st = S.sessionize_fold(st, [2400], gap_ns=1000)   # 900 <= 1000 -> same
+    assert st == (2400, 2, 4)
