@@ -2734,12 +2734,32 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 is a TakeOrdered, never a global sort. Work is
     sum_z deg(z)^2 over the FLOORED graph — the quantity the weight
     gate bounds."""
-    op = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = op.withColumnsRenamed({"l_partkey": "src"})
-    b = op.withColumnsRenamed({"l_partkey": "dst"})
+    # Pair generation via per-order sorted part arrays (the proven
+    # association_rules shape): ONE shuffle on l_orderkey builds the
+    # basket, pairs explode INSIDE the array (baskets are a handful of
+    # parts), and the second shuffle goes straight to the (src, dst)
+    # count — no basket self-join materializing the raw co-occurrence
+    # pair table (1.2M rows at sf0.1; measured 2.4 s self-join vs sub-1 s
+    # array form).
+    bsk = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     edges = (
-        a.join(b, (a.l_orderkey == b.l_orderkey) & (F.col("src") < F.col("dst")))
-        .groupBy("src", "dst")
+        bsk.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
         .select("src", "dst")

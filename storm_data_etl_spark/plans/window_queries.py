@@ -4684,11 +4684,12 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, with ONE final scaled division per class. No floats until
     the last floor.
 
-    Scale shape: two grouped counts on the (bounded) QI and QI x hour
-    keys, a broadcastable hours/global-counts side, and a cumulative
-    window PARTITIONED BY CLASS over at most 24 ordered hour rows — the
-    dense class x hour grid is |classes| * 24, never row-scale. The
-    global N and m ride in as 1-row broadcast scalars."""
+    Scale shape: ONE grouped count over the finest (QI x hour) key —
+    every coarser aggregate (class totals, hour marginals, N, the hour
+    domain) re-aggregates that pinned |classes| * 24-row rollup, so the
+    events table is scanned exactly once — then a cumulative window
+    PARTITIONED BY CLASS over at most 24 ordered hour rows. The global
+    N and m ride in as 1-row broadcast scalars."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
@@ -4697,16 +4698,19 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") / 100).cast("bigint").alias("value_band"),
         F.hour("ts_utc").cast("bigint").alias("hour"),
     )
-    q = _pin(q)  # scanned four times: hours, global counts, class counts
-    hours = q.select("hour").distinct()
-    tot = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-    mrow = hours.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    ch = q.groupBy("hour").agg(F.count(F.lit(1)).cast("bigint").alias("c_all"))
-    cls = q.groupBy("event_type", "value_band").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g")
-    )
+    # ONE pass over the events table: every coarser aggregate (class
+    # totals, hour marginals, N, the hour domain) re-aggregates the
+    # finest (QI x hour) rollup — |classes| * 24 rows, pinned.
     gh = q.groupBy("event_type", "value_band", "hour").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_g")
+    )
+    gh = _pin(gh)
+    hours = gh.select("hour").distinct()
+    tot = gh.agg(F.sum("c_g").cast("bigint").alias("n_total"))
+    mrow = hours.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    ch = gh.groupBy("hour").agg(F.sum("c_g").cast("bigint").alias("c_all"))
+    cls = gh.groupBy("event_type", "value_band").agg(
+        F.sum("c_g").cast("bigint").alias("n_g")
     )
     dense = (
         cls.crossJoin(F.broadcast(hours))
