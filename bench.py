@@ -274,6 +274,8 @@ HEADLINE = [
     "flesch_readability_by_lang",
     "query_likelihood_dirichlet",
     "stream_replay_sessionize",
+    "forecast_mase_backtest",
+    "best_of_n_reward_curve",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

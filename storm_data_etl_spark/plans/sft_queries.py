@@ -2302,3 +2302,134 @@ def cronbach_alpha_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-F.expr("(1000000 * 3 * (sv - st)) div (2 * st)"))
     )
     return v.select("source", "n", "sv", "st", alpha.cast("bigint").alias("alpha_e6"))
+
+
+# =====================================================================
+# Best-of-n reward curve: inference-time-scaling eval via exact order
+# statistics over the empirical reward distribution.
+# =====================================================================
+
+_BON_NS = (1, 2, 4, 8)
+
+
+def _bon_pow_sql(base: str) -> str:
+    """CASE arm computing base^n for n in 1/2/4/8 by repeated squaring —
+    HUGEINT-exact, no pow()."""
+    b = f"CAST({base} AS HUGEINT)"
+    return (
+        f"CASE WHEN n = 1 THEN {b} WHEN n = 2 THEN {b} * {b} "
+        f"WHEN n = 4 THEN ({b} * {b}) * ({b} * {b}) "
+        f"ELSE (({b} * {b}) * ({b} * {b})) * (({b} * {b}) * ({b} * {b})) END"
+    )
+
+
+@register(
+    "best_of_n_reward_curve",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    r AS (
+      SELECT d.source, CAST(floor(q.quality * 10000) AS BIGINT) AS r
+      FROM qual q JOIN documents d ON d.doc_id = q.doc_id
+      WHERE d.source IS NOT NULL
+    ),
+    dist AS (
+      SELECT source, r, CAST(count(*) AS BIGINT) AS cnt
+      FROM r GROUP BY source, r
+    ),
+    cum AS (
+      SELECT source, r, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY source ORDER BY r) AS BIGINT)
+               AS cle
+      FROM dist
+    ),
+    ns AS (SELECT unnest([1, 2, 4, 8]) AS n),
+    terms AS (
+      SELECT source, n,
+             CAST(r AS HUGEINT)
+               * ({_bon_pow_sql('cle')} - {_bon_pow_sql('cle - cnt')})
+               AS term
+      FROM cum CROSS JOIN ns
+    ),
+    nd AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM dist
+           GROUP BY source)
+    SELECT t.source, CAST(t.n AS BIGINT) AS n, nd.n_docs,
+           CAST(sum(t.term) // {_bon_pow_sql('nd.n_docs')} AS BIGINT)
+             AS bon_emax_e4
+    FROM terms t JOIN nd ON nd.source = t.source
+    GROUP BY t.source, t.n, nd.n_docs
+    """,
+)
+def best_of_n_reward_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n expected-maximum reward curve per source — the
+    inference-time-scaling eval primitive (how much does quality improve
+    when you sample n candidates and keep the best?): for n = 1/2/4/8,
+    E[max of n i.i.d. draws from the source's empirical reward
+    distribution] = sum_r r * (P(X<=r)^n - P(X<r)^n), computed EXACTLY
+    from cumulative counts as sum_r r * (cle^n - clt^n) / N^n — the same
+    closed-form-over-order-statistics family as pass_at_k_estimates
+    (which answers the binary-success version; this one is
+    real-valued). Rewards are the proven heuristic quality score
+    (doc_quality_scores' bit-identical double), quantized to e4.
+
+    Exactness: powers by repeated squaring in DECIMAL(38,0)/HUGEINT —
+    the pass_at_k wide-integer discipline; every term and the final
+    truncating division are exact integers on both engines (all
+    positive, so div == floor). Capacity: r * N^8 < 10^38 holds to
+    N ~ 5e3 docs per source (documented, enforced by data scale at test
+    SFs); past that, pre-bin rewards to quantiles or cap n at 4 —
+    the estimator's precision gain above that is nil.
+
+    Scale shape: one documents scan -> groupBy(source, r) — the reward
+    distribution is tiny (the band lattice yields <= 36 distinct
+    rewards/source) -> a source-keyed cumulative window over those few
+    rows -> a 4x fan-out over n values -> source-keyed rollup. Nothing
+    row-scale after the first aggregate."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    r = docs.select(
+        "source",
+        F.floor(X.quality_score("text") * 10000).cast("bigint").alias("r"),
+    )
+    dist = r.groupBy("source", "r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.withColumn("cle", F.sum("cnt").over(w).cast("bigint"))
+    ns = spark.createDataFrame([(n,) for n in _BON_NS], "n int")
+
+    def _pow(base: str) -> str:
+        b = f"CAST({base} AS DECIMAL(38,0))"
+        return (
+            f"CASE WHEN n = 1 THEN {b} WHEN n = 2 THEN {b} * {b} "
+            f"WHEN n = 4 THEN ({b} * {b}) * ({b} * {b}) "
+            f"ELSE (({b} * {b}) * ({b} * {b})) * (({b} * {b}) * ({b} * {b})) END"
+        )
+
+    terms = (
+        cum.crossJoin(F.broadcast(ns))
+        .withColumn("clt", F.col("cle") - F.col("cnt"))
+        .select(
+            "source",
+            "n",
+            F.expr(
+                f"CAST(r AS DECIMAL(38,0)) * ({_pow('cle')} - ({_pow('clt')}))"
+            ).alias("term"),
+        )
+    )
+    nd = dist.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n_docs"))
+    return (
+        terms.groupBy("source", "n")
+        .agg(F.sum("term").alias("num"))
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n"),
+            "n_docs",
+            F.expr(f"CAST(num div ({_pow('n_docs')}) AS BIGINT)").alias(
+                "bon_emax_e4"
+            ),
+        )
+    )

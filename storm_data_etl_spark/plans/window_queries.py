@@ -4903,3 +4903,107 @@ def stream_replay_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(out, columns=cols)
 
     return ev.groupBy("_shard").applyInPandas(replay, schema)
+
+
+@register(
+    "forecast_mase_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, cents,
+             lag(cents, 1) OVER w AS l1,
+             lag(cents, 7) OVER w AS l7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(count(l1) AS BIGINT) AS cnt1,
+             CAST(coalesce(sum(abs(cents - l1)), 0) AS BIGINT) AS sae1,
+             CAST(count(l7) AS BIGINT) AS cnt7,
+             CAST(coalesce(sum(abs(cents - l7)), 0) AS BIGINT) AS sae7
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n_days, cnt1, sae1, cnt7, sae7,
+           CASE WHEN sae1 = 0 OR cnt7 = 0 THEN NULL
+                ELSE (1000000 * sae7 * cnt1) // (sae1 * cnt7)
+           END AS mase_snaive_e6
+    FROM g
+    """,
+)
+def forecast_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE backtest of the weekly seasonal-naive forecaster against the
+    one-step naive scale (Hyndman & Koehler 2006, public literature) —
+    the forecast-ACCURACY primitive the time-series family was missing
+    (holt_trend_forecast / theil_sen_trend produce forecasts; nothing
+    scored one): MASE = MAE(seasonal-naive, m=7) / MAE(naive, 1-step)
+    per event type, over the daily cents series. MASE < 1e6 (scaled)
+    means weekly seasonality genuinely beats persistence — the go/no-go
+    gate before shipping a seasonal model.
+
+    Lags are over OBSERVED days in day order (a gap day shifts the
+    7-row lag off calendar alignment — acceptable for dense daily
+    series, documented; gapfill_forward_fill is the densifier to
+    compose upstream if a sparse series needs calendar lags).
+
+    Exactness: daily totals quantize to integer cents before summing;
+    absolute errors and both MAE numerators stay exact BIGINTs; the
+    final ratio is one cross-multiplied integer division
+    (1e6 * sae7 * cnt1) div (sae1 * cnt7) — all positive, so Spark's
+    `div` and DuckDB's `//` agree with floor. Bound: 1e6 * sae7 * cnt1
+    < 2^63 -> sae7 * cnt1 < 9.2e12, comfortable for years of daily
+    cents at test scales; recast to DECIMAL(38,0) for cluster-scale
+    totals (the pass_at_k discipline).
+
+    Scale shape: one groupBy(type, day) shuffle, one type-keyed window
+    over day counts (bounded frames), one type-keyed rollup."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts_utc")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 1).over(w).alias("l1"),
+        F.lag("cents", 7).over(w).alias("l7"),
+    )
+    g = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count("l1").cast("bigint").alias("cnt1"),
+        F.coalesce(F.sum(F.abs(F.col("cents") - F.col("l1"))), F.lit(0))
+        .cast("bigint")
+        .alias("sae1"),
+        F.count("l7").cast("bigint").alias("cnt7"),
+        F.coalesce(F.sum(F.abs(F.col("cents") - F.col("l7"))), F.lit(0))
+        .cast("bigint")
+        .alias("sae7"),
+    )
+    return g.select(
+        "event_type",
+        "n_days",
+        "cnt1",
+        "sae1",
+        "cnt7",
+        "sae7",
+        F.when(
+            (F.col("sae1") == 0) | (F.col("cnt7") == 0),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(F.expr("(1000000 * sae7 * cnt1) div (sae1 * cnt7)"))
+        .cast("bigint")
+        .alias("mase_snaive_e6"),
+    )

@@ -14,6 +14,7 @@ from storm_data_etl_spark.plans import corpus_queries  # noqa: F401 (registry)
 from storm_data_etl_spark.plans import lake_queries  # noqa: F401 (registry)
 from storm_data_etl_spark.plans import queries as Q
 from storm_data_etl_spark.plans import retrieval_queries  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import sft_queries  # noqa: F401 (registry)
 from storm_data_etl_spark.plans import window_queries  # noqa: F401 (registry)
 
 
@@ -298,3 +299,63 @@ def test_sessionize_fold_shared_with_streaming_kernel():
     assert st == (1500, 2, 3)
     st = S.sessionize_fold(st, [2400], gap_ns=1000)   # 900 <= 1000 -> same
     assert st == (2400, 2, 4)
+
+
+def test_forecast_mase_hand_series(spark, tmp_path):
+    """Type 'a': one event/day for 10 days, value = d dollars -> daily
+    cents 100..1000. Naive AE = 100 x 9; seasonal-naive(7) AE = 700 x 3.
+    MASE_e6 = (1e6 * 2100 * 9) div (900 * 3) = 7e6 (weekly lag is 7x
+    WORSE than persistence on a pure trend — the gate working as
+    designed). Constant type 'b' -> sae1 = 0 -> NULL."""
+    rows = [
+        (d, dt.datetime(2024, 1, d, 12), 1, "a", float(d), "{}")
+        for d in range(1, 11)
+    ]
+    rows += [
+        (100 + d, dt.datetime(2024, 1, d, 12), 1, "b", 5.0, "{}")
+        for d in range(1, 9)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: r
+        for r in Q.REGISTRY["forecast_mase_backtest"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a = got["a"]
+    assert (a.n_days, a.cnt1, a.sae1, a.cnt7, a.sae7) == (10, 9, 900, 3, 2100)
+    assert a.mase_snaive_e6 == (1_000_000 * 2100 * 9) // (900 * 3)
+    b = got["b"]
+    assert (b.sae1, b.mase_snaive_e6) == (0, None)
+
+
+def test_best_of_n_hand_order_stats(spark, tmp_path):
+    """One source: 3 docs at reward 3250 (quality 0.325) + 1 at 10000
+    (quality 1.0; band math in tests/test_round9_ops.py). E[max_n]*4^n =
+    3250*3^n + 10000*(4^n - 3^n), truncated: n=1 -> 4937, n=2 -> 6203,
+    n=4 -> 7864, n=8 -> 9324 — the curve rises toward the best sample,
+    which is the whole point of best-of-n."""
+    low = "!!!"
+    high = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (0, low, "en", "s", 3),
+        (1, low, "en", "s", 3),
+        (2, low, "en", "s", 3),
+        (3, high, "en", "s", 220),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.n: r
+        for r in Q.REGISTRY["best_of_n_reward_curve"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1, 2, 4, 8}
+    exp = {
+        n: (3250 * 3**n + 10000 * (4**n - 3**n)) // 4**n for n in (1, 2, 4, 8)
+    }
+    assert {n: r.bon_emax_e4 for n, r in got.items()} == exp
+    assert all(r.n_docs == 4 for r in got.values())
+    # monotone non-decreasing in n — the defining property of E[max_n]
+    vals = [got[n].bon_emax_e4 for n in (1, 2, 4, 8)]
+    assert vals == sorted(vals)

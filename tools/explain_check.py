@@ -1046,6 +1046,76 @@ def main() -> int:
     )
     _rel()
 
+    # 88. Round-9 continuation: the three 1-row stats panels (JB moments,
+    # effect sizes, t-closeness) — conditional-aggregate scans with at most
+    # the 1-row/bounded-side broadcasts; no cartesian, no Python.
+    for qname in ("jarque_bera_normality", "effect_size_panel"):
+        p_s = plan_of(qs[qname](spark, sf_dir))
+        check(
+            f"{qname}_one_scan_no_python",
+            "CartesianProduct" not in p_s
+            and "BatchEvalPython" not in p_s
+            and len(_re.findall(r"\(\d+\) Scan parquet", p_s)) <= 1,
+            "(single events scan; no cartesian; no Python)",
+        )
+    p_tc = plan_of(qs["t_closeness_audit"](spark, sf_dir))
+    check(
+        "t_closeness_single_scan_rollup",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_tc)) <= 1
+        and "CartesianProduct" not in p_tc
+        and "BatchEvalPython" not in p_tc,
+        "(coarser aggregates re-aggregate the pinned QI x hour rollup)",
+    )
+    _rel()
+
+    # 89. Round-9 continuation: link prediction — pairs explode inside the
+    # per-order array (no basket self-join), adjacency is LEFT ANTI, the
+    # degree side broadcasts, top-20 is TakeOrdered (never a global sort).
+    p_lp = plan_of(qs["link_prediction_scores"](spark, sf_dir))
+    check(
+        "link_prediction_shape",
+        "LeftAnti" in p_lp
+        and "TakeOrderedAndProject" in p_lp
+        and "CartesianProduct" not in p_lp
+        and len(_re.findall(r"\(\d+\) Generate", p_lp)) == 1,
+        "(array pair explode; anti-join adjacency; TakeOrdered top-20)",
+    )
+    _rel()
+
+    # 90. Round-9 continuation: Flesch — ONE document scan, regex counts
+    # JVM-side, single lang-keyed exchange; QL retrieval — TakeOrdered
+    # top-10, 1-row collection stats broadcast, no global sort.
+    p_fl = plan_of(qs["flesch_readability_by_lang"](spark, sf_dir))
+    check(
+        "flesch_single_scan_jvm",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_fl)) <= 1
+        and "BatchEvalPython" not in p_fl
+        and {k.split("#")[0] for k in _re.findall(r"hashpartitioning\(([\w#]+)", p_fl)}
+        <= {"lang"},
+        "(one scan; JVM regex; lang-only exchange)",
+    )
+    p_ql = plan_of(qs["query_likelihood_dirichlet"](spark, sf_dir))
+    check(
+        "query_likelihood_take_ordered",
+        "TakeOrderedAndProject" in p_ql
+        and "BatchEvalPython" not in p_ql
+        and len(_re.findall(r"[+:]- BroadcastNestedLoopJoin", p_ql)) <= 1,
+        "(TakeOrdered top-10; 1-row stats broadcast only)",
+    )
+
+    # 91. Round-9 continuation: sessionize replay certificate — same
+    # contract as check 86: one shard exchange, one Arrow group-map,
+    # no joins anywhere in the plan.
+    p_ss = plan_of(qs["stream_replay_sessionize"](spark, sf_dir))
+    check(
+        "stream_replay_sessionize_single_shard_shuffle",
+        {k.split("#")[0] for k in _re.findall(r"hashpartitioning\(([\w#]+)", p_ss)}
+        == {"_shard"}
+        and len(_re.findall(r"[+:]- FlatMapGroupsInPandas", p_ss)) == 1
+        and "Join" not in p_ss,
+        "(one shard exchange; one Arrow group-map; no joins)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
