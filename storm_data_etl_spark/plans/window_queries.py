@@ -5007,3 +5007,250 @@ def forecast_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mase_snaive_e6"),
     )
+
+
+@register(
+    "xcorr_lead_lag",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE "value" IS NOT NULL
+        AND event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest([0, 1, 7]) AS k),
+    aligned AS (
+      SELECT l.k, a.cents AS x, b.cents AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b
+        ON b.event_type = 'purchase'
+       AND b.d = a.d + CAST(l.k || ' days' AS INTERVAL)
+      WHERE a.event_type = 'click'
+    ),
+    s AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM aligned GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS k, n_days,
+           CASE WHEN n_days < 2
+                  OR n_days * sxx - sx * sx = 0
+                  OR n_days * syy - sy * sy = 0 THEN NULL
+                ELSE CAST(floor(CAST(1000000 AS DOUBLE)
+                  * CAST(n_days * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))))
+                  AS BIGINT)
+           END AS xcorr_e6
+    FROM s
+    """,
+)
+def xcorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the click and purchase daily
+    cents series at lags k = 0, 1, 7 days (does click activity today
+    predict purchase activity k days later?) — the pairwise companion to
+    acf_lag_profile's autocorrelation and the discovery primitive behind
+    attribution/forecast-feature selection. Pearson r at each lag over
+    CALENDAR-aligned days (the join is on d + k, so gap days drop the
+    pair rather than silently shifting the series — the opposite
+    trade-off from forecast_mase_backtest's row-lag, both documented).
+
+    Exactness: daily totals are exact integer cents; all five
+    co-moment sums are exact BIGINTs (bound: days * max_daily_cents^2
+    < 2^63 — decades of 9-figure daily totals); r is closed-form
+    per-row doubles over those integers with sqrt(dx)*sqrt(dy) (two
+    correctly-rounded sqrts, deterministic cross-engine — never
+    sqrt(dx*dy), whose product would overflow int64 first). Degenerate
+    (constant-series or <2-day) lags emit NULL.
+
+    Scale shape: one groupBy(type, day) shuffle; the lag table is a
+    3-row broadcast fan-out; the align join keys on the (bounded) day
+    domain; final rollup is 3 rows."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts_utc"))).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = _pin(daily)  # both legs of the align join
+    lags = spark.createDataFrame([(0,), (1,), (7,)], "k int")
+    a = daily.filter(F.col("event_type") == "click").select(
+        F.col("d").alias("da"), F.col("cents").alias("x")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("db"), F.col("cents").alias("y")
+    )
+    aligned = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.expr("date_add(da, k)"))
+        .select("k", "x", "y")
+    )
+    s = aligned.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    dx = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    bad = (F.col("n_days") < 2) | (dx == 0) | (dy == 0)
+    r = F.floor(
+        F.lit(1000000).cast("double")
+        * num.cast("double")
+        / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+    ).cast("bigint")
+    return s.select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_days",
+        F.when(bad, F.lit(None).cast("bigint")).otherwise(r).alias("xcorr_e6"),
+    )
+
+
+@register(
+    "cuped_adjusted_lift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS treat,
+             CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(floor("value" * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(floor("value" * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS y
+      FROM events
+      WHERE "value" IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    s AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(y * y) AS BIGINT) AS syy,
+        CAST(sum(CASE WHEN treat = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+        CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+      FROM u
+    )
+    SELECT n, n1,
+           CAST(floor(CAST(10000 AS DOUBLE) * (
+             CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(sy - sy1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)
+           ) / CAST(100 AS DOUBLE)) AS BIGINT) AS raw_lift_e4,
+           CAST(floor(CAST(1000000 AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS theta_e6,
+           CAST(floor(CAST(10000 AS DOUBLE) * (
+             (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(sy - sy1 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(sx - sx1 AS DOUBLE) / CAST(n - n1 AS DOUBLE))
+           ) / CAST(100 AS DOUBLE)) AS BIGINT) AS cuped_lift_e4,
+           CAST(floor(CAST(1000000 AS DOUBLE)
+             * (CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+             AS var_reduction_e6
+    FROM s
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker
+    2013, public literature) — the industry-standard A/B adjustment: per
+    user, x = pre-period metric (cents before Jan 16), y = experiment
+    metric (cents after); theta = cov(x,y)/var(x) fitted on the pooled
+    population; the adjusted lift subtracts theta * (pre-period arm
+    imbalance) from the raw lift, and the variance reduction equals the
+    squared x-y correlation (rho^2). Arms are the deterministic
+    user_id % 2 split. Completes the experimentation family: welch/
+    mann-whitney test the difference, effect_size_panel standardizes it,
+    this one SHRINKS its variance with pre-period data.
+
+    Exactness: per-user cents are exact integers; ALL co-moments (sxx,
+    sxy, syy, per-arm sums) are exact BIGINTs from one conditional
+    aggregate over the per-user rollup; theta/lifts/rho^2 are closed-form
+    per-row doubles over those integers with identical expression trees
+    (divides only — no transcendentals, no float aggregation). Bound:
+    n * sxy < 2^63 — ~1e9 users at 1e5-cent user totals (the welch
+    class of documented bound). Lifts are floored e4 DOLLARS
+    (cents / 100).
+
+    Scale shape: one groupBy(user_id) shuffle (the per-user rollup),
+    then a 1-row conditional aggregate; nothing else."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts_utc") < cutoff, cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts_utc") >= cutoff, cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn("treat", (F.col("user_id") % 2).cast("bigint"))
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.when(F.col("treat") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx1"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy1"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    n0d = (F.col("n") - F.col("n1")).cast("double")
+    ym1 = F.col("sy1").cast("double") / n1d
+    ym0 = (F.col("sy") - F.col("sy1")).cast("double") / n0d
+    xm1 = F.col("sx1").cast("double") / n1d
+    xm0 = (F.col("sx") - F.col("sx1")).cast("double") / n0d
+    covn = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varn = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    theta = covn / varn
+    e4 = F.lit(10000).cast("double")
+    e6 = F.lit(1000000).cast("double")
+    hundred = F.lit(100).cast("double")
+    return s.select(
+        "n",
+        "n1",
+        F.floor(e4 * (ym1 - ym0) / hundred).cast("bigint").alias("raw_lift_e4"),
+        F.floor(e6 * theta).cast("bigint").alias("theta_e6"),
+        F.floor(e4 * ((ym1 - ym0) - theta * (xm1 - xm0)) / hundred)
+        .cast("bigint")
+        .alias("cuped_lift_e4"),
+        F.floor(e6 * (covn * covn) / (varn * vary))
+        .cast("bigint")
+        .alias("var_reduction_e6"),
+    )

@@ -359,3 +359,77 @@ def test_best_of_n_hand_order_stats(spark, tmp_path):
     # monotone non-decreasing in n — the defining property of E[max_n]
     vals = [got[n].bon_emax_e4 for n in (1, 2, 4, 8)]
     assert vals == sorted(vals)
+
+
+def test_xcorr_hand_series(spark, tmp_path):
+    """Clicks and purchases both ramp 100d cents over days 1..10 — every
+    lag alignment is perfectly linear, so r = 1 at k = 0 (10 pairs),
+    k = 1 (9 pairs), k = 7 (3 pairs). Expectations mirror the engine's
+    sqrt(dx)*sqrt(dy) IEEE order exactly."""
+    rows = []
+    for d in range(1, 11):
+        rows.append((d, dt.datetime(2024, 1, d, 12), 1, "click", float(d), "{}"))
+        rows.append((100 + d, dt.datetime(2024, 1, d, 12), 1, "purchase", float(d), "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.k: r
+        for r in Q.REGISTRY["xcorr_lead_lag"].runner(spark, str(tmp_path)).collect()
+    }
+    from storm_data_etl_spark.session import release_pinned
+
+    release_pinned()
+    assert {k: r.n_days for k, r in got.items()} == {0: 10, 1: 9, 7: 3}
+
+    def mirror(pairs):
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        num = n * sxy - sx * sy
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        return math.floor(1e6 * num / (math.sqrt(dx) * math.sqrt(dy)))
+
+    for k in (0, 1, 7):
+        pairs = [(100 * d, 100 * (d + k)) for d in range(1, 11 - k)]
+        assert got[k].xcorr_e6 == mirror(pairs)
+
+
+def test_cuped_removes_preperiod_imbalance(spark, tmp_path):
+    """Users 1..4, y = 2x exactly (pre cents 100/200/300/400 on Jan 10,
+    post = double on Jan 20). Pooled: covn = 4e5, varn = 2e5 -> theta = 2
+    exactly; rho^2 = 1 -> var_reduction_e6 = 1e6. Raw lift = (400-600)
+    cents = -2 dollars -> -20000 e4; CUPED subtracts theta * (-100 cents
+    pre-imbalance) -> adjusted lift EXACTLY 0 — the estimator's whole
+    point, hit on integers."""
+    rows = []
+    for u in (1, 2, 3, 4):
+        rows.append((u, dt.datetime(2024, 1, 10), u, "click", float(u), "{}"))
+        rows.append((10 + u, dt.datetime(2024, 1, 20), u, "click", 2.0 * u, "{}"))
+    _write_events(spark, tmp_path, rows)
+    got = Q.REGISTRY["cuped_adjusted_lift"].runner(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.n1) == (4, 2)
+    assert r.theta_e6 == 2_000_000
+    assert r.raw_lift_e4 == -20000
+    assert r.cuped_lift_e4 == 0
+    assert r.var_reduction_e6 == 1_000_000
+
+
+def test_cuped_missing_period_users_coalesce_to_zero(spark, tmp_path):
+    """A pre-only user (y = 0) and a post-only user (x = 0): n = 2,
+    covn = -2e4, varn = 1e4 -> theta = -2; raw lift (0-200)/100 = -2
+    dollars; CUPED: -200 - (-2)(100) = 0; rho^2 = 1. The coalesce-to-0
+    path IS the estimator input, not a dropped row."""
+    rows = [
+        (1, dt.datetime(2024, 1, 10), 1, "click", 1.0, "{}"),   # treat, pre only
+        (2, dt.datetime(2024, 1, 20), 2, "click", 2.0, "{}"),   # ctrl, post only
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = Q.REGISTRY["cuped_adjusted_lift"].runner(spark, str(tmp_path)).collect()
+    r = got[0]
+    assert (r.n, r.n1) == (2, 1)
+    assert r.theta_e6 == -2_000_000
+    assert r.raw_lift_e4 == -20000
+    assert r.cuped_lift_e4 == 0
+    assert r.var_reduction_e6 == 1_000_000
