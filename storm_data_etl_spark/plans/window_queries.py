@@ -5254,3 +5254,166 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("var_reduction_e6"),
     )
+
+
+@register(
+    "km_survival_curve",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS tsn, event_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, tsn,
+             CASE WHEN lag(tsn) OVER w IS NULL
+                    OR tsn - lag(tsn) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    ),
+    sid AS (
+      SELECT user_id, tsn,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+                                    ROWS UNBOUNDED PRECEDING) AS s
+      FROM g
+    ),
+    mx AS (SELECT max(tsn) AS max_tsn FROM e),
+    sess AS (
+      SELECT (max(tsn) - min(tsn)) // 60000000000 AS dur,
+             CASE WHEN (SELECT max_tsn FROM mx) - max(tsn) > 1800000000000
+                  THEN 1 ELSE 0 END AS death
+      FROM sid GROUP BY user_id, s
+    ),
+    byd AS (
+      SELECT dur, CAST(sum(death) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS total
+      FROM sess GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             CAST(sum(total) OVER (ORDER BY dur DESC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_risk
+      FROM byd
+    ),
+    steps AS (
+      SELECT dur, d, n_risk,
+             row_number() OVER (ORDER BY dur) AS rn
+      FROM risk WHERE d > 0
+    ),
+    arr AS (
+      SELECT list(struct_pack(d := d, n := n_risk) ORDER BY rn) AS a
+      FROM steps
+    )
+    SELECT CAST(s.dur AS BIGINT) AS t_min, s.n_risk, s.d,
+           CAST(floor(CAST(1000000 AS DOUBLE) * list_reduce(
+             list_prepend(CAST(1 AS DOUBLE),
+               list_transform(a[1:s.rn],
+                 x -> CAST(1 AS DOUBLE)
+                      - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+             (acc, f) -> acc * f)) AS BIGINT) AS surv_e6
+    FROM steps s CROSS JOIN arr
+    """,
+)
+def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve (Kaplan & Meier 1958,
+    public literature) over SESSION lifetimes — the survival/churn
+    primitive the engine lacked. Subjects are 30-min-gap sessions (the
+    sessionize convention); a session's duration is last-minus-first
+    event in whole minutes, and a session whose last event is within one
+    gap of the global max timestamp could still be running — it is
+    RIGHT-CENSORED, shrinking future risk sets without contributing a
+    death, which is the entire point of KM over a naive duration
+    histogram. Emits one row per death time: t, risk-set size n, deaths
+    d, and S(t) = prod_{j<=i} (1 - d_j/n_j) scaled e6.
+
+    Exactness: session bounds, durations, deaths and risk sets are exact
+    integers (ns timestamps; the risk set is a suffix sum over the
+    duration rollup); S(t) is an ORDERED left fold of (1 - d/n) factors
+    from a 1.0 seed with identical expression trees on both engines —
+    the ewma_last/elo/stream-replay discipline: identical lists folded
+    in identical order make the running double bit-identical. No
+    transcendentals anywhere.
+
+    Scale shape: one user-keyed window pass builds sessions (the
+    sessionize shuffle), one groupBy(user, session) rollup, then
+    everything lives on the duration rollup — bounded by the longest
+    session in minutes, never session- or event-scale. The per-step
+    prefix fold is O(k^2) over those k bounded rows via a broadcast
+    1-row step array — deliberately quadratic on a provably tiny set to
+    stay in pure JVM expressions (the mann_whitney bounded-window
+    class)."""
+    gap_ns = 30 * 60 * 1_000_000_000
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts_ns",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | ((F.col("ts_ns") - F.lag("ts_ns").over(w)) > gap_ns),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = g.withColumn("s", F.sum("new_session").over(ws))
+    mx = ev.agg(F.max("ts_ns").alias("max_tsn"))
+    sess = (
+        sid.groupBy("user_id", "s")
+        .agg(F.min("ts_ns").alias("smin"), F.max("ts_ns").alias("smax"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            # integer div, never / : double division of int64 ns carries
+            # rounding error across the minute boundary (the tables.py
+            # ts_utc lesson)
+            F.expr("(smax - smin) div 60000000000").alias("dur"),
+            F.when(F.col("max_tsn") - F.col("smax") > gap_ns, 1)
+            .otherwise(0)
+            .alias("death"),
+        )
+    )
+    byd = sess.groupBy("dur").agg(
+        F.sum("death").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+    )
+    w_desc = (
+        Window.orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = byd.withColumn("n_risk", F.sum("total").over(w_desc).cast("bigint"))
+    steps = risk.filter(F.col("d") > 0).withColumn(
+        "rn", F.row_number().over(Window.orderBy("dur"))
+    )
+    arr = steps.agg(
+        F.sort_array(
+            F.collect_list(F.struct("rn", "d", F.col("n_risk").alias("n")))
+        ).alias("a")
+    )
+    one = F.lit(1).cast("double")
+    surv = F.aggregate(
+        F.transform(
+            F.slice(F.col("a"), 1, F.col("rn").cast("int")),
+            lambda x: one - x["d"].cast("double") / x["n"].cast("double"),
+        ),
+        one,
+        lambda acc, f: acc * f,
+    )
+    return (
+        steps.crossJoin(F.broadcast(arr))
+        .select(
+            F.col("dur").cast("bigint").alias("t_min"),
+            "n_risk",
+            "d",
+            F.floor(F.lit(1000000).cast("double") * surv)
+            .cast("bigint")
+            .alias("surv_e6"),
+        )
+    )

@@ -433,3 +433,40 @@ def test_cuped_missing_period_users_coalesce_to_zero(spark, tmp_path):
     assert r.raw_lift_e4 == -20000
     assert r.cuped_lift_e4 == 0
     assert r.var_reduction_e6 == 1_000_000
+
+
+def test_km_survival_hand_curve(spark, tmp_path):
+    """Five sessions: durations 10m (death), 0m (censored: within one gap
+    of the global max), 0m (censored: IS the global max), 10m (death),
+    5m (death). Risk sets by suffix sum: n(5) = 3, n(10) = 2; the
+    censored 0-minute sessions count at risk for NO death time below
+    them but never die. S(5) = 1 - 1/3; S(10) = S(5) * (1 - 2/2) = 0."""
+    d = dt.datetime
+    rows = [
+        # user 1, session A: 10:00-10:10 (dur 10, death)
+        (0, d(2024, 1, 1, 10, 0), 1, "a", 1.0, "{}"),
+        (1, d(2024, 1, 1, 10, 10), 1, "a", 1.0, "{}"),
+        # user 1, session B: 12:00 single (dur 0, censored: 20m from max)
+        (2, d(2024, 1, 1, 12, 0), 1, "a", 1.0, "{}"),
+        # user 2, session C: 12:20 single (dur 0, censored: global max)
+        (3, d(2024, 1, 1, 12, 20), 2, "a", 1.0, "{}"),
+        # user 3, session D: 9:00-9:10 (dur 10, death)
+        (4, d(2024, 1, 1, 9, 0), 3, "a", 1.0, "{}"),
+        (5, d(2024, 1, 1, 9, 10), 3, "a", 1.0, "{}"),
+        # user 4, session E: 8:00-8:05 (dur 5, death)
+        (6, d(2024, 1, 1, 8, 0), 4, "a", 1.0, "{}"),
+        (7, d(2024, 1, 1, 8, 5), 4, "a", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = [
+        (r.t_min, r.n_risk, r.d, r.surv_e6)
+        for r in sorted(
+            Q.REGISTRY["km_survival_curve"].runner(spark, str(tmp_path)).collect(),
+            key=lambda r: r.t_min,
+        )
+    ]
+    s5 = 1.0 * (1.0 - 1.0 / 3.0)  # mirrored fold order: seed 1.0, then factor
+    assert got == [
+        (5, 3, 1, math.floor(1e6 * s5)),
+        (10, 2, 2, math.floor(1e6 * (s5 * (1.0 - 2.0 / 2.0)))),
+    ]
