@@ -470,3 +470,74 @@ def test_km_survival_hand_curve(spark, tmp_path):
         (5, 3, 1, math.floor(1e6 * s5)),
         (10, 2, 2, math.floor(1e6 * (s5 * (1.0 - 2.0 / 2.0)))),
     ]
+
+
+def test_sessionize_replay_matches_live_stream(spark, tmp_path):
+    """The sessionize certificate's replay equals the REAL streaming
+    kernel run as an actual micro-batched stream: the same rows flow
+    through streaming_sessionize (applyInPandasWithState, one file per
+    hour-batch, maxFilesPerTrigger=1) and the final per-key
+    (n_sessions, n_events, last_ts) must equal the certificate's last
+    snapshot — including the session that SPANS the 10h->11h batch
+    boundary (15-min gap: the state carry is the thing under test)."""
+    from storm_data_etl_spark.streaming.stateful import streaming_sessionize
+
+    d = dt.datetime
+    rows = [
+        (0, d(2024, 1, 1, 10, 50), 1, "a", 1.0, "{}"),
+        (1, d(2024, 1, 1, 11, 5), 1, "a", 1.0, "{}"),
+        (2, d(2024, 1, 1, 12, 0), 1, "a", 1.0, "{}"),
+        (3, d(2024, 1, 1, 10, 0), 2, "a", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+
+    def ns(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp()) * 10**9
+
+    src = f"{tmp_path}/stream_src"
+    schema = "event_id long, ts_ns long, user_id long"
+    batches = {}
+    for (eid, ts, uid, *_rest) in rows:
+        batches.setdefault(ts.hour, []).append((eid, ns(ts), uid))
+    for h in sorted(batches):
+        spark.createDataFrame(batches[h], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_sessionize(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_cert_live")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    live = spark.sql(
+        "SELECT user_id, n_sessions, n_events, last_ts FROM sess_cert_live"
+    ).collect()
+    final_live = {}
+    for r in live:
+        if r.user_id not in final_live or r.n_events > final_live[r.user_id].n_events:
+            final_live[r.user_id] = r
+
+    cert = Q.REGISTRY["stream_replay_sessionize"].runner(spark, str(tmp_path)).collect()
+    final_cert = {}
+    for r in cert:
+        if r.user_id not in final_cert or r.n_events > final_cert[r.user_id].n_events:
+            final_cert[r.user_id] = r
+    assert set(final_live) == set(final_cert) == {1, 2}
+    for uid in (1, 2):
+        lr, cr = final_live[uid], final_cert[uid]
+        assert (lr.n_sessions, lr.n_events, lr.last_ts) == (
+            cr.n_sessions,
+            cr.n_events,
+            cr.last_ts,
+        )
+    # the boundary-spanning behavior, pinned explicitly
+    assert (final_cert[1].n_sessions, final_cert[1].n_events) == (2, 3)
