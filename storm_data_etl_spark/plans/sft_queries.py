@@ -24,6 +24,7 @@ from storm_data_etl_spark.operators import warc as W
 from storm_data_etl_spark.plans.ml_queries import _SQL_QUALITY_CTES
 from storm_data_etl_spark.plans.queries import register
 from storm_data_etl_spark.plans.tables import t
+from storm_data_etl_spark.session import pin as _pin
 
 #: SQL twin of X.token_count (whitespace tokens of trimmed text, 0 for empty).
 _SQL_NTOK = (
@@ -2392,6 +2393,10 @@ def best_of_n_reward_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = r.groupBy("source", "r").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    # dist feeds BOTH the cumulative lattice and the per-source totals —
+    # pin it so the documents scan (quality scoring is the expensive
+    # part) runs once, not twice (the t_closeness single-scan lesson).
+    dist = _pin(dist)
     w = (
         Window.partitionBy("source")
         .orderBy("r")

@@ -5365,11 +5365,16 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sid = g.withColumn("s", F.sum("new_session").over(ws))
-    mx = ev.agg(F.max("ts_ns").alias("max_tsn"))
+    s0 = sid.groupBy("user_id", "s").agg(
+        F.min("ts_ns").alias("smin"), F.max("ts_ns").alias("smax")
+    )
+    # the global max timestamp equals max over session ends (every event
+    # belongs to a session), so derive it from the pinned session rollup
+    # instead of a second events scan.
+    s0 = _pin(s0)
+    mx = s0.agg(F.max("smax").alias("max_tsn"))
     sess = (
-        sid.groupBy("user_id", "s")
-        .agg(F.min("ts_ns").alias("smin"), F.max("ts_ns").alias("smax"))
-        .crossJoin(F.broadcast(mx))
+        s0.crossJoin(F.broadcast(mx))
         .select(
             # integer div, never / : double division of int64 ns carries
             # rounding error across the minute boundary (the tables.py
@@ -5392,6 +5397,9 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = risk.filter(F.col("d") > 0).withColumn(
         "rn", F.row_number().over(Window.orderBy("dur"))
     )
+    # steps feeds the broadcast step array AND the output rows — pin so
+    # the duration rollup (and everything above it) computes once.
+    steps = _pin(steps)
     arr = steps.agg(
         F.sort_array(
             F.collect_list(F.struct("rn", "d", F.col("n_risk").alias("n")))

@@ -159,3 +159,22 @@ def test_pearson_cleared_denominator_squared(pairs):
     assert Fraction(n * sxy - sx * sy, 1) ** 2 * den_x * den_y == Fraction(
         num, 1
     ) ** 2 * dx * dy
+
+
+@settings(max_examples=300)
+@given(st.lists(st.integers(0, 10), min_size=1, max_size=20))
+def test_km_no_censoring_equals_empirical_survival(durs):
+    """With zero censoring, the Kaplan-Meier product-limit at each death
+    time t equals the plain empirical survival fraction #{dur > t}/N —
+    the estimator's defining fixed point (Kaplan & Meier 1958 reduce to
+    the ECDF complement exactly when every subject dies)."""
+    N = len(durs)
+    per_t = sorted(Counter(durs).items())
+    # suffix risk sets
+    at_risk = N
+    s = Fraction(1)
+    for t, d in per_t:
+        s *= 1 - Fraction(d, at_risk)
+        expected = Fraction(sum(1 for x in durs if x > t), N)
+        assert s == expected
+        at_risk -= d

@@ -1116,6 +1116,40 @@ def main() -> int:
         "(one shard exchange; one Arrow group-map; no joins)",
     )
 
+    # 92. Round-9 continuation, second wave: the four 1-scan stats/eval
+    # panels — single events/documents scan, no cartesian beyond the
+    # documented 1-row broadcasts, no Python.
+    for qname in (
+        "forecast_mase_backtest",
+        "cuped_adjusted_lift",
+        "xcorr_lead_lag",
+        "best_of_n_reward_curve",
+    ):
+        p_s = plan_of(qs[qname](spark, sf_dir))
+        check(
+            f"{qname}_one_scan_no_python",
+            "CartesianProduct" not in p_s
+            and "BatchEvalPython" not in p_s
+            and len(_re.findall(r"\(\d+\) Scan parquet", p_s)) <= 1,
+            "(single scan; no cartesian; no Python)",
+        )
+    _rel()
+
+    # 93. Round-9 continuation: Kaplan-Meier — one events scan; the only
+    # unkeyed windows run over the bounded duration rollup (suffix-sum
+    # risk set + step numbering, the mann_whitney bounded class); the
+    # step array rides a 1-row broadcast; no Python.
+    p_km = plan_of(qs["km_survival_curve"](spark, sf_dir))
+    check(
+        "km_survival_bounded_rollup",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_km)) <= 1
+        and "CartesianProduct" not in p_km
+        and "BatchEvalPython" not in p_km
+        and len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p_km)) <= 2,
+        "(one scan; bounded windows; 1-row array/max broadcasts only)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
