@@ -50,6 +50,11 @@ DEFAULT_QUERIES = [
     "constraint_audit",
     "spatial_cell_density",
     "image_decode_stats",
+    # round-9 continuation: the two with non-trivial scale arguments —
+    # the weight-floored link-prediction graph (near-constant edges by
+    # construction) and the Arrow-batched stateful replay certificate.
+    "link_prediction_scores",
+    "stream_replay_sessionize",
 ]
 
 #: key columns to shift per table so replicas don't collide. Foreign keys
