@@ -5425,3 +5425,367 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surv_e6"),
         )
     )
+
+
+@register(
+    "levene_brown_forsythe",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(floor("value" * 100) AS BIGINT) AS x
+      FROM events WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, x, CAST(count(*) AS BIGINT) AS cnt
+      FROM q GROUP BY event_type, x
+    ),
+    cum AS (
+      SELECT event_type, x, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_g
+      FROM per_v
+    ),
+    med AS (
+      SELECT event_type, min(x) AS med
+      FROM cum WHERE c >= (n_g + 1) // 2
+      GROUP BY event_type
+    ),
+    zlev AS (
+      SELECT p.event_type, abs(p.x - m.med) AS z, p.cnt
+      FROM per_v p JOIN med m ON m.event_type = p.event_type
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(cnt) AS BIGINT) AS n_j,
+             CAST(sum(z * cnt) AS BIGINT) AS s_j,
+             CAST(sum(z * z * cnt) AS HUGEINT) AS x2_j
+      FROM zlev GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS n FROM g),
+    per AS (
+      SELECT g.*, tot.n,
+             (CAST(tot.n AS HUGEINT) * s_j * s_j) // n_j AS q_j
+      FROM g CROSS JOIN tot
+    ),
+    s AS (
+      SELECT n, CAST(sum(s_j) AS HUGEINT) AS s,
+             CAST(sum(x2_j) AS HUGEINT) AS x2,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(q_j) AS HUGEINT) AS a
+      FROM per GROUP BY n
+    )
+    SELECT n, k,
+           CAST((CAST(1000000 AS HUGEINT) * (a - s * s) * (n - k))
+                // ((CAST(n AS HUGEINT) * x2 - a) * (k - 1)) AS BIGINT)
+             AS bf_f_e6
+    FROM s
+    """,
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974,
+    public literature; Levene's test with the median center — the robust
+    recommendation): a one-way ANOVA F computed on z = |x - median_g|,
+    answering the question welch/anova themselves ASSUME away — are the
+    group variances even comparable? Completes the inference battery
+    (location: welch/mann-whitney/kruskal/anova; shape: ks; normality:
+    jarque-bera; now spread).
+
+    One scan: the per-(type, value) histogram yields BOTH the exact
+    per-group LOWER MEDIAN (smallest value whose cumulative count
+    reaches (n+1) div 2 — an explicit rank selection, not an
+    approximate-percentile convention that could differ across engines)
+    AND the z-level counts, so the deviations never touch the raw rows
+    again. The F itself reuses anova_oneway_f's wide-integer discipline
+    verbatim: the single per-group floor A = sum(floor(N * S_j^2 / n_j))
+    in DECIMAL(38,0)/HUGEINT, one wide division at the end, no floats
+    anywhere. Same documented width envelope (N ~ 5e7 hundredths
+    observations).
+
+    Scale shape: one groupBy(type, x) histogram shuffle (value-vocab
+    bounded), type-keyed cumulative windows over that histogram, k-row
+    finishing math."""
+    q = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    per_v = q.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per_v = _pin(per_v)  # median selection + z-levels both read it
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("event_type")
+    cum = per_v.select(
+        "event_type",
+        "x",
+        F.sum("cnt").over(wc).cast("bigint").alias("c"),
+        F.sum("cnt").over(wg).cast("bigint").alias("n_g"),
+    )
+    med = (
+        # integer div, never / : Spark's / on bigints is DOUBLE division,
+        # which shifts the even-n rank threshold by 0.5 vs the oracle's //
+        cum.filter(F.col("c") >= F.expr("(n_g + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("x").alias("med"))
+    )
+    zlev = per_v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("x") - F.col("med")).alias("z"),
+        "cnt",
+    )
+    g = zlev.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_j"),
+        F.sum(F.col("z") * F.col("cnt")).cast("bigint").alias("s_j"),
+        F.sum(F.col("z") * F.col("z") * F.col("cnt"))
+        .cast("decimal(38,0)")
+        .alias("x2_j"),
+    )
+    n_tot = g.agg(F.sum("n_j").cast("bigint").alias("n"))
+    per = (
+        g.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "num",
+            F.expr("CAST(CAST(n AS DECIMAL(38,0)) * s_j * s_j AS DECIMAL(38,0))"),
+        )
+        .withColumn(
+            "q_j",
+            F.expr(
+                "CAST((num - num % CAST(n_j AS DECIMAL(38,0)))"
+                " / CAST(n_j AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    s = per.groupBy("n").agg(
+        F.sum("s_j").cast("decimal(38,0)").alias("s"),
+        F.sum("x2_j").cast("decimal(38,0)").alias("x2"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("q_j").alias("a"),
+    )
+    return (
+        s.withColumn(
+            "fnum",
+            F.expr("CAST(1000000 AS DECIMAL(38,0)) * (a - s * s) * (n - k)"),
+        )
+        .withColumn("fden", F.expr("(CAST(n AS DECIMAL(38,0)) * x2 - a) * (k - 1)"))
+        .select(
+            "n",
+            F.col("k").cast("bigint").alias("k"),
+            F.expr("CAST((fnum - fnum % fden) / fden AS DECIMAL(38,0))")
+            .cast("bigint")
+            .alias("bf_f_e6"),
+        )
+    )
+
+
+@register(
+    "log_rank_test",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+             CAST(user_id % 2 AS BIGINT) AS arm
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, arm, tsn,
+             CASE WHEN lag(tsn) OVER w IS NULL
+                    OR tsn - lag(tsn) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+    ),
+    sid AS (
+      SELECT user_id, arm, tsn,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+                                    ROWS UNBOUNDED PRECEDING) AS s
+      FROM g
+    ),
+    s0 AS (
+      SELECT arm, (max(tsn) - min(tsn)) // 60000000000 AS dur,
+             max(tsn) AS smax
+      FROM sid GROUP BY user_id, s, arm
+    ),
+    mx AS (SELECT max(smax) AS max_tsn FROM s0),
+    sess AS (
+      SELECT arm, dur,
+             CASE WHEN (SELECT max_tsn FROM mx) - smax > 1800000000000
+                  THEN 1 ELSE 0 END AS death
+      FROM s0
+    ),
+    byd AS (
+      SELECT dur,
+             CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS total1,
+             CAST(sum(death) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN arm = 1 THEN death ELSE 0 END) AS BIGINT)
+               AS d1
+      FROM sess GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d, d1,
+             CAST(sum(total) OVER wd AS BIGINT) AS n,
+             CAST(sum(total1) OVER wd AS BIGINT) AS n1
+      FROM byd
+      WINDOW wd AS (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    steps AS (SELECT dur, d, d1, n, n1 FROM risk WHERE d > 0),
+    arr AS (
+      SELECT list(struct_pack(d := d, n := n, n1 := n1) ORDER BY dur) AS a,
+             CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+             CAST(count(*) AS BIGINT) AS n_steps
+      FROM steps
+    )
+    SELECT o1, n_steps,
+           CAST(floor(CAST(1000000 AS DOUBLE) * list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(a, x -> CAST(x.d AS DOUBLE)
+                 * (CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE)))),
+             (acc, v) -> acc + v)) AS BIGINT) AS e1_e6,
+           CASE WHEN list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(a, x -> CASE WHEN x.n > 1 THEN
+                 CAST(x.d AS DOUBLE)
+                 * (CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+                 * (CAST(1 AS DOUBLE)
+                    - CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+                 * (CAST(x.n - x.d AS DOUBLE) / CAST(x.n - 1 AS DOUBLE))
+                 ELSE CAST(0 AS DOUBLE) END)),
+             (acc, v) -> acc + v) <= CAST(0 AS DOUBLE) THEN NULL
+           ELSE CAST(floor(CAST(1000000 AS DOUBLE)
+             * (CAST(o1 AS DOUBLE) - list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(a, x -> CAST(x.d AS DOUBLE)
+                     * (CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE)))),
+                 (acc, v) -> acc + v))
+             / sqrt(list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(a, x -> CASE WHEN x.n > 1 THEN
+                     CAST(x.d AS DOUBLE)
+                     * (CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+                     * (CAST(1 AS DOUBLE)
+                        - CAST(x.n1 AS DOUBLE) / CAST(x.n AS DOUBLE))
+                     * (CAST(x.n - x.d AS DOUBLE) / CAST(x.n - 1 AS DOUBLE))
+                     ELSE CAST(0 AS DOUBLE) END)),
+                 (acc, v) -> acc + v))) AS BIGINT)
+           END AS z_e6
+    FROM arr
+    """,
+)
+def log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the two deterministic arms'
+    session survival curves (Mantel 1966, public literature) — the
+    hypothesis test completing km_survival_curve exactly as welch
+    completes the mean panel: does arm 1 (odd users) churn out of
+    sessions faster than arm 0? Subjects, durations and censoring follow
+    the KM conventions verbatim; at each pooled death time the observed
+    arm-1 deaths are compared with the hypergeometric expectation
+    d * n1/n, with variance d*(n1/n)*(1-n1/n)*(n-d)/(n-1).
+
+    Exactness: O1 and every per-step (d, d1, n, n1) are exact integers
+    (arm-wise suffix-sum risk sets over the bounded duration rollup);
+    E1 and V are ORDERED left folds of per-step IEEE terms over the
+    identical step list on both engines (the km/ewma discipline) — a
+    sum() aggregate over the steps would be accumulation-order
+    nondeterministic, the fold is not. z floored at e6; NULL when the
+    variance is zero (degenerate single-arm risk sets).
+
+    Scale shape: identical to km_survival_curve — one user-keyed window
+    pass, one session rollup, everything after lives on the bounded
+    duration domain; the step array rides a 1-row broadcast."""
+    gap_ns = 30 * 60 * 1_000_000_000
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    g = ev.select(
+        "user_id",
+        (F.col("user_id") % 2).cast("bigint").alias("arm"),
+        "ts_ns",
+        F.when(
+            F.lag("ts_ns").over(w).isNull()
+            | ((F.col("ts_ns") - F.lag("ts_ns").over(w)) > gap_ns),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = g.withColumn("s", F.sum("new_session").over(ws))
+    s0 = sid.groupBy("user_id", "s", "arm").agg(
+        F.min("ts_ns").alias("smin"), F.max("ts_ns").alias("smax")
+    )
+    s0 = _pin(s0)
+    mx = s0.agg(F.max("smax").alias("max_tsn"))
+    sess = s0.crossJoin(F.broadcast(mx)).select(
+        "arm",
+        F.expr("(smax - smin) div 60000000000").alias("dur"),
+        F.when(F.col("max_tsn") - F.col("smax") > gap_ns, 1)
+        .otherwise(0)
+        .alias("death"),
+    )
+    byd = sess.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("total1"),
+        F.sum("death").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("death")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+    )
+    w_desc = (
+        Window.orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = byd.select(
+        "dur",
+        "d",
+        "d1",
+        F.sum("total").over(w_desc).cast("bigint").alias("n"),
+        F.sum("total1").over(w_desc).cast("bigint").alias("n1"),
+    )
+    steps = risk.filter(F.col("d") > 0)
+    arr = steps.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "d", "n", "n1"))
+        ).alias("a"),
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("bigint").alias("o1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+    )
+    zero = F.lit(0).cast("double")
+    one = F.lit(1).cast("double")
+    e6 = F.lit(1000000).cast("double")
+
+    def _e_term(x):
+        return x["d"].cast("double") * (x["n1"].cast("double") / x["n"].cast("double"))
+
+    def _v_term(x):
+        frac = x["n1"].cast("double") / x["n"].cast("double")
+        return F.when(
+            x["n"] > 1,
+            x["d"].cast("double")
+            * frac
+            * (one - frac)
+            * ((x["n"] - x["d"]).cast("double") / (x["n"] - 1).cast("double")),
+        ).otherwise(zero)
+
+    e1 = F.aggregate(F.transform(F.col("a"), _e_term), zero, lambda a, v: a + v)
+    v = F.aggregate(F.transform(F.col("a"), _v_term), zero, lambda a, v_: a + v_)
+    z = F.floor(e6 * (F.col("o1").cast("double") - e1) / F.sqrt(v)).cast("bigint")
+    return arr.select(
+        "o1",
+        "n_steps",
+        F.floor(e6 * e1).cast("bigint").alias("e1_e6"),
+        F.when(v <= zero, F.lit(None).cast("bigint")).otherwise(z).alias("z_e6"),
+    )

@@ -541,3 +541,68 @@ def test_sessionize_replay_matches_live_stream(spark, tmp_path):
         )
     # the boundary-spanning behavior, pinned explicitly
     assert (final_cert[1].n_sessions, final_cert[1].n_events) == (2, 3)
+
+
+def test_brown_forsythe_hand_medians(spark, tmp_path):
+    """Type a: [1,2,3] dollars -> lower median 200 cents, z = 100,0,100.
+    Type b: [1,1,5,5] -> EVEN n, lower median 100 (the (n+1) div 2 rank
+    — the exact convention both engines must share), z = 0,0,400,400.
+    A = floor(7*200^2/3) + floor(7*800^2/4) = 93333 + 1120000; the F is
+    the anova wide-integer form on those exact ints."""
+    ts = dt.datetime(2024, 1, 1, 12)
+    rows = [(i, ts, 1, "a", float(v), "{}") for i, v in enumerate([1, 2, 3])]
+    rows += [
+        (10 + i, ts, 1, "b", float(v), "{}") for i, v in enumerate([1, 1, 5, 5])
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = Q.REGISTRY["levene_brown_forsythe"].runner(spark, str(tmp_path)).collect()
+    from storm_data_etl_spark.session import release_pinned
+
+    release_pinned()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.k) == (7, 2)
+    a_floor = (7 * 200 * 200) // 3 + (7 * 800 * 800) // 4
+    s, x2, n, k = 1000, 100 * 100 * 2 + 400 * 400 * 2, 7, 2
+    fnum = 10**6 * (a_floor - s * s) * (n - k)
+    fden = (n * x2 - a_floor) * (k - 1)
+    assert r.bf_f_e6 == fnum // fden
+
+
+def test_log_rank_hand_steps(spark, tmp_path):
+    """The KM fixture with arms = user_id % 2: steps (dur, d, n, n1) =
+    (5,1,3,2) then (10,2,2,2); O1 = 2, E1 = 1*(2/3) + 2*(2/2), V comes
+    only from the dur-5 step (the dur-10 step has n1 = n -> zero
+    variance term), so z = (2 - E1)/sqrt(V) — mirrored in the fold
+    order."""
+    d = dt.datetime
+    rows = [
+        (0, d(2024, 1, 1, 10, 0), 1, "a", 1.0, "{}"),
+        (1, d(2024, 1, 1, 10, 10), 1, "a", 1.0, "{}"),
+        (2, d(2024, 1, 1, 12, 0), 1, "a", 1.0, "{}"),
+        (3, d(2024, 1, 1, 12, 20), 2, "a", 1.0, "{}"),
+        (4, d(2024, 1, 1, 9, 0), 3, "a", 1.0, "{}"),
+        (5, d(2024, 1, 1, 9, 10), 3, "a", 1.0, "{}"),
+        (6, d(2024, 1, 1, 8, 0), 4, "a", 1.0, "{}"),
+        (7, d(2024, 1, 1, 8, 5), 4, "a", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = Q.REGISTRY["log_rank_test"].runner(spark, str(tmp_path)).collect()
+    from storm_data_etl_spark.session import release_pinned
+
+    release_pinned()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.o1, r.n_steps) == (2, 2)
+    e1 = 0.0
+    for dd, nn, n1 in ((1, 3, 2), (2, 2, 2)):
+        e1 = e1 + float(dd) * (float(n1) / float(nn))
+    assert r.e1_e6 == math.floor(1e6 * e1)
+    v = 0.0
+    for dd, nn, n1 in ((1, 3, 2), (2, 2, 2)):
+        frac = float(n1) / float(nn)
+        if nn > 1:
+            v = v + float(dd) * frac * (1.0 - frac) * (
+                float(nn - dd) / float(nn - 1)
+            )
+    assert r.z_e6 == math.floor(1e6 * (2.0 - e1) / math.sqrt(v))
