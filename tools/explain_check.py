@@ -1150,6 +1150,30 @@ def main() -> int:
     )
     _rel()
 
+    # 94. Round-9 continuation, third wave: Brown-Forsythe — ONE events
+    # scan (median selection and z-levels both re-read the pinned
+    # per-(type, value) histogram); log-rank — the km_survival shape
+    # (one scan, bounded duration windows, 1-row broadcasts, no Python).
+    p_bf = plan_of(qs["levene_brown_forsythe"](spark, sf_dir))
+    check(
+        "brown_forsythe_single_scan_histogram",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_bf)) <= 1
+        and "CartesianProduct" not in p_bf
+        and "BatchEvalPython" not in p_bf,
+        "(one scan; pinned histogram feeds median + z-levels)",
+    )
+    _rel()
+    p_lr = plan_of(qs["log_rank_test"](spark, sf_dir))
+    check(
+        "log_rank_bounded_rollup",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_lr)) <= 1
+        and "CartesianProduct" not in p_lr
+        and "BatchEvalPython" not in p_lr
+        and len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p_lr)) <= 2,
+        "(one scan; bounded step folds; 1-row broadcasts only)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
