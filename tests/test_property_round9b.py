@@ -178,3 +178,23 @@ def test_km_no_censoring_equals_empirical_survival(durs):
         expected = Fraction(sum(1 for x in durs if x > t), N)
         assert s == expected
         at_risk -= d
+
+
+@settings(max_examples=300)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=25))
+def test_lower_median_rank_selection(vs):
+    """The (n+1) div 2 cumulative-rank selection levene_brown_forsythe
+    runs equals statistics.median_low — the convention both engines must
+    share (the even-n case is where double division broke it)."""
+    import statistics
+
+    target = (len(vs) + 1) // 2
+    per_v = sorted(Counter(vs).items())
+    c = 0
+    got = None
+    for v, cnt in per_v:
+        c += cnt
+        if c >= target:
+            got = v
+            break
+    assert got == statistics.median_low(vs)
