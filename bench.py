@@ -281,6 +281,7 @@ HEADLINE = [
     "km_survival_curve",
     "levene_brown_forsythe",
     "log_rank_test",
+    "diff_in_differences",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

@@ -606,3 +606,28 @@ def test_log_rank_hand_steps(spark, tmp_path):
                 float(nn - dd) / float(nn - 1)
             )
     assert r.z_e6 == math.floor(1e6 * (2.0 - e1) / math.sqrt(v))
+
+
+def test_did_hand_panel(spark, tmp_path):
+    """Constructed common trend +2 dollars in both arms plus a true +3
+    treatment effect: treated pre/post means 1 -> 6, control 2 -> 4.
+    treat_delta = 5, control_delta = 2, DiD = 3 exactly — the raw
+    post-period comparison (6 vs 4 = +2) would MISREAD the effect; DiD
+    recovers it."""
+    pre, post = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    rows = [
+        (0, pre, 1, "a", 1.0, "{}"),    # treat pre
+        (1, post, 1, "a", 6.0, "{}"),   # treat post
+        (2, pre, 2, "a", 2.0, "{}"),    # ctrl pre
+        (3, post, 2, "a", 4.0, "{}"),   # ctrl post
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = Q.REGISTRY["diff_in_differences"].runner(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.treat_delta_e4, r.control_delta_e4, r.did_e4) == (
+        4,
+        50000,
+        20000,
+        30000,
+    )

@@ -1174,6 +1174,17 @@ def main() -> int:
     )
     _rel()
 
+    # 95. Round-9 continuation: DiD — one conditional-aggregate scan over
+    # the 2x2 panel, no joins, no Python.
+    p_dd = plan_of(qs["diff_in_differences"](spark, sf_dir))
+    check(
+        "did_one_scan_2x2",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_dd)) <= 1
+        and "Join" not in p_dd
+        and "BatchEvalPython" not in p_dd,
+        "(single scan; 4-cell aggregate; no joins)",
+    )
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
