@@ -282,6 +282,18 @@ HEADLINE = [
     "levene_brown_forsythe",
     "log_rank_test",
     "diff_in_differences",
+    # round-9 second wave: paired/stratified inference, calibration
+    # accounting, RL post-training estimators, corpus scaling-law fits,
+    # HITS, and the DoReMi mixture iteration (bench-on-land, same round)
+    "mcnemar_test",
+    "mantel_haenszel_or",
+    "brier_decomposition",
+    "grpo_group_advantages",
+    "doremi_domain_weights",
+    "snips_dr_policy_value",
+    "hits_hub_authority",
+    "zipf_law_fit",
+    "heaps_law_fit",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

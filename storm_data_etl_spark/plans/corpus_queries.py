@@ -2665,3 +2665,224 @@ def flesch_readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_fkg_e4"),
     )
+
+
+# =====================================================================
+# Corpus scaling-law fits: Zipf rank-frequency and Heaps vocab growth
+# =====================================================================
+
+@register(
+    "zipf_law_fit",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+      FROM cnt QUALIFY rank <= 200
+    ),
+    pts AS (
+      SELECT CAST(floor(100000.0 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+             CAST(floor(100000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT n,
+           CAST(floor(1000000.0 * (n * sxy - sx * sy)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_e6,
+           CAST(floor((1000000.0 / 100000.0)
+                * (sy - ((n * sxy - sx * sy)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+                / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_e6,
+           CAST(floor(1000000.0
+                * ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+                * ((n * sxy - sx * sy) / CAST(n * syy - sy * sy AS DOUBLE)))
+                AS BIGINT) AS r2_e6
+    FROM s
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (Zipf 1949): OLS of ln(frequency) on ln(rank) over
+    the top-200 token types — slope ~ -1 is the canonical text
+    signature, and deviation from it is a corpus-health signal (OCR
+    noise flattens the head, boilerplate steepens it). Completes the
+    frequency-distribution pair: vocab_coverage reads the head mass,
+    vocab_growth_stats the hapax tail; this fits the LAW the two ends
+    obey, with r^2 saying how Zipfian the corpus actually is.
+
+    Exactness: ln(rank)/ln(count) are per-row doubles over exact
+    integers, QUANTIZED at 1e5 into BIGINTs — all five OLS sums are then
+    exact integer arithmetic (capacity: with x,y <= 1.5e6 at e5,
+    sum(y*y) <= 200 * 2.2e12 ~ 4e14 — far under 2^63 at ANY corpus
+    size, since only 200 quantized points ever enter the sums); the
+    closed-form slope/intercept/r^2 are deterministic doubles over those
+    six scalars. The slope is dimensionless (the e5 scales cancel);
+    intercept is reported in ln-count units e6.
+
+    Scale shape: one token explode -> map-side-combinable count -> the
+    top-200 is TakeOrdered (never a global window over the vocabulary)
+    -> the rank window and OLS run on 200 rows. At 100 TB the only
+    corpus-sized stage is the token count."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select(F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"))
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    top = cnt.orderBy(F.desc("c"), "tok").limit(200)
+    w = Window.orderBy(F.desc("c"), "tok")  # bounded: 200 rows post-limit
+    pts = top.withColumn("rank", F.row_number().over(w)).select(
+        F.floor(100000.0 * F.log(F.col("rank").cast("double")))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(100000.0 * F.log(F.col("c").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_d = num / den
+    return s.select(
+        "n",
+        F.floor(1000000.0 * slope_d).cast("bigint").alias("slope_e6"),
+        F.floor(
+            (1000000.0 / 100000.0)
+            * (F.col("sy") - slope_d * F.col("sx"))
+            / F.col("n").cast("double")
+        )
+        .cast("bigint")
+        .alias("intercept_e6"),
+        F.floor(1000000.0 * slope_d * (num / deny)).cast("bigint").alias("r2_e6"),
+    )
+
+
+@register(
+    "heaps_law_fit",
+    r"""
+    WITH d AS (
+      SELECT source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    pts AS (
+      SELECT source,
+             CAST(floor(100000.0 * ln(CAST(len(w) AS DOUBLE))) AS BIGINT) AS x,
+             CAST(floor(100000.0 * ln(CAST(len(list_distinct(w)) AS DOUBLE)))
+                  AS BIGINT) AS y
+      FROM d WHERE len(w) >= 2
+    ),
+    s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT source, n_docs,
+           CASE WHEN n_docs * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(floor(1000000.0
+                     * (CAST(n_docs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n_docs AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+           END AS beta_e6,
+           CASE WHEN n_docs * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(floor((1000000.0 / 100000.0)
+                     * (sy - ((CAST(n_docs AS DOUBLE) * sxy
+                               - CAST(sx AS DOUBLE) * sy)
+                              / (CAST(n_docs AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx)) * sx)
+                     / CAST(n_docs AS DOUBLE)) AS BIGINT)
+           END AS logk_e6
+    FROM s
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit (Heaps 1978) per source: OLS of ln(distinct types)
+    on ln(tokens) across documents — V = K * N^beta, the vocabulary-
+    growth exponent (~0.4-0.8 for natural text) that sizes tokenizer
+    vocabularies and predicts novel-type rates at corpus scale-up.
+    vocab_growth_stats emits the raw inputs; this fits the law per
+    source, and a source whose beta sits near 0 (template spam) or near
+    1 (random noise/IDs) fails the corpus-health read.
+
+    Exactness: per-document ln token/type counts are quantized at 1e5
+    into BIGINTs; the per-source OLS sums are exact integer aggregates.
+    Here n_docs is corpus-sized (unlike zipf_law_fit's 200 points), so
+    the closed-form slope is evaluated in doubles over the five exact
+    sums with every product written CAST-first (n * sxy up to ~1e22
+    exceeds BIGINT; as doubles the expression is deterministic on both
+    engines — same ops, same order, same scalar inputs). Degenerate
+    sources (all docs the same length) -> NULL. Capacity of the integer
+    sums: sum(x*x) <= n * 2.2e12 -> n < 4e6 docs/source in BIGINT;
+    DECIMAL(38,0) past that (docs/LIMITS.md).
+
+    Scale shape: ONE document scan computing two per-row array sizes
+    (no explode — the tokens never leave the row), then a tiny
+    groupBy(source). The distinct-type count is per-document local."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    )
+    wtoks = X.tokens(F.lower(F.col("text")))
+    pts = (
+        d.select(
+            "source",
+            F.size(wtoks).alias("ntok"),
+            F.size(F.array_distinct(wtoks)).alias("ntype"),
+        )
+        .filter(F.col("ntok") >= 2)
+        .select(
+            "source",
+            F.floor(100000.0 * F.log(F.col("ntok").cast("double")))
+            .cast("bigint")
+            .alias("x"),
+            F.floor(100000.0 * F.log(F.col("ntype").cast("double")))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    nd = F.col("n_docs").cast("double")
+    sxd = F.col("sx").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    den = nd * F.col("sxx") - sxd * F.col("sx")
+    zero = F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_d = num / den
+    return s.select(
+        "source",
+        "n_docs",
+        F.when(zero == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(1000000.0 * slope_d).cast("bigint"))
+        .alias("beta_e6"),
+        F.when(zero == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (1000000.0 / 100000.0) * (F.col("sy") - slope_d * F.col("sx")) / nd
+            ).cast("bigint")
+        )
+        .alias("logk_e6"),
+    )

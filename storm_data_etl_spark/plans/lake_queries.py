@@ -2800,3 +2800,116 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(
         F.desc("common_neighbors"), F.desc("ra_e6"), "part_a", "part_b"
     ).limit(20)
+
+
+# =====================================================================
+# HITS hubs & authorities (integer power iteration) — unrolled oracle
+# =====================================================================
+
+@register(
+    "hits_hub_authority",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS s FROM pairs GROUP BY dst),
+    h1 AS (
+      SELECT p.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+      FROM pairs p JOIN a1 a ON a.node = p.dst GROUP BY p.src
+    ),
+    a2 AS (
+      SELECT p.dst AS node, CAST(sum(h.s) AS BIGINT) AS s
+      FROM pairs p JOIN h1 h ON h.node = p.src GROUP BY p.dst
+    ),
+    h2 AS (
+      SELECT p.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+      FROM pairs p JOIN a2 a ON a.node = p.dst GROUP BY p.src
+    ),
+    tops AS (
+      SELECT 'authority' AS kind, node, s FROM
+        (SELECT node, s, row_number() OVER (ORDER BY s DESC, node) AS rn FROM a2)
+        WHERE rn <= 10
+      UNION ALL
+      SELECT 'hub' AS kind, node, s FROM
+        (SELECT node, s, row_number() OVER (ORDER BY s DESC, node) AS rn FROM h2)
+        WHERE rn <= 10
+    ),
+    mx AS (SELECT kind, max(s) AS mx FROM tops GROUP BY kind)
+    SELECT t.kind, t.node, t.s AS score,
+           (1000000 * t.s) // m.mx AS norm_e6
+    FROM tops t JOIN mx m ON m.kind = t.kind
+    """,
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg 1999) over the DIRECTED
+    supplier -> customer interaction graph (distinct (l_suppkey,
+    o_custkey) pairs; customer ids offset as in pagerank_topk): two full
+    mutual-reinforcement rounds a = A^T h, h = A a from h0 = 1, top-10
+    of each side. Complements pagerank_topk — PageRank ranks by random-
+    walk mass on the symmetrized graph; HITS separates the two roles a
+    bipartite trade graph actually has (suppliers as hubs, customers as
+    authorities).
+
+    Exactness trick: iterating WITHOUT per-round normalization keeps
+    every score an exact BIGINT (sums of integer degree products — a1
+    is indegree, h1 = sum of neighbor indegrees, ...), so the
+    distributed sums are order-free; scores are normalized ONCE at the
+    end by each side's maximum via truncating division. Both engines
+    run the identical unroll -> hash-exact. Overflow: |a2| <=
+    maxdeg^2 * n_edges-ish — < 2^63 through maxdeg ~ 1e6 at 100 TB —
+    and 2 rounds is the classic HITS demo depth; deeper runs renormalize
+    per round (documented, docs/LIMITS.md).
+
+    Scale shape: per round one join (rank ⋈ edges on the source side's
+    key) + one map-side-combinable aggregate — the pagerank shuffle
+    pattern; top-10s are TakeOrdered (no global sort); the per-kind max
+    is a 20-row rollup."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    pairs = _pin(pairs)  # the edge table feeds all four unrolled rounds
+    a1 = pairs.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    h1 = (
+        pairs.join(a1.withColumnRenamed("dst", "jdst"), F.col("dst") == F.col("jdst"))
+        .groupBy("src")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+    a2 = (
+        pairs.join(h1.withColumnRenamed("src", "jsrc"), F.col("src") == F.col("jsrc"))
+        .groupBy("dst")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+    h2 = (
+        pairs.join(a2.withColumnRenamed("dst", "jdst"), F.col("dst") == F.col("jdst"))
+        .groupBy("src")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+    top_a = (
+        a2.orderBy(F.desc("s"), "dst")
+        .limit(10)
+        .select(F.lit("authority").alias("kind"), F.col("dst").alias("node"), "s")
+    )
+    top_h = (
+        h2.orderBy(F.desc("s"), "src")
+        .limit(10)
+        .select(F.lit("hub").alias("kind"), F.col("src").alias("node"), "s")
+    )
+    tops = top_a.unionByName(top_h)
+    mx = tops.groupBy("kind").agg(F.max("s").alias("mx"))
+    return (
+        tops.join(F.broadcast(mx), "kind")
+        .select(
+            "kind",
+            "node",
+            F.col("s").alias("score"),
+            F.expr("(1000000 * s) div mx").cast("bigint").alias("norm_e6"),
+        )
+    )

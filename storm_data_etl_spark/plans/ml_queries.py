@@ -6461,3 +6461,186 @@ def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_margin_ge3"),
         F.sum(F.col("top") - F.col("second")).cast("bigint").alias("sum_margin"),
     )
+
+
+# =====================================================================
+# Off-policy evaluation, part 2: SNIPS + doubly-robust estimators
+# =====================================================================
+
+@register(
+    "snips_dr_policy_value",
+    """
+    WITH q AS (
+      SELECT user_id % 16 AS ctx, event_type AS action,
+             CAST(floor("value" * 100) AS BIGINT) AS r
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    counts AS (
+      SELECT ctx, action,
+             CAST(count(*) AS BIGINT) AS c_ax,
+             CAST(sum(r) AS BIGINT) AS sr_ax
+      FROM q GROUP BY ctx, action
+    ),
+    ctx_tot AS (SELECT ctx, CAST(sum(c_ax) AS BIGINT) AS c_x
+                FROM counts GROUP BY ctx),
+    tgt AS (
+      SELECT x.ctx, x.c_x,
+             coalesce(c.c_ax, 0) AS c_t, coalesce(c.sr_ax, 0) AS sr_t
+      FROM ctx_tot x LEFT JOIN counts c
+        ON c.ctx = x.ctx
+       AND c.action = (CASE WHEN x.ctx < 8 THEN 'purchase' ELSE 'click' END)
+    ),
+    scored AS (
+      SELECT q.r, c.c_ax, c.sr_ax, g.c_x, g.c_t, g.sr_t,
+             CASE WHEN q.action = (CASE WHEN q.ctx < 8 THEN 'purchase'
+                                        ELSE 'click' END)
+                  THEN 1 ELSE 0 END AS matched
+      FROM q JOIN counts c ON c.ctx = q.ctx AND c.action = q.action
+             JOIN tgt g ON g.ctx = q.ctx
+    ),
+    rows_q AS (
+      SELECT matched,
+             CASE WHEN matched = 1
+                  THEN CAST(floor(10000.0 * (c_x / CAST(c_ax AS DOUBLE))) AS BIGINT)
+                  ELSE 0 END AS w_e4,
+             CASE WHEN matched = 1
+                  THEN CAST(floor(10000.0 * r * (c_x / CAST(c_ax AS DOUBLE)))
+                       AS BIGINT)
+                  ELSE 0 END AS wr_e4,
+             CAST(floor(10000.0 * (
+               CASE WHEN c_t = 0 THEN 0.0
+                    ELSE sr_t / CAST(c_t AS DOUBLE) END
+               + matched * ((r - sr_ax / CAST(c_ax AS DOUBLE))
+                            * (c_x / CAST(c_ax AS DOUBLE))))) AS BIGINT) AS dr_e4
+      FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_logged,
+           CAST(sum(matched) AS BIGINT) AS n_matched,
+           CASE WHEN sum(w_e4) = 0 THEN NULL
+                ELSE (10000 * CAST(sum(wr_e4) AS BIGINT))
+                     // CAST(sum(w_e4) AS BIGINT)
+           END AS snips_value_e4,
+           CAST(sum(dr_e4) // count(*) AS BIGINT) AS dr_value_e4,
+           CASE WHEN sum((w_e4 * w_e4) // 10000) = 0 THEN NULL
+                ELSE CAST(floor(100.0 * (CAST(sum(w_e4) AS DOUBLE)
+                                    * CAST(sum(w_e4) AS DOUBLE))
+                     / (10000.0 * CAST(sum((w_e4 * w_e4) // 10000) AS DOUBLE)))
+                     AS BIGINT)
+           END AS ess_e2
+    FROM rows_q
+    """,
+)
+def snips_dr_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-normalized IPS (Swaminathan & Joachims 2015) and the
+    doubly-robust estimator (Dudík, Langford & Li 2011) for the same
+    logged-bandit setup as ips_policy_value (target: purchase for
+    contexts 0-7, click for 8-15; propensities = empirical c_ax/c_x).
+    SNIPS divides the weighted reward by the realized weight mass
+    (killing IPS's scale sensitivity); DR adds the plug-in value model
+    q_hat(x,a) = mean logged reward per (ctx, action) and corrects it
+    with the importance-weighted residual — unbiased if EITHER the
+    propensities or q_hat are right. ess_e2 = (sum w)^2 / sum w^2, the
+    effective-sample-size health check every off-policy report carries
+    (Kong 1992).
+
+    Exactness: per-row weight / weighted-reward / DR terms are
+    closed-form doubles over exact BIGINT count sums (deterministic per
+    row — the welch discipline), floored at 1e4 per row BEFORE the
+    global sums, so only integers cross the aggregate; SNIPS and the
+    mean are then truncating integer divisions, and ESS is one
+    closed-form double over three exact sums. Capacity: wr_e4 <=
+    1e4 * r * c_x -> past ~1e9 rows/context recast (docs/LIMITS.md).
+
+    Scale shape: identical to ips_policy_value — the (ctx x action)
+    propensity/value table broadcasts twice onto one scan, then a
+    one-row aggregate. The ONLY additions are the left-join target-arm
+    value row (still broadcast-sized) and three more integer sums."""
+    q = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (F.col("user_id") % 16).alias("ctx"),
+            F.col("event_type").alias("action"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("r"),
+        )
+    )
+    counts = q.groupBy("ctx", "action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ax"),
+        F.sum("r").cast("bigint").alias("sr_ax"),
+    )
+    # (ctx x action) rows feed ctx_tot, the target-arm left join AND the
+    # scoring broadcast — pin so the corpus is scanned exactly twice
+    # (propensity pass + scoring pass), never four times.
+    counts = _pin(counts)
+    ctx_tot = counts.groupBy("ctx").agg(F.sum("c_ax").cast("bigint").alias("c_x"))
+    target_of = lambda ctx: F.when(ctx < 8, F.lit("purchase")).otherwise(F.lit("click"))
+    tgt = (
+        ctx_tot.alias("x")
+        .join(
+            counts.alias("c"),
+            (F.col("c.ctx") == F.col("x.ctx"))
+            & (F.col("c.action") == target_of(F.col("x.ctx"))),
+            "left",
+        )
+        .select(
+            F.col("x.ctx").alias("ctx"),
+            F.col("x.c_x").alias("c_x"),
+            F.coalesce(F.col("c.c_ax"), F.lit(0)).cast("bigint").alias("c_t"),
+            F.coalesce(F.col("c.sr_ax"), F.lit(0)).cast("bigint").alias("sr_t"),
+        )
+    )
+    scored = (
+        q.join(F.broadcast(counts), ["ctx", "action"])
+        .join(F.broadcast(tgt), "ctx")
+        .withColumn("matched", (F.col("action") == target_of(F.col("ctx"))).cast("int"))
+    )
+    w_d = F.col("c_x") / F.col("c_ax").cast("double")
+    qhat_t = F.when(F.col("c_t") == 0, F.lit(0.0)).otherwise(
+        F.col("sr_t") / F.col("c_t").cast("double")
+    )
+    qhat_ax = F.col("sr_ax") / F.col("c_ax").cast("double")
+    rows_q = scored.select(
+        "matched",
+        F.when(F.col("matched") == 1, F.floor(10000.0 * w_d).cast("bigint"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("w_e4"),
+        F.when(
+            F.col("matched") == 1,
+            F.floor(10000.0 * F.col("r") * w_d).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("wr_e4"),
+        F.floor(
+            10000.0
+            * (qhat_t + F.col("matched") * ((F.col("r") - qhat_ax) * w_d))
+        )
+        .cast("bigint")
+        .alias("dr_e4"),
+    )
+    agg = rows_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_logged"),
+        F.sum("matched").cast("bigint").alias("n_matched"),
+        F.sum("w_e4").cast("bigint").alias("sw"),
+        F.sum("wr_e4").cast("bigint").alias("swr"),
+        F.sum("dr_e4").cast("bigint").alias("sdr"),
+        F.expr("sum((w_e4 * w_e4) div 10000)").cast("bigint").alias("sww"),
+    )
+    snips = F.when(F.col("sw") == 0, F.lit(None).cast("bigint")).otherwise(
+        F.expr("(10000 * swr) div sw")
+    )
+    ess = F.when(F.col("sww") == 0, F.lit(None).cast("bigint")).otherwise(
+        F.floor(
+            100.0
+            * (F.col("sw").cast("double") * F.col("sw").cast("double"))
+            / (10000.0 * F.col("sww").cast("double"))
+        ).cast("bigint")
+    )
+    return agg.select(
+        "n_logged",
+        "n_matched",
+        snips.cast("bigint").alias("snips_value_e4"),
+        F.expr("sdr div n_logged").cast("bigint").alias("dr_value_e4"),
+        ess.alias("ess_e2"),
+    )

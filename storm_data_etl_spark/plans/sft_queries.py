@@ -2438,3 +2438,257 @@ def best_of_n_reward_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# GRPO group-relative advantages (RL post-training data prep)
+# =====================================================================
+
+@register(
+    "grpo_group_advantages",
+    """
+    WITH q AS (
+      SELECT user_id, event_type,
+             CAST(floor("value" * 100) AS BIGINT) AS r
+      FROM events
+      WHERE "value" IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type, r,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_g,
+             CAST(sum(r) OVER (PARTITION BY user_id) AS BIGINT) AS s_g,
+             CAST(sum(r * r) OVER (PARTITION BY user_id) AS BIGINT) AS q_g
+      FROM q
+    ),
+    adv AS (
+      SELECT event_type,
+             CASE WHEN n_g >= 2
+                       AND q_g / CAST(n_g AS DOUBLE)
+                           - (s_g / CAST(n_g AS DOUBLE))
+                             * (s_g / CAST(n_g AS DOUBLE)) > 0.0
+                  THEN CAST(floor(10000.0
+                       * ((r - s_g / CAST(n_g AS DOUBLE))
+                          / sqrt(q_g / CAST(n_g AS DOUBLE)
+                                 - (s_g / CAST(n_g AS DOUBLE))
+                                   * (s_g / CAST(n_g AS DOUBLE)))))
+                       AS BIGINT)
+                  ELSE NULL
+             END AS adv_e4
+      FROM w
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN adv_e4 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate,
+           CAST(sum(CASE WHEN adv_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(coalesce(adv_e4, 0)) AS BIGINT) AS sum_adv_e4,
+           CAST(sum(abs(coalesce(adv_e4, 0))) AS BIGINT) AS sum_abs_adv_e4,
+           CAST(sum(CASE WHEN abs(coalesce(adv_e4, 0)) >= 20000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_2sigma
+    FROM adv GROUP BY event_type
+    """,
+)
+def grpo_group_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization (the GRPO estimator of Shao
+    et al. 2024, "DeepSeekMath", public arXiv 2402.03300): rewards are
+    standardized WITHIN their prompt group — advantage
+    A_i = (r_i - mean_g) / std_g with the group's own population std —
+    instead of against a learned value baseline. Groups are user_id
+    (the repo's standing "n samples per prompt" analogue), rewards are
+    value cents; the rollup audits the normalized advantage distribution
+    per event type: share positive, mass, degenerate groups
+    (singleton or zero-variance -> NULL advantage = zero gradient in
+    GRPO), and the >2-sigma tail a reward-hacking sweep reads.
+
+    Exactness: the per-group moment sums are exact BIGINT WINDOW sums
+    keyed by user_id (no order -> whole-partition frame, one shuffle);
+    each row's advantage is then a closed-form double over its three
+    exact integers (mean/var/sqrt in the pinned expression order — the
+    welch discipline), floored at 1e4 per row BEFORE the event-type
+    aggregate, so only integers cross the final shuffle. Var > 0 is
+    tested on the same double expression both engines evaluate.
+    Capacity: q_g = sum r^2 < 2^63 -> ~9e8 rows per user at |value| <=
+    1000 (docs/LIMITS.md).
+
+    Scale shape: one scan -> keyed window on user_id (the group key —
+    never a global window) -> map-side-combinable groupBy(event_type).
+    At 100 TB the group cardinality is the prompt count: uniform keys,
+    bounded group size (samples-per-prompt), no skew risk."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    q = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("r"),
+    )
+    wg = Window.partitionBy("user_id")
+    w = q.select(
+        "event_type",
+        "r",
+        F.count(F.lit(1)).over(wg).cast("bigint").alias("n_g"),
+        F.sum("r").over(wg).cast("bigint").alias("s_g"),
+        F.sum(F.col("r") * F.col("r")).over(wg).cast("bigint").alias("q_g"),
+    )
+    nd = F.col("n_g").cast("double")
+    mean = F.col("s_g") / nd
+    var = F.col("q_g") / nd - mean * mean
+    adv_e4 = F.when(
+        (F.col("n_g") >= 2) & (var > 0.0),
+        F.floor(10000.0 * ((F.col("r") - mean) / F.sqrt(var))).cast("bigint"),
+    ).otherwise(F.lit(None).cast("bigint"))
+    adv = w.select("event_type", adv_e4.alias("adv_e4"))
+    return adv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("adv_e4").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_degenerate"),
+        F.sum(F.when(F.col("adv_e4") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.coalesce(F.col("adv_e4"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_adv_e4"),
+        F.sum(F.abs(F.coalesce(F.col("adv_e4"), F.lit(0))))
+        .cast("bigint")
+        .alias("sum_abs_adv_e4"),
+        F.sum(
+            F.when(F.abs(F.coalesce(F.col("adv_e4"), F.lit(0))) >= 20000, 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_over_2sigma"),
+    )
+
+
+# =====================================================================
+# DoReMi domain-weight iteration (training-mixture optimization)
+# =====================================================================
+
+def _sql_doremi_iter(prev: str, out: str) -> str:
+    """One exponentiated-gradient step over the bounded domain table:
+    u = floor(w * exp(excess)), then renormalize to 1e6 via truncating
+    integer division — all cross-domain sums are exact integers."""
+    return f"""
+    u_{out} AS (
+      SELECT source, excess_e6,
+             CAST(floor(w_e6 * exp(excess_e6 / 1000000.0)) AS BIGINT) AS u
+      FROM {prev}
+    ),
+    {out} AS (
+      SELECT source, excess_e6,
+             CAST((1000000 * u) // (SELECT sum(u) FROM u_{out}) AS BIGINT) AS w_e6
+      FROM u_{out}
+    )"""
+
+
+@register(
+    "doremi_domain_weights",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sc
+      FROM documents GROUP BY source
+    ),
+    g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+                 CAST(sum(sc) AS BIGINT) AS sc_tot FROM d),
+    w0 AS (
+      SELECT source, n_docs,
+             CAST(floor(1000000.0 * greatest(
+               ln(1.0 + sc / CAST(n_docs AS DOUBLE))
+               - ln(1.0 + sc_tot / CAST(n_tot AS DOUBLE)), 0.0)) AS BIGINT)
+               AS excess_e6,
+             CAST(1000000 AS BIGINT) AS w_e6
+      FROM d CROSS JOIN g
+    ),
+    {_sql_doremi_iter("w0", "w1")},
+    {_sql_doremi_iter("w1", "w2")},
+    {_sql_doremi_iter("w2", "w3")}
+    SELECT w0.source, w0.n_docs, w0.excess_e6,
+           w1.w_e6 AS w1_e6, w2.w_e6 AS w2_e6, w3.w_e6 AS w3_e6
+    FROM w0 JOIN w1 ON w1.source = w0.source
+            JOIN w2 ON w2.source = w0.source
+            JOIN w3 ON w3.source = w0.source
+    """,
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, public arXiv
+    2305.10429): 3 unrolled exponentiated-gradient steps
+    w <- normalize(w * exp(eta * excess_loss)) over the source domains,
+    eta = 1. The excess-loss signal here is a deterministic stand-in
+    (per-domain mean-length log gap over the global mean, clamped at 0 —
+    DoReMi's clip of proxy-minus-reference loss), because the engine's
+    job is the ITERATION MECHANISM: the real per-domain losses arrive as
+    a table from the proxy-model run and drop into the same plan.
+
+    Exactness: weights live as 1e6-scaled BIGINTs; each step multiplies
+    by the per-domain double exp() (deterministic per row — excess is a
+    frozen quantized integer) and floors back to integers, and the
+    normalizer is an exact integer sum over the bounded domain table
+    followed by truncating division. Both engines execute the identical
+    3-step unroll, so the weights match hash-exact. Overflow: u <=
+    1e6 * e^excess; excess <= ln(max/min mean length) — single-digit —
+    so u stays far under 2^63 (docs/LIMITS.md).
+
+    Scale shape: ONE corpus scan (the per-domain count/sum); everything
+    after runs on the domain table (bounded by the source vocabulary),
+    where the unbounded window is over provably bounded rows — the
+    repo's tiny-rollup convention. At 100 TB: scan cost only."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sc"),
+        )
+    )
+    g = d.agg(
+        F.sum("n_docs").cast("bigint").alias("n_tot"),
+        F.sum("sc").cast("bigint").alias("sc_tot"),
+    )
+    excess = F.floor(
+        1000000.0
+        * F.greatest(
+            F.log(1.0 + F.col("sc") / F.col("n_docs").cast("double"))
+            - F.log(1.0 + F.col("sc_tot") / F.col("n_tot").cast("double")),
+            F.lit(0.0),
+        )
+    ).cast("bigint")
+    cur = (
+        d.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_docs",
+            excess.alias("excess_e6"),
+            F.lit(1000000).cast("bigint").alias("w_e6"),
+        )
+    )
+    cur = _pin(cur)  # the domain table feeds every unrolled step
+    out = cur.select("source", "n_docs", "excess_e6")
+    for i in (1, 2, 3):
+        u = cur.select(
+            "source",
+            "n_docs",
+            "excess_e6",
+            F.floor(
+                F.col("w_e6") * F.exp(F.col("excess_e6") / 1000000.0)
+            )
+            .cast("bigint")
+            .alias("u"),
+        )
+        stepped = u.select(
+            "source",
+            "n_docs",
+            "excess_e6",
+            F.expr(f"(1000000 * u) div (sum(u) OVER ())").cast("bigint").alias("w_e6"),
+        )
+        out = out.join(
+            stepped.select("source", F.col("w_e6").alias(f"w{i}_e6")), "source"
+        )
+        cur = stepped
+    return out.select("source", "n_docs", "excess_e6", "w1_e6", "w2_e6", "w3_e6")

@@ -5898,3 +5898,330 @@ def diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(e4 * cd / hundred).cast("bigint").alias("control_delta_e4"),
         F.floor(e4 * (td - cd) / hundred).cast("bigint").alias("did_e4"),
     )
+
+
+# =====================================================================
+# Paired-binary and stratified 2x2 inference (McNemar / Mantel-Haenszel)
+# =====================================================================
+
+@register(
+    "mcnemar_test",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM u
+    )
+    SELECT n_pairs, n11, n10, n01, n00,
+           CASE WHEN n10 + n01 = 0 THEN NULL
+                ELSE (1000000 * (n10 - n01) * (n10 - n01)) // (n10 + n01)
+           END AS chi2_e6,
+           CASE WHEN n10 + n01 = 0 THEN NULL
+                ELSE (1000000
+                      * greatest(abs(n10 - n01) - 1, 0)
+                      * greatest(abs(n10 - n01) - 1, 0))
+                     // (n10 + n01)
+           END AS chi2_cc_e6
+    FROM m
+    """,
+)
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (McNemar 1947) for paired binary outcomes: per user
+    the pair is (ever clicked, ever purchased); the test asks whether the
+    two marginal rates differ using ONLY the discordant cells —
+    chi2 = (n10 - n01)^2 / (n10 + n01), plus the Edwards
+    continuity-corrected form (|n10 - n01| - 1)^2 / (n10 + n01) clamped
+    at 0 so equal discordance reads 0, not 1/(b+c). This is the k = 2
+    member of the family cochran_q_test generalizes (its docstring calls
+    Q "the k-sample generalization of McNemar") — landing it closes that
+    gap downward.
+
+    Exact integers end to end: the 2x2 concordance table is one
+    conditional aggregate over per-user max() flags; both statistics are
+    truncating BIGINT divisions at 1e6, NULL when there are no discordant
+    pairs (test undefined). Capacity: 1e6 * n^2 < 2^63 -> n < 3.0e6
+    discordant pairs; recast to DECIMAL(38,0) past that (docs/LIMITS.md).
+
+    Scale shape: one scan -> per-user conditional agg (1 shuffle on
+    user_id, map-side combinable) -> one-row global aggregate. No
+    windows, no sorts, no floats anywhere."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    disc = F.col("n10") + F.col("n01")
+    chi2 = F.when(disc == 0, F.lit(None).cast("bigint")).otherwise(
+        F.expr("(1000000 * (n10 - n01) * (n10 - n01)) div (n10 + n01)")
+    )
+    chi2_cc = F.when(disc == 0, F.lit(None).cast("bigint")).otherwise(
+        F.expr(
+            "(1000000 * greatest(abs(n10 - n01) - 1, 0)"
+            " * greatest(abs(n10 - n01) - 1, 0)) div (n10 + n01)"
+        )
+    )
+    return m.select(
+        "n_pairs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        chi2.cast("bigint").alias("chi2_e6"),
+        chi2_cc.cast("bigint").alias("chi2_cc_e6"),
+    )
+
+
+@register(
+    "mantel_haenszel_or",
+    """
+    WITH q AS (
+      SELECT event_type AS stratum,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS exposed,
+             CASE WHEN "value" >= 500.0 THEN 1 ELSE 0 END AS outcome
+      FROM events
+      WHERE "value" IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    cells AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM q GROUP BY stratum
+    ),
+    terms AS (
+      SELECT stratum, a, b, c, d,
+             (1000000 * a * d) // (a + b + c + d) AS r_term_e6,
+             (1000000 * b * c) // (a + b + c + d) AS s_term_e6
+      FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(a + b + c + d) AS BIGINT) AS n_rows,
+           CAST(sum(r_term_e6) AS BIGINT) AS r_e6,
+           CAST(sum(s_term_e6) AS BIGINT) AS s_e6,
+           CASE WHEN sum(s_term_e6) = 0 THEN NULL
+                ELSE (1000000 * CAST(sum(r_term_e6) AS BIGINT))
+                     // CAST(sum(s_term_e6) AS BIGINT)
+           END AS or_mh_e6
+    FROM terms
+    """,
+)
+def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959) across
+    event-type strata: exposure = even user_id (the repo's standing A/B
+    arm convention), outcome = value >= 500. The pooled estimate
+    OR_MH = sum_i(a_i d_i / n_i) / sum_i(b_i c_i / n_i) answers "what is
+    the common odds ratio once the stratum mix is controlled for" — the
+    confounding-robust counterpart to a single collapsed 2x2 (which
+    Simpson's paradox can invert).
+
+    Exactness convention: each stratum's term a_i d_i / n_i is a
+    truncating BIGINT division at 1e6 BEFORE the cross-stratum sum, so
+    the distributed sums are exact integers and the final ratio is one
+    more truncating division — identical arithmetic on both engines by
+    definition. Capacity: 1e6 * a_i * d_i < 2^63 -> n_i < 6.0e6 rows per
+    stratum (a_i d_i <= n_i^2/4); recast to DECIMAL(38,0) past that —
+    and note DuckDB widens overflowing BIGINT products to HUGEINT while
+    Spark wraps, so the twins diverge past the bound (docs/LIMITS.md).
+
+    Scale shape: one conditional-aggregate scan keyed by stratum (the
+    event-type vocabulary — bounded), then a one-row fold over the
+    stratum table. No joins, no windows, no floats."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    q = ev.select(
+        F.col("event_type").alias("stratum"),
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("exposed"),
+        F.when(F.col("value") >= 500.0, 1).otherwise(0).alias("outcome"),
+    )
+    cells = q.groupBy("stratum").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    terms = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("(1000000 * a * d) div (a + b + c + d)").alias("r_term_e6"),
+        F.expr("(1000000 * b * c) div (a + b + c + d)").alias("s_term_e6"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("bigint")
+        .alias("n_rows"),
+        F.sum("r_term_e6").cast("bigint").alias("r_e6"),
+        F.sum("s_term_e6").cast("bigint").alias("s_e6"),
+    )
+    or_mh = F.when(F.col("s_e6") == 0, F.lit(None).cast("bigint")).otherwise(
+        F.expr("(1000000 * r_e6) div s_e6")
+    )
+    return agg.select(
+        "n_strata", "n_rows", "r_e6", "s_e6", or_mh.cast("bigint").alias("or_mh_e6")
+    )
+
+
+# =====================================================================
+# Brier score + Murphy decomposition (forecast calibration accounting)
+# =====================================================================
+
+@register(
+    "brier_decomposition",
+    """
+    WITH q AS (
+      SELECT least(greatest(CAST(floor("value" / 10) AS BIGINT), 0), 100) AS p_e2,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE "value" IS NOT NULL
+    ),
+    bins AS (
+      SELECT p_e2 // 10 AS bin,
+             CAST(count(*) AS BIGINT) AS n_k,
+             CAST(sum(p_e2) AS BIGINT) AS sp_k,
+             CAST(sum(y) AS BIGINT) AS sy_k,
+             CAST(sum((p_e2 - 100 * y) * (p_e2 - 100 * y)) AS BIGINT) AS sb_k
+      FROM q GROUP BY p_e2 // 10
+    ),
+    tot AS (
+      SELECT CAST(sum(n_k) AS BIGINT) AS n,
+             CAST(sum(sy_k) AS BIGINT) AS sy,
+             CAST(sum(sb_k) AS BIGINT) AS sb
+      FROM bins
+    ),
+    terms AS (
+      SELECT n, sy, sb,
+             CAST(floor(1000000.0 * n_k
+                        * pow(sp_k / (100.0 * n_k) - sy_k / CAST(n_k AS DOUBLE), 2))
+                  AS BIGINT) AS rel_k_e6,
+             CAST(floor(1000000.0 * n_k
+                        * pow(sy_k / CAST(n_k AS DOUBLE) - sy / CAST(n AS DOUBLE), 2))
+                  AS BIGINT) AS res_k_e6
+      FROM bins CROSS JOIN tot
+    )
+    SELECT n,
+           CAST((1000000 * sb) // (10000 * n) AS BIGINT) AS brier_e6,
+           CAST(sum(rel_k_e6) // n AS BIGINT) AS reliability_e6,
+           CAST(sum(res_k_e6) // n AS BIGINT) AS resolution_e6,
+           CAST((1000000 * sy * (n - sy)) // (n * n) AS BIGINT) AS uncertainty_e6
+    FROM terms GROUP BY n, sy, sb
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition
+    Brier = reliability - resolution + uncertainty over 10 forecast
+    bins: forecast p = value/1000 clamped to [0,1] (hundredths), outcome
+    = purchase. Complements ece_calibration_error: ECE reports the
+    calibration GAP alone; the Murphy accounting splits the full proper
+    score into calibration (REL), discrimination (RES) and the
+    irreducible base-rate term UNC = ybar(1-ybar) — the standard way to
+    tell a well-calibrated-but-useless forecaster from a sharp one.
+    (Binned p_bar_k makes the identity exact up to within-bin forecast
+    variance, as always for the binned estimator.)
+
+    Exactness: the per-row Brier sum uses integer (p_e2 - 100y)^2 —
+    exact BIGINTs; REL/RES per-bin terms are closed-form doubles over
+    exact bin integers (deterministic per row — the welch discipline),
+    floored at 1e6 per bin BEFORE the 10-element sum, so no float ever
+    crosses an aggregation boundary. UNC is pure integer arithmetic.
+    Capacity: 1e6 * sy * (n - sy) < 2^63 -> n < 6.0e6 rows (sy(n-sy) <=
+    n^2/4); 1e6 * sb needs the same bound (sb <= 1e4 n). DECIMAL(38,0)
+    past that (docs/LIMITS.md).
+
+    Scale shape: one scan -> 11-key conditional aggregate -> broadcast
+    1-row total back onto the bin table -> one-row fold. No windows."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10).cast("bigint"), F.lit(0)),
+            F.lit(100),
+        ).alias("p_e2"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    d = F.col("p_e2") - 100 * F.col("y")
+    bins = q.groupBy(F.expr("p_e2 div 10").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("p_e2").cast("bigint").alias("sp_k"),
+        F.sum("y").cast("bigint").alias("sy_k"),
+        F.sum(d * d).cast("bigint").alias("sb_k"),
+    )
+    bins = _pin(bins)  # 11 rows feed BOTH the total and the term table
+    tot = bins.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("sy_k").cast("bigint").alias("sy"),
+        F.sum("sb_k").cast("bigint").alias("sb"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "sy",
+        "sb",
+        F.floor(
+            1000000.0
+            * F.col("n_k")
+            * F.pow(
+                F.col("sp_k") / (100.0 * F.col("n_k"))
+                - F.col("sy_k") / F.col("n_k").cast("double"),
+                F.lit(2),
+            )
+        )
+        .cast("bigint")
+        .alias("rel_k_e6"),
+        F.floor(
+            1000000.0
+            * F.col("n_k")
+            * F.pow(
+                F.col("sy_k") / F.col("n_k").cast("double")
+                - F.col("sy") / F.col("n").cast("double"),
+                F.lit(2),
+            )
+        )
+        .cast("bigint")
+        .alias("res_k_e6"),
+    )
+    return terms.groupBy("n", "sy", "sb").agg(
+        F.expr("(1000000 * first(sb)) div (10000 * first(n))")
+        .cast("bigint")
+        .alias("brier_e6"),
+        F.expr("sum(rel_k_e6) div first(n)").cast("bigint").alias("reliability_e6"),
+        F.expr("sum(res_k_e6) div first(n)").cast("bigint").alias("resolution_e6"),
+        F.expr("(1000000 * first(sy) * (first(n) - first(sy))) div (first(n) * first(n))")
+        .cast("bigint")
+        .alias("uncertainty_e6"),
+    ).select("n", "brier_e6", "reliability_e6", "resolution_e6", "uncertainty_e6")

@@ -1,0 +1,314 @@
+"""Round-9 second-wave operators: McNemar, Mantel-Haenszel, the Murphy
+Brier decomposition, GRPO group advantages, DoReMi domain weights,
+SNIPS/doubly-robust off-policy value, HITS, and the Zipf/Heaps law fits.
+Each test writes tiny parquet tables and asserts values hand-derived in
+the comments; float expectations are mirrored in pure Python with the
+SAME IEEE expression order the engine declares, so an engine-side formula
+drift breaks these rows first."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from storm_data_etl_spark.plans import corpus_queries  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import lake_queries  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import ml_queries  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import queries as Q
+from storm_data_etl_spark.plans import sft_queries  # noqa: F401 (registry)
+from storm_data_etl_spark.plans import window_queries  # noqa: F401 (registry)
+
+TS = dt.datetime(2024, 1, 1, 12)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Sign-split truncating division — the identity both engines use."""
+    assert b > 0
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def test_mcnemar_hand_cells(spark, tmp_path):
+    """u1,u2 click-only; u3 purchase-only; u4 both; u5 view-only ->
+    n11=1 n10=2 n01=1 n00=1. chi2 = 1e6*(2-1)^2/3 = 333333; the
+    continuity-corrected form clamps |b-c|-1 = 0 -> 0."""
+    rows = [
+        (0, TS, 1, "click", 1.0, "{}"),
+        (1, TS, 2, "click", 1.0, "{}"),
+        (2, TS, 3, "purchase", 1.0, "{}"),
+        (3, TS, 4, "click", 1.0, "{}"),
+        (4, TS, 4, "purchase", 1.0, "{}"),
+        (5, TS, 5, "view", 1.0, "{}"),
+        (6, TS, None, "click", 1.0, "{}"),  # null user excluded
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.REGISTRY["mcnemar_test"].runner(spark, str(tmp_path)).collect()[0]
+    assert (r.n_pairs, r.n11, r.n10, r.n01, r.n00) == (5, 1, 2, 1, 1)
+    assert r.chi2_e6 == _tdiv(1000000 * 1 * 1, 3) == 333333
+    assert r.chi2_cc_e6 == 0
+
+
+def test_mcnemar_no_discordance_is_null(spark, tmp_path):
+    """All pairs concordant -> both statistics NULL (test undefined)."""
+    rows = [
+        (0, TS, 1, "click", 1.0, "{}"),
+        (1, TS, 1, "purchase", 1.0, "{}"),
+        (2, TS, 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.REGISTRY["mcnemar_test"].runner(spark, str(tmp_path)).collect()[0]
+    assert (r.n10, r.n01) == (0, 0)
+    assert r.chi2_e6 is None and r.chi2_cc_e6 is None
+
+
+def test_mantel_haenszel_hand_strata(spark, tmp_path):
+    """Stratum 'a': a=2 b=1 c=1 d=2 (n=6) -> r_term = 1e6*4//6 = 666666,
+    s_term = 1e6*1//6 = 166666. Stratum 'b': a=b=c=d=1 (n=4) -> 250000
+    each. R = 916666, S = 416666, OR = 1e6*916666 // 416666."""
+    rows = [
+        # stratum a: exposed = even user, outcome = value >= 500
+        (0, TS, 2, "a", 600.0, "{}"),   # a
+        (1, TS, 4, "a", 600.0, "{}"),   # a
+        (2, TS, 6, "a", 100.0, "{}"),   # b
+        (3, TS, 1, "a", 700.0, "{}"),   # c
+        (4, TS, 3, "a", 10.0, "{}"),    # d
+        (5, TS, 5, "a", 10.0, "{}"),    # d
+        # stratum b: one per cell; 500.0 boundary is INCLUSIVE
+        (6, TS, 2, "b", 500.0, "{}"),   # a
+        (7, TS, 4, "b", 499.0, "{}"),   # b
+        (8, TS, 1, "b", 500.0, "{}"),   # c
+        (9, TS, 3, "b", 0.0, "{}"),     # d
+        # excluded rows
+        (10, TS, None, "a", 600.0, "{}"),
+        (11, TS, 2, None, 600.0, "{}"),
+        (12, TS, 2, "a", None, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.REGISTRY["mantel_haenszel_or"].runner(spark, str(tmp_path)).collect()[0]
+    assert (r.n_strata, r.n_rows) == (2, 10)
+    assert r.r_e6 == 666666 + 250000
+    assert r.s_e6 == 166666 + 250000
+    assert r.or_mh_e6 == _tdiv(1000000 * 916666, 416666)
+
+
+def test_brier_decomposition_hand_bins(spark, tmp_path):
+    """Six rows over three bins (p_e2 = 100, 0, 55; one purchase and one
+    view each). sb = 2*10000 + 2025 + 3025 = 25050 -> brier_e6 = 417500.
+    Per-bin REL terms (mirrored IEEE order): bins 100 and 0 contribute
+    0.5 each, bin 55 contributes 2*(0.55-0.5)^2; RES = 0 everywhere
+    (every bin's outcome rate equals the base rate 0.5); UNC = 250000.
+    Identity check: brier = rel - res + unc holds exactly here because
+    within-bin forecast variance is zero."""
+    rows = [
+        (0, TS, 1, "purchase", 1000.0, "{}"),
+        (1, TS, 1, "view", 1000.0, "{}"),
+        (2, TS, 1, "view", 0.0, "{}"),
+        (3, TS, 1, "purchase", 0.0, "{}"),
+        (4, TS, 1, "purchase", 550.0, "{}"),
+        (5, TS, 1, "view", 550.0, "{}"),
+        (6, TS, 1, "view", None, "{}"),  # null value excluded
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.REGISTRY["brier_decomposition"].runner(spark, str(tmp_path)).collect()[0]
+    assert r.n == 6
+    assert r.brier_e6 == _tdiv(1000000 * 25050, 10000 * 6) == 417500
+    rel_100 = math.floor(1e6 * 2 * (200 / (100.0 * 2) - 1 / 2.0) ** 2)
+    rel_0 = math.floor(1e6 * 2 * (0 / (100.0 * 2) - 1 / 2.0) ** 2)
+    rel_55 = math.floor(1e6 * 2 * (110 / (100.0 * 2) - 1 / 2.0) ** 2)
+    assert r.reliability_e6 == (rel_100 + rel_0 + rel_55) // 6
+    assert r.resolution_e6 == 0
+    assert r.uncertainty_e6 == _tdiv(1000000 * 3 * 3, 36) == 250000
+    assert r.brier_e6 == r.reliability_e6 - r.resolution_e6 + r.uncertainty_e6
+
+
+def test_grpo_advantages_hand_groups(spark, tmp_path):
+    """Group u1 = cents [100, 200, 300]: mean 200, population var
+    (mirrored order q/n - mean^2) = 140000/3 - 40000; advantages are
+    symmetric so sum_adv is the floor-asymmetry only. u2 is a
+    singleton, u3 zero-variance -> both degenerate (NULL -> zero
+    contribution). All rows share type 'a'."""
+    rows = [
+        (0, TS, 1, "a", 1.0, "{}"),
+        (1, TS, 1, "a", 2.0, "{}"),
+        (2, TS, 1, "a", 3.0, "{}"),
+        (3, TS, 2, "a", 7.0, "{}"),
+        (4, TS, 3, "a", 5.0, "{}"),
+        (5, TS, 3, "a", 5.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = Q.REGISTRY["grpo_group_advantages"].runner(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    mean = 600 / 3.0
+    var = 140000 / 3.0 - mean * mean
+    advs = [math.floor(1e4 * ((c - mean) / math.sqrt(var))) for c in (100, 200, 300)]
+    assert (r.n, r.n_degenerate) == (6, 3)
+    assert r.n_pos == sum(1 for a in advs if a > 0)
+    assert r.sum_adv_e4 == sum(advs)
+    assert r.sum_abs_adv_e4 == sum(abs(a) for a in advs)
+    # |adv| for the extremes is ~1.2247 sigma -> below the 2-sigma line
+    assert r.n_over_2sigma == 0
+
+
+def test_doremi_weights_hand_iteration(spark, tmp_path):
+    """Source 'a' (mean chars 100) sits below the global mean -> excess
+    clamps to 0 -> its multiplier is exp(0) = 1. Source 'b' (mean 1000)
+    carries excess ln(1001) - ln(401); the 3 unrolled steps are mirrored
+    exactly in Python including the per-step floor and renormalize."""
+    rows = [
+        (0, "t", "en", "a", 100),
+        (1, "t", "en", "a", 100),
+        (2, "t", "en", "b", 1000),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.source: r
+        for r in Q.REGISTRY["doremi_domain_weights"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    ex_a = math.floor(1e6 * max(math.log(1.0 + 200 / 2.0) - math.log(1.0 + 1200 / 3.0), 0.0))
+    ex_b = math.floor(1e6 * max(math.log(1.0 + 1000 / 1.0) - math.log(1.0 + 1200 / 3.0), 0.0))
+    assert ex_a == 0
+    assert got["a"].excess_e6 == ex_a and got["b"].excess_e6 == ex_b
+
+    w = {"a": 1000000, "b": 1000000}
+    expect = {}
+    for i in (1, 2, 3):
+        u = {
+            s: math.floor(w[s] * math.exp({"a": ex_a, "b": ex_b}[s] / 1000000.0))
+            for s in w
+        }
+        z = sum(u.values())
+        w = {s: _tdiv(1000000 * u[s], z) for s in u}
+        expect[i] = dict(w)
+    for s in ("a", "b"):
+        assert (got[s].w1_e6, got[s].w2_e6, got[s].w3_e6) == (
+            expect[1][s],
+            expect[2][s],
+            expect[3][s],
+        ), s
+    # weight flows toward the excess-loss domain monotonically
+    assert got["b"].w1_e6 <= got["b"].w2_e6 <= got["b"].w3_e6
+    assert got["b"].w3_e6 > got["a"].w3_e6
+
+
+def test_snips_dr_hand_rows(spark, tmp_path):
+    """Single context 0 (target purchase): one purchase r=100 (matched,
+    w = c_x/c_ax = 2) and one click r=50. q_hat(0,purchase) = 100 ->
+    DR term is 100 for both rows (residual vanishes); SNIPS = the
+    matched row's reward = 100 (1e6 at e4 cents); ESS of one weighted
+    row = 1.00."""
+    rows = [
+        (0, TS, 0, "purchase", 1.0, "{}"),
+        (1, TS, 16, "click", 0.5, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.REGISTRY["snips_dr_policy_value"].runner(spark, str(tmp_path)).collect()[0]
+    assert (r.n_logged, r.n_matched) == (2, 1)
+    assert r.snips_value_e4 == 1000000
+    assert r.dr_value_e4 == 1000000
+    assert r.ess_e2 == 100
+
+
+def test_hits_hand_graph(spark, tmp_path):
+    """Edges s1->c1, s1->c2, s2->c1 (via a one-lineitem-per-order join).
+    a1: c1=2 c2=1; h1: s1=3 s2=2; a2: c1=5 c2=3; h2: s1=8 s2=5.
+    Authority norms 1e6 and 600000; hub norms 1e6 and 625000."""
+    spark.createDataFrame(
+        [(1, 101), (2, 101), (3, 102)], "o_orderkey long, o_custkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 11)], "l_orderkey long, l_suppkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        (r.kind, r.node): r
+        for r in Q.REGISTRY["hits_hub_authority"].runner(spark, str(tmp_path)).collect()
+    }
+    c1, c2 = 1000000 + 101, 1000000 + 102
+    assert got[("authority", c1)].score == 5
+    assert got[("authority", c2)].score == 3
+    assert got[("hub", 11)].score == 8
+    assert got[("hub", 12)].score == 5
+    assert got[("authority", c1)].norm_e6 == 1000000
+    assert got[("authority", c2)].norm_e6 == _tdiv(1000000 * 3, 5)
+    assert got[("hub", 11)].norm_e6 == 1000000
+    assert got[("hub", 12)].norm_e6 == _tdiv(1000000 * 5, 8)
+
+
+def _ols_mirror(points):
+    """Mirror of the engines' quantize-then-closed-form OLS."""
+    pts = [
+        (math.floor(1e5 * math.log(xr)), math.floor(1e5 * math.log(yr)))
+        for xr, yr in points
+    ]
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    syy = sum(p[1] * p[1] for p in pts)
+    return n, sx, sy, sxy, sxx, syy
+
+
+def test_zipf_fit_hand_counts(spark, tmp_path):
+    """Counts a=6 b=3 c=1 at ranks 1,2,3; the OLS over the three
+    quantized (ln rank, ln count) points is mirrored bit-for-bit."""
+    rows = [
+        (0, "a a a a b b c", "en", "x", 13),
+        (1, "a a b", "en", "x", 5),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    r = Q.REGISTRY["zipf_law_fit"].runner(spark, str(tmp_path)).collect()[0]
+    n, sx, sy, sxy, sxx, syy = _ols_mirror([(1, 6), (2, 3), (3, 1)])
+    num = n * sxy - sx * sy
+    den = float(n * sxx - sx * sx)
+    deny = float(n * syy - sy * sy)
+    slope = num / den
+    assert r.n == 3
+    assert r.slope_e6 == math.floor(1e6 * slope)
+    assert r.intercept_e6 == math.floor((1e6 / 1e5) * (sy - slope * sx) / float(n))
+    assert r.r2_e6 == math.floor(1e6 * slope * (num / deny))
+    # a 6/3/1 head is steeper than Zipf's -1
+    assert r.slope_e6 < -1000000
+
+
+def test_heaps_fit_hand_docs(spark, tmp_path):
+    """Source 'x': docs with (tokens, types) = (4,4), (4,2), (2,2) —
+    OLS mirrored exactly (note the DOUBLE-form closed expression).
+    Source 'y' has a single doc -> zero OLS denominator -> NULL; a
+    one-token doc is filtered before the fit."""
+    rows = [
+        (0, "a b c d", "en", "x", 7),
+        (1, "a a b b", "en", "x", 7),
+        (2, "a b", "en", "x", 3),
+        (3, "q r s", "en", "y", 5),
+        (4, "lone", "en", "y", 4),  # 1 token -> excluded
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.source: r
+        for r in Q.REGISTRY["heaps_law_fit"].runner(spark, str(tmp_path)).collect()
+    }
+    n, sx, sy, sxy, sxx, _ = _ols_mirror([(4, 4), (4, 2), (2, 2)])
+    num = float(n) * sxy - float(sx) * sy
+    den = float(n) * sxx - float(sx) * sx
+    slope = num / den
+    x = got["x"]
+    assert x.n_docs == 3
+    assert x.beta_e6 == math.floor(1e6 * slope)
+    assert x.logk_e6 == math.floor((1e6 / 1e5) * (sy - slope * sx) / float(n))
+    y = got["y"]
+    assert y.n_docs == 1 and y.beta_e6 is None and y.logk_e6 is None

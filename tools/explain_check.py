@@ -1185,6 +1185,107 @@ def main() -> int:
         "(single scan; 4-cell aggregate; no joins)",
     )
 
+    # 96. Round-9 second wave, inference trio: McNemar and Mantel-Haenszel
+    # are ONE conditional-aggregate scan (no joins); the Brier
+    # decomposition adds only the 1-row total broadcast back onto the
+    # 11-bin table. No Python, no cartesians anywhere.
+    for nm in ("mcnemar_test", "mantel_haenszel_or"):
+        p_i = plan_of(qs[nm](spark, sf_dir))
+        check(
+            f"{nm}_one_scan",
+            len(_re.findall(r"\(\d+\) Scan parquet", p_i)) <= 1
+            and "CartesianProduct" not in p_i
+            and "BatchEvalPython" not in p_i
+            and "BroadcastHashJoin" not in p_i,
+            "(single conditional-aggregate scan; no joins)",
+        )
+        _rel()
+    p_bd = plan_of(qs["brier_decomposition"](spark, sf_dir))
+    check(
+        "brier_decomposition_bin_rollup",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_bd)) <= 1
+        and "CartesianProduct" not in p_bd
+        and "BatchEvalPython" not in p_bd
+        and len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p_bd)) <= 1,
+        "(one scan; 1-row total broadcast onto the bin table only)",
+    )
+    _rel()
+
+    # 97. GRPO advantages: the group moments come from a KEYED window
+    # (user_id partition — never a global window), one scan, no Python.
+    p_gr = plan_of(qs["grpo_group_advantages"](spark, sf_dir))
+    check(
+        "grpo_keyed_window_only",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_gr)) <= 1
+        and "BatchEvalPython" not in p_gr
+        and "CartesianProduct" not in p_gr
+        and bool(_re.search(r"Window.*\n.*user_id", p_gr)),
+        "(one scan; window keyed by user_id)",
+    )
+    _rel()
+
+    # 98. Off-policy pair + HITS: snips broadcasts the propensity/value
+    # tables onto one scan; HITS reuses ONE pinned edge table for all
+    # four unrolled rounds (InMemoryTableScan), with keyed joins only.
+    # Two scans by design: the propensity-estimation pass and the scoring
+    # pass (the pinned counts table serves ctx_tot/tgt/broadcast reuse).
+    p_sn = plan_of(qs["snips_dr_policy_value"](spark, sf_dir))
+    check(
+        "snips_dr_broadcast_propensities",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_sn)) <= 2
+        and "BroadcastHashJoin" in p_sn
+        and "InMemoryTableScan" in p_sn
+        and "CartesianProduct" not in p_sn
+        and "BatchEvalPython" not in p_sn,
+        "(two passes: estimate + score; pinned propensity table broadcast)",
+    )
+    _rel()
+    p_hi = plan_of(qs["hits_hub_authority"](spark, sf_dir))
+    check(
+        "hits_pinned_edges_keyed_joins",
+        "InMemoryTableScan" in p_hi
+        and "CartesianProduct" not in p_hi
+        and "BatchEvalPython" not in p_hi
+        and "TakeOrderedAndProject" in p_hi,
+        "(pinned edge table; keyed joins; top-10 as TakeOrdered)",
+    )
+    _rel()
+
+    # 99. Scaling-law fits + DoReMi: zipf's top-200 is TakeOrdered (never
+    # a vocabulary-wide window); heaps NEVER explodes tokens (no Generate
+    # — the arrays are sized in-row); doremi reads the corpus ONCE into
+    # the pinned domain table.
+    p_zf = plan_of(qs["zipf_law_fit"](spark, sf_dir))
+    check(
+        "zipf_top200_take_ordered",
+        "TakeOrderedAndProject" in p_zf
+        and "BatchEvalPython" not in p_zf
+        and "CartesianProduct" not in p_zf,
+        "(top-200 head via TakeOrdered; OLS on 200 rows)",
+    )
+    _rel()
+    p_hp = plan_of(qs["heaps_law_fit"](spark, sf_dir))
+    check(
+        "heaps_no_token_explode",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_hp)) <= 1
+        and "Generate" not in p_hp
+        and "BatchEvalPython" not in p_hp,
+        "(one scan; per-row array sizes — tokens never leave the row)",
+    )
+    _rel()
+    p_dm = plan_of(qs["doremi_domain_weights"](spark, sf_dir))
+    check(
+        "doremi_one_corpus_scan",
+        (
+            len(_re.findall(r"\(\d+\) Scan parquet", p_dm)) <= 1
+            or "InMemoryTableScan" in p_dm
+        )
+        and "BatchEvalPython" not in p_dm
+        and "CartesianProduct" not in p_dm,
+        "(corpus scanned once into the pinned domain table)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
