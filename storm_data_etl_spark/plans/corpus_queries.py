@@ -2886,3 +2886,152 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("logk_e6"),
     )
+
+
+# =====================================================================
+# High-entropy secret/credential audit (training-data safety scan)
+# =====================================================================
+
+@register(
+    "secret_entropy_audit",
+    r"""
+    WITH cand AS (
+      SELECT doc_id, source,
+             regexp_extract_all(text, '[A-Za-z0-9+/=]{8,}') AS arr
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, source, r.i AS cand_idx, arr[r.i] AS s,
+             CAST(length(arr[r.i]) AS BIGINT) AS n
+      FROM cand, unnest(range(1, len(arr) + 1)) AS r(i)
+    ),
+    alpha AS (
+      SELECT chr(CAST(cp AS INTEGER)) AS ch
+      FROM unnest(range(43, 123)) AS a(cp)
+      WHERE regexp_matches(chr(CAST(cp AS INTEGER)), '[A-Za-z0-9+/=]')
+    ),
+    freq AS (
+      SELECT c.doc_id, c.source, c.cand_idx, c.n,
+             CAST(length(c.s) - length(replace(c.s, alpha.ch, ''))
+                  AS BIGINT) AS cnt
+      FROM c CROSS JOIN alpha
+    ),
+    terms AS (
+      SELECT doc_id, source, cand_idx, n,
+             CAST(floor(1000000.0 * ((cnt / CAST(n AS DOUBLE))
+                  * (ln(n / CAST(cnt AS DOUBLE)) / ln(2.0)))) AS BIGINT)
+               AS term_e6
+      FROM freq WHERE cnt > 0
+    ),
+    ent AS (
+      SELECT doc_id, source, cand_idx, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(term_e6) AS BIGINT) AS entropy_e6
+      FROM terms GROUP BY doc_id, source, cand_idx
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN entropy_e6 >= 2750000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN entropy_e6 >= 2750000 THEN n ELSE 0 END)
+                AS BIGINT) AS flagged_chars,
+           CAST(max(entropy_e6) AS BIGINT) AS max_entropy_e6
+    FROM ent GROUP BY source
+    """,
+)
+def secret_entropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-entropy credential scan — the training-data safety pass that
+    catches API keys / tokens / private-key blobs BEFORE they reach a
+    model (the detect-secrets / trufflehog HighEntropyString heuristic,
+    public tooling): every base64-alphabet run is a candidate; its
+    per-char Shannon entropy in bits decides — random key material sits
+    near log2(64) = 6 bits/char, natural-language words in the same
+    alphabet near 3-4. The PRODUCTION setting is (min_len 24, threshold
+    4.5 bits); the registered gate variant runs (min_len 8, threshold
+    2.75 bits) because the synthetic fixture's longest base64-alphabet
+    run is 8 chars — at production constants the gate would hash an
+    always-empty result and prove nothing. Identical plan either way;
+    the hand test pins BOTH configurations via the parametric form.
+    Complements pii_luhn_audit (structured PII) with the
+    unstructured-secret class.
+
+    Exactness: per-candidate char counts are EXACT integers computed
+    against the fixed 65-symbol alphabet (length-difference trick — no
+    per-char explode of the corpus); each -p*log2(p) term is a per-row
+    closed-form double over two integers, floored at 1e6 BEFORE the
+    per-candidate sum (<= 65 integer terms), so entropy_e6 is exact and
+    the flag threshold cuts identically on both engines.
+
+    Scale shape: one scan + regexp_extract_all; the explode is over
+    CANDIDATES (rare by construction), and the alphabet join is a
+    constant 65-row broadcast — cost is O(candidates * 65 * len) string
+    ops, never a corpus-wide char explode. One groupBy(candidate), one
+    groupBy(source)."""
+    return secret_entropy_scan(spark, sf_dir, min_len=8, thresh_e6=2750000)
+
+
+def secret_entropy_scan(
+    spark: SparkSession, sf_dir: str, *, min_len: int, thresh_e6: int
+) -> DataFrame:
+    """Parametric form of secret_entropy_audit: candidate run length and
+    flag threshold as arguments (production: min_len=24,
+    thresh_e6=4500000)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cand = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "regexp_extract_all(text, '[A-Za-z0-9+/=]{%d,}', 0)" % min_len
+        ).alias("arr"),
+    )
+    c = cand.select(
+        "doc_id",
+        "source",
+        F.posexplode("arr").alias("cand_idx", "s"),
+    ).select(
+        "doc_id", "source", "cand_idx", "s", F.length("s").cast("bigint").alias("n")
+    )
+    alpha = (
+        spark.range(43, 123)
+        .select(F.expr("char(id)").alias("ch"))
+        .filter(F.col("ch").rlike("[A-Za-z0-9+/=]"))
+    )
+    freq = c.crossJoin(F.broadcast(alpha)).select(
+        "doc_id",
+        "source",
+        "cand_idx",
+        "n",
+        (F.length("s") - F.length(F.expr("replace(s, ch, '')")))
+        .cast("bigint")
+        .alias("cnt"),
+    )
+    terms = freq.filter(F.col("cnt") > 0).select(
+        "doc_id",
+        "source",
+        "cand_idx",
+        "n",
+        F.floor(
+            1000000.0
+            * (
+                (F.col("cnt") / F.col("n").cast("double"))
+                * (F.log(F.col("n") / F.col("cnt").cast("double")) / F.log(F.lit(2.0)))
+            )
+        )
+        .cast("bigint")
+        .alias("term_e6"),
+    )
+    ent = terms.groupBy("doc_id", "source", "cand_idx").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum("term_e6").cast("bigint").alias("entropy_e6"),
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("entropy_e6") >= thresh_e6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("entropy_e6") >= thresh_e6, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_chars"),
+        F.max("entropy_e6").cast("bigint").alias("max_entropy_e6"),
+    )

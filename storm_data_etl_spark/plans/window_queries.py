@@ -6225,3 +6225,157 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("uncertainty_e6"),
     ).select("n", "brier_e6", "reliability_e6", "resolution_e6", "uncertainty_e6")
+
+
+# =====================================================================
+# Exact Shapley-value channel attribution (coalition lattice rollup)
+# =====================================================================
+
+@register(
+    "shapley_channel_attribution",
+    """
+    WITH RECURSIVE ch AS (
+      SELECT event_type AS channel,
+             row_number() OVER (ORDER BY event_type) - 1 AS idx
+      FROM (SELECT DISTINCT event_type FROM events
+            WHERE event_type IS NOT NULL AND event_type <> 'purchase')
+    ),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ch),
+    u AS (
+      SELECT e.user_id,
+             CAST(coalesce(bit_or(CASE WHEN c.idx IS NOT NULL
+                                       THEN (CAST(1 AS BIGINT) << c.idx)
+                                       END), 0) AS BIGINT) AS mask,
+             max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events e LEFT JOIN ch c ON c.channel = e.event_type
+      WHERE e.user_id IS NOT NULL
+      GROUP BY e.user_id
+    ),
+    ct AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS c
+      FROM u WHERE conv = 1 GROUP BY mask
+    ),
+    coal AS (
+      SELECT CAST(0 AS BIGINT) AS s
+      UNION ALL
+      SELECT s + 1 FROM coal
+      WHERE s + 1 < (SELECT CAST(1 AS BIGINT) << k FROM k)
+    ),
+    v AS (
+      SELECT coal.s, CAST(coalesce(sum(ct.c), 0) AS BIGINT) AS v
+      FROM coal LEFT JOIN ct ON (ct.mask & coal.s) = ct.mask
+      GROUP BY coal.s
+    ),
+    contrib AS (
+      SELECT ch.channel, k.k,
+             CAST(factorial(CAST(bit_count(v0.s) AS INTEGER)) AS BIGINT)
+               * CAST(factorial(CAST(k.k - 1 - bit_count(v0.s) AS INTEGER)) AS BIGINT)
+               * (v1.v - v0.v) AS term
+      FROM ch CROSS JOIN k
+      JOIN v v0 ON (v0.s & (CAST(1 AS BIGINT) << ch.idx)) = 0
+      JOIN v v1 ON v1.s = v0.s + (CAST(1 AS BIGINT) << ch.idx)
+    )
+    SELECT channel,
+           CAST(max(k) AS BIGINT) AS n_channels,
+           CAST(sum(term) AS BIGINT) AS phi_num,
+           CAST((1000000 * sum(term))
+                // CAST(factorial(CAST(max(k) AS INTEGER)) AS BIGINT) AS BIGINT) AS phi_e6
+    FROM contrib GROUP BY channel
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution (Shapley 1953; Zhao et al. 2018,
+    arXiv 1804.05327, for the marketing formulation) of purchase
+    conversions across touch channels (the non-purchase event types):
+    phi_i = sum over coalitions S not containing i of
+    |S|!(k-1-|S|)!/k! * (v(S+i) - v(S)), with the characteristic
+    function v(S) = converted users whose touch set fits inside S.
+    The axiomatic counterpart to multitouch_attribution's positional
+    heuristics — efficiency (sum phi = v(full) - v(empty)) is asserted
+    in the hand test, and baseline conversions (no touches) cancel out
+    of every marginal by construction.
+
+    Exactness: everything is integer — per-user masks via bit_or over
+    (1 << idx); v via the subset-containment join; the weights carried
+    as |S|!(k-1-|S)|! (times-k! form) so phi_num is an exact BIGINT and
+    phi_e6 one truncating division. factorial() is native in DuckDB and
+    an unrolled product in Spark — equal integers, not floats.
+
+    Scale shape: the ONLY corpus-sized stages are the per-user bit_or
+    groupBy (one shuffle) and the mask rollup; the coalition lattice is
+    2^k rows for the k-channel vocabulary (k bounded by the event-type
+    vocabulary; the 2^k x 2^k containment join is vocabulary-sized,
+    never user-sized). Guard: k <= 20 keeps the lattice ~1e6 rows —
+    beyond that use sampled permutations, documented in docs/LIMITS.md."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ch = (
+        ev.filter(F.col("event_type").isNotNull() & (F.col("event_type") != "purchase"))
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    # bounded window: the channel vocabulary
+    ch = ch.withColumn(
+        "idx", F.row_number().over(Window.orderBy("channel")) - 1
+    )
+    ch = _pin(ch)  # tiny dim: feeds mask build, lattice size and contribs
+    kdf = ch.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    u = (
+        ev.join(F.broadcast(ch), ev.event_type == ch.channel, "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.expr("bit_or(CASE WHEN idx IS NOT NULL THEN shiftleft(CAST(1 AS BIGINT), idx) END)"),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("mask"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            ),
+        )
+    )
+    ct = u.filter(F.col("conv") == 1).groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ct = _pin(ct)  # mask rollup (<= 2^k rows) feeds the lattice join
+    coal = kdf.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) - 1"))
+        ).alias("s")
+    )
+    v = (
+        coal.join(ct, F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    v = _pin(v)  # the lattice (2^k rows) is joined twice per channel
+    fact = (
+        "CASE WHEN {n} <= 1 THEN CAST(1 AS BIGINT) "
+        "ELSE aggregate(sequence(2, CAST({n} AS INT)), CAST(1 AS BIGINT), "
+        "(a, x) -> a * CAST(x AS BIGINT)) END"
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    contrib = (
+        ch.crossJoin(F.broadcast(kdf))
+        .join(v0, F.expr("(s0 & shiftleft(CAST(1 AS BIGINT), idx)) = 0"))
+        .join(v1, F.expr("s1 = s0 + shiftleft(CAST(1 AS BIGINT), idx)"))
+        .select(
+            "channel",
+            "k",
+            (
+                F.expr(fact.format(n="bit_count(s0)"))
+                * F.expr(fact.format(n="k - 1 - bit_count(s0)"))
+                * (F.col("vb") - F.col("va"))
+            ).alias("term"),
+        )
+    )
+    return contrib.groupBy("channel").agg(
+        F.max("k").cast("bigint").alias("n_channels"),
+        F.sum("term").cast("bigint").alias("phi_num"),
+        F.expr(
+            "CAST((1000000 * sum(term)) div ("
+            + fact.format(n="max(k)")
+            + ") AS BIGINT)"
+        ).alias("phi_e6"),
+    )

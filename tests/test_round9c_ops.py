@@ -312,3 +312,95 @@ def test_heaps_fit_hand_docs(spark, tmp_path):
     assert x.logk_e6 == math.floor((1e6 / 1e5) * (sy - slope * sx) / float(n))
     y = got["y"]
     assert y.n_docs == 1 and y.beta_e6 is None and y.logk_e6 is None
+
+
+def test_shapley_attribution_hand_lattice(spark, tmp_path):
+    """Channels a (bit 1) and b (bit 2). Converted users: mask a (u1),
+    mask a|b (u3), mask 0 (u4, baseline). v = [1,2,1,3] over S=0..3.
+    phi_a*2! = (v1-v0) + (v3-v2) = 3 -> 1500000 at e6;
+    phi_b*2! = (v2-v0) + (v3-v1) = 1 -> 500000. Efficiency:
+    sum(phi_num) = k!*(v(full)-v(empty)) = 2*2 = 4."""
+    rows = [
+        (0, TS, 1, "a", 1.0, "{}"),
+        (1, TS, 1, "purchase", 1.0, "{}"),
+        (2, TS, 2, "b", 1.0, "{}"),
+        (3, TS, 3, "a", 1.0, "{}"),
+        (4, TS, 3, "b", 1.0, "{}"),
+        (5, TS, 3, "purchase", 1.0, "{}"),
+        (6, TS, 4, "purchase", 1.0, "{}"),
+        (7, TS, None, "a", 1.0, "{}"),  # null user excluded
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.channel: r
+        for r in Q.REGISTRY["shapley_channel_attribution"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert got["a"].n_channels == 2 and got["b"].n_channels == 2
+    assert got["a"].phi_num == 3 and got["a"].phi_e6 == 1500000
+    assert got["b"].phi_num == 1 and got["b"].phi_e6 == 500000
+    # efficiency axiom: attributions sum to v(full) - v(empty), times k!
+    assert got["a"].phi_num + got["b"].phi_num == 2 * (3 - 1)
+
+
+def test_secret_entropy_hand_candidates(spark, tmp_path):
+    """Three 8-char runs in source 'x': 'AAAAAAAA' (0 bits),
+    'ABABABAB' (1 bit), 'abcdefgh' (3 bits -> flagged at 2.75);
+    a 7-char run never becomes a candidate. Terms mirrored: each
+    distinct char contributes floor(1e6*(c/n)*log2(n/c))."""
+    rows = [
+        (0, "xx AAAAAAAA yy", "en", "x", 14),
+        (1, "ABABABAB and abcdefgh", "en", "x", 21),
+        (2, "short abcdefg run", "en", "y", 17),  # 7 chars: no candidate
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.source: r
+        for r in Q.REGISTRY["secret_entropy_audit"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"x"}
+    x = got["x"]
+    assert (x.n_candidates, x.n_docs) == (3, 2)
+    t_uniform = 8 * math.floor(1e6 * (1 / 8.0) * (math.log(8 / 1.0) / math.log(2.0)))
+    t_two = 2 * math.floor(1e6 * (4 / 8.0) * (math.log(8 / 4.0) / math.log(2.0)))
+    assert x.max_entropy_e6 == t_uniform == 3000000
+    assert t_two == 1000000
+    assert x.n_flagged == 1 and x.flagged_chars == 8
+
+
+def test_secret_entropy_production_config(spark, tmp_path):
+    """The parametric form at the PRODUCTION constants (24, 4.5 bits):
+    a 26-char random-looking key flags; a 26-char low-entropy run and a
+    23-char key-like run do not (too uniform / too short)."""
+    from storm_data_etl_spark.plans.corpus_queries import secret_entropy_scan
+
+    key = "aK9zQ2mXv7Lp4Rt8Wb3Yc6Nd1F"          # 26 chars, 24 distinct
+    dull = "aaaaaaaaaaaaaaaaaaaaaaaaab"          # 26 chars, 2 distinct
+    short = "aK9zQ2mXv7Lp4Rt8Wb3Yc6N"            # 23 chars
+    assert len(key) == 26 and len(dull) == 26 and len(short) == 23
+    rows = [
+        (0, f"token {key} end", "en", "x", 40),
+        (1, f"pad {dull} end", "en", "x", 40),
+        (2, f"pad {short} end", "en", "x", 40),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = secret_entropy_scan(
+        spark, str(tmp_path), min_len=24, thresh_e6=4500000
+    ).collect()
+    assert len(got) == 1
+    x = got[0]
+    assert x.n_candidates == 2  # key + dull; the 23-char run is excluded
+    assert x.n_flagged == 1 and x.flagged_chars == 26
+    # mirror the flagged key's entropy: 22 singles + 2 doubles over n=26
+    from collections import Counter
+
+    cnt = Counter(key)
+    ent = sum(
+        math.floor(1e6 * (c / 26.0) * (math.log(26.0 / c) / math.log(2.0)))
+        for c in cnt.values()
+    )
+    assert x.max_entropy_e6 == ent and ent >= 4500000

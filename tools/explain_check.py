@@ -1286,6 +1286,35 @@ def main() -> int:
     )
     _rel()
 
+    # 100. Shapley attribution: the only corpus-sized stage is the
+    # per-user bit_or groupBy; the coalition lattice work happens on
+    # pinned vocabulary-sized tables (channel dim broadcast, mask rollup,
+    # lattice joined twice) — never a user-sized join. No Python.
+    p_sh = plan_of(qs["shapley_channel_attribution"](spark, sf_dir))
+    check(
+        "shapley_lattice_on_pinned_rollups",
+        "InMemoryTableScan" in p_sh
+        and "BatchEvalPython" not in p_sh
+        and "BroadcastHashJoin" in p_sh,
+        "(pinned channel/mask/lattice tables; per-user groupBy is the "
+        "only corpus stage)",
+    )
+    _rel()
+
+    # 101. Secret-entropy audit: ONE corpus scan; the explode is over
+    # regex candidates and the 65-row alphabet joins as a broadcast
+    # nested loop (constant side) — no corpus-wide char explode, no
+    # Python.
+    p_se = plan_of(qs["secret_entropy_audit"](spark, sf_dir))
+    check(
+        "secret_entropy_candidate_explode_only",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_se)) <= 1
+        and "BatchEvalPython" not in p_se
+        and p_se.count("Generate") >= 1,
+        "(one scan; candidate-level explode; constant alphabet broadcast)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
