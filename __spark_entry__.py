@@ -70,8 +70,9 @@ def _newest_pass_round() -> dict[str, int]:
 #: queries are promoted into the 50-slot gate head each round. Without a
 #: quota the oldest-first rotation starves them forever (a re-run can only
 #: reproduce the weaker rows-only record, so they always sort last); with
-#: it, every rows-only entry re-executes under the driver at least every
-#: other round (6 entries / 3 slots), keeping that code path live.
+#: it, every rows-only entry re-executes under the driver on a bounded
+#: cadence (currently 14 entries / 3 slots, oldest-first → each re-runs at
+#: least every 5 rounds), keeping that code path live.
 ROWS_ONLY_QUOTA = 3
 
 
