@@ -404,3 +404,70 @@ def test_secret_entropy_production_config(spark, tmp_path):
         for c in cnt.values()
     )
     assert x.max_entropy_e6 == ent and ent >= 4500000
+
+
+def test_sampled_shapley_full_factorial_equals_exact(spark, tmp_path):
+    """Fed ALL k! = 2 permutations, the permutation estimator's rational
+    mean EQUALS the exact lattice query: phi_a = 3/2, phi_b = 1/2 on the
+    hand lattice (the scale path is sampling error only, never formula
+    drift)."""
+    import itertools
+
+    from storm_data_etl_spark.operators.attribution import (
+        explicit_perms,
+        sampled_shapley,
+    )
+    from storm_data_etl_spark.plans.tables import t as _t
+
+    rows = [
+        (0, TS, 1, "a", 1.0, "{}"),
+        (1, TS, 1, "purchase", 1.0, "{}"),
+        (2, TS, 2, "b", 1.0, "{}"),
+        (3, TS, 3, "a", 1.0, "{}"),
+        (4, TS, 3, "b", 1.0, "{}"),
+        (5, TS, 3, "purchase", 1.0, "{}"),
+        (6, TS, 4, "purchase", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    ev = _t(spark, str(tmp_path), "events")
+    perms = explicit_perms(spark, [list(p) for p in itertools.permutations(range(2))])
+    got = {r.channel: r for r in sampled_shapley(ev, perms=perms).collect()}
+    # exact phi (times k! = 2) from the lattice hand test: a -> 3, b -> 1
+    assert (got["a"].phi_num, got["a"].phi_den) == (3, 2)
+    assert (got["b"].phi_num, got["b"].phi_den) == (1, 2)
+
+
+def test_sampled_shapley_lcg_sample_is_deterministic_and_close(spark, tmp_path):
+    """The LCG-keyed sample: identical across runs (same seed), and with
+    enough permutations the estimate lands within sampling error of the
+    exact lattice values on the hand fixture."""
+    from storm_data_etl_spark.operators.attribution import sampled_shapley
+    from storm_data_etl_spark.plans.tables import t as _t
+
+    rows = [
+        (0, TS, 1, "a", 1.0, "{}"),
+        (1, TS, 1, "purchase", 1.0, "{}"),
+        (2, TS, 2, "b", 1.0, "{}"),
+        (3, TS, 3, "a", 1.0, "{}"),
+        (4, TS, 3, "b", 1.0, "{}"),
+        (5, TS, 3, "purchase", 1.0, "{}"),
+        (6, TS, 4, "purchase", 1.0, "{}"),
+        (7, TS, 5, "c", 1.0, "{}"),  # third channel, unconverted
+    ]
+    _write_events(spark, tmp_path, rows)
+    ev = _t(spark, str(tmp_path), "events")
+    a = sorted(sampled_shapley(ev, n_perms=48, seed=7).collect())
+    b = sorted(sampled_shapley(ev, n_perms=48, seed=7).collect())
+    assert a == b  # bit-identical replay
+    got = {r.channel: (r.phi_num, r.phi_den) for r in a}
+    assert set(got) == {"a", "b", "c"}
+    # exact values: phi_a = 1.5, phi_b = 0.5, phi_c = 0 (dummy channel:
+    # adds no conversions to any coalition -> EVERY sampled marginal is 0)
+    assert got["c"][0] == 0
+    est_a = got["a"][0] / got["a"][1]
+    est_b = got["b"][0] / got["b"][1]
+    assert abs(est_a - 1.5) <= 0.5 and abs(est_b - 0.5) <= 0.5
+    # efficiency holds per-permutation, so it holds for the mean exactly:
+    # sum of estimates == v(full) - v(empty) == 2
+    tot = sum(n / d for n, d in got.values())
+    assert abs(tot - 2.0) < 1e-9
