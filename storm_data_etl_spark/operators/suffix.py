@@ -100,7 +100,7 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
     seed = global_rank(
         pos.select("_slice").distinct(), ["_slice"]
     ).select("_slice", F.col("rnk").alias("_seed_rnk"))
-    pos = pos.join(seed, "_slice").select(
+    pos = pos.join(seed.hint("merge"), "_slice").select(
         "doc_id", "pos", F.col("_seed_rnk").alias("rnk")
     )
     # localCheckpoint (not persist): each doubling round roughly doubles
@@ -119,7 +119,7 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
             F.col("rnk").alias("r2"),
         )
         paired = rank.join(
-            right,
+            right.hint("merge"),
             (F.col("doc_id") == F.col("r_doc")) & (F.col("pos") == F.col("r_pos")),
             "left",
         ).select(
@@ -130,7 +130,7 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
         dense = global_rank(distinct_pairs, ["r1", "r2"]).select(
             "r1", "r2", F.col("rnk").alias("new_rnk")
         )
-        new_rank = paired.join(dense, ["r1", "r2"]).select(
+        new_rank = paired.join(dense.hint("merge"), ["r1", "r2"]).select(
             "doc_id", "pos", F.col("new_rnk").alias("rnk")
         ).localCheckpoint(eager=True)
         n_distinct = new_rank.agg(F.max("rnk")).collect()[0][0]
@@ -212,7 +212,7 @@ def _cut_from_dup_positions(
     # duplicated subset, rank occurrences by (doc_id, pos).
     from pyspark.sql import Window
 
-    grams = dup_pos.join(d, "doc_id").select(
+    grams = dup_pos.hint("merge").join(d, "doc_id").select(
         "doc_id", "pos", F.expr(f"substr(text, pos, {min_len})").alias("g")
     )
     occ_w = Window.partitionBy("g").orderBy("doc_id", "pos")
@@ -353,10 +353,10 @@ def exact_substr_cut_tokens(
     dupfp = (
         fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= 2)
     ).select("_fp")
-    candidates = fp.join(dupfp, "_fp").select("doc_id", "tpos")
+    candidates = fp.join(dupfp.hint("merge"), "_fp").select("doc_id", "tpos")
 
     # Verify on the real gram text + keep-first per verified class.
-    cand_grams = candidates.join(d, "doc_id").select(
+    cand_grams = candidates.hint("merge").join(d, "doc_id").select(
         "doc_id",
         "tpos",
         F.array_join(F.slice(F.col("toks"), F.col("tpos"), F.lit(L)), sep).alias("g"),
@@ -496,10 +496,10 @@ def exact_substr_cut_sharded(
         .filter(F.col("_ns") >= 2)
         .select("_fp")
     )
-    candidates = fp.join(spanning, "_fp").select("doc_id", "pos")
+    candidates = fp.join(spanning.hint("merge"), "_fp").select("doc_id", "pos")
     # Verify candidates on the actual gram (collision safety): only grams
     # with a true count >= 2 survive.
-    cand_grams = candidates.join(d, "doc_id").select(
+    cand_grams = candidates.hint("merge").join(d, "doc_id").select(
         "doc_id", "pos", F.expr(f"substr(text, pos, {min_len})").alias("g")
     )
     from pyspark.sql import Window
@@ -536,13 +536,13 @@ def adjacent_lcp(sa: DataFrame, docs: DataFrame, id_col: str = "doc_id",
         F.col("doc_id").alias("doc_b"),
         F.col("pos").alias("pos_b"),
     )
-    pairs = a.join(b, "r").select("doc_a", "pos_a", "doc_b", "pos_b")
+    pairs = a.join(b.hint("merge"), "r").select("doc_a", "pos_a", "doc_b", "pos_b")
 
     done = None
     active = pairs.withColumn("lcp", F.lit(0))
     for _ in range(max_rounds):
         slices = (
-            active.join(
+            active.hint("merge").join(
                 d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")),
                 "doc_a",
             )

@@ -1315,6 +1315,21 @@ def main() -> int:
     )
     _rel()
 
+    # 102. Suffix-path broadcast hardening (found by the N30 stretch
+    # probe: AQE broadcast a corpus-derived, checkpoint-descended join
+    # side whose stats it cannot see — OOM at 44.7M chars). The lazy
+    # tail of exact_substr_dedup must keep its corpus-derived joins
+    # (dup-positions x text, adjacent-suffix pairs) as SortMergeJoin.
+    p_es = plan_of(qs["exact_substr_dedup"](spark, sf_dir))
+    check(
+        "exact_substr_corpus_joins_sort_merge",
+        len(_re.findall(r"\(\d+\) SortMergeJoin", p_es)) >= 2
+        and "BroadcastNestedLoopJoin" not in p_es
+        and "CartesianProduct" not in p_es,
+        "(merge-hinted corpus joins; no misestimated broadcasts)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
