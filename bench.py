@@ -296,6 +296,8 @@ HEADLINE = [
     "heaps_law_fit",
     "shapley_channel_attribution",
     "secret_entropy_audit",
+    "friedman_test",
+    "pacf_durbin_levinson",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

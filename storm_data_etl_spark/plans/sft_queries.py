@@ -2692,3 +2692,100 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = stepped
     return out.select("source", "n_docs", "excess_e6", "w1_e6", "w2_e6", "w3_e6")
+
+
+@register(
+    "friedman_test",
+    f"""
+    WITH {_SQL_QUALITY_CTES},
+    {_SQL_RATINGS3_CTE},
+    dm AS (
+      SELECT source,
+             2 * ((CASE WHEN r2 < r1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r3 < r1 THEN 1 ELSE 0 END))
+               + 1 + (CASE WHEN r2 = r1 THEN 1 ELSE 0 END)
+               + (CASE WHEN r3 = r1 THEN 1 ELSE 0 END) + 1 AS d1,
+             2 * ((CASE WHEN r1 < r2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r3 < r2 THEN 1 ELSE 0 END))
+               + 1 + (CASE WHEN r1 = r2 THEN 1 ELSE 0 END)
+               + (CASE WHEN r3 = r2 THEN 1 ELSE 0 END) + 1 AS d2,
+             2 * ((CASE WHEN r1 < r3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r2 < r3 THEN 1 ELSE 0 END))
+               + 1 + (CASE WHEN r1 = r3 THEN 1 ELSE 0 END)
+               + (CASE WHEN r2 = r3 THEN 1 ELSE 0 END) + 1 AS d3
+      FROM ratings3
+    ),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d1) AS BIGINT) AS rs1,
+             CAST(sum(d2) AS BIGINT) AS rs2,
+             CAST(sum(d3) AS BIGINT) AS rs3,
+             CAST(sum(d1*d1 + d2*d2 + d3*d3) AS BIGINT) AS sd2
+      FROM dm GROUP BY source
+    )
+    SELECT source, n, rs1, rs2, rs3,
+           CASE WHEN sd2 - 48 * n = 0 THEN NULL
+                ELSE (1000000 * 2 * ((rs1 - 4*n) * (rs1 - 4*n)
+                                     + (rs2 - 4*n) * (rs2 - 4*n)
+                                     + (rs3 - 4*n) * (rs3 - 4*n)))
+                     // (sd2 - 48 * n)
+           END AS chi2_e6
+    FROM m
+    """,
+)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (Friedman 1937) per source for the k = 3 raters
+    over doc blocks — the repeated-measures member that completes the
+    omnibus family: kruskal_wallis_h handles INDEPENDENT groups,
+    cochran_q_test BINARY related outcomes, Friedman ORDINAL related
+    outcomes (each document is a block; the raters are ranked within
+    it). Conover's tie-corrected form:
+    chi2 = (k-1) * sum_j (R_j - n(k+1)/2)^2 / (A - nk(k+1)^2/4).
+
+    Exact integers end to end: within-block midranks need no window —
+    for 3 values the DOUBLED midrank of v_j is 2*(#less) + (#equal
+    incl self) + 1 (2/4/6 untied, halves become odd integers), pure
+    CASE arithmetic on the row. In doubled units the statistic clears
+    to chi2 = 2 * sum_j (R_j - 4n)^2 / (sum d^2 - 48n): one truncating
+    e6 division, NULL when every block is fully tied (denominator 0 —
+    no-ties sanity: sum d^2 = 56n gives the textbook
+    sum(R_j - 4n)^2 / 4n). Capacity: 2e6*(R_j-4n)^2 <= 8e6*n^2 < 2^63
+    -> n < 1.0e6 docs/source in BIGINT; DECIMAL(38,0) past that
+    (docs/LIMITS.md).
+
+    Scale shape: ONE scan, zero joins, zero windows — the rank CASEs
+    are per-row expressions and the rollup is a tiny groupBy(source)."""
+    r = _ratings3(spark, sf_dir)
+
+    def dub(j: int, a: int, b: int):
+        vj, va, vb = F.col(f"r{j}"), F.col(f"r{a}"), F.col(f"r{b}")
+        less = (va < vj).cast("int") + (vb < vj).cast("int")
+        eq = (va == vj).cast("int") + (vb == vj).cast("int")
+        return (2 * less + eq + 2).alias(f"d{j}")
+
+    dm = r.select("source", dub(1, 2, 3), dub(2, 1, 3), dub(3, 1, 2))
+    m = dm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d1").cast("bigint").alias("rs1"),
+        F.sum("d2").cast("bigint").alias("rs2"),
+        F.sum("d3").cast("bigint").alias("rs3"),
+        F.sum(
+            F.col("d1") * F.col("d1")
+            + F.col("d2") * F.col("d2")
+            + F.col("d3") * F.col("d3")
+        )
+        .cast("bigint")
+        .alias("sd2"),
+    )
+    den = F.col("sd2") - 48 * F.col("n")
+    chi2 = F.when(den == 0, F.lit(None).cast("bigint")).otherwise(
+        F.expr(
+            "(1000000 * 2 * ((rs1 - 4*n) * (rs1 - 4*n)"
+            " + (rs2 - 4*n) * (rs2 - 4*n)"
+            " + (rs3 - 4*n) * (rs3 - 4*n))) div (sd2 - 48 * n)"
+        )
+    )
+    return m.select(
+        "source", "n", "rs1", "rs2", "rs3", chi2.cast("bigint").alias("chi2_e6")
+    )

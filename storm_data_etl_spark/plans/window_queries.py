@@ -6379,3 +6379,147 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ") AS BIGINT)"
         ).alias("phi_e6"),
     )
+
+
+@register(
+    "pacf_durbin_levinson",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.day_num - b.day_num AS lag, a.cnt AS x, b.cnt AS y
+      FROM daily a JOIN daily b ON a.day_num - b.day_num BETWEEN 1 AND 3
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    ),
+    r AS (
+      SELECT lag,
+             n_pairs,
+             (n_pairs * sxy - sx * sy)
+               / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                      * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS rho
+      FROM s
+      WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+    ),
+    w AS (
+      SELECT max(CASE WHEN lag = 1 THEN rho END) AS rho1,
+             max(CASE WHEN lag = 2 THEN rho END) AS rho2,
+             max(CASE WHEN lag = 3 THEN rho END) AS rho3,
+             CAST(max(CASE WHEN lag = 1 THEN n_pairs END) AS BIGINT) AS n1,
+             CAST(max(CASE WHEN lag = 2 THEN n_pairs END) AS BIGINT) AS n2,
+             CAST(max(CASE WHEN lag = 3 THEN n_pairs END) AS BIGINT) AS n3
+      FROM r
+    ),
+    l2 AS (
+      SELECT *,
+             CASE WHEN 1.0 - rho1 * rho1 <> 0.0
+                  THEN (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) END AS phi22
+      FROM w
+    ),
+    l3 AS (
+      SELECT *, rho1 * (1.0 - phi22) AS phi21 FROM l2
+    )
+    SELECT n1, n2, n3,
+           CAST(floor(10000.0 * rho1) AS BIGINT) AS pacf1_e4,
+           CAST(floor(10000.0 * phi22) AS BIGINT) AS pacf2_e4,
+           CASE WHEN 1.0 - phi21 * rho1 - phi22 * rho2 <> 0.0
+                THEN CAST(floor(10000.0
+                     * ((rho3 - phi21 * rho2 - phi22 * rho1)
+                        / (1.0 - phi21 * rho1 - phi22 * rho2))) AS BIGINT)
+           END AS pacf3_e4
+    FROM l3
+    """,
+)
+def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 via the Durbin-Levinson
+    recursion (Durbin 1960), unrolled closed-form — the AR-order
+    selection companion acf_lag_profile lacks: ACF says WHETHER lag k
+    correlates, PACF says whether it adds anything AFTER lags < k are
+    regressed out (the AR(p) cutoff diagnostic every telemetry
+    forecaster reads). phi11 = rho1; phi22 = (rho2 - rho1^2)/(1 -
+    rho1^2); phi33 from the level-2 coefficients.
+
+    Exactness: the per-lag rho inputs are the SAME closed-form doubles
+    over exact integer sums as acf_lag_profile (one row per lag — no
+    aggregated floats), and the recursion is a fixed scalar IEEE
+    expression tree mirrored verbatim in both engines; only the final
+    floors quantize. Degenerate guards: a zero-variance lag drops out
+    of r (NULL cascades); |rho1| = 1 or a singular level-2 denominator
+    emit NULL rather than Inf.
+
+    Scale shape: identical to acf_lag_profile — the corpus collapses to
+    one row per DAY in the first map-side partial aggregate, the lag
+    join runs on that tiny table, and the recursion is a 1-row select.
+    At 100 TB the only corpus-sized stage is the daily count."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts_utc").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day_num"
+        )
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    daily = _pin(daily)  # tiny: one row per day, joined to itself
+    a = daily.select(F.col("day_num").alias("da"), F.col("cnt").alias("x"))
+    b = daily.select(F.col("day_num").alias("db"), F.col("cnt").alias("y"))
+    pairs = a.join(
+        b, (F.col("da") - F.col("db")).between(1, 3)
+    ).select((F.col("da") - F.col("db")).alias("lag"), "x", "y")
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = s.filter((vx > 0) & (vy > 0)).select(
+        "lag",
+        "n_pairs",
+        (
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+        ).alias("rho"),
+    )
+    w = r.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("rho"))).alias("rho1"),
+        F.max(F.when(F.col("lag") == 2, F.col("rho"))).alias("rho2"),
+        F.max(F.when(F.col("lag") == 3, F.col("rho"))).alias("rho3"),
+        F.max(F.when(F.col("lag") == 1, F.col("n_pairs"))).cast("bigint").alias("n1"),
+        F.max(F.when(F.col("lag") == 2, F.col("n_pairs"))).cast("bigint").alias("n2"),
+        F.max(F.when(F.col("lag") == 3, F.col("n_pairs"))).cast("bigint").alias("n3"),
+    )
+    phi22 = F.when(
+        1.0 - F.col("rho1") * F.col("rho1") != 0.0,
+        (F.col("rho2") - F.col("rho1") * F.col("rho1"))
+        / (1.0 - F.col("rho1") * F.col("rho1")),
+    )
+    l2 = w.withColumn("phi22", phi22)
+    l3 = l2.withColumn("phi21", F.col("rho1") * (1.0 - F.col("phi22")))
+    den3 = 1.0 - F.col("phi21") * F.col("rho1") - F.col("phi22") * F.col("rho2")
+    phi33 = F.when(
+        den3 != 0.0,
+        (
+            F.col("rho3")
+            - F.col("phi21") * F.col("rho2")
+            - F.col("phi22") * F.col("rho1")
+        )
+        / den3,
+    )
+    return l3.select(
+        "n1",
+        "n2",
+        "n3",
+        F.floor(10000.0 * F.col("rho1")).cast("bigint").alias("pacf1_e4"),
+        F.floor(10000.0 * F.col("phi22")).cast("bigint").alias("pacf2_e4"),
+        F.floor(10000.0 * phi33).cast("bigint").alias("pacf3_e4"),
+    )

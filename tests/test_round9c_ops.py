@@ -471,3 +471,100 @@ def test_sampled_shapley_lcg_sample_is_deterministic_and_close(spark, tmp_path):
     # sum of estimates == v(full) - v(empty) == 2
     tot = sum(n / d for n, d in got.values())
     assert abs(tot - 2.0) < 1e-9
+
+
+T_HIGH = "the quick brown fox jumps over the lazy dog " * 5
+T_LOW = "!!!"
+T_MIX = "the fox runs far away " * 4
+T_NEG_A = "a" * 60
+T_NEG_B = "the fox runs far away now"
+
+
+def test_friedman_hand_blocks(spark, tmp_path):
+    """s1 rating blocks (2,2,2),(0,0,0),(2,1,1),(0,1,0),(1,0,0) ->
+    doubled midranks (4,4,4),(4,4,4),(6,3,3),(3,6,3),(6,3,3):
+    R = (23,20,17), sum d^2 = 258, chi2 = 2*18/18 = 2 -> 2000000.
+    s2's two blocks are fully tied -> denominator 0 -> NULL."""
+    rows = [
+        (1, T_HIGH, "en", "s1", len(T_HIGH)),
+        (2, T_LOW, "en", "s1", len(T_LOW)),
+        (3, T_MIX, "en", "s1", len(T_MIX)),
+        (4, T_NEG_A, "en", "s1", len(T_NEG_A)),
+        (5, T_NEG_B, "en", "s1", len(T_NEG_B)),
+        (6, T_HIGH, "en", "s2", len(T_HIGH)),
+        (7, T_HIGH, "en", "s2", len(T_HIGH)),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r.source: r
+        for r in Q.REGISTRY["friedman_test"].runner(spark, str(tmp_path)).collect()
+    }
+    r1 = got["s1"]
+    assert (r1.n, r1.rs1, r1.rs2, r1.rs3) == (5, 23, 20, 17)
+    assert r1.rs1 + r1.rs2 + r1.rs3 == 12 * r1.n  # doubled ranks sum to 12/block
+    assert r1.chi2_e6 == 2000000
+    assert got["s2"].chi2_e6 is None
+
+
+def _pacf_mirror(daily):
+    """Mirror of both engines' pipeline: integer lag sums -> per-lag rho
+    doubles -> Durbin-Levinson level-2/3, same expression order."""
+    out = {}
+    for lag in (1, 2, 3):
+        pairs = [
+            (ca, cb)
+            for da, ca in daily
+            for db, cb in daily
+            if da - db == lag
+        ]
+        if not pairs:
+            continue
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx > 0 and vy > 0:
+            out[lag] = (n, (n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)))
+    return out
+
+
+def test_pacf_hand_series(spark, tmp_path):
+    """Daily counts (3,1,4,1,5,9,2,6) over Jan 1-8: rho/phi mirrored in
+    Python with the identical expression order; pacf1 = floor(1e4*rho1)
+    and the level-2/3 recursion match exactly."""
+    counts = [3, 1, 4, 1, 5, 9, 2, 6]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, day, 12), 1, "t", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = Q.REGISTRY["pacf_durbin_levinson"].runner(spark, str(tmp_path)).collect()[0]
+    base = dt.date(2024, 1, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+    daily = [(base + i, c) for i, c in enumerate(counts)]
+    rho = _pacf_mirror(daily)
+    assert (r.n1, r.n2, r.n3) == (rho[1][0], rho[2][0], rho[3][0]) == (7, 6, 5)
+    rho1, rho2, rho3 = rho[1][1], rho[2][1], rho[3][1]
+    assert r.pacf1_e4 == math.floor(1e4 * rho1)
+    phi22 = (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1)
+    assert r.pacf2_e4 == math.floor(1e4 * phi22)
+    phi21 = rho1 * (1.0 - phi22)
+    phi33 = (rho3 - phi21 * rho2 - phi22 * rho1) / (
+        1.0 - phi21 * rho1 - phi22 * rho2
+    )
+    assert r.pacf3_e4 == math.floor(1e4 * phi33)
+
+
+def test_pacf_short_series_nulls(spark, tmp_path):
+    """Two days only: lag-1 has one pair (zero variance -> dropped), so
+    every coefficient is NULL rather than Inf/NaN."""
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 12), 1, "t", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 2, 12), 1, "t", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 13), 1, "t", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = Q.REGISTRY["pacf_durbin_levinson"].runner(spark, str(tmp_path)).collect()[0]
+    assert r.pacf1_e4 is None and r.pacf2_e4 is None and r.pacf3_e4 is None

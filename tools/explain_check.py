@@ -1330,6 +1330,30 @@ def main() -> int:
     )
     _rel()
 
+    # 103. Friedman: within-block midranks are per-row CASE arithmetic —
+    # ONE scan, zero joins, zero windows. PACF: the corpus collapses to
+    # the daily rollup before any join; no Python, no cartesians.
+    p_fr = plan_of(qs["friedman_test"](spark, sf_dir))
+    check(
+        "friedman_one_scan_no_windows",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_fr)) <= 1
+        and "Join" not in p_fr
+        and len(_re.findall(r"\(\d+\) Window", p_fr)) == 0
+        and "BatchEvalPython" not in p_fr,
+        "(one scan; CASE midranks; tiny source rollup)",
+    )
+    _rel()
+    p_pa = plan_of(qs["pacf_durbin_levinson"](spark, sf_dir))
+    check(
+        "pacf_daily_rollup_join",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_pa)) <= 1
+        and "CartesianProduct" not in p_pa
+        and "BatchEvalPython" not in p_pa
+        and "InMemoryTableScan" in p_pa,
+        "(one scan to the pinned daily table; lag join on days only)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
