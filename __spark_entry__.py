@@ -72,8 +72,12 @@ def _newest_pass_round() -> dict[str, int]:
 #: reproduce the weaker rows-only record, so they always sort last); with
 #: it, every rows-only entry re-executes under the driver on a bounded
 #: cadence (currently 14 entries / 3 slots, oldest-first → each re-runs at
-#: least every 5 rounds), keeping that code path live.
-ROWS_ONLY_QUOTA = 3
+#: least every 5 rounds), keeping that code path live. Raised 3 -> 5 for
+#: rounds 10-11 (VERDICT r9 task 5) so the oldest rows-only records
+#: (minhash_lsh_pairs / simhash_candidates at r1) drain faster; with 14
+#: rows-only entries and 5 slots each entry re-runs at least every 3
+#: rounds.
+ROWS_ONLY_QUOTA = 5
 
 
 def _priority() -> list[str]:

@@ -2697,16 +2697,22 @@ def flesch_readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT n,
-           CAST(floor(1000000.0 * (n * sxy - sx * sy)
-                / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope_e6,
-           CAST(floor((1000000.0 / 100000.0)
-                * (sy - ((n * sxy - sx * sy)
-                         / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
-                / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_e6,
-           CAST(floor(1000000.0
-                * ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
-                * ((n * sxy - sx * sy) / CAST(n * syy - sy * sy AS DOUBLE)))
-                AS BIGINT) AS r2_e6
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(floor(1000000.0 * (n * sxy - sx * sy)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+           END AS slope_e6,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(floor((1000000.0 / 100000.0)
+                     * (sy - ((n * sxy - sx * sy)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)) * sx)
+                     / CAST(n AS DOUBLE)) AS BIGINT)
+           END AS intercept_e6,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE CAST(floor(1000000.0
+                     * ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+                     * ((n * sxy - sx * sy) / CAST(n * syy - sy * sy AS DOUBLE)))
+                     AS BIGINT)
+           END AS r2_e6
     FROM s
     """,
 )
@@ -2757,20 +2763,33 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    den_i = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny_i = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = den_i.cast("double")
+    deny = deny_i.cast("double")
     slope_d = num / den
+    # Degenerate guard (heaps_law_fit's NULL arm, ADVICE r9): a single
+    # token type (den = 0) or a flat top-200 (deny = 0) would otherwise
+    # make NaN/Inf — DuckDB raises on CAST(NaN AS BIGINT) while Spark's
+    # floor+cast yields NULL, so the twins would diverge instead of both
+    # emitting NULL.
     return s.select(
         "n",
-        F.floor(1000000.0 * slope_d).cast("bigint").alias("slope_e6"),
-        F.floor(
-            (1000000.0 / 100000.0)
-            * (F.col("sy") - slope_d * F.col("sx"))
-            / F.col("n").cast("double")
+        F.when(den_i == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(1000000.0 * slope_d).cast("bigint"))
+        .alias("slope_e6"),
+        F.when(den_i == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (1000000.0 / 100000.0)
+                * (F.col("sy") - slope_d * F.col("sx"))
+                / F.col("n").cast("double")
+            ).cast("bigint")
         )
-        .cast("bigint")
         .alias("intercept_e6"),
-        F.floor(1000000.0 * slope_d * (num / deny)).cast("bigint").alias("r2_e6"),
+        F.when((den_i == 0) | (deny_i == 0), F.lit(None).cast("bigint"))
+        .otherwise(F.floor(1000000.0 * slope_d * (num / deny)).cast("bigint"))
+        .alias("r2_e6"),
     )
 
 

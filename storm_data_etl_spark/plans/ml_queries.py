@@ -6520,7 +6520,10 @@ def langid_confidence_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE (10000 * CAST(sum(wr_e4) AS BIGINT))
                      // CAST(sum(w_e4) AS BIGINT)
            END AS snips_value_e4,
-           CAST(sum(dr_e4) // count(*) AS BIGINT) AS dr_value_e4,
+           CASE WHEN sum(dr_e4) >= 0
+                THEN CAST(sum(dr_e4) // count(*) AS BIGINT)
+                ELSE -CAST((-sum(dr_e4)) // count(*) AS BIGINT)
+           END AS dr_value_e4,
            CASE WHEN sum((w_e4 * w_e4) // 10000) = 0 THEN NULL
                 ELSE CAST(floor(100.0 * (CAST(sum(w_e4) AS DOUBLE)
                                     * CAST(sum(w_e4) AS DOUBLE))
@@ -6548,7 +6551,11 @@ def snips_dr_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — the welch discipline), floored at 1e4 per row BEFORE the
     global sums, so only integers cross the aggregate; SNIPS and the
     mean are then truncating integer divisions, and ESS is one
-    closed-form double over three exact sums. Capacity: wr_e4 <=
+    closed-form double over three exact sums. dr_e4 carries the
+    importance-weighted residual and CAN go negative, so dr_value_e4
+    truncates toward zero sign-symmetrically on both engines (the
+    cohen_kappa_agreement discipline — DuckDB // floors, Spark div
+    truncates, and they disagree exactly when sum(dr_e4) < 0). Capacity: wr_e4 <=
     1e4 * r * c_x -> past ~1e9 rows/context recast (docs/LIMITS.md).
 
     Scale shape: identical to ips_policy_value — the (ctx x action)
@@ -6641,6 +6648,9 @@ def snips_dr_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_logged",
         "n_matched",
         snips.cast("bigint").alias("snips_value_e4"),
-        F.expr("sdr div n_logged").cast("bigint").alias("dr_value_e4"),
+        F.when(F.col("sdr") >= 0, F.expr("sdr div n_logged"))
+        .otherwise(-F.expr("(-sdr) div n_logged"))
+        .cast("bigint")
+        .alias("dr_value_e4"),
         ess.alias("ess_e2"),
     )

@@ -6001,7 +6001,7 @@ def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT event_type AS stratum,
              CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS exposed,
-             CASE WHEN "value" >= 500.0 THEN 1 ELSE 0 END AS outcome
+             CASE WHEN "value" >= 250.0 THEN 1 ELSE 0 END AS outcome
       FROM events
       WHERE "value" IS NOT NULL AND user_id IS NOT NULL
         AND event_type IS NOT NULL
@@ -6034,7 +6034,13 @@ def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959) across
     event-type strata: exposure = even user_id (the repo's standing A/B
-    arm convention), outcome = value >= 500. The pooled estimate
+    arm convention), outcome = value >= 250 — a threshold INSIDE the
+    fixture value domain (events.value maxes at 327.5/490.0/~600 at
+    sf0.001/0.01/0.1), so the gated run produces nonzero a/d cells at
+    every scale and the pooled-OR arithmetic is actually exercised (the
+    secret_entropy_audit fixture-scaled-constants standard; ADVICE r9
+    flagged the old value >= 500 form as vacuously green at sf0.01).
+    The pooled estimate
     OR_MH = sum_i(a_i d_i / n_i) / sum_i(b_i c_i / n_i) answers "what is
     the common odds ratio once the stratum mix is controlled for" — the
     confounding-robust counterpart to a single collapsed 2x2 (which
@@ -6060,7 +6066,7 @@ def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ev.select(
         F.col("event_type").alias("stratum"),
         F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("exposed"),
-        F.when(F.col("value") >= 500.0, 1).otherwise(0).alias("outcome"),
+        F.when(F.col("value") >= 250.0, 1).otherwise(0).alias("outcome"),
     )
     cells = q.groupBy("stratum").agg(
         F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0))

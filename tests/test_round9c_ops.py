@@ -78,21 +78,21 @@ def test_mantel_haenszel_hand_strata(spark, tmp_path):
     s_term = 1e6*1//6 = 166666. Stratum 'b': a=b=c=d=1 (n=4) -> 250000
     each. R = 916666, S = 416666, OR = 1e6*916666 // 416666."""
     rows = [
-        # stratum a: exposed = even user, outcome = value >= 500
-        (0, TS, 2, "a", 600.0, "{}"),   # a
-        (1, TS, 4, "a", 600.0, "{}"),   # a
+        # stratum a: exposed = even user, outcome = value >= 250
+        (0, TS, 2, "a", 300.0, "{}"),   # a
+        (1, TS, 4, "a", 300.0, "{}"),   # a
         (2, TS, 6, "a", 100.0, "{}"),   # b
-        (3, TS, 1, "a", 700.0, "{}"),   # c
+        (3, TS, 1, "a", 320.0, "{}"),   # c
         (4, TS, 3, "a", 10.0, "{}"),    # d
         (5, TS, 5, "a", 10.0, "{}"),    # d
-        # stratum b: one per cell; 500.0 boundary is INCLUSIVE
-        (6, TS, 2, "b", 500.0, "{}"),   # a
-        (7, TS, 4, "b", 499.0, "{}"),   # b
-        (8, TS, 1, "b", 500.0, "{}"),   # c
+        # stratum b: one per cell; 250.0 boundary is INCLUSIVE
+        (6, TS, 2, "b", 250.0, "{}"),   # a
+        (7, TS, 4, "b", 249.0, "{}"),   # b
+        (8, TS, 1, "b", 250.0, "{}"),   # c
         (9, TS, 3, "b", 0.0, "{}"),     # d
         # excluded rows
-        (10, TS, None, "a", 600.0, "{}"),
-        (11, TS, 2, None, 600.0, "{}"),
+        (10, TS, None, "a", 300.0, "{}"),
+        (11, TS, 2, None, 300.0, "{}"),
         (12, TS, 2, "a", None, "{}"),
     ]
     _write_events(spark, tmp_path, rows)
