@@ -4906,6 +4906,169 @@ def stream_replay_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_replay_dedup",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, date_trunc('hour', ts) AS batch_h,
+             epoch_ns(ts) AS tsn, event_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, event_type, batch_h, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type, batch_h
+                                ORDER BY tsn, event_id) AS rn
+      FROM ev
+    ),
+    b AS (
+      SELECT user_id, event_type, batch_h,
+             CAST(count(*) AS BIGINT) AS n_batch,
+             CAST(min(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+               AS first_id
+      FROM r GROUP BY user_id, event_type, batch_h
+    ),
+    c AS (
+      SELECT user_id, event_type, batch_h, n_batch, first_id,
+             CAST(sum(n_batch) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY batch_h
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS seen_after
+      FROM b
+    )
+    SELECT user_id, event_type, batch_h, n_batch, seen_after,
+           CASE WHEN seen_after = n_batch THEN 1 ELSE 0 END AS emitted,
+           CASE WHEN seen_after = n_batch THEN first_id ELSE NULL END
+             AS emitted_event_id
+    FROM c
+    """,
+)
+def stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third streaming replay certificate: the first-wins dedup kernel —
+    the remaining production stateful path (streaming_first_wins_dedup,
+    the in-stream re-expression of the reference's ON CONFLICT (id) DO
+    NOTHING upsert, docs/Architecture.md:98-102) was proven only by unit
+    tests until now. Same recipe as stream_replay_running_stats /
+    _sessionize: replay a micro-batched execution with batch boundaries
+    as data (hour buckets) through the EXACT extracted fold the
+    applyInPandasWithState kernel executes
+    (streaming/stateful.dedup_fold — one function, two harnesses), and
+    hash-compare the full per-(key, batch) trace against a DuckDB twin
+    with no batch machinery.
+
+    Dedup identity: (user_id, event_type) — event_id is unique, so the
+    coarser key gives real cross-batch duplicates (the r8
+    chunk-boundary bug class this certificate exists to catch: a key
+    spanning batches 2 and 5 must emit ONLY from batch 2, and the seen
+    counter must carry, not reset, across the boundary). Trace row per
+    touched (key, batch): the batch's row count, the post-batch seen
+    counter, whether the kernel emitted, and WHICH row it emitted (the
+    batch's first by (ts, event_id) — so a wrong within-batch arrival
+    order also breaks the hash, not just a wrong emit decision).
+
+    Oracle side: first_id per (key, batch) via row_number, seen_after as
+    a running prefix sum over hour buckets, emitted iff the prefix
+    BEFORE this batch was zero (seen_after = n_batch). All-integer — no
+    quantization envelope; pure ordering/state-carry logic.
+
+    Scale shape: ONE shuffle on the key shard (the state-store
+    partitioning the real stream uses — keys never split across shards,
+    so per-key state/order semantics are unchanged); Arrow-batched
+    applyInPandas is the deliberate exception for order-dependent
+    stateful recursion, same class as the kernels themselves."""
+    import pandas as pd
+
+    from storm_data_etl_spark.streaming.stateful import DEDUP_ZERO, dedup_fold
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts_utc")).alias("batch_h"),
+            F.col("ts_ns"),
+            "event_id",
+            # shard-group pattern (stream_replay_running_stats): one Arrow
+            # call per shard of keys, never per key.
+            F.pmod(F.xxhash64("user_id", "event_type"), F.lit(64)).alias(
+                "_shard"
+            ),
+        )
+    )
+    schema = (
+        "user_id long, event_type string, batch_h timestamp, n_batch long, "
+        "seen_after long, emitted int, emitted_event_id long"
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cols = [
+            "user_id",
+            "event_type",
+            "batch_h",
+            "n_batch",
+            "seen_after",
+            "emitted",
+            "emitted_event_id",
+        ]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        # whole-shard stable sort (uid, etype, batch, ts, event_id) — the
+        # concat-then-sort discipline, applied shard-wide. event_type is
+        # factorized to int codes for lexsort; only grouping contiguity
+        # and INTRA-key order matter (keys fold independently), so the
+        # code order being factorization order, not lexicographic, is
+        # irrelevant to the semantics.
+        uids = pdf["user_id"].to_numpy()
+        codes, etypes = pd.factorize(pdf["event_type"])
+        bh = pdf["batch_h"].to_numpy()
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["ts_ns"].to_numpy(), bh, codes, uids)
+        )
+        uids, codes, bh = uids[order], codes[order], bh[order]
+        eids = pdf["event_id"].to_numpy(dtype="int64")[order]
+        out = []
+        boundary = np.r_[
+            True,
+            (uids[1:] != uids[:-1])
+            | (codes[1:] != codes[:-1])
+            | (bh[1:] != bh[:-1]),
+        ]
+        starts = np.flatnonzero(boundary)
+        bounds = np.r_[starts, len(bh)]
+        state = DEDUP_ZERO
+        prev_key = None
+        for i, s in enumerate(starts):
+            key = (uids[s], codes[s])
+            if key != prev_key:
+                state = DEDUP_ZERO  # new key: fresh state
+                prev_key = key
+            n = int(bounds[i + 1] - s)
+            state, emit = dedup_fold(state, n)
+            out.append(
+                (
+                    uids[s],
+                    etypes[codes[s]],
+                    bh[s],
+                    n,
+                    state[0],
+                    1 if emit else 0,
+                    int(eids[s]) if emit else None,
+                )
+            )
+        return pd.DataFrame(out, columns=cols)
+
+    return ev.groupBy("_shard").applyInPandas(replay, schema)
+
+
+@register(
     "forecast_mase_backtest",
     """
     WITH daily AS (

@@ -41,6 +41,23 @@ def running_stats_fold(state: tuple, values, alpha: float = 0.2) -> tuple:
     return (n, total, vmin, vmax, ewma)
 
 
+#: First-wins dedup zero state: (seen,) — rows observed for the key so far.
+DEDUP_ZERO = (0,)
+
+
+def dedup_fold(state: tuple, n_batch: int) -> tuple:
+    """The EXACT seen-counter fold streaming_first_wins_dedup applies,
+    extracted so the batch replay certificate (plans/window_queries.py
+    stream_replay_dedup) executes the identical code path the stream does
+    — one function, two harnesses (the running_stats_fold discipline).
+    ``n_batch`` is the key's row count in this micro-batch; returns
+    (new_state, emit_first): emit the batch's FIRST row iff no prior
+    micro-batch had seen the key."""
+    (seen,) = state
+    emit = seen == 0 and n_batch > 0
+    return ((seen + n_batch,), emit)
+
+
 #: Sessionize zero state: (last_ts, n_sessions, n_events).
 SESSIONIZE_ZERO = (0, 0, 0)
 
@@ -94,17 +111,19 @@ def streaming_first_wins_dedup(
         if state.hasTimedOut:
             state.remove()
             return
-        seen = state.get[0] if state.exists else 0
+        prev = (state.get[0],) if state.exists else DEDUP_ZERO
         first = None
         n_new = 0
         for pdf in batches:
-            n_new += len(pdf)
-            if seen == 0 and first is None and len(pdf) > 0:
+            if first is None and len(pdf) > 0:
                 first = pdf.iloc[[0]]
-        state.update((seen + n_new,))
+            n_new += len(pdf)
+        # the exact fold the replay certificate re-executes in batch mode
+        new_state, emit = dedup_fold(prev, n_new)
+        state.update(new_state)
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        if first is not None:
+        if emit and first is not None:
             yield first
 
     return stream.groupBy(id_col).applyInPandasWithState(

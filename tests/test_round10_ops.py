@@ -1,0 +1,81 @@
+"""Round-10 operators: the stream_replay_dedup certificate (third
+streaming replay — the first-wins dedup kernel) plus its shared-fold
+invariant. Values are hand-derived in the comments; everything here is
+exact integers, so no IEEE mirroring is needed."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from storm_data_etl_spark.plans import queries as Q
+from storm_data_etl_spark.plans import window_queries  # noqa: F401 (registry)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_stream_replay_dedup_hand_trace(spark, tmp_path):
+    """Key (1,'a') spans batches 10h and 12h — the cross-batch
+    duplicate-spanning case (r8 chunk-boundary bug class): ONLY the 10h
+    batch emits, and seen carries 2 -> 3 across the boundary instead of
+    resetting. Within 10h the emitted row is event 3 (ts 10:10 beats
+    10:30), so a wrong within-batch arrival order also fails. Key
+    (3,'a') pins the (ts, event_id) tiebreak: two events at the same
+    timestamp emit the LOWER event_id. Null ts / user / type rows are
+    dropped before any state forms."""
+    rows = [
+        (5, dt.datetime(2024, 1, 1, 10, 30), 1, "a", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 10, 10), 1, "a", 1.0, "{}"),
+        (7, dt.datetime(2024, 1, 1, 12, 0), 1, "a", 1.0, "{}"),
+        (8, dt.datetime(2024, 1, 1, 10, 0), 2, "a", 1.0, "{}"),
+        (9, dt.datetime(2024, 1, 1, 10, 0), 1, "b", 1.0, "{}"),
+        # same-ts tiebreak: event_id 10 wins
+        (11, dt.datetime(2024, 1, 1, 13, 0), 3, "a", 1.0, "{}"),
+        (10, dt.datetime(2024, 1, 1, 13, 0), 3, "a", 1.0, "{}"),
+        # excluded rows
+        (12, None, 1, "a", 1.0, "{}"),
+        (13, dt.datetime(2024, 1, 1, 10, 0), None, "a", 1.0, "{}"),
+        (14, dt.datetime(2024, 1, 1, 10, 0), 1, None, 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.user_id, r.event_type, r.batch_h.hour): (
+            r.n_batch,
+            r.seen_after,
+            r.emitted,
+            r.emitted_event_id,
+        )
+        for r in Q.REGISTRY["stream_replay_dedup"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (1, "a", 10): (2, 2, 1, 3),
+        (1, "a", 12): (1, 3, 0, None),
+        (2, "a", 10): (1, 1, 1, 8),
+        (1, "b", 10): (1, 1, 1, 9),
+        (3, "a", 13): (2, 2, 1, 10),
+    }
+
+
+def test_dedup_fold_shared_with_streaming_kernel():
+    """The replay certificate and the streaming kernel must fold through
+    ONE function — the certificate is vacuous if the code paths diverge."""
+    import inspect
+
+    from storm_data_etl_spark.streaming import stateful as S
+
+    src = inspect.getsource(S.streaming_first_wins_dedup)
+    assert "dedup_fold(" in src
+    # the fold itself: empty batch is a no-op, first sight emits, replays
+    # are swallowed while the counter keeps accumulating
+    st, emit = S.dedup_fold(S.DEDUP_ZERO, 0)
+    assert (st, emit) == ((0,), False)
+    st, emit = S.dedup_fold(st, 3)
+    assert (st, emit) == ((3,), True)
+    st, emit = S.dedup_fold(st, 2)
+    assert (st, emit) == ((5,), False)
