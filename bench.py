@@ -298,6 +298,9 @@ HEADLINE = [
     "secret_entropy_audit",
     "friedman_test",
     "pacf_durbin_levinson",
+    # round 10: third streaming certificate + the BPE end-to-end gate
+    "stream_replay_dedup",
+    "bpe_train_apply",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

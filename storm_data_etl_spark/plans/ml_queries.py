@@ -2331,6 +2331,150 @@ def bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.bpe_corpus_stats(docs, merges).orderBy("source")
 
 
+def _bpe_train_apply_sql(n_merges: int = 12, top_words: int = 200) -> str:
+    """DuckDB twin that RE-DERIVES the BPE merge list (unrolled rounds) and
+    re-applies it — the train→apply→stats chain under one hash.
+
+    The trick that makes iterative BPE SQL-expressible without recursion:
+    every symbol is encoded as ONE character (initial chars map to
+    themselves, '</w>' and each round's merged symbol get private-use
+    codepoints), so a word's segmentation is a plain string,
+    greedy-left-to-right pair merging is string replace() (non-overlapping,
+    left-to-right — exactly the training re-segmentation loop), and
+    n_subwords is length(). A decode table (char -> symbol string) carries
+    the REAL symbol strings so the (count DESC, pair ASC) tie-break
+    compares what Python compares. Applying merges in rank order equals
+    the kernel's lowest-rank-first loop because a merge at rank r can only
+    create pairs of rank > r (any pair containing symbol ab was learned
+    after (a, b)). Assumes corpus text contains no U+E0FF..U+E1FF
+    private-use chars (asserted: the synthetic corpus is ASCII)."""
+    eow = 57599  # U+E0FF — the '</w>' sentinel as one char
+    base = 57600  # U+E100 + k — round k's merged symbol
+    parts = [
+        f"""
+    WITH docs AS MATERIALIZED (
+      SELECT source, text FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    words AS MATERIALIZED (
+      SELECT source, w FROM (
+        SELECT source, unnest(regexp_split_to_array(text, ' +')) AS w FROM docs
+      ) WHERE w <> ''
+    ),
+    wc AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+      ORDER BY c DESC, w ASC LIMIT {top_words}
+    ),
+    v0 AS MATERIALIZED (SELECT w || chr({eow}) AS s, c FROM wc),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT s[i] AS ch, s[i] AS sym FROM (
+        SELECT s, unnest(range(1, length(s))) AS i FROM v0)
+      UNION ALL SELECT chr({eow}), '</w>'
+    )"""
+    ]
+    for k in range(n_merges):
+        nc = base + k
+        parts.append(
+            f""",
+    p{k} AS MATERIALIZED (
+      SELECT s[i] AS ca, s[i + 1] AS cb, CAST(sum(c) AS BIGINT) AS pc
+      FROM (SELECT s, c, unnest(range(1, length(s))) AS i FROM v{k})
+      GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT ca, cb, da.sym AS sa, db.sym AS sb
+      FROM p{k} JOIN d{k} da ON da.ch = ca JOIN d{k} db ON db.ch = cb
+      ORDER BY pc DESC, sa ASC, sb ASC LIMIT 1
+    ),
+    d{k + 1} AS MATERIALIZED (
+      SELECT * FROM d{k}
+      UNION ALL SELECT chr({nc}), sa || sb FROM b{k}
+    ),
+    v{k + 1} AS MATERIALIZED (
+      SELECT replace(s, coalesce((SELECT ca || cb FROM b{k}),
+                                 chr(2) || chr(3)), chr({nc})) AS s, c
+      FROM v{k}
+    )"""
+        )
+    merges_union = "\n      UNION ALL ".join(
+        f"SELECT {k} AS r, sa, sb FROM b{k}" for k in range(n_merges)
+    )
+    applied = f"w || chr({eow})"
+    for k in range(n_merges):
+        applied = (
+            f"replace({applied}, coalesce((SELECT ca || cb FROM b{k}), "
+            f"chr(2) || chr(3)), chr({base + k}))"
+        )
+    parts.append(
+        f""",
+    m AS MATERIALIZED ({merges_union}),
+    dw AS MATERIALIZED (SELECT DISTINCT w FROM words),
+    segd AS MATERIALIZED (SELECT w, CAST(length({applied}) AS BIGINT) AS n_sub FROM dw),
+    per AS MATERIALIZED (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_sub) AS BIGINT) AS n_subwords
+      FROM words JOIN segd USING (w) GROUP BY source
+    )
+    SELECT source, n_words, n_subwords,
+           (1000 * n_subwords) // n_words AS compression_e3,
+           (SELECT string_agg(sa || chr(31) || sb, chr(30) ORDER BY r) FROM m)
+             AS merges_str
+    FROM per"""
+    )
+    return "".join(parts)
+
+
+@register("bpe_train_apply", _bpe_train_apply_sql())
+def bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE certificate (the quality_model_auc discipline applied
+    to the tokenizer): ONE hash certifies train-merges → apply → stats.
+    bpe_subword_stats proved the machinery rows-only; this gates it — the
+    learned merge LIST itself travels in the result (merges_str, ordered,
+    unit/record-separator framed), so a wrong pair count, a wrong
+    (count DESC, pair ASC) tie-break, a wrong re-segmentation, or a wrong
+    rank-order application each break the hash, not just the aggregate
+    row counts.
+
+    Spark side: the production kernel verbatim — distributed word counts,
+    driver-side merge loop on the bounded top-200 table (constant cost
+    w.r.t. corpus, the IVF/PQ-codebook pattern), Arrow-batched
+    segmentation of DISTINCT words only, broadcast-joined back, exact
+    integer compression ratio. Oracle side: _bpe_train_apply_sql re-derives
+    all 12 rounds with symbols encoded as single private-use chars (see
+    its docstring for why replace() is exactly the greedy merge and why
+    rank-order application equals the lowest-rank-first kernel loop).
+
+    Scale shape: identical to bpe_subword_stats — two corpus scans (word
+    count + word explode), one driver loop over <=200 short rows, one
+    broadcast join; Python touches |distinct words| (~Heaps' law), never
+    the token stream."""
+    from storm_data_etl_spark.operators import bpe as B
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
+    )
+    merges = B.train_bpe_merges(docs, n_merges=12, top_words=200)
+    merges_str = chr(30).join(a + chr(31) + b for a, b in merges)
+    words = docs.select(
+        "source", F.explode(F.split(F.col("text"), " +")).alias("w")
+    ).filter(F.col("w") != "")
+    seg = B.segment_words_df(words.select("w").distinct(), merges)
+    per = (
+        words.join(F.broadcast(seg), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_words",
+        "n_subwords",
+        F.expr("(1000 * n_subwords) div n_words").alias("compression_e3"),
+        F.lit(merges_str).alias("merges_str"),
+    )
+
+
 @register(
     "bpe_zero_merge_regime",
     """

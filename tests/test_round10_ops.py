@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+from storm_data_etl_spark.plans import ml_queries  # noqa: F401 (registry)
 from storm_data_etl_spark.plans import queries as Q
 from storm_data_etl_spark.plans import window_queries  # noqa: F401 (registry)
 
@@ -60,6 +61,46 @@ def test_stream_replay_dedup_hand_trace(spark, tmp_path):
         (1, "b", 10): (1, 1, 1, 9),
         (3, "a", 13): (2, 2, 1, 10),
     }
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_bpe_train_apply_hand_merges(spark, tmp_path):
+    """Corpus 'ab ab ab b' (one doc). Vocab: ab×3, b×1 over symbols
+    a/b/</w>. Round 1: pairs (a,b)=3, (b,</w>)=4 -> merge ('b','</w>').
+    Round 2: (a,'b</w>')=3 -> merge ('a','b</w>'). Round 3: no pairs
+    left -> the training loop BREAKS early (merges_str carries exactly
+    two merges, pinning the early-exit path). Apply: 'ab' -> lowest-rank
+    loop [a,b,</w>] -> [a,b</w>] -> [ab</w>] = 1 subword; 'b' -> 1. So
+    n_words=4, n_subwords=4, compression_e3 = 1000*4 div 4 = 1000.
+
+    The same fixture runs the DuckDB twin in-test: the unrolled-SQL
+    re-derivation must early-exit identically (rounds past exhaustion
+    have empty best-pair CTEs and no-op replaces), not pad merges_str."""
+    import duckdb
+
+    _write_docs(spark, tmp_path, [(1, "ab ab ab b", "en", "s", 10)])
+    r = Q.REGISTRY["bpe_train_apply"].runner(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    row = r[0]
+    us, rs = chr(31), chr(30)
+    exp_merges = f"b{us}</w>{rs}a{us}b</w>"
+    assert (row.source, row.n_words, row.n_subwords) == ("s", 4, 4)
+    assert row.compression_e3 == 1000
+    assert row.merges_str == exp_merges
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    got = con.execute(Q.REGISTRY["bpe_train_apply"].oracle).fetchall()
+    assert got == [("s", 4, 4, 1000, exp_merges)]
 
 
 def test_dedup_fold_shared_with_streaming_kernel():
