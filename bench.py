@@ -440,6 +440,25 @@ INDEX_BUILDS = [
 ]
 INDEX_BUILD_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
+#: Same-boot canary set (VERDICT r9 task 2): cross-round per-query deltas
+#: were drowning in host drift (two same-day runs disagree 1.2x;
+#: enrich_throughput drifted 2x over three rounds untouched). These five
+#: are codegen-only (no Python/Arrow anywhere in their plans), cover the
+#: scan/agg/join/window shapes, and showed the lowest cross-round spread
+#: of the whole headline set (1.02-1.14x over r7-r9). They run min-of-3
+#: immediately BEFORE and AFTER every full bench; the per-run "scale"
+#: (sum of per-query min(pre, post)) rides in the artifact so
+#: tools/bench_delta.py can report host-normalized ratios
+#: (query_time / canary_scale) alongside raw ones and gate regressions on
+#: the normalized numbers.
+CANARY = [
+    "pricing_summary",
+    "grouping_sets_counts",
+    "temperature_sampling_mix",
+    "nation_pair_trade",
+    "weekly_growth_report",
+]
+
 
 def enrich_throughput(spark, sf_dir):
     """Core ETL hot path at scale: synthesize raw storm-report JSON from the
@@ -485,6 +504,24 @@ def main() -> None:
     # Warmup: absorb JVM + codegen startup.
     t(spark, SF_DIR, "lineitem").agg(F.count(F.lit(1))).collect()
 
+    def _time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for cname in names:
+            cdf = _q.REGISTRY[cname].runner(spark, SF_DIR)
+            cbest = float("inf")
+            for _ in range(3):
+                cstart = time.perf_counter()
+                cdf.write.format("noop").mode("overwrite").save()
+                cbest = min(cbest, time.perf_counter() - cstart)
+            out[cname] = round(cbest, 3)
+            release_pinned()
+        return out
+
+    # Same-boot canary, leg 1 (skipped on dev-loop subset runs: the canary
+    # exists to normalize ROUND artifacts, and a subset run's artifact is
+    # BENCH_SUBSET.json which bench_delta never gates on).
+    canary_pre = {} if only_set else _time_set(CANARY)
+
     # Build each query's DataFrame once (prepared-statement model), then
     # take the min of three executions: run 1 carries Catalyst analysis +
     # codegen, later runs are steady-state engine cost — and the minimum
@@ -507,6 +544,24 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Same-boot canary, leg 2 — bracketing the headline set catches drift
+    # WITHIN the run too (a pre/post disagreement means the host moved
+    # mid-bench and this round's numbers carry that much slop).
+    canary_post = {} if only_set else _time_set(CANARY)
+    canary = {
+        "pre": canary_pre,
+        "post": canary_post,
+        "scale": round(
+            sum(
+                min(canary_pre[n], canary_post.get(n, canary_pre[n]))
+                for n in canary_pre
+            ),
+            3,
+        )
+        if canary_pre
+        else None,
+    }
 
     # Index-build sidecar: one-shot timings at fixed sf pair (see
     # INDEX_BUILDS note). Kept out of `total` by design. A missing SF
@@ -546,6 +601,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "index_builds": index_builds,
+                "canary": canary,
                 "sf": sf_val,
                 "cpus": int(CPUS),
             },
@@ -568,6 +624,7 @@ def main() -> None:
         "index_builds_sf0_01_sec": round(
             sum(v.get("0.01", 0.0) for v in index_builds.values()), 3
         ),
+        "canary_scale": canary["scale"],
         "full": full_name,
     }
     # enrich_throughput first when present (subset runs may filter it out).

@@ -47,6 +47,31 @@ from storm_data_etl_spark.operators.dedup import global_rank
 #: characters compared per LCP round (fold size; bounds per-row work)
 _LCP_CHUNK = 128
 
+#: Corpus size (total char / token positions) above which the corpus-
+#: derived joins are forced to SortMergeJoin. Below it, AQE's choice
+#: (broadcast at test scale) is both safe and ~40% faster (the blanket
+#: hints cost +43% at sf0.01 — VERDICT r9 task 3); above it, the N30
+#: stretch probe showed AQE broadcasting a corpus-sized,
+#: checkpoint-descended (stats-less) join side and OOMing at 44.7M chars.
+#: 4M positions ≈ a >100 MB (doc, pos, rank) table — far past any sane
+#: broadcast, with ~10× margin below the observed failure point. The
+#: fixtures sit at 0.15M (sf0.01) / 1.5M (sf0.1); the stretch probes at
+#: 4.5M (N3) / 44.7M (N30).
+_MERGE_HINT_MIN_POSITIONS = 4_000_000
+
+
+def _mh(df: DataFrame, big: bool) -> DataFrame:
+    """Merge-hint a corpus-derived join side only at big-corpus scale."""
+    return df.hint("merge") if big else df
+
+
+def _is_big_corpus(d: DataFrame, size_col) -> bool:
+    """One cheap aggregate deciding the hint regime for a build. Runs
+    once per index build (these are log(L)-sort jobs; a sum scan is
+    noise) so both engines of the same build share one decision."""
+    total = d.agg(F.sum(size_col)).collect()[0][0] or 0
+    return int(total) >= _MERGE_HINT_MIN_POSITIONS
+
 
 def _common_prefix_len(a: str, b: str, chunk: int = _LCP_CHUNK):
     """Codegen fold: length of the common prefix of two <= chunk-char
@@ -76,7 +101,11 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).filter(F.length("text") > 0)
-    maxlen = d.agg(F.max(F.length("text"))).collect()[0][0] or 0
+    maxlen, total = d.agg(
+        F.max(F.length("text")), F.sum(F.length("text"))
+    ).collect()[0]
+    maxlen = maxlen or 0
+    big = int(total or 0) >= _MERGE_HINT_MIN_POSITIONS
     if maxlen == 0:
         return spark.createDataFrame([], "doc_id long, pos int, sa_rank long")
 
@@ -100,7 +129,7 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
     seed = global_rank(
         pos.select("_slice").distinct(), ["_slice"]
     ).select("_slice", F.col("rnk").alias("_seed_rnk"))
-    pos = pos.join(seed.hint("merge"), "_slice").select(
+    pos = pos.join(_mh(seed, big), "_slice").select(
         "doc_id", "pos", F.col("_seed_rnk").alias("rnk")
     )
     # localCheckpoint (not persist): each doubling round roughly doubles
@@ -119,7 +148,7 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
             F.col("rnk").alias("r2"),
         )
         paired = rank.join(
-            right.hint("merge"),
+            _mh(right, big),
             (F.col("doc_id") == F.col("r_doc")) & (F.col("pos") == F.col("r_pos")),
             "left",
         ).select(
@@ -130,7 +159,7 @@ def suffix_array(docs: DataFrame, id_col: str = "doc_id",
         dense = global_rank(distinct_pairs, ["r1", "r2"]).select(
             "r1", "r2", F.col("rnk").alias("new_rnk")
         )
-        new_rank = paired.join(dense.hint("merge"), ["r1", "r2"]).select(
+        new_rank = paired.join(_mh(dense, big), ["r1", "r2"]).select(
             "doc_id", "pos", F.col("new_rnk").alias("rnk")
         ).localCheckpoint(eager=True)
         n_distinct = new_rank.agg(F.max("rnk")).collect()[0][0]
@@ -183,16 +212,19 @@ def exact_substr_cut(
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).filter(F.length("text") > 0)
-    dup_pos = _dup_positions(d, min_len)
-    return _cut_from_dup_positions(d, dup_pos, min_len)
+    big = _is_big_corpus(d, F.length("text"))
+    dup_pos = _dup_positions(d, min_len, big=big)
+    return _cut_from_dup_positions(d, dup_pos, min_len, big=big)
 
 
-def _dup_positions(d: DataFrame, min_len: int) -> DataFrame:
+def _dup_positions(d: DataFrame, min_len: int, big: bool | None = None) -> DataFrame:
     """(doc_id, pos) of every position whose min_len-gram occurs >= 2
     times in d, via the suffix array: a suffix's L-prefix occurs
     elsewhere iff an adjacent suffix-order neighbor shares >= L chars."""
+    if big is None:
+        big = _is_big_corpus(d, F.length("text"))
     sa = suffix_array(d)
-    lcp = adjacent_lcp(sa, d)
+    lcp = adjacent_lcp(sa, d, big=big)
     hits = lcp.filter(F.col("lcp") >= min_len)
     return (
         hits.select(F.col("doc_a").alias("doc_id"), F.col("pos_a").alias("pos"))
@@ -204,7 +236,7 @@ def _dup_positions(d: DataFrame, min_len: int) -> DataFrame:
 
 
 def _cut_from_dup_positions(
-    d: DataFrame, dup_pos: DataFrame, min_len: int
+    d: DataFrame, dup_pos: DataFrame, min_len: int, big: bool = False
 ) -> DataFrame:
     """Keep-first + interval algebra + rebuild, given the duplicated
     positions (shared by the global and sharded detection paths)."""
@@ -212,7 +244,7 @@ def _cut_from_dup_positions(
     # duplicated subset, rank occurrences by (doc_id, pos).
     from pyspark.sql import Window
 
-    grams = dup_pos.hint("merge").join(d, "doc_id").select(
+    grams = _mh(dup_pos, big).join(d, "doc_id").select(
         "doc_id", "pos", F.expr(f"substr(text, pos, {min_len})").alias("g")
     )
     occ_w = Window.partitionBy("g").orderBy("doc_id", "pos")
@@ -334,6 +366,7 @@ def exact_substr_cut_tokens(
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks")
     ).filter(F.size("toks") > 0)
+    big = _is_big_corpus(d, F.size("toks"))
     lens = d.select("doc_id", F.size("toks").alias("orig_n_tokens"))
 
     # Window fingerprints: one 8-byte hash per token position (guard the
@@ -353,10 +386,10 @@ def exact_substr_cut_tokens(
     dupfp = (
         fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= 2)
     ).select("_fp")
-    candidates = fp.join(dupfp.hint("merge"), "_fp").select("doc_id", "tpos")
+    candidates = fp.join(_mh(dupfp, big), "_fp").select("doc_id", "tpos")
 
     # Verify on the real gram text + keep-first per verified class.
-    cand_grams = candidates.hint("merge").join(d, "doc_id").select(
+    cand_grams = _mh(candidates, big).join(d, "doc_id").select(
         "doc_id",
         "tpos",
         F.array_join(F.slice(F.col("toks"), F.col("tpos"), F.lit(L)), sep).alias("g"),
@@ -465,6 +498,7 @@ def exact_substr_cut_sharded(
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).filter(F.length("text") > 0)
+    big = _is_big_corpus(d, F.length("text"))
     shard_of = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards))
 
     # Phase 1 — within-shard duplicates via per-shard suffix arrays.
@@ -496,10 +530,10 @@ def exact_substr_cut_sharded(
         .filter(F.col("_ns") >= 2)
         .select("_fp")
     )
-    candidates = fp.join(spanning.hint("merge"), "_fp").select("doc_id", "pos")
+    candidates = fp.join(_mh(spanning, big), "_fp").select("doc_id", "pos")
     # Verify candidates on the actual gram (collision safety): only grams
     # with a true count >= 2 survive.
-    cand_grams = candidates.hint("merge").join(d, "doc_id").select(
+    cand_grams = _mh(candidates, big).join(d, "doc_id").select(
         "doc_id", "pos", F.expr(f"substr(text, pos, {min_len})").alias("g")
     )
     from pyspark.sql import Window
@@ -512,11 +546,12 @@ def exact_substr_cut_sharded(
     )
 
     dup_pos = within.unionByName(cross).distinct()
-    return _cut_from_dup_positions(d, dup_pos, min_len)
+    return _cut_from_dup_positions(d, dup_pos, min_len, big=big)
 
 
 def adjacent_lcp(sa: DataFrame, docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", max_rounds: int = 64) -> DataFrame:
+                 text_col: str = "text", max_rounds: int = 64,
+                 big: bool | None = None) -> DataFrame:
     """LCP between each adjacent suffix pair in suffix-array order.
 
     Returns (doc_a, pos_a, doc_b, pos_b, lcp) for sa_rank r vs r+1.
@@ -526,6 +561,8 @@ def adjacent_lcp(sa: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    if big is None:
+        big = _is_big_corpus(d, F.length("text"))
     a = sa.select(
         F.col("sa_rank").alias("r"),
         F.col("doc_id").alias("doc_a"),
@@ -536,13 +573,13 @@ def adjacent_lcp(sa: DataFrame, docs: DataFrame, id_col: str = "doc_id",
         F.col("doc_id").alias("doc_b"),
         F.col("pos").alias("pos_b"),
     )
-    pairs = a.join(b.hint("merge"), "r").select("doc_a", "pos_a", "doc_b", "pos_b")
+    pairs = a.join(_mh(b, big), "r").select("doc_a", "pos_a", "doc_b", "pos_b")
 
     done = None
     active = pairs.withColumn("lcp", F.lit(0))
     for _ in range(max_rounds):
         slices = (
-            active.hint("merge").join(
+            _mh(active, big).join(
                 d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta")),
                 "doc_a",
             )

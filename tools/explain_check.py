@@ -1317,16 +1317,38 @@ def main() -> int:
 
     # 102. Suffix-path broadcast hardening (found by the N30 stretch
     # probe: AQE broadcast a corpus-derived, checkpoint-descended join
-    # side whose stats it cannot see — OOM at 44.7M chars). The lazy
-    # tail of exact_substr_dedup must keep its corpus-derived joins
-    # (dup-positions x text, adjacent-suffix pairs) as SortMergeJoin.
+    # side whose stats it cannot see — OOM at 44.7M chars). Since r10 the
+    # merge hints are SCALE-SCOPED (suffix._MERGE_HINT_MIN_POSITIONS,
+    # VERDICT r9 task 3): below the threshold AQE's broadcasts are safe
+    # and ~40% faster, above it the corpus joins must be SortMergeJoin.
+    # Pin BOTH regimes: (a) the sf-dir plan (small corpus) carries no
+    # blanket merge hints and no degenerate joins; (b) with the threshold
+    # forced to 0 the same build plans >= 2 SortMergeJoins.
+    from storm_data_etl_spark.operators import suffix as _sfx
+
     p_es = plan_of(qs["exact_substr_dedup"](spark, sf_dir))
+    small_ok = (
+        "BroadcastNestedLoopJoin" not in p_es
+        and "CartesianProduct" not in p_es
+        and len(_re.findall(r"\(\d+\) SortMergeJoin", p_es)) == 0
+    )
+    _rel()
+    _saved_thr = _sfx._MERGE_HINT_MIN_POSITIONS
+    try:
+        _sfx._MERGE_HINT_MIN_POSITIONS = 0  # force the big-corpus regime
+        p_es_big = plan_of(qs["exact_substr_dedup"](spark, sf_dir))
+    finally:
+        _sfx._MERGE_HINT_MIN_POSITIONS = _saved_thr
+    big_ok = (
+        len(_re.findall(r"\(\d+\) SortMergeJoin", p_es_big)) >= 2
+        and "BroadcastNestedLoopJoin" not in p_es_big
+        and "CartesianProduct" not in p_es_big
+    )
     check(
-        "exact_substr_corpus_joins_sort_merge",
-        len(_re.findall(r"\(\d+\) SortMergeJoin", p_es)) >= 2
-        and "BroadcastNestedLoopJoin" not in p_es
-        and "CartesianProduct" not in p_es,
-        "(merge-hinted corpus joins; no misestimated broadcasts)",
+        "exact_substr_corpus_joins_scale_scoped",
+        small_ok and big_ok,
+        "(small corpus: AQE broadcasts, no hints; forced-big: merge-hinted "
+        f"SortMergeJoins; small_ok={small_ok} big_ok={big_ok})",
     )
     _rel()
 
