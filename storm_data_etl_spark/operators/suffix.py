@@ -509,6 +509,20 @@ def exact_substr_cut_sharded(
         within = dp if within is None else within.unionByName(dp)
 
     # Phase 2 — cross-shard reconcile on gram fingerprints.
+    cross = _cross_shard_positions(d, shard_of, min_len, big)
+
+    dup_pos = within.unionByName(cross).distinct()
+    return _cut_from_dup_positions(d, dup_pos, min_len, big=big)
+
+
+def _cross_shard_positions(
+    d: DataFrame, shard_of, min_len: int, big: bool
+) -> DataFrame:
+    """The cross-shard reconcile: (doc_id, pos) of grams whose xxhash64
+    FINGERPRINT spans >= 2 shards, verified on the real gram text (count
+    >= 2) so a hash collision can only add a verified-away candidate.
+    Shared by exact_substr_cut_sharded and the parallel-shard deployment
+    harness (tools/parallel_shards.py) — one code path, two run shapes."""
     fp = d.filter(F.length("text") >= min_len).select(
         "doc_id",
         shard_of.alias("_shard"),
@@ -539,14 +553,11 @@ def exact_substr_cut_sharded(
     from pyspark.sql import Window
 
     gw = Window.partitionBy("g")
-    cross = (
+    return (
         cand_grams.withColumn("_n", F.count(F.lit(1)).over(gw))
         .filter(F.col("_n") >= 2)
         .select("doc_id", "pos")
     )
-
-    dup_pos = within.unionByName(cross).distinct()
-    return _cut_from_dup_positions(d, dup_pos, min_len, big=big)
 
 
 def adjacent_lcp(sa: DataFrame, docs: DataFrame, id_col: str = "doc_id",

@@ -49,13 +49,22 @@ def release_pinned() -> int:
     return n
 
 
-def get_spark(app_name: str = "storm_data_etl_spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "storm_data_etl_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) a SparkSession configured for this engine.
 
     UTC session timezone, AQE enabled, Arrow enabled for the few Pandas-UDF
     paths, shuffle parallelism sized to cores (not the 200 default, which
     over-parallelizes local runs and under-parallelizes 100 TB ones — on a
     real cluster set SPARK_GRAFT_SHUFFLE_PARTITIONS ≈ 2-3× total cores).
+
+    ``extra_conf``: creation-time settings a harness needs beyond the
+    engine defaults (e.g. spark.scheduler.mode=FAIR for the
+    parallel-shard measurement). Applies only when this call CREATES the
+    session — like driver memory, it cannot change an existing one.
     """
     builder = (
         SparkSession.builder.appName(app_name)
@@ -80,6 +89,8 @@ def get_spark(app_name: str = "storm_data_etl_spark", master: str | None = None)
         )
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("MASTER"):

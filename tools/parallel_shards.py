@@ -1,0 +1,152 @@
+"""Parallel-shard deployment-shape measurement (VERDICT r9 task 4).
+
+The round-9 crossover table ran the 4 per-shard ExactSubstr builds
+SEQUENTIALLY on one driver (sum-of-shards). Real deployment runs them as
+independent jobs; the honest cluster number is max-of-shards + reconcile.
+This harness runs the 4 shard builds CONCURRENTLY — one Python thread per
+shard, each in its own FAIR scheduler pool inside the shared local[32]
+session — then times the cross-shard reconcile + cut, and the global
+build on the same corpus in the same boot.
+
+Interpretation caveat (stated with the numbers): concurrent shards here
+still SHARE 32 cores, so the parallel-shard wall is an UPPER bound on a
+real cluster's max-of-shards (there each shard owns its own executors);
+the reconcile/cut phase is shared-fate in both deployments. The
+suffix-array build has per-round driver sync points where executors idle
+— exactly the gaps concurrent shard jobs fill, which is why even
+core-sharing concurrency beats the sequential sum.
+
+Usage:
+  SPARK_GRAFT_DRIVER_MEM=48g python tools/parallel_shards.py \
+      /tmp/spark-graft-stretch/N10 /tmp/spark-graft-stretch/N30
+
+Prints one JSON line per corpus:
+  {"corpus", "chars", "global_s", "shard_s": [...4], "shards_wall_s",
+   "reconcile_cut_s", "sharded_parallel_s", "global_rows", "sharded_rows",
+   "cut_checksum_match"}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from storm_data_etl_spark.operators.suffix import (  # noqa: E402
+    _cross_shard_positions,
+    _cut_from_dup_positions,
+    _dup_positions,
+    _is_big_corpus,
+    exact_substr_cut,
+)
+from storm_data_etl_spark.session import get_spark  # noqa: E402
+
+MIN_LEN = 32
+N_SHARDS = 4
+
+
+def _checksum(cut_df):
+    """Order-insensitive certificate of the cut SET: count plus xor/sum
+    folds over (doc_id, n_cut_chars, deduped_len)."""
+    row = cut_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(
+                F.xxhash64(
+                    F.col("doc_id"), F.col("n_cut_chars"), F.col("deduped_len")
+                ),
+                F.lit(1_000_000_007),
+            )
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], int(row["h"] or 0))
+
+
+def measure(spark, corpus_dir: str) -> dict:
+    d = (
+        spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+    chars = d.agg(F.sum(F.length("text"))).collect()[0][0]
+    big = _is_big_corpus(d, F.length("text"))
+    shard_of = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SHARDS))
+
+    # --- Phase 1, concurrent: per-shard suffix-array dup positions.
+    shard_times = [0.0] * N_SHARDS
+    shard_dps = [None] * N_SHARDS
+
+    def build_shard(i: int):
+        # per-thread pool => FAIR sharing across the 4 shard jobs
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"shard{i}")
+        t0 = time.perf_counter()
+        part = d.filter(shard_of == i)
+        dp = _dup_positions(part, MIN_LEN).localCheckpoint(eager=True)
+        dp.count()
+        shard_times[i] = round(time.perf_counter() - t0, 1)
+        shard_dps[i] = dp
+
+    wall0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=N_SHARDS) as ex:
+        list(ex.map(build_shard, range(N_SHARDS)))
+    shards_wall = round(time.perf_counter() - wall0, 1)
+
+    # --- Phase 2, shared-fate: reconcile + keep-first cut.
+    t0 = time.perf_counter()
+    within = shard_dps[0]
+    for dp in shard_dps[1:]:
+        within = within.unionByName(dp)
+    cross = _cross_shard_positions(d, shard_of, MIN_LEN, big)
+    dup_pos = within.unionByName(cross).distinct()
+    sharded_cut = _cut_from_dup_positions(d, dup_pos, MIN_LEN, big=big)
+    sharded_sum = _checksum(sharded_cut)
+    reconcile_s = round(time.perf_counter() - t0, 1)
+
+    # --- Global build, same boot (also re-proves the scoped-hint big
+    # regime completes at this scale — VERDICT r9 task 3 done-condition).
+    t0 = time.perf_counter()
+    global_cut = exact_substr_cut(d, MIN_LEN)
+    global_sum = _checksum(global_cut)
+    global_s = round(time.perf_counter() - t0, 1)
+
+    return {
+        "corpus": os.path.basename(corpus_dir.rstrip("/")),
+        "chars": int(chars),
+        "big_regime": big,
+        "global_s": global_s,
+        "shard_s": shard_times,
+        "shards_wall_s": shards_wall,
+        "reconcile_cut_s": reconcile_s,
+        "sharded_parallel_s": round(shards_wall + reconcile_s, 1),
+        "global_rows": global_sum[0],
+        "sharded_rows": sharded_sum[0],
+        "cut_checksum_match": global_sum == sharded_sum,
+    }
+
+
+def main() -> int:
+    dirs = sys.argv[1:] or [
+        "/tmp/spark-graft-stretch/N10",
+        "/tmp/spark-graft-stretch/N30",
+    ]
+    spark = get_spark(
+        "parallel-shards",
+        master="local[32]",
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    for cd in dirs:
+        if not os.path.isdir(cd):
+            print(f"skip {cd}: not found", file=sys.stderr)
+            continue
+        print(json.dumps(measure(spark, cd)), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
