@@ -298,8 +298,10 @@ HEADLINE = [
     "secret_entropy_audit",
     "friedman_test",
     "pacf_durbin_levinson",
-    # round 10: third streaming certificate + the BPE end-to-end gate
+    # round 10: streaming certificates 3-5 + the BPE end-to-end gate
     "stream_replay_dedup",
+    "stream_replay_change_detect",
+    "stream_replay_cusum",
     "bpe_train_apply",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now

@@ -5069,6 +5069,233 @@ def stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_replay_change_detect",
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS batch_h, epoch_ns(ts) AS tsn,
+             event_id, "value" AS v
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND "value" IS NOT NULL AND NOT isnan("value")
+    ),
+    lagd AS (
+      SELECT user_id, batch_h, v,
+             lag(v) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS pv
+      FROM ev
+    )
+    SELECT user_id, batch_h,
+           CAST(floor(pv * 10000) AS BIGINT) AS prev_e4,
+           CAST(floor(v * 10000) AS BIGINT) AS curr_e4,
+           CAST(floor((v - pv) * 10000) AS BIGINT) AS jump_e4
+    FROM lagd WHERE pv IS NOT NULL AND abs(v - pv) > 100.0
+    """,
+)
+def stream_replay_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth streaming replay certificate: the transformWithState
+    change-point kernel (streaming/stateful.make_change_detector — the
+    modern StatefulProcessor API's representative). Replays hour-bucket
+    micro-batches per user through the EXACT extracted fold
+    (change_detect_fold — one function, two harnesses) and hash-compares
+    the full emitted-jump trace against a lag() twin with no batch
+    machinery: the oracle's lag runs across the WHOLE key history, so a
+    per-batch state reset (losing the last-seen value at a batch
+    boundary) emits a wrong/missing first-row-of-batch jump and breaks
+    the hash. jump = v - last is one double subtraction, identical IEEE
+    on both engines; prev/curr/jump are floor-quantized at 1e4.
+
+    Threshold 100.0 (the kernel's default) sits inside the fixture value
+    domain at every gate scale, so real jumps are emitted everywhere —
+    the mantel_haenszel fixture-scaled-constants lesson applied on
+    arrival.
+
+    Scale shape: ONE shuffle on the key shard (the state-store
+    partitioning); the oracle is one keyed window. Arrow-batched
+    applyInPandas is the deliberate exception for order-dependent
+    stateful recursion."""
+    import pandas as pd
+
+    from storm_data_etl_spark.streaming.stateful import (
+        CHANGE_DETECT_ZERO,
+        change_detect_fold,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+        )
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts_utc")).alias("batch_h"),
+            F.col("ts_ns"),
+            "event_id",
+            "value",
+            F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("_shard"),
+        )
+    )
+    schema = (
+        "user_id long, batch_h timestamp, prev double, curr double, "
+        "jump double"
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cols = ["user_id", "batch_h", "prev", "curr", "jump"]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        uids = pdf["user_id"].to_numpy()
+        bh = pdf["batch_h"].to_numpy()
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["ts_ns"].to_numpy(), bh, uids)
+        )
+        uids, bh = uids[order], bh[order]
+        vals = pdf["value"].to_numpy(dtype=float)[order]
+        out = []
+        boundary = np.r_[True, (uids[1:] != uids[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(boundary)
+        bounds = np.r_[starts, len(bh)]
+        state = CHANGE_DETECT_ZERO
+        prev_uid = None
+        for i, s in enumerate(starts):
+            if uids[s] != prev_uid:
+                state = CHANGE_DETECT_ZERO  # new key: fresh state
+                prev_uid = uids[s]
+            state, emits = change_detect_fold(
+                state, [float(x) for x in vals[s : bounds[i + 1]]], 100.0
+            )
+            out.extend((uids[s], bh[s], p, c, j) for p, c, j in emits)
+        return pd.DataFrame(out, columns=cols)
+
+    trace = ev.groupBy("_shard").applyInPandas(replay, schema)
+    return trace.select(
+        "user_id",
+        "batch_h",
+        F.floor(F.col("prev") * 10000).cast("bigint").alias("prev_e4"),
+        F.floor(F.col("curr") * 10000).cast("bigint").alias("curr_e4"),
+        F.floor(F.col("jump") * 10000).cast("bigint").alias("jump_e4"),
+    )
+
+
+@register(
+    "stream_replay_cusum",
+    """
+    WITH ev AS (
+      SELECT event_type, date_trunc('hour', ts) AS batch_h, event_id,
+             CAST(floor("value" * 10000 + 0.5) AS BIGINT) - 2500000 AS dev
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND "value" IS NOT NULL AND NOT isnan("value")
+    ),
+    pfx AS (
+      SELECT event_type, batch_h,
+             CAST(sum(dev) OVER wo AS BIGINT) AS p,
+             row_number() OVER wo AS rn
+      FROM ev
+      WINDOW wo AS (PARTITION BY event_type ORDER BY batch_h, event_id
+                    ROWS UNBOUNDED PRECEDING)
+    ),
+    clamped AS (
+      SELECT event_type, batch_h, rn,
+             p - least(0, min(p) OVER wk) AS s_pos,
+             greatest(0, max(p) OVER wk) - p AS s_neg
+      FROM pfx
+      WINDOW wk AS (PARTITION BY event_type ORDER BY rn
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, batch_h,
+           CAST(rn AS BIGINT) AS n_events,
+           CAST(s_pos AS BIGINT) AS cusum_pos_e4,
+           CAST(s_neg AS BIGINT) AS cusum_neg_e4
+    FROM clamped
+    QUALIFY rn = max(rn) OVER (PARTITION BY event_type, batch_h)
+    """,
+)
+def stream_replay_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth streaming replay certificate: the Page CUSUM kernel
+    (streaming/stateful.streaming_cusum). Replays hour-bucket
+    micro-batches per event type through the EXACT extracted fold
+    (cusum_fold) with the kernel's own quantization
+    (dev = floor(v*1e4 + 0.5) - k_e4, k = 250.0 frozen inside the
+    fixture value domain) and emits the kernel's per-batch snapshot
+    (n_events, S+, S-).
+
+    The oracle has NO loop: Page's clamp recursion
+    s_n = max(0, s_{n-1} + d_n) has the closed drawdown form
+    s_n = p_n - min(0, min_{j<=n} p_j) over prefix sums p (and the
+    negative side mirrors via the running MAX), so the twin is two keyed
+    windows over exact BIGINTs — a wrong clamp, wrong batch slicing, or
+    state reset at a batch boundary shifts every later snapshot and
+    breaks the hash. All-integer: zero quantization envelope beyond the
+    kernel's own dev rounding.
+
+    Scale shape: ONE shuffle on the key shard; the oracle is two keyed
+    windows + a QUALIFY. The event-type key space is vocabulary-bounded,
+    so per-key fold state is O(1) and snapshots are O(keys x batches)."""
+    import math as _math
+
+    import pandas as pd
+
+    from storm_data_etl_spark.streaming.stateful import CUSUM_ZERO, cusum_fold
+
+    k_e4 = 2_500_000
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+        )
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts_utc")).alias("batch_h"),
+            "event_id",
+            "value",
+            F.pmod(F.xxhash64("event_type"), F.lit(64)).alias("_shard"),
+        )
+    )
+    schema = (
+        "event_type string, batch_h timestamp, n_events long, "
+        "cusum_pos_e4 long, cusum_neg_e4 long"
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cols = ["event_type", "batch_h", "n_events", "cusum_pos_e4", "cusum_neg_e4"]
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        codes, etypes = pd.factorize(pdf["event_type"])
+        bh = pdf["batch_h"].to_numpy()
+        order = np.lexsort((pdf["event_id"].to_numpy(), bh, codes))
+        codes, bh = codes[order], bh[order]
+        vals = pdf["value"].to_numpy(dtype=float)[order]
+        out = []
+        boundary = np.r_[True, (codes[1:] != codes[:-1]) | (bh[1:] != bh[:-1])]
+        starts = np.flatnonzero(boundary)
+        bounds = np.r_[starts, len(bh)]
+        state = CUSUM_ZERO
+        prev_code = None
+        for i, s in enumerate(starts):
+            if codes[s] != prev_code:
+                state = CUSUM_ZERO  # new key: fresh state
+                prev_code = codes[s]
+            devs = [
+                int(_math.floor(float(x) * 10000 + 0.5)) - k_e4
+                for x in vals[s : bounds[i + 1]]
+            ]
+            state = cusum_fold(state, devs)
+            out.append((etypes[codes[s]], bh[s], state[2], state[0], state[1]))
+        return pd.DataFrame(out, columns=cols)
+
+    return ev.groupBy("_shard").applyInPandas(replay, schema)
+
+
+@register(
     "forecast_mase_backtest",
     """
     WITH daily AS (

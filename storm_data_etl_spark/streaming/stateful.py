@@ -261,6 +261,44 @@ def watermarked_dedup(
     )
 
 
+#: Change-detector zero state: no last-seen value yet.
+CHANGE_DETECT_ZERO = None
+
+
+def change_detect_fold(last, values, threshold: float):
+    """The EXACT per-value fold make_change_detector applies, extracted so
+    the batch replay certificate (plans/window_queries.py
+    stream_replay_change_detect) executes the identical code path the
+    stream does — one function, two harnesses (the running_stats_fold
+    discipline). ``values`` must already be null/NaN-free floats in fold
+    order; returns (new_last, emits) with emits = [(prev, cur, jump)] for
+    every step where |cur - last| > threshold."""
+    out = []
+    for v in values:
+        v = float(v)
+        if last is not None and abs(v - last) > threshold:
+            out.append((last, v, v - last))
+        last = v
+    return last, out
+
+
+#: CUSUM zero state: (s_pos, s_neg, n).
+CUSUM_ZERO = (0, 0, 0)
+
+
+def cusum_fold(state: tuple, devs) -> tuple:
+    """The EXACT per-deviation fold streaming_cusum applies (Page's
+    one-sided clamps over exact int deviations), extracted for the
+    stream_replay_cusum certificate — one function, two harnesses.
+    ``devs`` are already-quantized int deviations in fold order."""
+    s_pos, s_neg, n = state
+    for dev in devs:
+        s_pos = max(0, s_pos + dev)
+        s_neg = max(0, s_neg - dev)
+        n += 1
+    return (s_pos, s_neg, n)
+
+
 def make_change_detector(
     key_col: str,
     value_col: str,
@@ -302,16 +340,15 @@ def make_change_detector(
                 return
             if order_col is not None:
                 batch = batch.sort_values(order_col, kind="stable")
-            out = []
-            for v in batch[value_col]:
-                v = float(v)
-                if last is not None and abs(v - last) > threshold:
-                    out.append((key[0], last, v, v - last))
-                last = v
+            # the exact fold the replay certificate re-executes in batch mode
+            last, emits = change_detect_fold(
+                last, batch[value_col].tolist(), threshold
+            )
             self._last.update((last,))
-            if out:
+            if emits:
                 yield pd.DataFrame(
-                    out, columns=[key_col, "prev", "cur", "jump"]
+                    [(key[0], p, c, j) for p, c, j in emits],
+                    columns=[key_col, "prev", "cur", "jump"],
                 )
 
         def close(self) -> None:
@@ -591,11 +628,12 @@ def streaming_cusum(
         whole = pd.concat(chunks, ignore_index=True).sort_values(
             order_col, kind="stable"
         )
-        for x in whole[value_col].astype(float):
-            dev = int(math.floor(x * scale + 0.5)) - k_e4
-            s_pos = max(0, s_pos + dev)
-            s_neg = max(0, s_neg - dev)
-            n += 1
+        devs = [
+            int(math.floor(x * scale + 0.5)) - k_e4
+            for x in whole[value_col].astype(float)
+        ]
+        # the exact fold the replay certificate re-executes in batch mode
+        s_pos, s_neg, n = cusum_fold((s_pos, s_neg, n), devs)
         state.update((s_pos, s_neg, n))
         yield pd.DataFrame(
             [

@@ -103,6 +103,88 @@ def test_bpe_train_apply_hand_merges(spark, tmp_path):
     assert got == [("s", 4, 4, 1000, exp_merges)]
 
 
+def test_stream_replay_change_detect_hand_trace(spark, tmp_path):
+    """User 1: 10.0 -> 200.0 inside batch 10h emits (10, 200, +190); the
+    NaN row between batches is dropped WITHOUT touching the carried last
+    value; 350.0 in batch 12h emits (200, 350, +150) — prev comes from
+    the PREVIOUS batch, so a per-batch state reset emits nothing there
+    and fails; 250.0 at 13h is a |100| move, NOT > threshold 100 (strict
+    inequality pinned); a single-value user emits nothing."""
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 10, 0), 1, "a", 10.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 10, 30), 1, "a", 200.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 10, 45), 1, "a", float("nan"), "{}"),
+        (2, dt.datetime(2024, 1, 1, 12, 0), 1, "a", 350.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 13, 0), 1, "a", 250.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 10, 0), 2, "a", 500.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.user_id, r.batch_h.hour): (r.prev_e4, r.curr_e4, r.jump_e4)
+        for r in Q.REGISTRY["stream_replay_change_detect"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (1, 10): (100000, 2000000, 1900000),
+        (1, 12): (2000000, 3500000, 1500000),
+    }
+
+
+def test_stream_replay_cusum_hand_trace(spark, tmp_path):
+    """Type 'a', k = 250 (dev = floor(v*1e4 + 0.5) - 2.5e6): 300 in batch
+    10h -> S+ = 0.5e6; 300 again in batch 11h -> S+ = 1.0e6 — the carry
+    across the boundary (a per-batch reset reads 0.5e6 and fails); 100
+    in batch 12h (dev -1.5e6) clamps S+ to 0 and raises S- to 1.5e6.
+    Type 'b' pins the clamp floor: 100 -> S+ = 0, S- = 1.5e6."""
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 10, 0), 1, "a", 300.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 11, 0), 1, "a", 300.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 12, 0), 1, "a", 100.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 10, 0), 1, "b", 100.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r.event_type, r.batch_h.hour): (
+            r.n_events,
+            r.cusum_pos_e4,
+            r.cusum_neg_e4,
+        )
+        for r in Q.REGISTRY["stream_replay_cusum"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        ("a", 10): (1, 500000, 0),
+        ("a", 11): (2, 1000000, 0),
+        ("a", 12): (3, 0, 1500000),
+        ("b", 10): (1, 0, 1500000),
+    }
+
+
+def test_change_detect_and_cusum_folds_shared_with_kernels():
+    """Both replay certificates and their streaming kernels must fold
+    through ONE function each — the certificates are vacuous otherwise."""
+    import inspect
+
+    from storm_data_etl_spark.streaming import stateful as S
+
+    assert "change_detect_fold(" in inspect.getsource(S.make_change_detector)
+    assert "cusum_fold(" in inspect.getsource(S.streaming_cusum)
+    # change-detect: first value never emits; strict > threshold; jump carry
+    last, emits = S.change_detect_fold(S.CHANGE_DETECT_ZERO, [10.0, 200.0], 100.0)
+    assert (last, emits) == (200.0, [(10.0, 200.0, 190.0)])
+    last, emits = S.change_detect_fold(last, [300.0], 100.0)
+    assert (last, emits) == (300.0, [])  # exactly 100 is not > 100
+    # cusum: clamp at zero on both sides, exact-int carry
+    st = S.cusum_fold(S.CUSUM_ZERO, [500000])
+    assert st == (500000, 0, 1)
+    st = S.cusum_fold(st, [-1500000])
+    # S+ clamps 500000 - 1500000 -> 0; S- was already clamped to 0 after
+    # the positive dev, so it rises the full 1500000
+    assert st == (0, 1500000, 2)
+
+
 def test_dedup_fold_shared_with_streaming_kernel():
     """The replay certificate and the streaming kernel must fold through
     ONE function — the certificate is vacuous if the code paths diverge."""
