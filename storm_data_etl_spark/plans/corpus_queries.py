@@ -2794,6 +2794,163 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "js_divergence_sources",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE trim(coalesce(text, '')) <> ''
+    ),
+    cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2),
+    g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cg FROM cnt GROUP BY tok),
+    head AS (
+      SELECT tok, cg, row_number() OVER (ORDER BY cg DESC, tok) AS r
+      FROM g QUALIFY r <= 200
+    ),
+    totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+               FROM cnt GROUP BY source),
+    big_n AS (SELECT CAST(sum(cg) AS BIGINT) AS nn FROM g),
+    src_head AS (
+      SELECT t.source, h.cg, coalesce(c.c, 0) AS c
+      FROM totals t CROSS JOIN head h
+      LEFT JOIN cnt c ON c.source = t.source AND c.tok = h.tok
+    ),
+    head_tot AS (SELECT CAST(sum(cg) AS BIGINT) AS hcg FROM head),
+    src_head_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS hc
+                     FROM src_head GROUP BY source),
+    cats AS (
+      SELECT source, cg, c FROM src_head
+      UNION ALL
+      SELECT t.source, b.nn - ht.hcg AS cg,
+             t.ns - coalesce(sh.hc, 0) AS c
+      FROM totals t CROSS JOIN big_n b CROSS JOIN head_tot ht
+      LEFT JOIN src_head_tot sh USING (source)
+    ),
+    terms AS (
+      SELECT k.source, t.ns,
+             CASE WHEN k.c > 0
+                  THEN CAST(floor(1000000.0 * (0.5
+                       * (k.c / CAST(t.ns AS DOUBLE))
+                       * ln((2.0 * (k.c / CAST(t.ns AS DOUBLE)))
+                            / ((k.c / CAST(t.ns AS DOUBLE))
+                               + (k.cg / CAST(b.nn AS DOUBLE)))))) AS BIGINT)
+                  ELSE 0 END AS tp,
+             CASE WHEN k.cg > 0
+                  THEN CAST(floor(1000000.0 * (0.5
+                       * (k.cg / CAST(b.nn AS DOUBLE))
+                       * ln((2.0 * (k.cg / CAST(b.nn AS DOUBLE)))
+                            / ((k.c / CAST(t.ns AS DOUBLE))
+                               + (k.cg / CAST(b.nn AS DOUBLE)))))) AS BIGINT)
+                  ELSE 0 END AS tq
+      FROM cats k JOIN totals t USING (source) CROSS JOIN big_n b
+    )
+    SELECT source, CAST(min(ns) AS BIGINT) AS n_tokens,
+           CAST(sum(tp + tq) AS BIGINT) AS jsd_e6
+    FROM terms GROUP BY source
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (Lin 1991) of each source's unigram
+    distribution against the whole corpus — the standing corpus-DRIFT
+    audit: a source whose JSD jumps between snapshots changed register
+    (spam influx, template shift, language drift) before any quality
+    score moves. Completes the distribution-comparison family: ks/mann-
+    whitney compare VALUE samples; this compares CATEGORICAL token
+    distributions, symmetrically and bounded (<= ln 2 nats).
+
+    Categories are the global top-200 token head PLUS a 'rest' bucket
+    holding the aggregated tail mass, so both P (source) and Q (corpus)
+    remain true distributions over 201 categories and the grid is
+    vocabulary-INDEPENDENT — the zipf top-200 discipline applied to a
+    divergence (a raw sources x vocab grid would be corpus-class at
+    100 TB; sources x 201 is not).
+
+    Exactness: all counts are exact BIGINTs; each category's two terms
+    0.5*p*ln(2p/(p+q)) and 0.5*q*ln(2q/(p+q)) are closed-form doubles
+    over those integers with the division/multiplication order mirrored
+    verbatim (the welch discipline, ln agreement as in zipf/heaps),
+    floor-quantized e6 BEFORE the per-source sum, so only integers cross
+    the aggregate. x*ln(x)->0 arms are explicit CASE zeros.
+
+    Scale shape: one corpus scan -> (source, tok) count (the only
+    corpus-sized shuffle) -> the head is TakeOrdered(200), totals are
+    source-bounded, and the term grid is sources x 201 with the head
+    BROADCAST onto it. At 100 TB nothing downstream of the count scales
+    with the corpus."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .filter(F.trim(F.coalesce(F.col("text"), F.lit(""))) != "")
+        .select("source", F.explode(X.tokens(F.lower(F.col("text")))).alias("tok"))
+    )
+    cnt = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cnt = _pin(cnt)  # one count feeds g, totals, and the head join
+    g = cnt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cg"))
+    head = g.orderBy(F.desc("cg"), "tok").limit(200)
+    totals = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    big_n = g.agg(F.sum("cg").cast("bigint").alias("nn"))
+    src_head = (
+        totals.crossJoin(F.broadcast(head.select("tok", "cg")))
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "cg",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    head_tot = head.agg(F.sum("cg").cast("bigint").alias("hcg"))
+    src_head_tot = src_head.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("hc")
+    )
+    rest = (
+        totals.crossJoin(F.broadcast(big_n))
+        .crossJoin(F.broadcast(head_tot))
+        .join(src_head_tot, "source", "left")
+        .select(
+            "source",
+            (F.col("nn") - F.col("hcg")).cast("bigint").alias("cg"),
+            (F.col("ns") - F.coalesce(F.col("hc"), F.lit(0)))
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    cats = src_head.unionByName(rest)
+    w = cats.join(totals, "source").crossJoin(F.broadcast(big_n))
+    p = F.col("c") / F.col("ns").cast("double")
+    q = F.col("cg") / F.col("nn").cast("double")
+    tp = (
+        F.when(
+            F.col("c") > 0,
+            F.floor(
+                1000000.0 * (F.lit(0.5) * p * F.log((F.lit(2.0) * p) / (p + q)))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("tp")
+    )
+    tq = (
+        F.when(
+            F.col("cg") > 0,
+            F.floor(
+                1000000.0 * (F.lit(0.5) * q * F.log((F.lit(2.0) * q) / (p + q)))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("tq")
+    )
+    return (
+        w.select("source", "ns", tp, tq)
+        .groupBy("source")
+        .agg(
+            F.min("ns").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tp") + F.col("tq")).cast("bigint").alias("jsd_e6"),
+        )
+    )
+
+
+@register(
     "heaps_law_fit",
     r"""
     WITH d AS (

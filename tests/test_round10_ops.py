@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+from storm_data_etl_spark.plans import corpus_queries  # noqa: F401 (registry)
 from storm_data_etl_spark.plans import ml_queries  # noqa: F401 (registry)
 from storm_data_etl_spark.plans import queries as Q
 from storm_data_etl_spark.plans import window_queries  # noqa: F401 (registry)
@@ -183,6 +184,80 @@ def test_change_detect_and_cusum_folds_shared_with_kernels():
     # S+ clamps 500000 - 1500000 -> 0; S- was already clamped to 0 after
     # the positive dev, so it rises the full 1500000
     assert st == (0, 1500000, 2)
+
+
+def test_mann_kendall_hand_series(spark, tmp_path):
+    """Type 'a': 3 strictly-rising days -> S = +3 of 3 pairs, no ties,
+    var18 = 3*2*11 = 66, z = floor(1e6 * (3-1) / sqrt(66/18)) mirrored in
+    IEEE. Type 'b': two identical days -> the tie term cancels var18 to
+    0 -> NULL z (the all-tied degenerate arm). Type 'c': single day ->
+    S = 0, var18 = 0 -> NULL."""
+    import math
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 12), 1, "a", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 2, 12), 1, "a", 2.0, "{}"),
+        (2, dt.datetime(2024, 1, 3, 12), 1, "a", 3.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 12), 1, "b", 5.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 12), 1, "b", 5.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 12), 1, "c", 7.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: (r.n_days, r.s_stat, r.var18, r.z_e6)
+        for r in Q.REGISTRY["mann_kendall_trend"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    z_a = math.floor(1000000.0 * (3 - 1) / math.sqrt(66 / 18.0))
+    assert got == {
+        "a": (3, 3, 66, z_a),
+        "b": (2, 0, 0, None),
+        "c": (1, 0, 0, None),
+    }
+
+
+def test_js_divergence_hand_corpus(spark, tmp_path):
+    """Sources 'a a b' and 'b b b': global a:2 b:4 (N=6), both tokens in
+    the head, empty rest bucket contributes (0, 0). Every term mirrored
+    in pure Python with the engines' exact expression order
+    0.5 * p * ln(2p / (p+q)), floor-e6 per term BEFORE summing. The
+    b-heavy source must read as less divergent than the a-heavy one
+    (global mass is b-dominated)."""
+    import math
+
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a a b", "en", "s1", 5), (2, "b b b", "en", "s2", 5)],
+    )
+    got = {
+        r.source: (r.n_tokens, r.jsd_e6)
+        for r in Q.REGISTRY["js_divergence_sources"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    def term(c, ns, cg, nn):
+        p, q = c / ns, cg / nn
+        tp = (
+            math.floor(1000000.0 * (0.5 * p * math.log((2.0 * p) / (p + q))))
+            if c > 0
+            else 0
+        )
+        tq = (
+            math.floor(1000000.0 * (0.5 * q * math.log((2.0 * q) / (p + q))))
+            if cg > 0
+            else 0
+        )
+        return tp + tq
+
+    exp_s1 = term(2, 3, 2, 6) + term(1, 3, 4, 6)  # tokens a, b
+    exp_s2 = term(0, 3, 2, 6) + term(3, 3, 4, 6)
+    assert got == {"s1": (3, exp_s1), "s2": (3, exp_s2)}
+    # the zero-category source diverges MORE (JSD charges missing mass
+    # hardest): 0.132 nats vs 0.057
+    assert got["s2"][1] > got["s1"][1]
 
 
 def test_dedup_fold_shared_with_streaming_kernel():
