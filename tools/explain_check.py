@@ -1376,6 +1376,36 @@ def main() -> int:
     )
     _rel()
 
+    # 104. Mann-Kendall: the corpus collapses to the PINNED daily rollup
+    # before anything quadratic — the pair census, n, and tie folds all
+    # read the InMemory rollup (one parquet scan total), and the O(n^2)
+    # self-join is an equi-join on event_type, never a cartesian.
+    p_mk = plan_of(qs["mann_kendall_trend"](spark, sf_dir))
+    check(
+        "mann_kendall_bounded_rollup",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_mk)) <= 1
+        and "CartesianProduct" not in p_mk
+        and "BatchEvalPython" not in p_mk
+        and "InMemoryTableScan" in p_mk,
+        "(one scan; pinned daily rollup feeds the keyed pair census)",
+    )
+    _rel()
+
+    # 105. JS divergence: ONE corpus scan into the pinned (source, tok)
+    # count; the head and scalar totals broadcast onto the sources x 201
+    # grid — no corpus-sized join side, no Python, no cartesian scan
+    # explosion (the deliberate crossJoins are 1-row/200-row broadcasts).
+    p_js = plan_of(qs["js_divergence_sources"](spark, sf_dir))
+    check(
+        "js_divergence_bounded_grid",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_js)) <= 1
+        and "BatchEvalPython" not in p_js
+        and "InMemoryTableScan" in p_js
+        and len(_re.findall(r"\(\d+\) BroadcastExchange", p_js)) >= 2,
+        "(one scan; pinned counts; head/totals broadcast onto the grid)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
