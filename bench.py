@@ -305,6 +305,7 @@ HEADLINE = [
     "bpe_train_apply",
     "mann_kendall_trend",
     "js_divergence_sources",
+    "cochran_armitage_trend",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

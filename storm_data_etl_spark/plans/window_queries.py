@@ -5296,6 +5296,112 @@ def stream_replay_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cochran_armitage_trend",
+    """
+    WITH q AS (
+      SELECT event_type,
+             CAST(user_id % 4 AS BIGINT) AS w,
+             CASE WHEN "value" >= 250.0 THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE "value" IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS a,
+             CAST(sum(w * y) AS BIGINT) AS t_w,
+             CAST(sum(w) AS BIGINT) AS w1,
+             CAST(sum(w * w) AS BIGINT) AS w2
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n, a, t_w,
+           CAST(n * t_w - a * w1 AS BIGINT) AS num,
+           CASE WHEN a = 0 OR a = n OR n * w2 - w1 * w1 <= 0 THEN NULL
+                ELSE CAST(floor(1000000.0 * (((n * t_w - a * w1)
+                     * sqrt(CAST(n AS DOUBLE))
+                     / sqrt(CAST(a * (n - a) AS DOUBLE)))
+                     / sqrt(CAST(n * w2 - w1 * w1 AS DOUBLE)))) AS BIGINT)
+           END AS z_e6
+    FROM g
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955) per event
+    type: is the success proportion (value >= 250, the fixture-scaled
+    outcome convention) MONOTONE in an ordered exposure dose
+    (user_id % 4 with standard scores 0..3 — the repo's arm convention
+    extended to four arms)? Completes the categorical A/B family:
+    mcnemar (paired 2x2), mantel_haenszel (stratified 2x2), cochran-
+    armitage (ordered k x 2 dose-response) — the test run before
+    claiming "more exposure, more conversions".
+
+    z = (N*T - A*W1) * sqrt(N / (A(N-A)(N*W2 - W1^2))) with T = sum w*y,
+    W1 = sum w, W2 = sum w^2 — every sum an exact BIGINT from one
+    conditional-aggregate scan. The denominator is NOT materialized as
+    one integer: A(N-A)*(N*W2-W1^2) exceeds BIGINT near N ~ 1e5 rows/
+    type (DuckDB would widen to HUGEINT while Spark wraps — the doremi
+    r9 bug class), so z is evaluated as num * sqrt(N) / sqrt(A(N-A)) /
+    sqrt(N*W2 - W1^2), each factor individually BIGINT-safe to N ~ 3e9
+    rows/type, with the staged expression mirrored verbatim on both
+    engines and floor-quantized e6. Degenerate arms (all-success,
+    all-failure, single dose group) are explicit NULLs. Uncorrected
+    form (no continuity correction), stated.
+
+    Scale shape: ONE scan, one keyed conditional aggregate, zero joins,
+    zero windows — the friedman shape."""
+    q = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 4).cast("bigint").alias("w"),
+            F.when(F.col("value") >= 250.0, 1).otherwise(0).alias("y"),
+        )
+    )
+    g = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("a"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("t_w"),
+        F.sum("w").cast("bigint").alias("w1"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("w2"),
+    )
+    num = F.col("n") * F.col("t_w") - F.col("a") * F.col("w1")
+    den2 = F.col("n") * F.col("w2") - F.col("w1") * F.col("w1")
+    z = (
+        F.when(
+            (F.col("a") == 0) | (F.col("a") == F.col("n")) | (den2 <= 0),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                1000000.0
+                * (
+                    (
+                        num
+                        * F.sqrt(F.col("n").cast("double"))
+                        / F.sqrt((F.col("a") * (F.col("n") - F.col("a"))).cast("double"))
+                    )
+                    / F.sqrt(den2.cast("double"))
+                )
+            ).cast("bigint")
+        )
+    )
+    return g.select(
+        "event_type",
+        "n",
+        "a",
+        "t_w",
+        num.cast("bigint").alias("num"),
+        z.alias("z_e6"),
+    )
+
+
+@register(
     "mann_kendall_trend",
     """
     WITH daily AS (

@@ -13,6 +13,9 @@ from storm_data_etl_spark.plans import queries as Q
 from storm_data_etl_spark.plans import window_queries  # noqa: F401 (registry)
 
 
+TS10 = dt.datetime(2024, 1, 1, 12)
+
+
 def _write_events(spark, path, rows):
     spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, "
@@ -214,6 +217,42 @@ def test_mann_kendall_hand_series(spark, tmp_path):
         "a": (3, 3, 66, z_a),
         "b": (2, 0, 0, None),
         "c": (1, 0, 0, None),
+    }
+
+
+def test_cochran_armitage_hand_doses(spark, tmp_path):
+    """Type 'a': doses 0..3 (user_id % 4), one row each, outcomes
+    0,0,1,1 -> N=4 A=2 T=5 W1=6 W2=14; num = 4*5 - 2*6 = 8,
+    A(N-A) = 4, N*W2 - W1^2 = 20; z mirrored in the engines' staged
+    IEEE order num*sqrt(N)/sqrt(A(N-A))/sqrt(den2). Type 'b' is
+    all-success -> NULL (a = n). Type 'c' has one dose group only ->
+    den2 = 0 -> NULL."""
+    import math
+
+    rows = [
+        (0, TS10, 0, "a", 10.0, "{}"),   # w=0, y=0
+        (1, TS10, 1, "a", 10.0, "{}"),   # w=1, y=0
+        (2, TS10, 2, "a", 300.0, "{}"),  # w=2, y=1
+        (3, TS10, 3, "a", 300.0, "{}"),  # w=3, y=1
+        (4, TS10, 0, "b", 300.0, "{}"),
+        (5, TS10, 1, "b", 300.0, "{}"),
+        (6, TS10, 2, "c", 300.0, "{}"),
+        (7, TS10, 2, "c", 10.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        r.event_type: (r.n, r.a, r.t_w, r.num, r.z_e6)
+        for r in Q.REGISTRY["cochran_armitage_trend"].runner(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    z_a = math.floor(
+        1000000.0 * ((8 * math.sqrt(4.0) / math.sqrt(4.0)) / math.sqrt(20.0))
+    )
+    assert got == {
+        "a": (4, 2, 5, 8, z_a),
+        "b": (2, 2, 1, 0, None),
+        "c": (2, 1, 2, 0, None),
     }
 
 
