@@ -66,18 +66,30 @@ def _newest_pass_round() -> dict[str, int]:
     return newest
 
 
-#: Rows-only gate quota (VERDICT r8 task 3): how many rows-only-by-design
-#: queries are promoted into the 50-slot gate head each round. Without a
-#: quota the oldest-first rotation starves them forever (a re-run can only
-#: reproduce the weaker rows-only record, so they always sort last); with
-#: it, every rows-only entry re-executes under the driver on a bounded
-#: cadence (currently 14 entries / 3 slots, oldest-first → each re-runs at
-#: least every 5 rounds), keeping that code path live. Raised 3 -> 5 for
-#: rounds 10-11 (VERDICT r9 task 5) so the oldest rows-only records
-#: (minhash_lsh_pairs / simhash_candidates at r1) drain faster; with 14
-#: rows-only entries and 5 slots each entry re-runs at least every 3
-#: rounds.
-ROWS_ONLY_QUOTA = 5
+#: Rows-only gate quota bounds (VERDICT r8 task 3 / r9 task 5 / r10 task
+#: 4): how many rows-only-by-design queries are promoted into the 50-slot
+#: gate head each round. Without a quota the oldest-first rotation starves
+#: them forever (a re-run can only reproduce the weaker rows-only record,
+#: so they always sort last); with it, every rows-only entry re-executes
+#: under the driver on a bounded cadence. The raise 3 -> 5 (r10) existed
+#: to drain a stale tail; VERDICT r10 task 4 asked for the revert to be an
+#: EXPLICIT CHECK, not a comment expiry — so `_rows_only_quota()` computes
+#: it: 5 while any rows-only record is >= 4 rounds stale (tail still
+#: draining), 3 once the tail is current (14 entries / 3 slots → each
+#: re-runs at least every 5 rounds, the steady-state cadence).
+ROWS_ONLY_QUOTA_DRAIN = 5
+ROWS_ONLY_QUOTA_STEADY = 3
+ROWS_ONLY_STALE_ROUNDS = 4
+
+
+def _rows_only_quota(newest: dict[str, int], rows_only: list[str]) -> int:
+    max_round = max(newest.values(), default=0)
+    stale = any(
+        max_round - newest[n] >= ROWS_ONLY_STALE_ROUNDS
+        for n in rows_only
+        if n in newest
+    )
+    return ROWS_ONLY_QUOTA_DRAIN if stale else ROWS_ONLY_QUOTA_STEADY
 
 
 def _priority() -> list[str]:
@@ -107,7 +119,8 @@ def _priority() -> list[str]:
         key=lambda n: (newest[n], n),
     )
     max_round = max(newest.values(), default=0)
-    quota = [n for n in rows_only if newest[n] < max_round][:ROWS_ONLY_QUOTA]
+    quota_n = _rows_only_quota(newest, rows_only)
+    quota = [n for n in rows_only if newest[n] < max_round][:quota_n]
     rest_rows_only = [n for n in rows_only if n not in quota]
     return never + quota + oracle_backed + rest_rows_only
 

@@ -2347,7 +2347,17 @@ def _bpe_train_apply_sql(n_merges: int = 12, top_words: int = 200) -> str:
     the kernel's lowest-rank-first loop because a merge at rank r can only
     create pairs of rank > r (any pair containing symbol ab was learned
     after (a, b)). Assumes corpus text contains no U+E0FF..U+E1FF
-    private-use chars (asserted: the synthetic corpus is ASCII)."""
+    private-use chars (asserted: the synthetic corpus is ASCII).
+
+    SECOND assumption (ADVICE r10): no two merge rounds may produce the
+    same symbol STRING via different derivations (e.g. 'a'+'bc' and
+    'ab'+'c' both yielding 'abc'). The Python kernel keys pair counts and
+    re-segmentation by symbol string (duplicates would unify), while this
+    twin gives each round a distinct private-use char (they'd stay
+    distinct) — pair counts, tie-breaks, and applies could diverge on such
+    a corpus. bpe_train_apply ASSERTS the learned merges yield n_merges
+    distinct product strings and fails loudly otherwise, so a corpus that
+    violates this surfaces as an error, never a silent hash divergence."""
     eow = 57599  # U+E0FF — the '</w>' sentinel as one char
     base = 57600  # U+E100 + k — round k's merged symbol
     parts = [
@@ -2453,6 +2463,20 @@ def bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.coalesce(F.col("text"), F.lit(""))) != ""
     )
     merges = B.train_bpe_merges(docs, n_merges=12, top_words=200)
+    # Twin validity guard (ADVICE r10): the DuckDB twin keeps each round's
+    # merged symbol distinct (one private-use char per round) while the
+    # kernel keys by symbol STRING — if two rounds produced the same
+    # product string via different derivations the two sides could
+    # legitimately diverge. Cheap driver-side check; fail loudly rather
+    # than hand the gate a hash mismatch with no explanation.
+    products = [a + b for a, b in merges]
+    if len(set(products)) != len(products):
+        dupes = sorted({p for p in products if products.count(p) > 1})
+        raise AssertionError(
+            f"bpe_train_apply: duplicate merge product strings {dupes} — "
+            f"the private-use-char oracle twin is not valid on this corpus "
+            f"(see _bpe_train_apply_sql docstring)"
+        )
     merges_str = chr(30).join(a + chr(31) + b for a, b in merges)
     words = docs.select(
         "source", F.explode(F.split(F.col("text"), " +")).alias("w")
@@ -6697,10 +6721,14 @@ def snips_dr_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean are then truncating integer divisions, and ESS is one
     closed-form double over three exact sums. dr_e4 carries the
     importance-weighted residual and CAN go negative, so dr_value_e4
-    truncates toward zero sign-symmetrically on both engines (the
-    cohen_kappa_agreement discipline — DuckDB // floors, Spark div
-    truncates, and they disagree exactly when sum(dr_e4) < 0). Capacity: wr_e4 <=
-    1e4 * r * c_x -> past ~1e9 rows/context recast (docs/LIMITS.md).
+    spells truncation-toward-zero out sign-symmetrically on both
+    engines. On the pinned DuckDB (1.0.0, re-verified this round:
+    SELECT -7 // 2 → -3) `//` already truncates toward zero exactly
+    like Spark's div, so the CASE arms are DEFENSIVE against
+    floor-division DuckDB versions, not a live divergence — ADVICE r10
+    corrected an earlier claim here that DuckDB floors. Capacity:
+    wr_e4 <= 1e4 * r * c_x -> past ~1e9 rows/context recast
+    (docs/LIMITS.md).
 
     Scale shape: identical to ips_policy_value — the (ctx x action)
     propensity/value table broadcasts twice onto one scan, then a

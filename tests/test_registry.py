@@ -186,8 +186,9 @@ def test_priority_head_is_oracle_backed():
     newest = entry._newest_pass_round()
     max_round = max(newest.values(), default=0)
     rows_only_head = [n for n in head if n not in oracles and n not in ng]
-    assert len(rows_only_head) <= entry.ROWS_ONLY_QUOTA, (
-        f"rows-only head entries exceed the quota: {rows_only_head}"
+    quota_n = entry._rows_only_quota(newest, [n for n in qs if n not in oracles])
+    assert len(rows_only_head) <= quota_n, (
+        f"rows-only head entries exceed the quota ({quota_n}): {rows_only_head}"
     )
     fresh = [n for n in rows_only_head if newest.get(n, 0) >= max_round]
     assert not fresh, (
@@ -216,7 +217,9 @@ def test_priority_is_derived_oldest_first():
     kinds = [(n in oracles) for n in gated]
     first_oracle = kinds.index(True) if True in kinds else len(kinds)
     quota = gated[:first_oracle]
-    assert len(quota) <= entry.ROWS_ONLY_QUOTA
+    assert len(quota) <= entry._rows_only_quota(
+        newest, [n for n in order if n not in oracles]
+    )
     for n in quota:
         assert n not in oracles and newest[n] < max_round, (
             f"quota entry '{n}' is not a stale rows-only query"
@@ -252,7 +255,9 @@ def test_rows_only_quota_alternates(monkeypatch):
             newest[n] = future
         monkeypatch.undo()
     stalest = min(newest[n] for n in rows_only)
-    assert stalest >= max_round + 7 - 2 * len(rows_only) / entry.ROWS_ONLY_QUOTA - 1, (
+    # bound against the STEADY quota — the drain quota only ever refreshes
+    # faster, so the steady-state cadence is the conservative floor
+    assert stalest >= max_round + 7 - 2 * len(rows_only) / entry.ROWS_ONLY_QUOTA_STEADY - 1, (
         f"rows-only starvation recurred: stalest record round {stalest} "
         f"after simulating through round {max_round + 6}"
     )

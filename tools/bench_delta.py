@@ -12,12 +12,41 @@ longer reads as 300 queries regressing. Without a canary in the old file
 (pre-r10 artifacts) the gate falls back to raw ratios, stated in the
 output. Exit code 1 on any gated regression above `threshold`x
 (default 2.0) — the round gate from VERDICT item 6.
+
+Normalization blind spot and its closure (ADVICE r10, VERDICT r10 task 1):
+the canary queries execute under the same engine code as everything else,
+so an ENGINE-WIDE regression (a config/codegen change slowing every
+scan/agg/join) inflates the canary scale and normalizes every per-query
+ratio back under the threshold — the normalized gate alone would pass
+silently. A large host factor is indistinguishable from exactly that
+failure, so it can never be waved through: the gate REFUSES (exit 1) when
+
+  * either side's canary scale exceeds CANARY_IDLE_MAX (absolute seconds;
+    an idle host on this container measures ~1.0–1.15 s, see
+    docs/BENCH_DELTA.md) — a contended artifact or an engine-wide slowdown
+    both land here and both demand a re-run / investigation, or
+  * the host factor new/old falls outside [1/HOST_FACTOR_MAX,
+    HOST_FACTOR_MAX].
+
+`--allow-contended` downgrades both refusals to a loud warning (for
+forensics on artifacts that cannot be re-run); per-query regressions still
+gate on the normalized ratio in that mode, stated in the output.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+#: Absolute canary-scale ceiling for a trustworthy artifact (sum of the 5
+#: canary queries' min-of-3 seconds). Idle-host runs on this container
+#: measure 1.0-1.15 s; the r10 contended boot measured 1.41 s.
+CANARY_IDLE_MAX = 1.20
+
+#: Widest host factor (new_scale / old_scale) the gate will normalize
+#: across. Beyond this, "slow host" and "engine-wide regression" cannot be
+#: told apart from the artifacts alone.
+HOST_FACTOR_MAX = 1.25
 
 
 def _load(path: str) -> dict:
@@ -38,8 +67,10 @@ def _canary_scale(data: dict) -> float | None:
 
 
 def main() -> int:
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    argv = [a for a in sys.argv[1:] if a != "--allow-contended"]
+    allow_contended = "--allow-contended" in sys.argv[1:]
+    old_path, new_path = argv[0], argv[1]
+    threshold = float(argv[2]) if len(argv) > 2 else 2.0
     old_data, new_data = _load(old_path), _load(new_path)
     old, new = old_data.get("queries", {}), new_data.get("queries", {})
 
@@ -47,6 +78,26 @@ def main() -> int:
     host = None
     if old_scale and new_scale and old_scale > 0:
         host = new_scale / old_scale
+
+    # Trust gate BEFORE normalization: a contended canary (or one inflated
+    # by an engine-wide regression — indistinguishable from here) makes the
+    # normalized ratios meaningless. Refuse rather than pass silently.
+    trust_failures: list[str] = []
+    for side, scale in (("old", old_scale), ("new", new_scale)):
+        if scale and scale > CANARY_IDLE_MAX:
+            trust_failures.append(
+                f"{side} canary scale {scale:.3f}s > CANARY_IDLE_MAX "
+                f"{CANARY_IDLE_MAX}s — contended host OR engine-wide "
+                f"regression; re-run on an idle host"
+            )
+    if host and not (1 / HOST_FACTOR_MAX <= host <= HOST_FACTOR_MAX):
+        trust_failures.append(
+            f"host factor {host:.2f}x outside "
+            f"[{1 / HOST_FACTOR_MAX:.2f}, {HOST_FACTOR_MAX}] — too wide to "
+            f"normalize across"
+        )
+    for msg in trust_failures:
+        print(f"{'WARNING' if allow_contended else 'REFUSED'}: {msg}")
 
     rows = []
     regressions = []
@@ -86,10 +137,15 @@ def main() -> int:
         for r in rows:
             print("| " + " | ".join(r) + " |")
     else:
+        if not old_scale and not new_scale:
+            where = "either file"
+        elif not old_scale:
+            where = "the OLD file"
+        else:
+            where = "the NEW file"
         print(
-            "No canary in "
-            + ("either file" if not new_scale else "the OLD file")
-            + " — gate runs on RAW ratios (host drift not separable)."
+            f"No canary in {where} — gate runs on RAW ratios "
+            f"(host drift not separable)."
         )
         print("| query | old (s) | new (s) | ratio |")
         print("|---|---|---|---|")
@@ -105,11 +161,18 @@ def main() -> int:
         f"{ratio_txt}over {len(shared)} queries; "
         f"{len(new) - len(shared)} new."
     )
+    rc = 0
     if regressions:
         kind = "normalized" if host else "raw"
         print(f"REGRESSIONS ({kind} > {threshold}×): {regressions}")
-        return 1
-    return 0
+        rc = 1
+    if trust_failures and not allow_contended:
+        print(
+            f"EXIT 1: {len(trust_failures)} trust failure(s) above — "
+            f"comparison refused (pass --allow-contended for forensics)."
+        )
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":
