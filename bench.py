@@ -306,6 +306,11 @@ HEADLINE = [
     "mann_kendall_trend",
     "js_divergence_sources",
     "cochran_armitage_trend",
+    # round 11: PQ/IVFPQ exactness-regime twins (VERDICT r10 task 2) + the
+    # stream-stream attribution-join replay certificate (task 5)
+    "ann_pq_fullrerank_topk",
+    "ann_ivfpq_fullscan_topk",
+    "stream_replay_attribution",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

@@ -574,6 +574,62 @@ def ann_lsh_fullcover_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, probes, dim=64, k=10, n_planes=0)
 
 
+@register("ann_pq_fullrerank_topk", _ANN_EXACT_ORACLE)
+def ann_pq_fullrerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ run in its exactness regime (VERDICT r10 task 2): with re-rank
+    depth >= the corpus (INT32_MAX — no count() action needed; row_number
+    <= it is vacuously true), the ADC candidate cut keeps EVERY vector, so
+    the exact-cosine re-rank provably reproduces brute force regardless of
+    codebook quality — the ADC ordering only ever chooses WHICH candidates
+    survive the cut, and here none are cut. This hash-gates the whole PQ
+    pipeline against the exact SQL oracle — sampled per-subspace k-means
+    training, unit-normalization, nearest-sub-centroid encoding
+    (_pq_codes), per-probe LUT construction, the codes x LUTs ADC dot,
+    and the two-stage window re-rank — complementing ann_pq_topk whose
+    rerank=64 form is approximate by design and rows-only. Exactness
+    twin at test scale: the full re-rank IS brute-force cost; production
+    uses bounded rerank (+ IVF cells for sublinearity)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    if not emb.limit(1).count():
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cosine double, rank int"
+        )
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    books = S.train_pq_codebooks(emb, dim=64, m=8, k=16, sample_n=512)
+    return S.pq_topk(emb, probes, books, k=10, rerank=2**31 - 1)
+
+
+@register("ann_ivfpq_fullscan_topk", _ANN_EXACT_ORACLE)
+def ann_ivfpq_fullscan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ run in its exactness regime (VERDICT r10 task 2): n_probe ==
+    n_centroids means every probe joins EVERY cell — and since each vector
+    is assigned to exactly one cell, the candidate set per probe is
+    exactly the full corpus, once — while re-rank depth = INT32_MAX keeps
+    every ADC-scored candidate for the exact-cosine pass, so the composed
+    result is provably brute force. One hash certifies BOTH prunings'
+    plumbing at once: the coarse-cell assignment + explode + equality
+    join (IVF side) and the code/LUT ADC scoring + re-rank windows (PQ
+    side), complementing ann_ivfpq_topk (n_probe=2, rerank=64), which is
+    approximate by design and rows-only."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    if not emb.limit(1).count():
+        return spark.createDataFrame(
+            [], "probe_id bigint, vec_id bigint, cosine double, rank int"
+        )
+    probes = S.make_probes(emb, [0, 1, 2, 3, 4])
+    centroids = S.train_ivf_centroids(emb, dim=64, n_centroids=8, sample_n=512)
+    books = S.train_pq_codebooks(emb, dim=64, m=8, k=16, sample_n=512)
+    return S.ivfpq_topk(
+        emb,
+        probes,
+        centroids,
+        books,
+        k=10,
+        n_probe=len(centroids),
+        rerank=2**31 - 1,
+    )
+
+
 @register("ann_ivf_topk", None)  # approximate by design: no exact oracle
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the same probes — the trained-codebook

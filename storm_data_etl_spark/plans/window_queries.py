@@ -5296,6 +5296,137 @@ def stream_replay_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_replay_attribution",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ),
+    imp AS (
+      SELECT user_id, event_id AS imp_id, ts AS imp_ts,
+             date_trunc('hour', ts)
+               + to_hours(CAST(event_id % 3 AS BIGINT)) AS arr_h
+      FROM ev WHERE event_id % 2 = 0
+    ),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+             date_trunc('hour', ts)
+               + to_hours(CAST(event_id % 4 AS BIGINT)) AS arr_h
+      FROM ev WHERE event_id % 2 = 1
+    )
+    SELECT i.user_id, i.imp_id, c.conv_id,
+           greatest(i.arr_h, c.arr_h) AS emit_h,
+           CASE WHEN i.arr_h = c.arr_h THEN 0
+                WHEN c.arr_h > i.arr_h THEN 1
+                ELSE 2 END AS late_side
+    FROM imp i JOIN conv c
+      ON i.user_id = c.user_id
+     AND c.conv_ts >= i.imp_ts
+     AND c.conv_ts <= i.imp_ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_replay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth streaming replay certificate (VERDICT r10 task 5): the
+    stream-stream attribution join — the last streaming surface proven
+    only by unit tests. streaming/joins.attribution_join is Spark's
+    built-in watermarked two-sided join, so unlike the five kernel
+    certificates there is no custom production fold to share; instead
+    streaming/stateful.attribution_fold MODELS the join contract (buffer
+    both sides; a match emits in the micro-batch where the LATER side
+    arrives), tests/test_streaming.py pins the model against the real
+    streaming join on crafted cross-batch arrivals, and this replay
+    hash-pins the model at scale against a DuckDB twin with no batch
+    machinery.
+
+    Replay construction: events split by event_id parity into impressions
+    and conversions (conversion attributable within 1 h of the
+    impression); ARRIVAL is deliberately skewed off event time
+    (event-hour + event_id % 3 hours for impressions, % 4 for
+    conversions) so both late-arrival directions occur — at sf0.01 the
+    trace carries 18 impression-late and 180 conversion-late matches, so
+    a per-batch state reset on EITHER side's buffer (the r8
+    chunk-boundary bug class) loses real matches and breaks the hash.
+    Each emitted row carries WHEN it emitted (emit_h = the later arrival
+    batch) and WHICH side was buffered (late_side 0/1/2), so a match
+    emitted in the wrong batch — not just a lost match — also breaks the
+    hash. All-integer ns arithmetic: zero quantization envelope.
+
+    Eviction is out of scope by declaration: every row is in-watermark
+    (Spark guarantees no match loss inside the watermark), matching the
+    production default of a watermark (2 h) comfortably above the
+    arrival skew this replay injects per key-hour.
+
+    Scale shape: ONE shuffle on the user shard (the state-store
+    partitioning the real join uses — a key's rows never split across
+    shards); per-key buffered state is bounded by the key's row count
+    exactly like the join's own state store. Arrow-batched applyInPandas
+    is the deliberate exception for order-dependent stateful replay."""
+    import pandas as pd
+
+    from storm_data_etl_spark.streaming.stateful import (
+        ATTRIBUTION_ZERO,
+        attribution_fold,
+    )
+
+    hour_ns = 3_600 * 10**9
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts_ns"),
+            (F.col("event_id") % 2 == 0).cast("int").alias("is_imp"),
+            # arrival batch in epoch-ns: event hour + parity-dependent skew
+            (
+                F.col("ts_ns")
+                - F.pmod(F.col("ts_ns"), F.lit(hour_ns))
+                + F.when(
+                    F.col("event_id") % 2 == 0, F.col("event_id") % 3
+                ).otherwise(F.col("event_id") % 4)
+                * F.lit(hour_ns)
+            ).alias("arr_ns"),
+            F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("_shard"),
+        )
+    )
+    schema = (
+        "user_id long, imp_id long, conv_id long, emit_h timestamp, "
+        "late_side int"
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "imp_id", "conv_id", "emit_h", "late_side"]
+        out = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            g = g.sort_values(
+                ["arr_ns", "ts_ns", "event_id"], kind="mergesort"
+            )
+            state = ATTRIBUTION_ZERO
+            arr_of: dict[int, int] = {}
+            for arr, b in g.groupby("arr_ns", sort=True):
+                imps, convs = [], []
+                for ts, eid, is_imp in zip(
+                    b["ts_ns"], b["event_id"], b["is_imp"]
+                ):
+                    (imps if is_imp else convs).append((int(ts), int(eid)))
+                    arr_of[int(eid)] = int(arr)
+                state, matches = attribution_fold(state, imps, convs, hour_ns)
+                for iid, cid in matches:
+                    ia, ca = arr_of[iid], arr_of[cid]
+                    late = 0 if ia == ca else (1 if ca > ia else 2)
+                    out.append((int(uid), iid, cid, int(arr), late))
+        res = pd.DataFrame(out, columns=cols)
+        res["emit_h"] = pd.to_datetime(res["emit_h"], unit="ns")
+        return res
+
+    return ev.groupBy("_shard").applyInPandas(replay, schema)
+
+
+@register(
     "cochran_armitage_trend",
     """
     WITH q AS (

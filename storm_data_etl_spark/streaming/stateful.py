@@ -78,6 +78,53 @@ def sessionize_fold(state: tuple, ts_values, gap_ns: int) -> tuple:
     return (last_ts, n_sessions, n_events)
 
 
+#: Attribution-join zero state: (buffered impressions, buffered
+#: conversions) — each a tuple of (ts_ns, id) in arrival order.
+ATTRIBUTION_ZERO: tuple[tuple, tuple] = ((), ())
+
+
+def attribution_fold(
+    state: tuple, new_imps, new_convs, horizon_ns: int
+) -> tuple:
+    """The two-sided match fold of the stream-stream attribution join
+    (streaming/joins.attribution_join), extracted so the batch replay
+    certificate (plans/window_queries.py stream_replay_attribution)
+    executes it per micro-batch — the running_stats_fold discipline
+    applied to Spark's built-in stream-stream join contract, which this
+    fold MODELS (tests/test_streaming.py pins the model against the real
+    streaming join on crafted cross-batch arrivals; the driver gate then
+    hash-pins the model against a DuckDB twin at scale).
+
+    Contract modeled (inner join, both sides within watermark): a match
+    (imp, conv) with conv_ts in [imp_ts, imp_ts + horizon] EMITS IN THE
+    MICRO-BATCH WHERE THE LATER SIDE ARRIVES — the earlier side must
+    still be buffered in the join state, so a per-batch state reset (the
+    r8 chunk-boundary bug class) silently loses every cross-batch match.
+    Eviction is not modeled: Spark guarantees no match loss for rows
+    inside the watermark, and the replay declares all rows in-watermark.
+
+    ``new_imps`` / ``new_convs``: this batch's arrivals for one key, each
+    an iterable of (ts_ns, id) in arrival order. Returns
+    (new_state, matches) where matches lists (imp_id, conv_id) pairs
+    emitted this batch — new impressions against ALL conversions seen
+    (buffered + this batch), plus new conversions against buffered
+    impressions (new x new counted once)."""
+    b_imps, b_convs = state
+    new_imps = tuple(new_imps)
+    new_convs = tuple(new_convs)
+    matches = []
+    all_convs = b_convs + new_convs
+    for its, iid in new_imps:
+        for cts, cid in all_convs:
+            if its <= cts <= its + horizon_ns:
+                matches.append((iid, cid))
+    for cts, cid in new_convs:
+        for its, iid in b_imps:
+            if its <= cts <= its + horizon_ns:
+                matches.append((iid, cid))
+    return (b_imps + new_imps, b_convs + new_convs), matches
+
+
 def streaming_first_wins_dedup(
     stream: DataFrame,
     id_col: str = "id",

@@ -197,6 +197,136 @@ def test_attribution_join_streaming_cross_batch(spark, tmp_path):
     assert {(r.imp_id, r.amount) for r in rows} == {("a", 3.5)}
 
 
+def test_attribution_fold_hand_pinned():
+    """Hand-pinned cross-batch late arrivals through the extracted
+    two-sided match fold (the model stream_replay_attribution replays):
+    conversion-late, impression-late, same-batch-once, and out-of-horizon
+    cases (VERDICT r10 task 5)."""
+    from storm_data_etl_spark.streaming.stateful import (
+        ATTRIBUTION_ZERO,
+        attribution_fold,
+    )
+
+    H = 3_600 * 10**9  # 1 h horizon in ns
+    m = lambda mins: mins * 60 * 10**9  # noqa: E731
+
+    # batch 0: impression only — nothing can emit
+    state, got = attribution_fold(
+        ATTRIBUTION_ZERO, [(m(0), 10)], [], H
+    )
+    assert got == []
+    # batch 1: nothing arrives — state must carry, not reset
+    state, got = attribution_fold(state, [], [], H)
+    assert got == []
+    # batch 2: conversion 2 batches late, inside horizon -> emits NOW
+    # against the buffered impression; an out-of-horizon conversion and a
+    # wrong-direction one (before the impression) do not
+    state, got = attribution_fold(
+        state, [], [(m(30), 21), (m(90), 22), (-m(1), 23)], H
+    )
+    assert got == [(10, 21)]
+    # batch 3: impression arrives AFTER its conversion (conversion was
+    # buffered) -> emits now; boundary conv_ts == imp_ts + H inclusive
+    state, got = attribution_fold(state, [(m(-30), 11)], [], H)
+    # conv 21 @ +30m sits exactly at imp_ts + H (inclusive edge); conv 23
+    # @ -1m inside [-30m, +30m]; conv 22 @ +90m outside
+    assert sorted(got) == [(11, 21), (11, 23)]
+    # same-batch arrivals: new x new counted exactly once
+    state, got = attribution_fold(state, [(m(100), 12)], [(m(110), 24)], H)
+    assert got == [(12, 24)]
+
+
+def test_attribution_fold_matches_streaming_join(spark, tmp_path):
+    """The fold MODELS Spark's stream-stream inner join: replay the same
+    crafted arrivals (one conversion-late user, one impression-late user)
+    through both the real watermarked streaming join and the extracted
+    fold — the match sets and emit batches must agree. This is the link
+    that lets the driver's DuckDB hash on stream_replay_attribution
+    certify the production join contract."""
+    import json as _json
+    import os as _os
+
+    from storm_data_etl_spark.streaming.joins import attribution_join
+    from storm_data_etl_spark.streaming.stateful import (
+        ATTRIBUTION_ZERO,
+        attribution_fold,
+    )
+
+    imp_dir = str(tmp_path / "imps")
+    conv_dir = str(tmp_path / "convs")
+    _os.makedirs(imp_dir)
+    _os.makedirs(conv_dir)
+
+    def put(d, fname, rows):
+        with open(_os.path.join(d, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 0: user 1 impression; user 2 conversion (its impression is late)
+    put(imp_dir, "b0.json", [
+        {"user_id": 1, "imp_ts": "2024-01-01T12:00:00", "imp_id": "i1"},
+    ])
+    put(conv_dir, "b0.json", [
+        {"user_id": 2, "conv_ts": "2024-01-01T12:20:00", "amount": 2.0},
+    ])
+
+    imps = spark.readStream.schema(
+        "user_id long, imp_ts timestamp, imp_id string"
+    ).json(imp_dir)
+    convs = spark.readStream.schema(
+        "user_id long, conv_ts timestamp, amount double"
+    ).json(conv_dir)
+    q = (
+        attribution_join(imps, convs)
+        .select("imp_id", "amount")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_model_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        per_batch = [
+            {(r.imp_id, r.amount) for r in spark.sql(
+                "select * from attr_model_out").collect()}
+        ]
+        # batch 1: user 1 conversion (conversion-late) + user 2 impression
+        # (impression-late, conv already buffered)
+        put(conv_dir, "b1.json", [
+            {"user_id": 1, "conv_ts": "2024-01-01T12:30:00", "amount": 1.0},
+        ])
+        put(imp_dir, "b1.json", [
+            {"user_id": 2, "imp_ts": "2024-01-01T12:00:00", "imp_id": "i2"},
+        ])
+        q.processAllAvailable()
+        per_batch.append(
+            {(r.imp_id, r.amount) for r in spark.sql(
+                "select * from attr_model_out").collect()}
+        )
+    finally:
+        q.stop()
+    assert per_batch[0] == set()  # nothing matchable in batch 0
+    assert per_batch[1] == {("i1", 1.0), ("i2", 2.0)}  # both emit in batch 1
+
+    # the fold over the same arrivals: per-key batches, ns timestamps
+    H = 3_600 * 10**9
+    ts0 = 0  # 12:00 as origin
+    mins = lambda v: v * 60 * 10**9  # noqa: E731
+    fold_emits = {}
+    # user 1: imp @b0, conv @b1
+    st, got = attribution_fold(ATTRIBUTION_ZERO, [(ts0, "i1")], [], H)
+    assert got == []
+    st, got = attribution_fold(st, [], [(mins(30), "c1")], H)
+    fold_emits[1] = [(b, p) for b, p in [(1, g) for g in got]]
+    # user 2: conv @b0, imp @b1
+    st, got = attribution_fold(ATTRIBUTION_ZERO, [], [(mins(20), "c2")], H)
+    assert got == []
+    st, got = attribution_fold(st, [(ts0, "i2")], [], H)
+    fold_emits[2] = [(1, g) for g in got]
+    assert fold_emits[1] == [(1, ("i1", "c1"))]
+    assert fold_emits[2] == [(1, ("i2", "c2"))]
+
+
 def test_watermarked_dedup_streaming(spark, tmp_path):
     """dropDuplicatesWithinWatermark collapses same-key rows arriving within
     the watermark horizon, including across micro-batches."""
