@@ -1406,6 +1406,41 @@ def main() -> int:
     )
     _rel()
 
+    # 106. Attribution replay certificate (round 11): ONE shuffle on the
+    # user shard — a single parquet scan, a single Exchange (the state-
+    # store partitioning), one Arrow-batched FlatMapGroupsInPandas; the
+    # join itself folds inside the kernel, so no JVM join node and no
+    # cartesian may appear.
+    p_at = plan_of(qs["stream_replay_attribution"](spark, sf_dir))
+    check(
+        "stream_replay_attribution_one_shuffle",
+        len(_re.findall(r"\(\d+\) Scan parquet", p_at)) <= 1
+        and p_at.count("hashpartitioning(_shard") == 1
+        and len(_re.findall(r"[+:]- Exchange", p_at)) <= 2  # + input split
+        and len(_re.findall(r"[+:]- FlatMapGroupsInPandas", p_at)) == 1
+        and "Join" not in p_at
+        and "CartesianProduct" not in p_at,
+        "(one scan; one shard hash exchange beside the input-split "
+        "repartition; fold inside Arrow kernel)",
+    )
+    _rel()
+
+    # 107. PQ exactness twins (round 11, VERDICT r10 task 2): same plan
+    # discipline as the production forms — probes/LUTs broadcast (never a
+    # corpus shuffle for scoring), all ADC math JVM-side (no Python in
+    # the plan), and the ranking windows keyed on probe_id (the only
+    # exchanges besides the broadcast).
+    for q in ("ann_pq_fullrerank_topk", "ann_ivfpq_fullscan_topk"):
+        p_tw = plan_of(qs[q](spark, sf_dir))
+        check(
+            f"{q}_broadcast_jvm",
+            ("BroadcastNestedLoopJoin" in p_tw or "BroadcastHashJoin" in p_tw)
+            and "BatchEvalPython" not in p_tw
+            and "SortMergeJoin" not in p_tw,
+            "(probes broadcast; ADC in codegen; no corpus-side shuffle join)",
+        )
+        _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
