@@ -108,26 +108,37 @@ def measure(spark, corpus_dir: str) -> dict:
     sharded_sum = _checksum(sharded_cut)
     reconcile_s = round(time.perf_counter() - t0, 1)
 
-    # --- Global build, same boot (also re-proves the scoped-hint big
-    # regime completes at this scale — VERDICT r9 task 3 done-condition).
-    t0 = time.perf_counter()
-    global_cut = exact_substr_cut(d, MIN_LEN)
-    global_sum = _checksum(global_cut)
-    global_s = round(time.perf_counter() - t0, 1)
-
-    return {
+    # Partial record FIRST (flushed by the caller): at N100-class sizes
+    # the global build can exhaust the declared-config driver — a dead JVM
+    # must not take the already-measured shard phase with it.
+    rec = {
         "corpus": os.path.basename(corpus_dir.rstrip("/")),
         "chars": int(chars),
         "big_regime": big,
-        "global_s": global_s,
+        "global_s": None,
         "shard_s": shard_times,
         "shards_wall_s": shards_wall,
         "reconcile_cut_s": reconcile_s,
         "sharded_parallel_s": round(shards_wall + reconcile_s, 1),
-        "global_rows": global_sum[0],
+        "global_rows": None,
         "sharded_rows": sharded_sum[0],
-        "cut_checksum_match": global_sum == sharded_sum,
+        "sharded_checksum": sharded_sum,
+        "cut_checksum_match": None,
     }
+    print("PARTIAL " + json.dumps(rec), flush=True)
+
+    # --- Global build, same boot (also re-proves the scoped-hint big
+    # regime completes at this scale — VERDICT r9 task 3 done-condition).
+    try:
+        t0 = time.perf_counter()
+        global_cut = exact_substr_cut(d, MIN_LEN)
+        global_sum = _checksum(global_cut)
+        rec["global_s"] = round(time.perf_counter() - t0, 1)
+        rec["global_rows"] = global_sum[0]
+        rec["cut_checksum_match"] = global_sum == sharded_sum
+    except Exception as exc:  # document the boundary, keep the shard data
+        rec["global_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    return rec
 
 
 def main() -> int:
