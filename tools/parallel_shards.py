@@ -78,7 +78,16 @@ def measure(spark, corpus_dir: str) -> dict:
     big = _is_big_corpus(d, F.length("text"))
     shard_of = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(N_SHARDS))
 
-    # --- Phase 1, concurrent: per-shard suffix-array dup positions.
+    # --- Phase 1: per-shard suffix-array dup positions. Concurrent by
+    # default (deployment shape, threads + FAIR pools); SOLO mode builds
+    # the shards sequentially, one at a time — each timing is then an
+    # honest per-shard number for a cluster where every shard owns its own
+    # executors AND its own scratch disks. Solo mode exists because 4
+    # concurrent N100-class shard builds overran this host's 80 GB shuffle
+    # scratch (java.io.IOException: No space left on device) — a real
+    # single-host boundary a cluster does not share; at that scale the
+    # max-of-solo-shards + reconcile is the deployable number.
+    solo = os.environ.get("SPARK_GRAFT_SHARDS_SOLO", "") == "1"
     shard_times = [0.0] * N_SHARDS
     shard_dps = [None] * N_SHARDS
 
@@ -93,8 +102,12 @@ def measure(spark, corpus_dir: str) -> dict:
         shard_dps[i] = dp
 
     wall0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=N_SHARDS) as ex:
-        list(ex.map(build_shard, range(N_SHARDS)))
+    if solo:
+        for i in range(N_SHARDS):
+            build_shard(i)
+    else:
+        with ThreadPoolExecutor(max_workers=N_SHARDS) as ex:
+            list(ex.map(build_shard, range(N_SHARDS)))
     shards_wall = round(time.perf_counter() - wall0, 1)
 
     # --- Phase 2, shared-fate: reconcile + keep-first cut.
@@ -115,6 +128,7 @@ def measure(spark, corpus_dir: str) -> dict:
         "corpus": os.path.basename(corpus_dir.rstrip("/")),
         "chars": int(chars),
         "big_regime": big,
+        "shard_mode": "solo-sequential" if solo else "concurrent",
         "global_s": None,
         "shard_s": shard_times,
         "shards_wall_s": shards_wall,
