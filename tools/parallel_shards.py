@@ -88,6 +88,10 @@ def measure(spark, corpus_dir: str) -> dict:
     # single-host boundary a cluster does not share; at that scale the
     # max-of-solo-shards + reconcile is the deployable number.
     solo = os.environ.get("SPARK_GRAFT_SHARDS_SOLO", "") == "1"
+    #: GLOBAL_ONLY skips the shard phase entirely — used to probe whether
+    #: the global build alone fits the single-host scratch budget after
+    #: the shard phases exhausted it (the N100 boundary question).
+    global_only = os.environ.get("SPARK_GRAFT_GLOBAL_ONLY", "") == "1"
     shard_times = [0.0] * N_SHARDS
     shard_dps = [None] * N_SHARDS
 
@@ -102,7 +106,9 @@ def measure(spark, corpus_dir: str) -> dict:
         shard_dps[i] = dp
 
     wall0 = time.perf_counter()
-    if solo:
+    if global_only:
+        pass
+    elif solo:
         for i in range(N_SHARDS):
             build_shard(i)
     else:
@@ -112,14 +118,18 @@ def measure(spark, corpus_dir: str) -> dict:
 
     # --- Phase 2, shared-fate: reconcile + keep-first cut.
     t0 = time.perf_counter()
-    within = shard_dps[0]
-    for dp in shard_dps[1:]:
-        within = within.unionByName(dp)
-    cross = _cross_shard_positions(d, shard_of, MIN_LEN, big)
-    dup_pos = within.unionByName(cross).distinct()
-    sharded_cut = _cut_from_dup_positions(d, dup_pos, MIN_LEN, big=big)
-    sharded_sum = _checksum(sharded_cut)
-    reconcile_s = round(time.perf_counter() - t0, 1)
+    if global_only:
+        sharded_sum = (None, None)
+        reconcile_s = 0.0
+    else:
+        within = shard_dps[0]
+        for dp in shard_dps[1:]:
+            within = within.unionByName(dp)
+        cross = _cross_shard_positions(d, shard_of, MIN_LEN, big)
+        dup_pos = within.unionByName(cross).distinct()
+        sharded_cut = _cut_from_dup_positions(d, dup_pos, MIN_LEN, big=big)
+        sharded_sum = _checksum(sharded_cut)
+        reconcile_s = round(time.perf_counter() - t0, 1)
 
     # Partial record FIRST (flushed by the caller): at N100-class sizes
     # the global build can exhaust the declared-config driver — a dead JVM
@@ -149,7 +159,10 @@ def measure(spark, corpus_dir: str) -> dict:
         global_sum = _checksum(global_cut)
         rec["global_s"] = round(time.perf_counter() - t0, 1)
         rec["global_rows"] = global_sum[0]
-        rec["cut_checksum_match"] = global_sum == sharded_sum
+        rec["global_checksum"] = global_sum
+        rec["cut_checksum_match"] = (
+            None if global_only else global_sum == sharded_sum
+        )
     except Exception as exc:  # document the boundary, keep the shard data
         rec["global_error"] = f"{type(exc).__name__}: {exc}"[:300]
     return rec
