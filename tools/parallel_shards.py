@@ -138,7 +138,11 @@ def measure(spark, corpus_dir: str) -> dict:
         "corpus": os.path.basename(corpus_dir.rstrip("/")),
         "chars": int(chars),
         "big_regime": big,
-        "shard_mode": "solo-sequential" if solo else "concurrent",
+        "shard_mode": (
+            "skipped (global-only)"
+            if global_only
+            else ("solo-sequential" if solo else "concurrent")
+        ),
         "global_s": None,
         "shard_s": shard_times,
         "shards_wall_s": shards_wall,
