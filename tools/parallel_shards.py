@@ -105,9 +105,16 @@ def measure(spark, corpus_dir: str) -> dict:
         shard_times[i] = round(time.perf_counter() - t0, 1)
         shard_dps[i] = dp
 
+    #: ONLY_SHARD=i builds exactly one shard then stops (reconcile/global
+    #: skipped) — run one per FRESH process to measure the per-shard cost
+    #: with the scratch-disk isolation a cluster's executors actually have.
+    only_shard = os.environ.get("SPARK_GRAFT_ONLY_SHARD", "")
+
     wall0 = time.perf_counter()
     if global_only:
         pass
+    elif only_shard != "":
+        build_shard(int(only_shard))
     elif solo:
         for i in range(N_SHARDS):
             build_shard(i)
@@ -115,6 +122,20 @@ def measure(spark, corpus_dir: str) -> dict:
         with ThreadPoolExecutor(max_workers=N_SHARDS) as ex:
             list(ex.map(build_shard, range(N_SHARDS)))
     shards_wall = round(time.perf_counter() - wall0, 1)
+    if only_shard != "":
+        print(
+            "SHARD_ONLY "
+            + json.dumps(
+                {
+                    "corpus": os.path.basename(corpus_dir.rstrip("/")),
+                    "chars": int(chars),
+                    "shard": int(only_shard),
+                    "shard_s": shard_times[int(only_shard)],
+                }
+            ),
+            flush=True,
+        )
+        return {"shard_only": shard_times[int(only_shard)]}
 
     # --- Phase 2, shared-fate: reconcile + keep-first cut.
     t0 = time.perf_counter()
