@@ -74,12 +74,20 @@ def _newest_pass_round() -> dict[str, int]:
 #: under the driver on a bounded cadence. The raise 3 -> 5 (r10) existed
 #: to drain a stale tail; VERDICT r10 task 4 asked for the revert to be an
 #: EXPLICIT CHECK, not a comment expiry — so `_rows_only_quota()` computes
-#: it: 5 while any rows-only record is >= 4 rounds stale (tail still
-#: draining), 3 once the tail is current (14 entries / 3 slots → each
-#: re-runs at least every 5 rounds, the steady-state cadence).
+#: it: 5 while any rows-only record is >= ROWS_ONLY_STALE_ROUNDS rounds
+#: stale (tail still draining), 3 once the tail is current.
+#:
+#: The stale threshold must sit STRICTLY ABOVE the steady-state cadence
+#: (ADVICE r11): with 14 rows-only entries re-running 3 per round, a
+#: record's staleness legitimately reaches ceil(14/3)-1 = 4 rounds just
+#: before its scheduled turn — a threshold of 4 read that normal cadence
+#: as "stale" and flipped the quota back to 5 every few rounds, burning
+#: up to 2 extra gate-head slots in a 5/3 oscillation. At 6, quota 3 is a
+#: stable fixed point (staleness 4 < 6) while a genuinely starved record
+#: (missed two scheduled turns) still triggers the drain mode.
 ROWS_ONLY_QUOTA_DRAIN = 5
 ROWS_ONLY_QUOTA_STEADY = 3
-ROWS_ONLY_STALE_ROUNDS = 4
+ROWS_ONLY_STALE_ROUNDS = 6
 
 
 def _rows_only_quota(newest: dict[str, int], rows_only: list[str]) -> int:

@@ -469,6 +469,19 @@ CANARY = [
     "weekly_growth_report",
 ]
 
+#: Interleaved canary cadence (VERDICT r11 task 3): the r10<->r11 delta
+#: produced >2x normalized flags on UNTOUCHED code because host weather
+#: swung ~2x WITHIN single runs — a whole-run scalar canary cannot
+#: normalize that. The canary set therefore re-runs after every
+#: CANARY_INTERVAL headline queries (plus one sample before the set and
+#: one after), each sample recorded with its POSITION, and the artifact
+#: carries the execution order (`query_order`) so tools/bench_delta.py
+#: can interpolate a per-query host factor from the samples bracketing
+#: the window each query actually ran in. Cost: ~10 samples x ~1.1 s on
+#: the full suite — ~7% of an idle-host run, the price of per-window
+#: evidence.
+CANARY_INTERVAL = 40
+
 
 def enrich_throughput(spark, sf_dir):
     """Core ETL hot path at scale: synthesize raw storm-report JSON from the
@@ -527,10 +540,26 @@ def main() -> None:
             release_pinned()
         return out
 
-    # Same-boot canary, leg 1 (skipped on dev-loop subset runs: the canary
+    # Interleaved same-boot canary (see CANARY_INTERVAL): positioned
+    # samples before the headline set, every CANARY_INTERVAL queries, and
+    # after the last one. Skipped on dev-loop subset runs: the canary
     # exists to normalize ROUND artifacts, and a subset run's artifact is
-    # BENCH_SUBSET.json which bench_delta never gates on).
-    canary_pre = {} if only_set else _time_set(CANARY)
+    # BENCH_SUBSET.json which bench_delta never gates on.
+    canary_samples: list[dict] = []
+
+    def _canary_sample(pos: int) -> None:
+        if only_set:
+            return
+        qtimes = _time_set(CANARY)
+        canary_samples.append(
+            {
+                "pos": pos,
+                "queries": qtimes,
+                "scale": round(sum(qtimes.values()), 3),
+            }
+        )
+
+    _canary_sample(0)
 
     # Build each query's DataFrame once (prepared-statement model), then
     # take the min of three executions: run 1 carries Catalyst analysis +
@@ -551,25 +580,32 @@ def main() -> None:
         # Free operator-pinned caches (global_rank, curation_funnel) so the
         # bench loop's executor memory stays flat across the headline set.
         release_pinned()
+        if len(times) % CANARY_INTERVAL == 0:
+            _canary_sample(len(times))
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # Same-boot canary, leg 2 — bracketing the headline set catches drift
-    # WITHIN the run too (a pre/post disagreement means the host moved
-    # mid-bench and this round's numbers carry that much slop).
-    canary_post = {} if only_set else _time_set(CANARY)
+    # Closing sample — bracketing the headline set catches drift right at
+    # the tail too (unless the loop just sampled at this exact position).
+    if not canary_samples or canary_samples[-1]["pos"] != len(times):
+        _canary_sample(len(times))
+    # Artifact shape: `samples` is the windowed record bench_delta
+    # interpolates over; `pre`/`post` (first/last sample) and the
+    # best-window `scale` (per-query min across ALL samples) keep the
+    # r10/r11 artifact contract so older comparisons still work.
     canary = {
-        "pre": canary_pre,
-        "post": canary_post,
+        "samples": canary_samples,
+        "pre": canary_samples[0]["queries"] if canary_samples else {},
+        "post": canary_samples[-1]["queries"] if canary_samples else {},
         "scale": round(
             sum(
-                min(canary_pre[n], canary_post.get(n, canary_pre[n]))
-                for n in canary_pre
+                min(s["queries"][n] for s in canary_samples)
+                for n in canary_samples[0]["queries"]
             ),
             3,
         )
-        if canary_pre
+        if canary_samples
         else None,
     }
 
@@ -610,6 +646,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # execution order, explicitly: sort_keys below destroys
+                # dict insertion order, and bench_delta needs each query's
+                # position to window-normalize against canary.samples
+                "query_order": list(times),
                 "index_builds": index_builds,
                 "canary": canary,
                 "sf": sf_val,

@@ -5351,10 +5351,14 @@ def stream_replay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted in the wrong batch — not just a lost match — also breaks the
     hash. All-integer ns arithmetic: zero quantization envelope.
 
-    Eviction is out of scope by declaration: every row is in-watermark
-    (Spark guarantees no match loss inside the watermark), matching the
-    production default of a watermark (2 h) comfortably above the
-    arrival skew this replay injects per key-hour.
+    Eviction is out of scope by declaration: the certificate assumes a
+    watermark at least the worst-case RELATIVE lateness between matched
+    sides, which here is ~4 h (conversion arrival skew up to 3 h, on an
+    event up to 1 h after an impression whose own skew can be 0) — NOT
+    the 2 h production default, under which Spark could evict some of
+    these matches (ADVICE r11). Inside any watermark >= 4 h, Spark
+    guarantees no match loss, so the fold's buffer-both-sides model and
+    the join agree on every row this replay carries.
 
     Scale shape: ONE shuffle on the user shard (the state-store
     partitioning the real join uses — a key's rows never split across

@@ -22,8 +22,19 @@ Usage:
 
 Prints one JSON line per corpus:
   {"corpus", "chars", "global_s", "shard_s": [...4], "shards_wall_s",
-   "reconcile_cut_s", "sharded_parallel_s", "global_rows", "sharded_rows",
-   "cut_checksum_match"}
+   "reconcile_cut_s", "sharded_wall_s", "sharded_parallel_s",
+   "global_rows", "sharded_rows", "cut_checksum_match"}
+`sharded_parallel_s` is null unless the shard phase ran CONCURRENTLY in
+this process (ADVICE r11 — a sequential sum must not read as the
+parallel wall); `sharded_wall_s` + `shard_mode` carry the mode-qualified
+number in every mode.
+
+Single-host N100-class workflow (each step a FRESH process so shard
+builds get the scratch-disk isolation a cluster's executors have):
+  SPARK_GRAFT_ONLY_SHARD=i SPARK_GRAFT_SHARD_DP_DIR=/tmp/dp ...   # ×4
+  SPARK_GRAFT_RECONCILE_FROM=/tmp/dp \
+      SPARK_GRAFT_EXPECT_CHECKSUM=rows:hash ...  # reconcile + cut +
+      # identity check against the recorded global-build checksum
 """
 
 from __future__ import annotations
@@ -108,10 +119,21 @@ def measure(spark, corpus_dir: str) -> dict:
     #: ONLY_SHARD=i builds exactly one shard then stops (reconcile/global
     #: skipped) — run one per FRESH process to measure the per-shard cost
     #: with the scratch-disk isolation a cluster's executors actually have.
+    #: With SPARK_GRAFT_SHARD_DP_DIR set, the shard's dup positions are
+    #: saved as parquet (dir/shard{i}) so a later RECONCILE_FROM process
+    #: can run the cross-shard reconcile + cut without rebuilding — the
+    #: per-process isolation a real cluster's independent shard jobs have,
+    #: with the shard outputs landing on shared storage exactly as they
+    #: would land on a cluster's object store.
     only_shard = os.environ.get("SPARK_GRAFT_ONLY_SHARD", "")
+    dp_dir = os.environ.get("SPARK_GRAFT_SHARD_DP_DIR", "")
+    #: RECONCILE_FROM=dir skips the shard builds and loads the four saved
+    #: dup-position parquets instead; the process then times ONLY the
+    #: shared-fate reconcile + cut (phase 2) and checksums the cut set.
+    reconcile_from = os.environ.get("SPARK_GRAFT_RECONCILE_FROM", "")
 
     wall0 = time.perf_counter()
-    if global_only:
+    if global_only or reconcile_from:
         pass
     elif only_shard != "":
         build_shard(int(only_shard))
@@ -123,22 +145,28 @@ def measure(spark, corpus_dir: str) -> dict:
             list(ex.map(build_shard, range(N_SHARDS)))
     shards_wall = round(time.perf_counter() - wall0, 1)
     if only_shard != "":
-        print(
-            "SHARD_ONLY "
-            + json.dumps(
-                {
-                    "corpus": os.path.basename(corpus_dir.rstrip("/")),
-                    "chars": int(chars),
-                    "shard": int(only_shard),
-                    "shard_s": shard_times[int(only_shard)],
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "corpus": os.path.basename(corpus_dir.rstrip("/")),
+            "chars": int(chars),
+            "shard": int(only_shard),
+            "shard_s": shard_times[int(only_shard)],
+        }
+        if dp_dir:
+            t0 = time.perf_counter()
+            shard_dps[int(only_shard)].write.mode("overwrite").parquet(
+                os.path.join(dp_dir, f"shard{only_shard}")
+            )
+            rec["dp_save_s"] = round(time.perf_counter() - t0, 1)
+        print("SHARD_ONLY " + json.dumps(rec), flush=True)
         return {"shard_only": shard_times[int(only_shard)]}
 
     # --- Phase 2, shared-fate: reconcile + keep-first cut.
     t0 = time.perf_counter()
+    if reconcile_from:
+        shard_dps = [
+            spark.read.parquet(os.path.join(reconcile_from, f"shard{i}"))
+            for i in range(N_SHARDS)
+        ]
     if global_only:
         sharded_sum = (None, None)
         reconcile_s = 0.0
@@ -155,6 +183,13 @@ def measure(spark, corpus_dir: str) -> dict:
     # Partial record FIRST (flushed by the caller): at N100-class sizes
     # the global build can exhaust the declared-config driver — a dead JVM
     # must not take the already-measured shard phase with it.
+    # Record labeling (ADVICE r11): `sharded_parallel_s` is populated ONLY
+    # when the shard phase actually ran concurrently — in solo-sequential
+    # mode the wall is a SUM of sequential builds and in global-only /
+    # reconcile-from modes no shards ran here at all, so the parallel key
+    # is null and the mode-qualified `sharded_wall_s` (+ `shard_mode`)
+    # carries what was measured in THIS process.
+    shards_ran = not (global_only or reconcile_from)
     rec = {
         "corpus": os.path.basename(corpus_dir.rstrip("/")),
         "chars": int(chars),
@@ -162,19 +197,40 @@ def measure(spark, corpus_dir: str) -> dict:
         "shard_mode": (
             "skipped (global-only)"
             if global_only
-            else ("solo-sequential" if solo else "concurrent")
+            else (
+                "loaded (reconcile-from)"
+                if reconcile_from
+                else ("solo-sequential" if solo else "concurrent")
+            )
         ),
         "global_s": None,
-        "shard_s": shard_times,
-        "shards_wall_s": shards_wall,
-        "reconcile_cut_s": reconcile_s,
-        "sharded_parallel_s": round(shards_wall + reconcile_s, 1),
+        "shard_s": shard_times if shards_ran else None,
+        "shards_wall_s": shards_wall if shards_ran else None,
+        "reconcile_cut_s": None if global_only else reconcile_s,
+        "sharded_wall_s": (
+            round(shards_wall + reconcile_s, 1) if shards_ran else None
+        ),
+        "sharded_parallel_s": (
+            round(shards_wall + reconcile_s, 1)
+            if shards_ran and not solo
+            else None
+        ),
         "global_rows": None,
         "sharded_rows": sharded_sum[0],
         "sharded_checksum": sharded_sum,
         "cut_checksum_match": None,
     }
     print("PARTIAL " + json.dumps(rec), flush=True)
+
+    # In reconcile-from mode the global number already exists (the prior
+    # global-only run) — compare against it when provided instead of
+    # re-paying the global build in this process.
+    expect = os.environ.get("SPARK_GRAFT_EXPECT_CHECKSUM", "")
+    if reconcile_from and expect:
+        n_s, h_s = expect.split(":")
+        rec["expected_checksum"] = [int(n_s), int(h_s)]
+        rec["cut_checksum_match"] = sharded_sum == (int(n_s), int(h_s))
+        return rec
 
     # --- Global build, same boot (also re-proves the scoped-hint big
     # regime completes at this scale — VERDICT r9 task 3 done-condition).
