@@ -311,6 +311,9 @@ HEADLINE = [
     "ann_pq_fullrerank_topk",
     "ann_ivfpq_fullscan_topk",
     "stream_replay_attribution",
+    # round 12: watermark-sizing profile for the attribution join (the
+    # ADVICE r11 lateness bound, turned into a measured artifact)
+    "attribution_lateness_profile",
     # round-9 drain (VERDICT r8 task 1): the entire frozen pre-policy
     # LEGACY_UNBENCHED set promoted to HEADLINE — every registry query now
     # has a standing bench row; the policy's "may only shrink" set shrank

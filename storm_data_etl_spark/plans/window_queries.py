@@ -5431,6 +5431,121 @@ def stream_replay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "attribution_lateness_profile",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL
+    ),
+    imp AS (
+      SELECT user_id, ts AS imp_ts,
+             date_trunc('hour', ts)
+               + to_hours(CAST(event_id % 3 AS BIGINT)) AS arr_h
+      FROM ev WHERE event_id % 2 = 0
+    ),
+    conv AS (
+      SELECT user_id, ts AS conv_ts,
+             date_trunc('hour', ts)
+               + to_hours(CAST(event_id % 4 AS BIGINT)) AS arr_h
+      FROM ev WHERE event_id % 2 = 1
+    ),
+    m AS (
+      SELECT CAST(abs(epoch(c.arr_h) - epoch(i.arr_h)) / 3600 AS BIGINT)
+               AS lateness_h
+      FROM imp i JOIN conv c
+        ON i.user_id = c.user_id
+       AND c.conv_ts >= i.imp_ts
+       AND c.conv_ts <= i.imp_ts + INTERVAL 1 HOUR
+    ),
+    prof AS (
+      SELECT lateness_h, count(*) AS n_matches FROM m GROUP BY lateness_h
+    )
+    SELECT lateness_h, n_matches,
+           CAST(SUM(n_matches) OVER (ORDER BY lateness_h) AS BIGINT)
+             AS retained_cum,
+           CAST(FLOOR(
+             CAST(SUM(n_matches) OVER (ORDER BY lateness_h) AS BIGINT)
+               * 1000000.0
+               / CAST(SUM(n_matches) OVER () AS BIGINT)
+           ) AS BIGINT) AS retained_ppm
+    FROM prof
+    """,
+)
+def attribution_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing profile for the attribution join (round 12, from
+    ADVICE r11): the distribution of RELATIVE lateness between the two
+    sides of each matched impression/conversion pair — the quantity a
+    stream-stream join's watermark must dominate to retain the match.
+    One row per whole-hour lateness bucket with the match count, the
+    cumulative matches retained by a watermark of that many hours, and
+    that share in ppm — i.e. "watermark 2 h retains retained_ppm/1e6 of
+    matches; the max lateness_h row is the minimal loss-free watermark".
+    On this trace the worst case is 4 h (conversion skew up to 3 h on an
+    event up to 1 h after an impression with skew 0), which is exactly
+    the bound stream_replay_attribution's certificate scope assumes and
+    the ADVICE r11 docstring correction documents; this query turns that
+    static analysis into a measured, oracle-backed artifact a deployer
+    can run on their own arrival trace.
+
+    Scale shape: one shuffle join on user_id (the state-store keying the
+    real join uses), map-side-combinable aggregation to <= max-skew+2
+    rows; the cumulative window runs UNKEYED but on that provably tiny
+    post-aggregation frame (bounded by the skew construction, not the
+    data volume). All-integer ns arithmetic; the ppm share is
+    floor-quantized so both engines compute it identically."""
+    hour_ns = 3_600 * 10**9
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select("user_id", "event_id", "ts_ns")
+    )
+
+    def side(parity: int, mod: int, prefix: str) -> DataFrame:
+        return ev.filter(F.col("event_id") % 2 == parity).select(
+            F.col("user_id").alias(f"{prefix}_uid"),
+            F.col("ts_ns").alias(f"{prefix}_ts"),
+            (
+                F.col("ts_ns")
+                - F.pmod(F.col("ts_ns"), F.lit(hour_ns))
+                + (F.col("event_id") % mod) * F.lit(hour_ns)
+            ).alias(f"{prefix}_arr"),
+        )
+
+    imp, conv = side(0, 3, "imp"), side(1, 4, "conv")
+    m = imp.join(
+        conv,
+        (F.col("imp_uid") == F.col("conv_uid"))
+        & (F.col("conv_ts") >= F.col("imp_ts"))
+        & (F.col("conv_ts") <= F.col("imp_ts") + F.lit(hour_ns)),
+    ).select(
+        (F.abs(F.col("conv_arr") - F.col("imp_arr")) / F.lit(hour_ns))
+        .cast("long")
+        .alias("lateness_h")
+    )
+    prof = m.groupBy("lateness_h").agg(F.count(F.lit(1)).alias("n_matches"))
+    cum_w = Window.orderBy("lateness_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.orderBy("lateness_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return prof.select(
+        "lateness_h",
+        "n_matches",
+        F.sum("n_matches").over(cum_w).alias("retained_cum"),
+        F.floor(
+            F.sum("n_matches").over(cum_w)
+            * F.lit(1_000_000.0)
+            / F.sum("n_matches").over(tot_w)
+        ).alias("retained_ppm"),
+    )
+
+
+@register(
     "cochran_armitage_trend",
     """
     WITH q AS (

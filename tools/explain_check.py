@@ -1441,6 +1441,22 @@ def main() -> int:
         )
         _rel()
 
+    # 108. Attribution lateness profile (round 12): a plain keyed equi-join
+    # on user_id (no cartesian, no Python), map-side partial aggregation
+    # before the shuffle to the tiny lateness frame; the cumulative window
+    # is unkeyed by design but runs AFTER the aggregate (bounded rows).
+    p_lp = plan_of(qs["attribution_lateness_profile"](spark, sf_dir))
+    check(
+        "attribution_lateness_profile_shape",
+        "CartesianProduct" not in p_lp
+        and "BatchEvalPython" not in p_lp
+        and p_lp.count("HashAggregate") >= 2
+        and ("SortMergeJoin" in p_lp or "ShuffledHashJoin" in p_lp
+             or "BroadcastHashJoin" in p_lp),
+        "(keyed equi-join; partial agg; window on post-agg frame)",
+    )
+    _rel()
+
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
 
