@@ -562,6 +562,17 @@ def main() -> None:
             }
         )
 
+    # Warm the canary plans untimed before the opening sample: sample 0
+    # otherwise conflates first-touch table caching + codegen (a one-off
+    # ~5x inflation observed in the first r12 artifact) with actual host
+    # weather, and bench_delta would interpolate that artifact into the
+    # early headline windows.
+    if not only_set:
+        for cname in CANARY:
+            _q.REGISTRY[cname].runner(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            release_pinned()
     _canary_sample(0)
 
     # Build each query's DataFrame once (prepared-statement model), then
