@@ -991,6 +991,11 @@ def substring_dup_spans(
     ).select(
         id_col, "pos", F.expr(f"substring({text_col}, pos, {gram_len})").alias("gram")
     )
+    # (Optimization r12 note: a gram-keyed window count was measured here
+    # and was a wash at sf0.1 (1.05 -> 1.02 s) while forcing a full
+    # sort-shuffle of every position row; the aggregate + semi-join keeps
+    # map-side partial combining, which is the better shape when dup grams
+    # are rare — the production case. Kept as-is.)
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -1047,30 +1052,48 @@ def dup_length_bracket(
     substring_dup_spans plan shape: gram explosion, count aggregate and
     semi join keyed on the gram, then a distinct per doc.
     """
-    hits = None
-    for L in lengths:
-        n_pos = F.length(text_col) - L + 1
-        grams = docs.select(
-            F.col(id_col),
-            F.explode(F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos))).alias("pos"),
-            F.col(text_col),
-        ).select(
-            id_col, F.expr(f"substring({text_col}, pos, {L})").alias("gram")
-        )
-        dup = (
-            grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") >= 2)
-            .select("gram")
-        )
-        h = (
-            grams.join(dup, "gram", "left_semi")
-            .select(id_col)
-            .distinct()
-            .withColumn("dup_len", F.lit(L))
-        )
-        hits = h if hits is None else hits.unionByName(h)
-    per = hits.groupBy(id_col).agg(F.max("dup_len").alias("max_dup_len"))
+    # Optimization r12 (guide §2.3/§2.4): the four per-L passes each ran the
+    # gram explode TWICE (count aggregate + semi-join back) — 8 corpus
+    # passes and ~3 exchanges per L. Now ONE explode over the L_min
+    # position range emits every valid (L, gram) entry, a single
+    # (L, gram)-keyed window count replaces aggregate+semi-join (identical
+    # ">= 2 occurrences" semantics, one exchange), and the per-doc max is
+    # a tiny keyed aggregate. Same gram strings, same counts — exact.
+    lmin = min(lengths)
+    n = F.length(text_col)
+    pos_df = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        n.alias("_n"),
+        F.explode(
+            F.when(n >= lmin, F.sequence(F.lit(1), n - lmin + 1))
+        ).alias("pos"),
+    )
+    entries = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(L).alias("L"),
+                    F.when(
+                        F.col("pos") <= F.col("_n") - L + 1,
+                        F.expr(f"substring({text_col}, pos, {L})"),
+                    ).alias("g"),
+                )
+                for L in lengths
+            ]
+        ),
+        lambda s: s["g"].isNotNull(),
+    )
+    rows = pos_df.select(
+        F.col(id_col), F.explode(entries).alias("e")
+    ).select(id_col, F.col("e.L").alias("L"), F.col("e.g").alias("g"))
+    occ_w = Window.partitionBy("L", "g")
+    per = (
+        rows.withColumn("_n_occ", F.count(F.lit(1)).over(occ_w))
+        .filter(F.col("_n_occ") >= 2)
+        .groupBy(id_col)
+        .agg(F.max("L").alias("max_dup_len"))
+    )
     return (
         docs.select(id_col)
         .join(per, id_col, "left")

@@ -53,6 +53,63 @@ def _deterministic_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[
     return planes
 
 
+def _with_exact_cosine(
+    df: DataFrame, vec_col: str, probe_vec_col: str, out_col: str = "cosine"
+) -> DataFrame:
+    """Attach ``out_col`` = V.cosine(vec_col, probe_vec_col) via one Arrow
+    kernel pass (optimization r12, guide §4.2): the per-pair JVM
+    `aggregate` folds evaluate interpreted per element; the kernel computes
+    the identical strict-fold IEEE sequence vectorized
+    (operators/vector_kernels, bit-identity pinned in
+    tests/test_vector_kernels.py). NULL comes out exactly where V.cosine
+    yields NULL (either input NULL or zero-norm) — true nulls, not NaN, so
+    window orderings are unchanged."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def run(batches):  # noqa: ANN001
+        import numpy as np
+        import pandas as pd
+
+        from storm_data_etl_spark.operators import vector_kernels as K
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf[out_col] = pd.Series([], dtype="float64")
+                yield pdf
+                continue
+            va = pdf[vec_col].to_numpy()
+            vb = pdf[probe_vec_col].to_numpy()
+            null_mask = np.array(
+                [a is None or b is None for a, b in zip(va, vb)], dtype=bool
+            )
+            if null_mask.all():
+                pdf[out_col] = pd.Series([None] * n, dtype=object, index=pdf.index)
+                yield pdf
+                continue
+            dim = len(va[int(np.flatnonzero(~null_mask)[0])])
+            A = np.zeros((n, dim), dtype=np.float64)
+            B = np.zeros((n, dim), dtype=np.float64)
+            for i in range(n):
+                if not null_mask[i]:
+                    A[i] = np.asarray(va[i], dtype=np.float64)
+                    B[i] = np.asarray(vb[i], dtype=np.float64)
+            na = K.fold_norms(A)
+            nb = K.fold_norms(B)
+            dot = K.seq_fold_sum(A * B)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (na * nb)
+            bad = null_mask | (na == 0.0) | (nb == 0.0)
+            out = cos.astype(object)
+            out[bad] = None
+            pdf[out_col] = pd.Series(out, dtype=object, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -69,6 +126,11 @@ def brute_force_topk(
     (probe × vector) scored rows, then a per-probe top-k window. Self-pairs
     (same id) are excluded. Ties break on vec_id for determinism.
     """
+    # (Optimization r12 note: routing this cosine through the Arrow kernel
+    # was measured SLOWER here — the candidate sets are small and the
+    # passthrough of both vector columns through Arrow costs more than the
+    # interpreted folds it saves. The kernel stays where it wins: the PQ
+    # encode and the _adc_rerank exact stage.)
     scored = vectors.crossJoin(F.broadcast(probes)).withColumn(
         "cosine", V.cosine(vec_col, probe_vec_col)
     )
@@ -155,6 +217,99 @@ def embedding_near_dup_pairs(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def exact_allpairs_cosine(
+    vectors: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine pairs (id_a < id_b, cosine >= threshold) via
+    triangular block partitioning + a vectorized Arrow kernel — the
+    optimization-round replacement for the crossJoin-with-per-pair-HOF form
+    (guide §4.2 / §8): same O(N²·D) arithmetic, but each unordered block
+    pair (p, q) is computed by ONE numpy kernel call instead of N²/G²
+    interpreted `aggregate` lambdas, and the only shuffle is an n_blocks-fold
+    replication of the (id, vec) rows — no corpus broadcast, no driver
+    collect.
+
+    Bitwise identity with `V.cosine` + `>= threshold` comes from
+    operators/vector_kernels (strict left-fold sums via cumsum; see its
+    module docstring and tests/test_vector_kernels.py). Returns
+    (id_a, id_b, cosine) with cosine the RAW double — callers apply their
+    own rounding so the JVM `round` semantics stay exactly as before.
+
+    O(N²) by design (pinning baseline for the LSH path, test-scale only);
+    the block scheme is still the canonical distribution for it: work per
+    task is (N/G)²·D and replication bytes are G·N·(D+8), so G picks the
+    parallelism/replication trade-off.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from storm_data_etl_spark.operators import vector_kernels as K
+
+    G = n_blocks
+    rows = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(G)).cast("int").alias("g"),
+    )
+    rep = rows.select(
+        "id",
+        "vec",
+        "g",
+        F.explode(F.sequence(F.lit(0), F.lit(G - 1))).alias("h"),
+    ).select(
+        F.least("g", "h").alias("bp"),
+        F.greatest("g", "h").alias("bq"),
+        "g",
+        "id",
+        "vec",
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        p, q = int(pdf["bp"].iloc[0]), int(pdf["bq"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vec"]], dtype=np.float64
+        )
+        norms = K.fold_norms(mat)
+        if p == q:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            gcol = pdf["g"].to_numpy()
+            a_idx = np.flatnonzero(gcol == p)
+            b_idx = np.flatnonzero(gcol == q)
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        cos = K.cosine_block(mat[a_idx], norms[a_idx], mat[b_idx], norms[b_idx])
+        ia = ids[a_idx][:, None]
+        ib = ids[b_idx][None, :]
+        keep = (
+            (ia != ib)
+            & (norms[a_idx][:, None] != 0.0)
+            & (norms[b_idx][None, :] != 0.0)
+            & (cos >= threshold)
+        )
+        if p == q:  # count each unordered in-block pair once
+            keep &= ia < ib
+        ai, bi = np.nonzero(keep)
+        id_a = ids[a_idx][ai]
+        id_b = ids[b_idx][bi]
+        c = cos[ai, bi]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": c})
+
+    return rep.groupBy("bp", "bq").applyInPandas(
+        block_pairs, "id_a long, id_b long, cosine double"
     )
 
 
@@ -343,6 +498,53 @@ def _nearest_cells(vec_col: str, centroids: list[list[float]], n: int):
     return F.slice(F.array_sort(dists), 1, n)
 
 
+def _assign_cell(
+    vectors: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Attach the nearest-centroid `cell` column via one Arrow kernel pass
+    (optimization r12, guide §4.2) — the vectorized twin of
+    ``_nearest_cells(vec_col, centroids, 1)[0]["cell"]``: strict-fold
+    squared L2 per centroid, argmin with the first-match (lowest index)
+    tie rule the (d, cell) struct sort had."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = [[float(x) for x in c] for c in centroids]
+    schema = StructType(vectors.schema.fields + [StructField("cell", IntegerType())])
+
+    def run(batches):  # noqa: ANN001
+        import numpy as np
+        import pandas as pd
+
+        from storm_data_etl_spark.operators import vector_kernels as K
+
+        cent64 = np.asarray(cents, dtype=np.float64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf["cell"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            vv = pdf[vec_col].to_numpy()
+            null_mask = np.array([v is None for v in vv], dtype=bool)
+            X = np.zeros((n, cent64.shape[1]), dtype=np.float64)
+            for i, v in enumerate(vv):
+                if not null_mask[i]:
+                    X[i] = np.asarray(v, dtype=np.float64)
+            d2 = np.empty((n, cent64.shape[0]), dtype=np.float64)
+            for c in range(cent64.shape[0]):
+                diff = X - cent64[c][None, :]
+                d2[:, c] = K.seq_fold_sum(diff * diff)
+            cell = np.argmin(d2, axis=1).astype(np.int32)
+            pdf["cell"] = pd.Series(
+                [None if null_mask[i] else cell[i] for i in range(n)],
+                dtype=object,
+                index=pdf.index,
+            )
+            yield pdf
+
+    return vectors.mapInPandas(run, schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -361,9 +563,7 @@ def ivf_topk(
     equality join on cell id — one shuffle of the vector side, probes
     broadcast, ~N·n_probe/n_centroids candidates per probe.
     """
-    cells = vectors.withColumn(
-        "cell", _nearest_cells(vec_col, centroids, 1)[0]["cell"]
-    )
+    cells = _assign_cell(vectors, centroids, vec_col)
     pb = probes.withColumn(
         "cell", F.explode(F.transform(
             _nearest_cells("probe_vec", centroids, n_probe), lambda s: s["cell"]
@@ -479,16 +679,75 @@ def _argmin_code(slice_col, book_col):
 
 
 
-def _encode_pq(vectors: DataFrame, codebooks, vec_col: str) -> DataFrame:
-    """Attach the `_codes` column: unit-normalize, then per-subspace
-    nearest-centroid indices (shared by pq_topk / ivfpq_topk)."""
-    nrm = V.norm(vec_col)
-    unit = F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
-    return (
-        vectors.withColumn("_nrm", F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm))
-        .withColumn("_codes", _pq_codes(unit, codebooks))
-        .drop("_nrm")
+def _encode_pq(
+    vectors: DataFrame, codebooks, vec_col: str, centroids=None
+) -> DataFrame:
+    """Attach the `_codes` column — unit-normalize, then per-subspace
+    nearest-centroid indices (shared by pq_topk / ivfpq_topk) — via ONE
+    Arrow kernel pass (optimization r12, guide §4.2: the literal-codebook
+    HOF chain evaluated ~m·k·(dim/m)·2 interpreted lambdas per vector;
+    operators/vector_kernels.pq_encode_block computes the identical
+    strict-fold arithmetic vectorized, bit-identity pinned in
+    tests/test_vector_kernels.py). With ``centroids`` given, the same pass
+    also attaches the IVF `cell` column (squared-L2 argmin, first-match
+    tie rule — exactly _nearest_cells' (d, cell) sort head), saving the
+    second Python round trip ivfpq_topk would otherwise pay."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    books = [[[float(x) for x in c] for c in book] for book in codebooks]
+    cents = (
+        [[float(x) for x in c] for c in centroids] if centroids is not None else None
     )
+    extra = [StructField("_codes", ArrayType(IntegerType()))]
+    if cents is not None:
+        extra.append(StructField("cell", IntegerType()))
+    schema = StructType(vectors.schema.fields + extra)
+
+    def enc(batches):  # noqa: ANN001
+        import numpy as np
+        import pandas as pd
+
+        from storm_data_etl_spark.operators import vector_kernels as K
+
+        books64 = np.asarray(books, dtype=np.float64)
+        cent64 = np.asarray(cents, dtype=np.float64) if cents is not None else None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf["_codes"] = pd.Series([], dtype=object)
+                if cent64 is not None:
+                    pdf["cell"] = pd.Series([], dtype="int32")
+                yield pdf
+                continue
+            vv = pdf[vec_col].to_numpy()
+            null_mask = np.array([v is None for v in vv], dtype=bool)
+            dim = books64.shape[0] * books64.shape[2]
+            X = np.zeros((n, dim), dtype=np.float64)
+            for i, v in enumerate(vv):
+                if not null_mask[i]:
+                    X[i] = np.asarray(v, dtype=np.float64)
+            codes, _unit = K.pq_encode_block(X, books64)
+            pdf["_codes"] = pd.Series(
+                [None if null_mask[i] else codes[i] for i in range(n)],
+                dtype=object,
+                index=pdf.index,
+            )
+            if cent64 is not None:
+                # NB: cells are assigned on the RAW vector (not the unit
+                # form), matching ivfpq_topk's _nearest_cells(vec_col, ...)
+                d2 = np.empty((n, cent64.shape[0]), dtype=np.float64)
+                for c in range(cent64.shape[0]):
+                    diff = X - cent64[c][None, :]
+                    d2[:, c] = K.seq_fold_sum(diff * diff)
+                cell = np.argmin(d2, axis=1).astype(np.int32)
+                pdf["cell"] = pd.Series(
+                    [None if null_mask[i] else cell[i] for i in range(n)],
+                    dtype=object,
+                    index=pdf.index,
+                )
+            yield pdf
+
+    return vectors.mapInPandas(enc, schema)
 
 
 def _probe_luts(probes: DataFrame, codebooks) -> DataFrame:
@@ -538,7 +797,10 @@ def _adc_rerank(scored: DataFrame, k: int, rerank: int, id_col: str, vec_col: st
     cand = scored.withColumn("_crank", F.row_number().over(w1)).filter(
         F.col("_crank") <= rerank
     )
-    exact = cand.withColumn("cosine", V.cosine(vec_col, "probe_vec"))
+    # pass only what the kernel needs across the Arrow boundary (guide §4.1)
+    exact = _with_exact_cosine(
+        cand.select(id_col, vec_col, "probe_id", "probe_vec"), vec_col, "probe_vec"
+    )
     w2 = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         exact.withColumn("rank", F.row_number().over(w2))
@@ -600,9 +862,7 @@ def ivfpq_topk(
     100 TB vector table: the equality join on cell prunes, the code
     column is what streams, and both training steps are bounded samples.
     """
-    encoded = _encode_pq(vectors, codebooks, vec_col).withColumn(
-        "cell", _nearest_cells(vec_col, centroids, 1)[0]["cell"]
-    )
+    encoded = _encode_pq(vectors, codebooks, vec_col, centroids=centroids)
     pb = _probe_luts(probes, codebooks).withColumn(
         "cell",
         F.explode(

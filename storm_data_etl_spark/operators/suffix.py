@@ -383,6 +383,10 @@ def exact_substr_cut_tokens(
             F.array_join(F.slice(F.col("toks"), F.col("tpos"), F.lit(L)), sep)
         ).alias("_fp"),
     )
+    # (Optimization r12 note: a fingerprint-keyed window count was measured
+    # here and REGRESSED 1.55 -> 2.36 s at sf0.1 — the window forces a full
+    # sort-shuffle of every position row, while this aggregate gets
+    # map-side partial combining and the join back is small. Kept as-is.)
     dupfp = (
         fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= 2)
     ).select("_fp")

@@ -775,15 +775,12 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness baseline for the LSH-bucketed variant below. O(N²·D):
     test-scale only by design."""
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = V.cosine("va", "vb")
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.38)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    # Optimization r12 (guide §4.2/§8): triangular block partitioning + one
+    # vectorized Arrow kernel per block pair replaces the crossJoin whose
+    # per-pair cosine ran as interpreted HOF lambdas (9.3 s → sub-second at
+    # sf0.1; bitwise-identical fold, see operators/vector_kernels.py).
+    pairs = S.exact_allpairs_cosine(emb, threshold=0.38)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @register("embedding_near_dup_lsh", None)  # recall<1 by design: rows-only
@@ -4175,68 +4172,66 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffles are the md5 count (uniform key) and the source
     agg. At 100 TB the md5 group-count is the classic dedup shuffle —
     partial-aggregated, small values."""
+    # Optimization r12 (guide §4.2): the boundary detection was an O(8·len)
+    # interpreted HOF chain per document, evaluated TWICE (the chunk rows
+    # fed both the count aggregate and the join back). Now ONE Arrow kernel
+    # pass computes the identical rolling polynomial hash vectorized
+    # (windowed int64 dot product, congruent mod P to the per-step fold —
+    # exact integer arithmetic), and the global occurrence count rides a
+    # window over h (one shuffle) instead of aggregate + join (two).
     P = 2147483647
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.coalesce(F.col("text"), F.lit("")) != "")
-        .select(
-            "doc_id",
-            "source",
-            "text",
-            F.split("text", "").alias("chars"),
-            F.length("text").alias("n"),
-        )
+        .select("doc_id", "source", "text")
     )
-    win_hash = lambda i: F.aggregate(  # noqa: E731
-        F.transform(
-            F.sequence(i - 7, i),
-            lambda j: F.ascii(F.element_at(F.col("chars"), j)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, b: (a * 31 + b) % F.lit(P).cast("long"),
-    )
-    # candidate cut positions 8..n-1 (the end is always a forced cut, so
-    # position n itself is never tested — mirrors DuckDB's exclusive
-    # range(8, n)); sequence() needs start <= stop, hence the n >= 9 gate
-    cuts_inner = F.filter(
-        F.transform(
-            F.sequence(F.lit(8), F.col("n") - 1),
-            lambda i: F.when(win_hash(i) % 64 == 0, i),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    cutlists = d.select(
-        "doc_id",
-        "source",
-        "text",
-        F.concat(
-            F.when(F.col("n") >= 9, cuts_inner).otherwise(F.array()),
-            F.array(F.col("n").cast("int")),
-        ).alias("cuts"),
-    )
-    spans = cutlists.select(
-        "doc_id",
-        "source",
-        "text",
-        F.explode(
-            F.arrays_zip(
-                F.concat(
-                    F.array(F.lit(0)),
-                    F.slice(F.col("cuts"), 1, F.size("cuts") - 1),
-                ).alias("s"),
-                F.col("cuts").alias("e"),
+
+    def chunker(batches):  # noqa: ANN001
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        pow31 = (31 ** np.arange(7, -1, -1, dtype=np.int64)).astype(np.int64)
+        for pdf in batches:
+            srcs: list = []
+            hs: list = []
+            lens: list = []
+            for src, text in zip(pdf["source"], pdf["text"]):
+                n = len(text)
+                cuts: list[int] = []
+                if n >= 9:
+                    cp = np.frombuffer(
+                        text.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
+                    # windows ending at 1-based i in [8, n-1] = 0-based
+                    # starts j in [0, n-9]; H ≡ per-step fold mod P
+                    wins = np.lib.stride_tricks.sliding_window_view(cp, 8)[
+                        : n - 8
+                    ]
+                    H = (wins @ pow31) % P
+                    cuts = (np.flatnonzero(H % 64 == 0) + 8).tolist()
+                cuts.append(n)
+                s = 0
+                for e in cuts:
+                    chunk = text[s:e]
+                    srcs.append(src)
+                    hs.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+                    lens.append(e - s)
+                    s = e
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "h": pd.Series(hs, dtype="object"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                }
             )
-        ).alias("z"),
+
+    chunks = d.select("source", "text").mapInPandas(
+        chunker, "source string, h string, chunk_len long"
     )
-    chunks = spans.select(
-        "source",
-        F.md5(
-            F.expr("substring(text, z.s + 1, z.e - z.s)").cast("binary")
-        ).alias("h"),
-        (F.col("z.e") - F.col("z.s")).cast("bigint").alias("chunk_len"),
-    )
-    gc = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
-    joined = chunks.join(gc, "h")
+    occ_w = Window.partitionBy("h")
+    joined = chunks.withColumn("n_occ", F.count(F.lit(1)).over(occ_w))
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_len").cast("bigint").alias("total_chars"),
@@ -4685,44 +4680,52 @@ def simhash_lcg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.lower(F.trim("text")).alias("tx"))
     )
-    pos = base.select(
-        "doc_id",
-        "tx",
-        F.explode(F.sequence(F.lit(1), F.length("tx") - 3)).alias("i"),
-    )
+    # Optimization r12 (guide §4.2 / §2.4): fingerprints now come from ONE
+    # Arrow kernel pass — the per-position polynomial hashes are windowed
+    # int64 dot products (no intermediate mod in the original either, so
+    # the arithmetic is identical), per-doc distinct features a local
+    # np.unique, and the 60 bit votes vectorized popcounts. This deletes
+    # the len-3 position explode, the corpus-wide (doc,h1,h2) DISTINCT
+    # exchange and the 60-column aggregate exchange — the two
+    # full-corpus shuffles of the old plan; only (doc_id, lo, hi) rows
+    # ever shuffle now.
+    def fingerprint(batches):  # noqa: ANN001
+        import numpy as np
+        import pandas as pd
 
-    def c(off):
-        return F.ascii(F.expr("substring(tx, i + %d, 1)" % off)).cast("long")
+        pw31 = (31 ** np.arange(3, -1, -1, dtype=np.int64)).astype(np.int64)
+        pw37 = (37 ** np.arange(3, -1, -1, dtype=np.int64)).astype(np.int64)
+        bits = np.arange(30, dtype=np.int64)
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["tx"]):
+                cp = np.frombuffer(
+                    tx.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                wins = np.lib.stride_tricks.sliding_window_view(cp, 4)
+                h1 = (wins @ pw31) % P1
+                h2 = (wins @ pw37) % P2
+                feats = np.unique(h1 * P2 + h2)
+                f1 = feats // P2
+                f2 = feats % P2
+                n = feats.shape[0]
+                # vote s_b = (# ones) - (# zeros) > 0  <=>  2*ones > n
+                ones1 = ((f1[:, None] >> bits[None, :]) & 1).sum(axis=0)
+                ones2 = ((f2[:, None] >> bits[None, :]) & 1).sum(axis=0)
+                lo = int(((2 * ones1 > n).astype(np.int64) << bits).sum())
+                hi = int(((2 * ones2 > n).astype(np.int64) << bits).sum())
+                ids.append(doc_id)
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "lo": pd.Series(los, dtype="int64"),
+                    "hi": pd.Series(his, dtype="int64"),
+                }
+            )
 
-    def polyh(mult, prime):
-        return (
-            ((c(0) * mult + c(1)) * mult + c(2)) * mult + c(3)
-        ) % F.lit(prime).cast("long")
-
-    feats = pos.select(
-        "doc_id", polyh(31, P1).alias("h1"), polyh(37, P2).alias("h2")
-    ).distinct()
-    sum_cols = []
-    for b in range(60):
-        src = (
-            F.expr("(h1 >> %d) & 1" % b)
-            if b < 30
-            else F.expr("(h2 >> %d) & 1" % (b - 30))
-        )
-        sum_cols.append(F.sum(F.when(src == 1, 1).otherwise(-1)).alias("s%d" % b))
-    votes = feats.groupBy("doc_id").agg(*sum_cols)
-    lo = None
-    hi = None
-    for b in range(30):
-        t_lo = F.when(F.col("s%d" % b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        t_hi = F.when(
-            F.col("s%d" % (b + 30)) > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        lo = t_lo if lo is None else lo + t_lo
-        hi = t_hi if hi is None else hi + t_hi
-    fps = votes.select("doc_id", lo.alias("lo"), hi.alias("hi"))
+    fps = base.mapInPandas(fingerprint, "doc_id long, lo long, hi long")
     band_key = (
         F.when(F.col("band") == 0, F.expr("lo & 32767"))
         .when(F.col("band") == 1, F.expr("(lo >> 15) & 32767"))

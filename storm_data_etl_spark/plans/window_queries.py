@@ -5403,26 +5403,59 @@ def stream_replay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Optimization r12 (guide §4.2): one numpy lexsort + boundary scan
+        # replaces the nested pandas groupbys and row loops that dominated
+        # this certificate's cost; attribution_fold still runs once per
+        # (user, arrival-batch) — the certificate's subject is unchanged.
+        import numpy as np
+
         cols = ["user_id", "imp_id", "conv_id", "emit_h", "late_side"]
+        if len(pdf) == 0:
+            res = pd.DataFrame(columns=cols)
+            res["emit_h"] = pd.to_datetime(res["emit_h"], unit="ns")
+            return res
+        uid = pdf["user_id"].to_numpy()
+        arr = pdf["arr_ns"].to_numpy()
+        ts = pdf["ts_ns"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        imp = pdf["is_imp"].to_numpy()
+        order = np.lexsort((eid, ts, arr, uid))
+        uid, arr, ts, eid, imp = (
+            uid[order],
+            arr[order],
+            ts[order],
+            eid[order],
+            imp[order],
+        )
+        n = len(uid)
+        # slice boundaries: new user OR new arrival batch within a user
+        user_brk = np.flatnonzero(uid[1:] != uid[:-1]) + 1
+        batch_brk = np.flatnonzero(
+            (uid[1:] != uid[:-1]) | (arr[1:] != arr[:-1])
+        ) + 1
+        starts = np.concatenate(([0], batch_brk))
+        ends = np.concatenate((batch_brk, [n]))
+        user_start = set(np.concatenate(([0], user_brk)).tolist())
+        ts_l, eid_l, imp_l = ts.tolist(), eid.tolist(), imp.tolist()
         out = []
-        for uid, g in pdf.groupby("user_id", sort=False):
-            g = g.sort_values(
-                ["arr_ns", "ts_ns", "event_id"], kind="mergesort"
-            )
-            state = ATTRIBUTION_ZERO
-            arr_of: dict[int, int] = {}
-            for arr, b in g.groupby("arr_ns", sort=True):
-                imps, convs = [], []
-                for ts, eid, is_imp in zip(
-                    b["ts_ns"], b["event_id"], b["is_imp"]
-                ):
-                    (imps if is_imp else convs).append((int(ts), int(eid)))
-                    arr_of[int(eid)] = int(arr)
-                state, matches = attribution_fold(state, imps, convs, hour_ns)
+        state = ATTRIBUTION_ZERO
+        arr_of: dict[int, int] = {}
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if s in user_start:
+                state = ATTRIBUTION_ZERO
+                arr_of = {}
+            a = int(arr[s])
+            imps, convs = [], []
+            for i in range(s, e):
+                (imps if imp_l[i] else convs).append((ts_l[i], eid_l[i]))
+                arr_of[eid_l[i]] = a
+            state, matches = attribution_fold(state, imps, convs, hour_ns)
+            if matches:
+                u = int(uid[s])
                 for iid, cid in matches:
                     ia, ca = arr_of[iid], arr_of[cid]
                     late = 0 if ia == ca else (1 if ca > ia else 2)
-                    out.append((int(uid), iid, cid, int(arr), late))
+                    out.append((u, iid, cid, a, late))
         res = pd.DataFrame(out, columns=cols)
         res["emit_h"] = pd.to_datetime(res["emit_h"], unit="ns")
         return res
