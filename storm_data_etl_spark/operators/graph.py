@@ -57,8 +57,16 @@ def pagerank(
     if persist:
         # loop invariants consumed lazily by the returned ranks — the
         # caller owns the cache lifetime (session.release_pinned()).
-        nodes = _pin(nodes)
-        e = _pin(e)
+        # Optimization r12 (guide §2.4, "two operations keyed the same way
+        # share one exchange"): pin the invariants ALREADY partitioned on
+        # their loop join keys — e on src (the contribution join's key),
+        # nodes on node (the rank join's key). Every per-round join then
+        # finds both sides co-partitioned (ranks inherits hash(node) from
+        # the previous round's join and the rename to src is alias-aware),
+        # so the only exchange left per iteration is the unavoidable
+        # contribution re-key dst -> node.
+        nodes = _pin(nodes.repartition("node"))
+        e = _pin(e.repartition("src"))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iterations):
         contribs = (
@@ -109,13 +117,15 @@ def label_propagation(
         .distinct()
     )
     if persist:
-        sym = _pin(sym)
+        # Optimization r12 (guide §2.4): pin the symmetric edge list
+        # partitioned on the per-round join key so the corpus-sized side
+        # never re-shuffles inside the loop.
+        sym = _pin(sym.repartition("dst"))
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("nlab"))
     for i in range(iterations):
         counts = (
             sym.join(
@@ -125,10 +135,19 @@ def label_propagation(
             .groupBy("src", "nlab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # Optimization r12 (guide §2.3 "aggregate before you shuffle"): the
+        # most-frequent-label pick is an argmin aggregate
+        # min(struct(-c, nlab)) — identical to the row_number()=1 over
+        # (c DESC, nlab ASC) it replaces (exact integers), but partially
+        # aggregatable map-side and free of the window's sort + exchange.
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), F.col("nlab").alias("label"))
+            counts.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("negc"), F.col("nlab").alias("nlab"))
+                ).alias("b")
+            )
+            .select(F.col("src").alias("node"), F.col("b.nlab").alias("label"))
         )
         if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
             labels = labels.localCheckpoint(eager=True)

@@ -2875,20 +2875,32 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pairs = _pin(pairs)  # the edge table feeds all four unrolled rounds
-    a1 = pairs.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    # Optimization r12 (guide §2.4): the edge table feeds all four unrolled
+    # rounds — pin it TWICE, pre-partitioned on each round's join key, so
+    # no round ever re-shuffles the corpus-sized side; the rank tables
+    # (already keyed by the groupBy that produced them) join co-partitioned
+    # and each round's only exchange is its own aggregate re-key.
+    pairs_dst = _pin(pairs.repartition("dst"))
+    pairs_src = _pin(pairs.repartition("src"))
+    a1 = pairs_dst.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
     h1 = (
-        pairs.join(a1.withColumnRenamed("dst", "jdst"), F.col("dst") == F.col("jdst"))
+        pairs_dst.join(
+            a1.withColumnRenamed("dst", "jdst"), F.col("dst") == F.col("jdst")
+        )
         .groupBy("src")
         .agg(F.sum("s").cast("bigint").alias("s"))
     )
     a2 = (
-        pairs.join(h1.withColumnRenamed("src", "jsrc"), F.col("src") == F.col("jsrc"))
+        pairs_src.join(
+            h1.withColumnRenamed("src", "jsrc"), F.col("src") == F.col("jsrc")
+        )
         .groupBy("dst")
         .agg(F.sum("s").cast("bigint").alias("s"))
     )
     h2 = (
-        pairs.join(a2.withColumnRenamed("dst", "jdst"), F.col("dst") == F.col("jdst"))
+        pairs_dst.join(
+            a2.withColumnRenamed("dst", "jdst"), F.col("dst") == F.col("jdst")
+        )
         .groupBy("src")
         .agg(F.sum("s").cast("bigint").alias("s"))
     )

@@ -1820,6 +1820,14 @@ def elo_sequential_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_id", F.col("l").alias("player"), F.col("w").alias("opp"), F.lit(0.0).alias("s")
         )
     )
+    # Optimization r12 (guide §2.4): pm feeds BOTH the anchor aggregate and
+    # the scoring join probe — two lineage references that each re-ran the
+    # quality pass + self-join (measured: zt cost ≈ 2× pm). Routing both
+    # through one explicit player-keyed exchange makes the second reference
+    # a ReusedExchange (computed once), lets the anchor groupBy reuse the
+    # partitioning, and leaves the folded groupBy("player") co-partitioned
+    # behind the broadcast join — identical rows throughout.
+    pm = pm.repartition("player")
     anchor = pm.groupBy(F.col("player").alias("src")).agg(
         F.expr("(1000000 * CAST(sum(s) AS BIGINT)) div count(*)").alias("anchor_e6")
     )
@@ -1919,6 +1927,13 @@ def kendall_tau_b_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = r.groupBy("source", "rq", "rh").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # Optimization r12 (guide §2.4): cells is referenced five times below
+    # (pair join both sides, row/col marginals, n) — each reference re-ran
+    # the ratings scan + aggregate. One explicit source-keyed exchange
+    # turns every later reference into a ReusedExchange of the ≤9-cells-
+    # per-source table, and all downstream source-keyed joins/groupBys are
+    # co-partitioned behind it.
+    cells = cells.repartition("source")
     b = cells.select(
         F.col("source").alias("source_b"),
         F.col("rq").alias("rq_b"),
