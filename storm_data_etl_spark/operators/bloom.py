@@ -85,18 +85,79 @@ def bloom_might_contain(
     never-shuffle-the-probe property for not building a multi-GB
     broadcast relation on the driver.
 
-    A key tests positive iff all k of its positions are set. Membership is
-    computed once per DISTINCT key (identical keys are identically present
-    by definition — and distinct-first also avoids generated row ids, whose
-    recomputation across plan branches is nondeterministic): distinct keys
-    → explode positions → join the (broadcast) positions table → a key with
-    k distinct matched positions is positive; the flag table joins back
-    onto the probe rows. NULL keys flag false.
+    A key tests positive iff all k of its positions are set. NULL keys
+    flag false.
+
+    Optimization r12 (guide §2.3/§3.2): the broadcastable case previously
+    keyed FIVE operations on the raw probe key (distinct, exploded
+    distinct, two groupBys, the flag join-back) — for text keys that
+    means shuffling full document bytes repeatedly, exactly the
+    key-is-the-payload anti-pattern. The filter is now assembled into its
+    literal bitmap — one row, ceil(m/64) longs — broadcast once, and the
+    membership test is a pure map-side expression over each probe row
+    (position → word index + mask, all k bits set). The probe corpus
+    never shuffles, which is the property the 100 TB design claims. Flag
+    values are bit-identical to the join form: same position family,
+    same set-bit test. The join form remains as the
+    ``broadcast_positions=False`` escape hatch for filters too large to
+    ship (it keys on the positions, not the raw key).
     """
+    pf = position_fn or _positions
+    if broadcast_positions:
+        masks = F.array(
+            *[
+                F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+                for i in range(64)
+            ]
+        )
+        n_words = (m_bits + 63) >> 6
+        words = (
+            positions.select(
+                F.floor(F.col("pos") / 64).cast("int").alias("_w"),
+                F.element_at(
+                    masks, F.pmod(F.col("pos"), F.lit(64)).cast("int") + 1
+                ).alias("_m"),
+            )
+            .groupBy("_w")
+            .agg(F.bit_or("_m").alias("_bits"))
+        )
+        bitset = words.agg(
+            F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias(
+                "_map"
+            )
+        ).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_map"), i), F.lit(0).cast("long")
+                ),
+            ).alias("_bloom_bits")
+        )
+        key = F.col(key_col)
+        flag = F.when(key.isNull(), F.lit(False)).otherwise(
+            F.forall(
+                pf(key, m_bits, k_hashes),
+                lambda p: (
+                    F.element_at(
+                        F.col("_bloom_bits"),
+                        F.floor(p / 64).cast("int") + 1,
+                    ).bitwiseAND(
+                        F.element_at(
+                            masks, F.pmod(p, F.lit(64)).cast("int") + 1
+                        )
+                    )
+                    != 0
+                ),
+            )
+        )
+        return (
+            probe.crossJoin(F.broadcast(bitset))
+            .withColumn(flag_col, flag)
+            .drop("_bloom_bits")
+        )
     keys = probe.select(F.col(key_col).alias("_bloom_key")).filter(
         F.col("_bloom_key").isNotNull()
     ).distinct()
-    pf = position_fn or _positions
     exploded = keys.select(
         "_bloom_key",
         F.explode(pf(F.col("_bloom_key"), m_bits, k_hashes)).alias("pos"),
@@ -104,9 +165,8 @@ def bloom_might_contain(
     n_pos = exploded.groupBy("_bloom_key").agg(
         F.count(F.lit(1)).alias("_bloom_npos")
     )
-    pos_side = F.broadcast(positions) if broadcast_positions else positions
     hits = (
-        exploded.join(pos_side, "pos")
+        exploded.join(positions, "pos")
         .groupBy("_bloom_key")
         .agg(F.count(F.lit(1)).alias("_bloom_hits"))
     )

@@ -994,8 +994,16 @@ def substring_dup_spans(
     # (Optimization r12 note: a gram-keyed window count was measured here
     # and was a wash at sf0.1 (1.05 -> 1.02 s) while forcing a full
     # sort-shuffle of every position row; the aggregate + semi-join keeps
-    # map-side partial combining, which is the better shape when dup grams
-    # are rare — the production case. Kept as-is.)
+    # map-side partial combining.)
+    # Optimization r12 (guide §2.4): grams feeds BOTH the occurrence
+    # aggregate and the semi-join probe — two lineage references that
+    # each re-ran the position explode + substring pass (an explicit
+    # shared repartition was measured first and REGRESSED: column pruning
+    # gives the consumers different exchange subtrees, ReuseExchange
+    # never fires, and the repartition added a gram-string shuffle the
+    # broadcast semi join never needed). Pinning runs the explode once;
+    # the probe keeps its zero-shuffle broadcast join.
+    grams = _pin(grams)
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -1055,10 +1063,17 @@ def dup_length_bracket(
     # Optimization r12 (guide §2.3/§2.4): the four per-L passes each ran the
     # gram explode TWICE (count aggregate + semi-join back) — 8 corpus
     # passes and ~3 exchanges per L. Now ONE explode over the L_min
-    # position range emits every valid (L, gram) entry, a single
-    # (L, gram)-keyed window count replaces aggregate+semi-join (identical
-    # ">= 2 occurrences" semantics, one exchange), and the per-doc max is
-    # a tiny keyed aggregate. Same gram strings, same counts — exact.
+    # position range emits every valid (L, gram) entry as an 8-byte
+    # xxhash64 FINGERPRINT (guide §2.3 "shuffle keys and metadata instead
+    # of payloads" — up-to-128-char gram strings never cross the wire),
+    # ONE (L, fp)-keyed window count finds duplicated fingerprints in a
+    # single pass (one narrow exchange, sort over 8-byte keys), and the
+    # surviving candidates are VERIFIED on the real gram text (the
+    # exact_substr_cut_tokens discipline: every occurrence of a flagged
+    # fingerprint is a candidate, so recounting the materialized grams
+    # over candidates yields the true per-gram count — a hash collision
+    # can only add a verified-away candidate, never a wrong bracket).
+    # Exact at every scale; same counts, same rows.
     lmin = min(lengths)
     n = F.length(text_col)
     pos_df = docs.select(
@@ -1076,21 +1091,34 @@ def dup_length_bracket(
                     F.lit(L).alias("L"),
                     F.when(
                         F.col("pos") <= F.col("_n") - L + 1,
-                        F.expr(f"substring({text_col}, pos, {L})"),
-                    ).alias("g"),
+                        F.xxhash64(F.expr(f"substring({text_col}, pos, {L})")),
+                    ).alias("h"),
                 )
                 for L in lengths
             ]
         ),
-        lambda s: s["g"].isNotNull(),
+        lambda s: s["h"].isNotNull(),
     )
     rows = pos_df.select(
-        F.col(id_col), F.explode(entries).alias("e")
-    ).select(id_col, F.col("e.L").alias("L"), F.col("e.g").alias("g"))
-    occ_w = Window.partitionBy("L", "g")
-    per = (
+        F.col(id_col), F.col("pos"), F.explode(entries).alias("e")
+    ).select(id_col, "pos", F.col("e.L").alias("L"), F.col("e.h").alias("h"))
+    occ_w = Window.partitionBy("L", "h")
+    cand = (
         rows.withColumn("_n_occ", F.count(F.lit(1)).over(occ_w))
         .filter(F.col("_n_occ") >= 2)
+        .select(id_col, "pos", "L")
+    )
+    # Verify: materialize the real gram only for candidates (rare by
+    # construction) and recount — exactness does not rest on the hash.
+    cand_g = cand.join(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        "L",
+        F.expr(f"substring({text_col}, pos, L)").alias("g"),
+    )
+    ver_w = Window.partitionBy("L", "g")
+    per = (
+        cand_g.withColumn("_n_real", F.count(F.lit(1)).over(ver_w))
+        .filter(F.col("_n_real") >= 2)
         .groupBy(id_col)
         .agg(F.max("L").alias("max_dup_len"))
     )

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from storm_data_etl_spark.operators.dedup import global_rank
+from storm_data_etl_spark.session import pin as _pin
 
 #: characters compared per LCP round (fold size; bounds per-row work)
 _LCP_CHUNK = 128
@@ -386,7 +387,18 @@ def exact_substr_cut_tokens(
     # (Optimization r12 note: a fingerprint-keyed window count was measured
     # here and REGRESSED 1.55 -> 2.36 s at sf0.1 — the window forces a full
     # sort-shuffle of every position row, while this aggregate gets
-    # map-side partial combining and the join back is small. Kept as-is.)
+    # map-side partial combining and the join back is small.)
+    # Optimization r12 (guide §2.4): fp feeds BOTH the duplicate-count
+    # aggregate and the join probe — two lineage references that each
+    # re-ran the tokenize + slice + hash explode (an explicit shared
+    # repartition was measured first and REGRESSED: column pruning gives
+    # the two consumers different exchange subtrees, so ReuseExchange
+    # never fires and the repartition just added a full position-row
+    # shuffle the broadcast semi join never needed). Pinning the compact
+    # 20 B/position fingerprint relation instead runs the explode once;
+    # both consumers read the materialized rows, and the probe keeps its
+    # zero-shuffle broadcast join.
+    fp = _pin(fp)
     dupfp = (
         fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= 2)
     ).select("_fp")

@@ -199,31 +199,34 @@ def stupid_backoff_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.tokens("text").alias("w"),
         )
     )
-    n3 = F.greatest(F.size("w") - 2, F.lit(0))
-    s1, s2, s3 = (F.slice("w", i, n3) for i in (1, 2, 3))
+    # Optimization r12 (guide §2.3/§2.4): the trigram, bigram and unigram
+    # relations each re-ran the tokenize + explode (five corpus passes
+    # counting the two consumers of the token stream). ONE padded explode
+    # now emits exactly size(w) rows per doc — (w1, w2, w3) with NULL
+    # tails via zip_with's shorter-side padding — and is PINNED; every
+    # n-gram table is a filter + map-side-combinable aggregate over the
+    # same materialized rows: trigrams are the w3-non-null rows, bigrams
+    # the w2-non-null rows, unigrams all rows, and the training totals
+    # fold out of the unigram table (n_tokens = sum cu, v_size = row
+    # count — identical integers). Same rows, same counts, same floats.
+    n1 = F.size("w")
     pairs12 = F.zip_with(
-        s1, s2, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+        F.col("w"),
+        F.slice("w", 2, F.greatest(n1 - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     tris = F.zip_with(
         pairs12,
-        s3,
+        F.slice("w", 3, F.greatest(n1 - 2, F.lit(0))),
         lambda ab, c: F.struct(
             ab["w1"].alias("w1"), ab["w2"].alias("w2"), c.alias("w3")
         ),
     )
-    tri = toks.select(
+    ex = toks.select(
         "doc_id", "is_train", F.explode(tris).alias("g")
     ).select("doc_id", "is_train", "g.w1", "g.w2", "g.w3")
-
-    nb = F.greatest(F.size("w") - 1, F.lit(0))
-    bgs = F.zip_with(
-        F.slice("w", 1, nb),
-        F.slice("w", 2, nb),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-    )
-    bg = toks.select("is_train", F.explode(bgs).alias("p")).select(
-        "is_train", "p.prev", "p.cur"
-    )
+    ex = _pin(ex)
+    tri = ex.filter(F.col("w3").isNotNull())
 
     tric = (
         tri.filter("is_train")
@@ -231,15 +234,18 @@ def stupid_backoff_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c123"))
     )
     bigc = (
-        bg.filter("is_train")
-        .groupBy("prev", "cur")
+        ex.filter(F.col("is_train") & F.col("w2").isNotNull())
+        .groupBy(F.col("w1").alias("prev"), F.col("w2").alias("cur"))
         .agg(F.count(F.lit(1)).alias("cb"))
     )
-    train_tok = toks.filter("is_train").select(F.explode("w").alias("tok"))
-    unic = train_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
-    tot = train_tok.agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct("tok").alias("v_size"),
+    unic = (
+        ex.filter("is_train")
+        .groupBy(F.col("w1").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    tot = unic.agg(
+        F.sum("cu").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_size"),
     )
 
     # Fold the backoff arithmetic INTO the LM tables (KenLM ships
@@ -1274,12 +1280,24 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", X.tokens("text").alias("w"))
     )
     tok = toks.select("doc_id", "lang", F.explode("w").alias("word"))
-    dw = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    rawc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cr"))
+    # Optimization r12 (guide §2.3/§2.4): the raw and target unigram
+    # tables are RE-AGGREGATES of the per-doc word-count table (lang is
+    # constant per doc, so grouping on (doc_id, lang, word) yields the
+    # same groups and counts as (doc_id, word)) — previously both re-ran
+    # the tokenize + explode and shuffled the token stream again. The
+    # per-doc table is pinned: one explode, one corpus shuffle; the
+    # unigram tables are map-side-combinable sums over it. Identical
+    # integer counts, identical floats downstream. (Pinning the raw token
+    # explode instead was measured and REGRESSED 1.2 -> 2.3 s — caching
+    # position rows costs more than the explode it saves; the aggregate
+    # is the right thing to materialize.)
+    dw = tok.groupBy("doc_id", "lang", "word").agg(F.count(F.lit(1)).alias("c"))
+    dw = _pin(dw)
+    rawc = dw.groupBy("word").agg(F.sum("c").cast("bigint").alias("cr"))
     tgtc = (
-        tok.filter(F.col("lang") == "en")
+        dw.filter(F.col("lang") == "en")
         .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("c").cast("bigint").alias("ct"))
     )
     tots = rawc.agg(
         F.sum("cr").alias("nr"), F.count(F.lit(1)).alias("v")
@@ -1370,6 +1388,10 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", F.explode(tri).alias("ng"))
         .distinct()
     )
+    # Optimization r12 (guide §2.4): g feeds the doc-frequency count AND
+    # the join back — pinned so the tokenize + explode + distinct runs
+    # once instead of twice; same rows, same counts.
+    g = _pin(g)
     dc = g.groupBy("ng").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         g.join(dc, "ng")
@@ -2085,6 +2107,12 @@ def kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = toks.select(F.explode(bgs).alias("p")).select("p.w1", "p.w2")
     bigc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Optimization r12 (guide §2.4): the bigram-type table feeds FOUR
+    # consumers (both continuation-count re-aggregates, the type total,
+    # and the final join base) — each re-ran the tokenize + explode +
+    # count. Pinned, the corpus pass runs once and the re-aggregates read
+    # the vocabulary-bounded type table; identical integers throughout.
+    bigc = _pin(bigc)
     left_c = bigc.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
         F.count(F.lit(1)).alias("n_cont_w1"),

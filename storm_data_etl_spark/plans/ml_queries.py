@@ -5606,6 +5606,16 @@ def moe_router_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("f4"),
         )
     )
+    # Optimization r12 (guide §2.4 + §2.3): the feature scan (two regex
+    # passes over full text) fed both the totals aggregate and the scoring
+    # side — pinned, it runs once. The 8-way expert fan-out was an explode
+    # + doc-keyed row_number window (a shuffle and sort of 8 rows per
+    # doc); the argmax of 8 integer scores is instead computed map-side as
+    # array_max over (s, -expert, expert, s) structs — struct ordering is
+    # lexicographic, so max s wins and ties break to the SMALLEST expert,
+    # exactly the window's (desc s, asc expert) order. Same integers, same
+    # routing, zero per-doc shuffle.
+    feats = _pin(feats)
     ftot = feats.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("f1").cast("bigint").alias("s1"),
@@ -5613,30 +5623,30 @@ def moe_router_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f3").cast("bigint").alias("s3"),
         F.sum("f4").cast("bigint").alias("s4"),
     )
-    sign = lambda div: 1 - 2 * (  # noqa: E731
-        F.floor(F.col("expert") / div).cast("bigint") % 2
-    )
-    scores = (
-        feats.crossJoin(F.broadcast(ftot))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("expert"),
-            "f1", "f2", "f3", "f4", "n_docs", "s1", "s2", "s3", "s4",
+    def _score(k: int):
+        sgn = lambda div: 1 if (k // div) % 2 == 0 else -1  # noqa: E731
+        return (
+            F.lit(sgn(1)) * (F.col("f1") * F.col("n_docs") - F.col("s1"))
+            + F.lit(sgn(2)) * (F.col("f2") * F.col("n_docs") - F.col("s2"))
+            + F.lit(sgn(4)) * (F.col("f3") * F.col("n_docs") - F.col("s3"))
+            + F.lit(sgn(8)) * (F.col("f4") * F.col("n_docs") - F.col("s4"))
         )
-        .select(
-            "doc_id",
-            "expert",
-            (
-                sign(1) * (F.col("f1") * F.col("n_docs") - F.col("s1"))
-                + sign(2) * (F.col("f2") * F.col("n_docs") - F.col("s2"))
-                + sign(4) * (F.col("f3") * F.col("n_docs") - F.col("s3"))
-                + sign(8) * (F.col("f4") * F.col("n_docs") - F.col("s4"))
-            ).alias("s"),
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _score(k).alias("s"),
+                    F.lit(-k).alias("negk"),
+                    F.lit(k).alias("expert"),
+                )
+                for k in range(8)
+            ]
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "expert")
-    routed = scores.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    routed = feats.crossJoin(F.broadcast(ftot)).select(
+        "doc_id",
+        best["expert"].alias("expert"),
+        best["s"].alias("s"),
     )
     loads = routed.groupBy("expert").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_routed"),

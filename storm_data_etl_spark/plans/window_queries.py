@@ -2252,6 +2252,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
     )
+    # Optimization r12 (guide §2.4): the basket table feeds the support
+    # count AND the pair fan-out — pinned so the events-wide user grouping
+    # shuffles once instead of twice; same baskets, same counts.
+    bsk = _pin(bsk)
     b = bsk.select("user_id", F.explode("types").alias("event_type"))
     supp = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_u"))
     # the oracle's basket universe includes users whose only events carry a
