@@ -547,6 +547,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = toks.select("source", F.explode(bigrams).alias("term"))
     tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # (Optimization r12 note: pinning tf for its two consumers was
+    # measured and is a WASH at sf0.1 — (source, bigram) counts are
+    # near-positions-sized on this corpus, so materializing them costs
+    # what the second explode saves. Kept unpinned.)
     dfreq = tf.groupBy("term").agg(F.count_distinct("source").alias("df_s"))
     nsrc = toks.agg(F.count_distinct("source").alias("n_src"))
     score = F.col("tf") * F.log(

@@ -881,6 +881,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = docs.select(F.explode("words").alias("word"))
     uni_counts = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # Optimization r12 (guide §2.4): the unigram table feeds the corpus
+    # total and BOTH broadcast legs of the scoring join; the bigram table
+    # feeds its total and the scoring base — each reference re-ran the
+    # explode + count. Pinned, each corpus pass runs once; same counts.
+    uni_counts = _pin(uni_counts)
     n_uni = uni_counts.agg(F.sum("c").alias("n_u"))
     # bigrams via index explode so the SQL mirror (range + slice) is exact
     bi = docs.select(
@@ -890,6 +895,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("words", F.col("i") + 1).alias("w2"),
     )
     bi_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bi_counts = _pin(bi_counts)
     n_bi = bi_counts.agg(F.sum("c12").alias("n_b"))
     scored = (
         bi_counts.filter(F.col("c12") >= 5)
@@ -2268,37 +2274,15 @@ def encoding_dictionary_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("d_user"),
         F.countDistinct("value").alias("d_value"),
     )
-    cols = (
-        s.select(
-            F.lit("event_type").alias("column_name"),
-            "n",
-            F.col("d_type").alias("n_distinct"),
-            F.expr("(100 * len_type) div nullif(n, 0)").alias("avg_len_e2"),
-        )
-        .unionByName(
-            s.select(
-                F.lit("props").alias("column_name"),
-                "n",
-                F.col("d_props").alias("n_distinct"),
-                F.expr("(100 * len_props) div nullif(n, 0)").alias("avg_len_e2"),
-            )
-        )
-        .unionByName(
-            s.select(
-                F.lit("user_id").alias("column_name"),
-                "n",
-                F.col("d_user").alias("n_distinct"),
-                F.lit(800).alias("avg_len_e2"),
-            )
-        )
-        .unionByName(
-            s.select(
-                F.lit("value").alias("column_name"),
-                "n",
-                F.col("d_value").alias("n_distinct"),
-                F.lit(800).alias("avg_len_e2"),
-            )
-        )
+    # Optimization r12 (guide §2.4): the four union legs each re-ran the
+    # whole multi-distinct aggregate (the expensive expand) — a stack()
+    # unpivot of the single aggregate row produces the same four rows
+    # from ONE evaluation (the table_profile shape). Same integers.
+    cols = s.selectExpr(
+        "stack(4, 'event_type', d_type, 'props', d_props,"
+        " 'user_id', d_user, 'value', d_value)"
+        " AS (column_name, n_distinct)",
+        "n",
     )
     return cols.select(
         "column_name",
@@ -2626,45 +2610,62 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-op window (parallel, no global sort); versions is a 3-row
     broadcast. A real reader resolves one as_of — this plan is that read
     repeated per version with the work shared in one pass."""
+    # Optimization r12 (guide §2.4): all three CDC branches are
+    # projections of the SAME orders row, so each key's op log builds
+    # IN-ROW (an array of ≤3 op structs), the version sweep is a 3-way
+    # explode, and "latest op with _version ≤ as_of" is array_max over
+    # the filtered array (_version is unique per key, so the window's
+    # (_version DESC, _op DESC) order reduces to max _version). The
+    # union + 3× broadcast-join blowup + (as_of, key) window shuffle all
+    # disappear; the only exchange left is the 3-row final aggregate.
+    # Same live sets, same integers, same decimal sums.
     o = t(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
-    snap = o.select(
-        "o_orderkey",
-        F.col("o_orderstatus").alias("status"),
-        price.alias("price"),
-        F.lit(1).alias("_version"),
-        F.lit("I").alias("_op"),
+    ops = F.filter(
+        F.array(
+            F.struct(
+                F.lit(1).alias("_version"),
+                F.lit("I").alias("_op"),
+                F.col("o_orderstatus").alias("status"),
+                price.alias("price"),
+            ),
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.struct(
+                    F.lit(2).alias("_version"),
+                    F.lit("U").alias("_op"),
+                    F.lit("U").alias("status"),
+                    F.round(price * 1.1, 2).cast("decimal(18,2)").alias("price"),
+                ),
+            ),
+            F.when(
+                F.col("o_orderkey") % 101 == 0,
+                F.struct(
+                    F.lit(3).alias("_version"),
+                    F.lit("D").alias("_op"),
+                    F.lit("X").alias("status"),
+                    F.lit(0.0).cast("decimal(18,2)").alias("price"),
+                ),
+            ),
+        ),
+        lambda s: s.isNotNull(),
     )
-    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        F.lit("U").alias("status"),
-        F.round(price * 1.1, 2).cast("decimal(18,2)").alias("price"),
-        F.lit(2).alias("_version"),
-        F.lit("U").alias("_op"),
+    rows = o.select(
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("as_of"),
+        ops.alias("ops"),
     )
-    dele = o.filter(F.col("o_orderkey") % 101 == 0).select(
-        "o_orderkey",
-        F.lit("X").alias("status"),
-        F.lit(0.0).cast("decimal(18,2)").alias("price"),
-        F.lit(3).alias("_version"),
-        F.lit("D").alias("_op"),
+    latest = F.array_max(
+        F.filter(F.col("ops"), lambda s: s["_version"] <= F.col("as_of"))
     )
-    log = snap.unionByName(upd).unionByName(dele)
-    versions = spark.range(1, 4).select(F.col("id").cast("int").alias("as_of"))
-    w = Window.partitionBy("as_of", "o_orderkey").orderBy(
-        F.desc("_version"), F.desc("_op")
-    )
-    asof = (
-        log.join(F.broadcast(versions), log["_version"] <= versions["as_of"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("_op") != "D"))
+    asof = rows.select("as_of", latest.alias("op")).filter(
+        F.col("op")["_op"] != "D"
     )
     return asof.groupBy("as_of").agg(
         F.count(F.lit(1)).alias("n_live"),
-        F.sum((F.col("status") == "U").cast("int"))
+        F.sum((F.col("op")["status"] == "U").cast("int"))
         .cast("bigint")
         .alias("n_updated"),
-        F.sum("price").cast("double").alias("total_price"),
+        F.sum(F.col("op")["price"]).cast("double").alias("total_price"),
     )
 
 

@@ -6154,10 +6154,17 @@ def dup_aware_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "source", X.fingerprint("text").alias("fingerprint")
     )
-    grouped = docs.groupBy("fingerprint").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dups")
-    )
-    weighted = docs.join(grouped, "fingerprint").select(
+    # Optimization r12 (guide §2.4): the group count joined back to the
+    # scan re-ran the fingerprint pass and shuffled both sides — a
+    # fingerprint-keyed window count computes the same n_dups per row in
+    # ONE pass over one exchange. Same counts, same weights.
+    weighted = docs.select(
+        "source",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fingerprint"))
+        .cast("bigint")
+        .alias("n_dups"),
+    ).select(
         "source",
         "n_dups",
         F.expr("1000000 div n_dups").cast("bigint").alias("w_e6"),

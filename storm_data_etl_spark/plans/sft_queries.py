@@ -1813,21 +1813,32 @@ def elo_sequential_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l"),
         )
     )
+    # Optimization r12 (guide §2.4): the player/opponent double-entry view
+    # is an EXPLODE of each match into its two perspectives — the earlier
+    # unionByName ran the quality pass + self-join once per leg, and the
+    # explicit player-keyed exchange tried next never deduped (column
+    # pruning gives the two consumers different exchange subtrees, so
+    # ReuseExchange cannot fire — verified in the formatted plan). Pinning
+    # pm materializes the single match pass once for both the anchor
+    # aggregate and the scoring probe; identical rows throughout.
     pm = wl.select(
-        "match_id", F.col("w").alias("player"), F.col("l").alias("opp"), F.lit(1.0).alias("s")
-    ).unionByName(
-        wl.select(
-            "match_id", F.col("l").alias("player"), F.col("w").alias("opp"), F.lit(0.0).alias("s")
-        )
-    )
-    # Optimization r12 (guide §2.4): pm feeds BOTH the anchor aggregate and
-    # the scoring join probe — two lineage references that each re-ran the
-    # quality pass + self-join (measured: zt cost ≈ 2× pm). Routing both
-    # through one explicit player-keyed exchange makes the second reference
-    # a ReusedExchange (computed once), lets the anchor groupBy reuse the
-    # partitioning, and leaves the folded groupBy("player") co-partitioned
-    # behind the broadcast join — identical rows throughout.
-    pm = pm.repartition("player")
+        "match_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("w").alias("player"),
+                    F.col("l").alias("opp"),
+                    F.lit(1.0).alias("s"),
+                ),
+                F.struct(
+                    F.col("l").alias("player"),
+                    F.col("w").alias("opp"),
+                    F.lit(0.0).alias("s"),
+                ),
+            )
+        ).alias("e"),
+    ).select("match_id", "e.player", "e.opp", "e.s")
+    pm = _pin(pm)
     anchor = pm.groupBy(F.col("player").alias("src")).agg(
         F.expr("(1000000 * CAST(sum(s) AS BIGINT)) div count(*)").alias("anchor_e6")
     )
@@ -1929,11 +1940,12 @@ def kendall_tau_b_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Optimization r12 (guide §2.4): cells is referenced five times below
     # (pair join both sides, row/col marginals, n) — each reference re-ran
-    # the ratings scan + aggregate. One explicit source-keyed exchange
-    # turns every later reference into a ReusedExchange of the ≤9-cells-
-    # per-source table, and all downstream source-keyed joins/groupBys are
-    # co-partitioned behind it.
-    cells = cells.repartition("source")
+    # the ratings scan + aggregate. An explicit source-keyed exchange was
+    # tried first and never deduped (column pruning gives each consumer a
+    # different exchange subtree, so ReuseExchange cannot fire — verified
+    # in the formatted plan: six scans survived). Pinning the ≤9-cells-
+    # per-source table materializes the ratings pass once for all five.
+    cells = _pin(cells)
     b = cells.select(
         F.col("source").alias("source_b"),
         F.col("rq").alias("rq_b"),

@@ -990,10 +990,15 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
     )
     freq = docs.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
-    totals = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    # Optimization r12 (guide §2.4): the per-doc total was a second
+    # aggregate over freq joined back — re-running the explode + count and
+    # paying a join. A doc-keyed window sum computes the same n per row in
+    # one pass, and the final aggregate runs co-partitioned behind it
+    # (zero further exchange). Same (c, n) inputs per doc, same outputs.
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
     p = F.col("c").cast("double") / F.col("n")
     return (
-        freq.join(totals, "doc_id")
+        freq.withColumn("n", n)
         .groupBy("doc_id")
         .agg(
             F.max("n").alias("n_tokens"),
@@ -2092,14 +2097,37 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Plan: the distinct audience is one exchange; the self-join
     shuffles on user_id (uniform key); sizes broadcast back."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
-    aud = ev.select("event_type", "user_id").distinct()
+    # Optimization r12 (guide §2.3/§2.4): the distinct audience previously
+    # fed three lineages (sizes + both self-join legs), each re-running
+    # the events-wide distinct, and the pair count shuffled the audience
+    # again on user_id. One user-keyed basket aggregate (sorted distinct
+    # type set per user, bounded by the type vocabulary) is pinned; pair
+    # counts explode in-array i<j pairs (sort order = the same binary
+    # string '<' the join filter used) and sizes explode the same
+    # baskets — identical shared-user and audience counts.
+    bsk = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+    )
+    bsk = _pin(bsk)
+    aud = bsk.select("user_id", F.explode("types").alias("event_type"))
     sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
-    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("types"), i + 2, F.greatest(F.size("types") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
+        bsk.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b")
+        )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
