@@ -895,48 +895,63 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    base = docs.select("doc_id")
-    ws = (
-        docs.select("doc_id", F.explode("words").alias("w"))
-        .groupBy("doc_id", "w")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.sum("count").alias("n_words"),
-            F.count(F.lit(1)).alias("distinct_words"),
-            F.max("count").alias("top_word_count"),
+    # Optimization r12 (guide §2.4): every statistic is PER-DOC local
+    # (multiplicities of a doc's own n-grams), so the three explode →
+    # (doc, gram) → doc shuffle chains and the three-way join collapse to
+    # in-row folds over sorted arrays — zero exchanges in the whole
+    # query. Run lengths in array_sort(arr) are exactly the per-gram
+    # multiplicities the groupBys counted: max run = modal count, and
+    # summing runs that reach 2 (add 2 at the second element, 1 per
+    # element after) = Σ count over groups with count ≥ 2. Identical
+    # integers; docs with NULL/empty text coalesce to 0 as before.
+    def _max_run(arr):
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         )
-    )
-    bgc = (
-        docs.select("doc_id", F.explode("bigrams").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_bigram_count"))
-    )
-    tgc = (
-        docs.select("doc_id", F.explode("trigrams").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0)).alias(
-                "dup_trigram_tokens"
+        def step(acc, x):
+            r = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1)
             )
+            return F.struct(
+                x.alias("prev"),
+                r.alias("run"),
+                F.greatest(acc["best"], r).alias("best"),
+            )
+        return F.aggregate(F.array_sort(arr), zero, step, lambda s: s["best"])
+
+    def _dup_tokens(arr):
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("tot"),
         )
-    )
-    out = (
-        base.join(ws, "doc_id", "left")
-        .join(bgc, "doc_id", "left")
-        .join(tgc, "doc_id", "left")
-    )
-    return out.select(
+        def step(acc, x):
+            r = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1)
+            )
+            add = F.when(r == 2, 2).when(r > 2, 1).otherwise(0)
+            return F.struct(
+                x.alias("prev"), r.alias("run"), (acc["tot"] + add).alias("tot")
+            )
+        return F.aggregate(F.array_sort(arr), zero, step, lambda s: s["tot"])
+
+    return docs.select(
         "doc_id",
-        F.coalesce("n_words", F.lit(0)).alias("n_words"),
-        F.coalesce("distinct_words", F.lit(0)).alias("distinct_words"),
-        F.coalesce("top_word_count", F.lit(0)).alias("top_word_count"),
-        F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
-        F.coalesce("dup_trigram_tokens", F.lit(0)).alias("dup_trigram_tokens"),
+        F.coalesce(F.size("words"), F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce(F.size(F.array_distinct("words")), F.lit(0))
+        .cast("bigint")
+        .alias("distinct_words"),
+        F.coalesce(_max_run(F.col("words")), F.lit(0))
+        .cast("bigint")
+        .alias("top_word_count"),
+        F.coalesce(_max_run(F.col("bigrams")), F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_count"),
+        F.coalesce(_dup_tokens(F.col("trigrams")), F.lit(0))
+        .cast("bigint")
+        .alias("dup_trigram_tokens"),
     )
 
 
@@ -1133,6 +1148,11 @@ def text_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding")
     )
     vecs = vecs.withColumnRenamed("doc_id", "vec_id")
+    # Optimization r12 (guide §2.4): vecs feeds the trainer's bounded
+    # sample collect AND the assignment pass — each re-ran the featurize
+    # (the per-token char-fold hash is the expensive narrow op). Pinned,
+    # featurize runs once; ~0.5 KB per doc cached.
+    vecs = _pin(vecs)
     # Empty-corpus guard on the NARROW token stream, not on `vecs`: vecs
     # is the groupBy output, so isEmpty() there would execute the whole
     # featurize shuffle once just to check — the token scan short-circuits

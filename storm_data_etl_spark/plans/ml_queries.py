@@ -3669,6 +3669,11 @@ def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     wins = MM.audio_energy_windows(media, frame=10)
+    # Optimization r12 (guide §2.4/§4): wins feeds BOTH the segment chain
+    # and the per-media window aggregate — two lineage references that
+    # each re-ran the Python WAV synth + decode pass. Pinned, the Arrow
+    # decode runs once; the window rows are tiny (media_id, w, energy).
+    wins = _pin(wins)
     active = wins.filter(F.col("energy") > 34000)
     grp = (
         F.col("w")
@@ -3923,6 +3928,9 @@ def minhash_lcg_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.groupBy("id", F.expr("i div 4").alias("band")).agg(
         band_key.alias("band_key")
     )
+    # Optimization r12 (guide §2.4): both self-join sides re-ran the band
+    # aggregate over the pinned signatures — pin the small band table too.
+    bands = _pin(bands)
     a = bands.select(
         F.col("id").alias("id_a"),
         F.col("band").alias("band_a"),
@@ -4726,6 +4734,12 @@ def simhash_lcg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     fps = base.mapInPandas(fingerprint, "doc_id long, lo long, hi long")
+    # Optimization r12 (guide §2.4/§4): the banded self-join references the
+    # fingerprint table through four lineages (bucket count + join probe,
+    # then both join sides) — each re-ran the Arrow fingerprint kernel
+    # (four MapInPandas nodes in the plan). Pinned, the kernel runs once;
+    # the cached rows are 24 bytes per doc.
+    fps = _pin(fps)
     band_key = (
         F.when(F.col("band") == 0, F.expr("lo & 32767"))
         .when(F.col("band") == 1, F.expr("(lo >> 15) & 32767"))
