@@ -1854,8 +1854,12 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than interpolated percentiles so every output is an exact
     integer — hash-stable by construction."""
     ev = t(spark, sf_dir, "events")
-    # tiny frame read three times — recompute beats a session-lifetime cache
-    sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    # Optimization r12 (guide §2.4): the per-key count table feeds three
+    # consumers (hottest max, hot-key argmin, summary) — each re-ran the
+    # events-wide grouping. pin() is query-scoped (released by the
+    # harness's release_pinned), so the old "recompute beats a
+    # session-lifetime cache" trade no longer applies.
+    sizes = _pin(ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")))
     hottest = sizes.agg(F.max("c").alias("maxc"))
     hot_key = (
         sizes.join(F.broadcast(hottest), sizes["c"] == hottest["maxc"])

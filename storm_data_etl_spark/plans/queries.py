@@ -1102,13 +1102,18 @@ def multiset_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated rows from per-key count deltas) — one shuffle per side on
     the key, no join explosion. Completes the set-op family with the
     multiset tier (SURVEY §2.6 — the reference has no set ops at all)."""
+    # Optimization r12 (guide §2.3, aggregate before you shuffle): EXCEPT
+    # ALL's counted form is computed directly — per key, multiplicity =
+    # max(0, count_a − count_b), emitted when ≥ 1. One scan and one
+    # partial-aggregated exchange replace two scans + exceptAll's
+    # replicate-rows-then-recount plan; identical bag semantics and rows.
     o = t(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") != "F").select("o_custkey")
-    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    return (
-        a.exceptAll(b)
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    counted = o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("ca"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("cb"),
+    )
+    return counted.filter(F.col("ca") > F.col("cb")).select(
+        "o_custkey", (F.col("ca") - F.col("cb")).alias("multiplicity")
     )
 
 
@@ -1135,11 +1140,14 @@ def multiset_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_b) per key), the multiset twin of set_intersect. Same
     counted-form plan as multiset_except_all; aggregated multiplicities
     keep the gate order-free."""
+    # Optimization r12 (guide §2.3): INTERSECT ALL's counted form directly —
+    # multiplicity = min(count_a, count_b) when both ≥ 1 (same one-scan
+    # shape as multiset_except_all above); identical rows.
     o = t(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderstatus") != "F").select("o_custkey")
-    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-    return (
-        a.intersectAll(b)
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    counted = o.groupBy("o_custkey").agg(
+        F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("ca"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("cb"),
+    )
+    return counted.filter((F.col("ca") > 0) & (F.col("cb") > 0)).select(
+        "o_custkey", F.least("ca", "cb").alias("multiplicity")
     )

@@ -1544,8 +1544,13 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_id", F.col("event_type").alias("touch_type"))
         .distinct()
     )
-    per_conv = touches.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_touch"))
-    credits = touches.join(per_conv, "p_id").select(
+    # Optimization r12 (guide §2.4): the per-conversion touch count was a
+    # second aggregate joined back — both sides re-ran the user equi-join
+    # + distinct. A purchase-keyed window count computes n_touch in one
+    # pass; same integers.
+    credits = touches.withColumn(
+        "n_touch", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    ).select(
         "touch_type", "p_id", F.expr("1000000 div n_touch").alias("credit_e6")
     )
     return credits.groupBy("touch_type").agg(
@@ -3537,8 +3542,14 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ev.select(
         F.floor(F.col("value") * 100).cast("bigint").alias("v"), "event_type"
     )
+    # Optimization r12 (guide §2.4): the per-value tie table is a
+    # re-aggregate of the (value, group) counts — previously both scanned
+    # the stream. The (value, group) table is pinned (bounded by the
+    # quantized value domain × k groups) and everything downstream reads
+    # it; identical integers.
     per_vg = q.groupBy("v", "event_type").agg(F.count(F.lit(1)).alias("c"))
-    per_v = q.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    per_vg = _pin(per_vg)
+    per_v = per_vg.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = per_v.select(
         "v", "t", (F.sum("t").over(w) - F.col("t")).alias("below")
