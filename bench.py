@@ -582,14 +582,24 @@ def main() -> None:
     # Deliberate consequence: operators that pin intermediates (LSH
     # signatures) report WARM steady-state, since the pin survives across
     # the three reps; tools/scale_probe.py measures the cold path.
+    # Cold-vs-warm honesty (VERDICT r12 item 3): rep 1 is the COLD path —
+    # it pays Catalyst analysis, codegen AND any operator pin()/persist
+    # population that reps 2-3 then read warm. It was always timed; now it
+    # is also RECORDED (queries_first in BENCH_FULL) so pin-based
+    # optimizations are measured on both paths. The headline `queries`
+    # value stays min-of-3, byte-identical methodology to every prior round.
     times: dict[str, float] = {}
+    first_times: dict[str, float] = {}
     for name, fn in runners.items():
         df = fn(spark, SF_DIR)
         best = float("inf")
-        for _ in range(3):
+        for rep in range(3):
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            elapsed = time.perf_counter() - start
+            if rep == 0:
+                first_times[name] = round(elapsed, 3)
+            best = min(best, elapsed)
         times[name] = round(best, 3)
         # Free operator-pinned caches (global_rank, curation_funnel) so the
         # bench loop's executor memory stays flat across the headline set.
@@ -660,6 +670,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # rep-1 (cold) time per query, beside the min-of-3: the
+                # honest number for pin()/persist-based operators whose
+                # reps 2-3 read a warm cache (VERDICT r12 item 3)
+                "queries_first": first_times,
                 # execution order, explicitly: sort_keys below destroys
                 # dict insertion order, and bench_delta needs each query's
                 # position to window-normalize against canary.samples

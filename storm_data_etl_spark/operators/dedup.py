@@ -84,18 +84,32 @@ def ngram_jaccard_pairs(
     path for fuzzy dedup is `minhash_lsh_pairs`; this one doubles as its
     verification oracle. Output: (id_a, id_b, jaccard) with id_a < id_b.
 
-    Plan shape: shingling (regex + higher-order array ops, the expensive
-    narrow pass) is persisted so the self-join + the size aggregate read it
-    once instead of recomputing it 3×; the join key is xxhash64(shingle) —
-    8-byte comparisons and smaller shuffles than raw shingle strings, with
-    collision probability ~1e-19 per pair (no effect on counts).
+    Plan shape (optimization r13, guide §2.4): shingling (regex + higher-
+    order array ops, the expensive narrow pass) runs ONCE into a pinned
+    per-doc ARRAY of 8-byte xxhash64 shingle hashes — sizes are in-row
+    `size(harr)` (the old per-id count aggregate and its exchange are
+    deleted), and the exploded (id, shingle) relation is pinned PRE-
+    PARTITIONED on the shingle hash, so the self-join reads both sides
+    co-partitioned from cache with ZERO join exchanges (both consumers
+    project identical columns — the case where cached partitioning is
+    preserved; cf. the pagerank invariant pins). The only corpus-scale
+    exchange left is the unavoidable candidate-pair aggregate. Hash
+    collision probability stays ~1e-19 per pair (same key as before —
+    counts unaffected); duplicate hashes inside one doc's array are kept
+    (transform, not array_distinct), so row multisets are bit-identical
+    to the exploded form.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(X.shingles(text_col, k)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("shingle"))
-    sh = _pin(sh)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    base = _pin(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(X.shingles(text_col, k), lambda s: F.xxhash64(s)).alias(
+                "harr"
+            ),
+        )
+    )
+    sh = base.select("id", F.explode("harr").alias("shingle"))
+    sh = _pin(sh.repartition("shingle"))
+    sizes = base.select("id", F.size("harr").cast("long").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -246,12 +260,17 @@ def containment_pairs(
     scale analysis there applies unchanged. Output (id_a, id_b, containment)
     with id_a < id_b, containment rounded to 6 places.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(X.shingles(text_col, k)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("shingle"))
-    sh = _pin(sh)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    base = _pin(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(X.shingles(text_col, k), lambda s: F.xxhash64(s)).alias(
+                "harr"
+            ),
+        )
+    )
+    sh = base.select("id", F.explode("harr").alias("shingle"))
+    sh = _pin(sh.repartition("shingle"))
+    sizes = base.select("id", F.size("harr").cast("long").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (

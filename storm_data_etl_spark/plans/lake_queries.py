@@ -218,22 +218,34 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast (eval sets are MBs); the scan side is embarrassingly
     parallel."""
     docs = t(spark, sf_dir, "documents")
+    # Optimization r13 (guide §2.3/§3.2, VERDICT r12 item 4): the bench and
+    # train sides are two lineages of the same 8-gram regex explode — pin
+    # the (doc_id, source, gh, gram) relation so the extraction runs once.
+    # The probe key is the 8-byte xxhash64 of the gram, not the up-to-
+    # ~90-char string: the benchmark set groups its grams per hash
+    # (virtually always a 1-element array) and the probe is a long-keyed
+    # hash lookup; the gram STRING is compared only on hash hits
+    # (array_contains), so a hash collision can never flag a gram the
+    # old string join would not have — exactness rests on the real text,
+    # the dup_length_bracket discipline.
     grams = docs.select(
         "doc_id", "source", F.explode(X.shingles("text", 8)).alias("gram")
+    ).withColumn("gh", F.xxhash64("gram"))
+    grams = _pin(grams)
+    bench = grams.filter(F.col("source") == "src0").groupBy("gh").agg(
+        F.collect_set("gram").alias("_bgrams")
     )
-    bench = (
-        grams.filter(F.col("source") == "src0")
-        .select("gram")
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    train = grams.filter(F.col("source") != "src0").select("doc_id", "gram")
-    flagged = train.join(F.broadcast(bench), "gram", "left")
+    train = grams.filter(F.col("source") != "src0").select("doc_id", "gh", "gram")
+    flagged = train.join(F.broadcast(bench), "gh", "left")
+    hit = F.when(
+        F.col("_bgrams").isNotNull() & F.array_contains("_bgrams", F.col("gram")),
+        1,
+    ).otherwise(0)
     return (
         flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+            F.sum(hit).cast("bigint").alias("n_contaminated"),
         )
         .filter(F.col("n_contaminated") > 0)
         .select(
@@ -464,35 +476,61 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (TakeOrdered, no full sort). Corpus stats (N, avgdl) ride a
     broadcast single-row cross join — at 100 TB every non-scan input to
     the score is KBs."""
+    # Optimization r13 (guide §2.4/§2.3): the old plan tokenized the corpus
+    # THREE times (dl, stats, tf lineages) and shuffled a (doc, term)
+    # posting table through a groupBy + two joins. The query terms are a
+    # FIXED 3-term literal set, so per-doc term frequencies are in-row
+    # array counts on ONE tokenize scan; n_docs/avgdl/df all fold into ONE
+    # single-row aggregate (df_t = count of docs with tf_t > 0 — exactly
+    # the old posting-table row count per term), broadcast back via cross
+    # join. Per-term scores sum in fixed term order; a term with tf = 0
+    # contributes exactly +0.0, and all scores are positive finite, so the
+    # 3-addend IEEE sum equals the old grouped sum of the 1-3 nonzero
+    # term_score rows (addition with +0.0 is exact) — doc set pinned
+    # identical by the tf_sum > 0 filter (docs appearing in the old tf
+    # table ≡ docs with at least one matching term).
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.trim(F.col("text")) != "")
         .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
     )
-    dl = docs.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    tf_cols = [
+        F.size(F.filter("toks", lambda x: x == F.lit(term))).alias(f"tf_{i}")
+        for i, term in enumerate(_BM25_TERMS)
+    ]
+    row = docs.select("doc_id", F.size("toks").alias("dl"), *tf_cols)
+    stats = row.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    tf = (
-        docs.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     k1, b = _BM25_K1, _BM25_B
+
+    def _term_score(i: int):
+        tf = F.col(f"tf_{i}").cast("bigint")
+        df = F.col(f"df_{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        return F.when(
+            tf > 0,
+            idf
+            * tf
+            * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+
+    score = _term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + _term_score(i)
+    any_match = F.col("tf_0")
+    for i in range(1, len(_BM25_TERMS)):
+        any_match = any_match + F.col(f"tf_{i}")
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "term_score",
-            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * F.col("tf") * (k1 + 1)
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("term_score").alias("score"))
+        row.crossJoin(F.broadcast(stats))
+        .filter(any_match > 0)
+        .select("doc_id", score.alias("score"))
     )
     return (
         scored.orderBy(F.col("score").desc(), "doc_id")
@@ -2885,8 +2923,10 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no round ever re-shuffles the corpus-sized side; the rank tables
     # (already keyed by the groupBy that produced them) join co-partitioned
     # and each round's only exchange is its own aggregate re-key.
+    # Optimization r13 (ADVICE r12): derive the src copy FROM the dst pin so
+    # the distinct-edge lineage materializes once, not once per pin.
     pairs_dst = _pin(pairs.repartition("dst"))
-    pairs_src = _pin(pairs.repartition("src"))
+    pairs_src = _pin(pairs_dst.repartition("src"))
     a1 = pairs_dst.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
     h1 = (
         pairs_dst.join(
@@ -2902,6 +2942,13 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dst")
         .agg(F.sum("s").cast("bigint").alias("s"))
     )
+    # Optimization r13 (VERDICT r12 item 6, guide §2.4/§5): a2 feeds BOTH h2
+    # and top_a, h2 feeds top_h, and `tops` is consumed twice (the per-kind
+    # max + the join's left side) — unpinned, the a1→h1→a2 chain re-executed
+    # up to 4x (~60 real exchanges; the plan was stage-latency-bound and
+    # swung 1.4→2.9 s across host windows). Pinning the three tiny rank
+    # tables (node, s) bounds the executed plan to one pass per round.
+    a2 = _pin(a2)
     h2 = (
         pairs_dst.join(
             a2.withColumnRenamed("dst", "jdst"), F.col("dst") == F.col("jdst")
@@ -2909,6 +2956,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src")
         .agg(F.sum("s").cast("bigint").alias("s"))
     )
+    h2 = _pin(h2)
     top_a = (
         a2.orderBy(F.desc("s"), "dst")
         .limit(10)
@@ -2919,7 +2967,7 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(F.lit("hub").alias("kind"), F.col("src").alias("node"), "s")
     )
-    tops = top_a.unionByName(top_h)
+    tops = _pin(top_a.unionByName(top_h))
     mx = tops.groupBy("kind").agg(F.max("s").alias("mx"))
     return (
         tops.join(F.broadcast(mx), "kind")

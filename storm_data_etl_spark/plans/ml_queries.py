@@ -1521,6 +1521,11 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
+    # Optimization r13 (guide §2.4): the corpus and batch sides are two
+    # lineages of the same normalize+md5 regex pass — pin the narrow
+    # (doc_id, n_chars, fp) relation so the scan-side fingerprinting runs
+    # once, not per snapshot side.
+    d = _pin(d)
     corpus_fps = d.filter(F.col("doc_id") % 10 < 8).select("fp").distinct()
     batch = d.filter(F.col("doc_id") % 10 >= 8)
     from pyspark.sql import Window
@@ -6165,8 +6170,16 @@ def dup_aware_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint table back to the scan, one per-source aggregate. The
     weights are exact integer floors, so the distributed sum is
     order-free."""
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", X.fingerprint("text").alias("fingerprint")
+    # NULL fingerprints (NULL text) never match the oracle's USING
+    # (fingerprint) join, so they contribute no weighted rows — the window
+    # form must drop them explicitly or it would retain them (ADVICE r12).
+    # Filter on text, not on the derived md5: fingerprint IS NULL ⟺ text IS
+    # NULL, and a filter on the derived column would be pushed below the
+    # projection and re-evaluate the normalize+md5 pass (guide §4.4 shape).
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", X.fingerprint("text").alias("fingerprint"))
     )
     # Optimization r12 (guide §2.4): the group count joined back to the
     # scan re-ran the fingerprint pass and shuffled both sides — a

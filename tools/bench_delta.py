@@ -249,6 +249,39 @@ def main() -> int:
         for r in rows:
             print("| " + " | ".join(r[:4]) + " |")
 
+    # Cold-path gate (VERDICT r12 item 3): when BOTH artifacts record rep-1
+    # times (bench.py's queries_first), pin()/persist-based optimizations —
+    # whose min-of-3 reads a warm cache — are additionally gated on the
+    # first-run ratio, normalized the same way. Only flagged entries print
+    # (the warm table above already carries every query).
+    old_first = old_data.get("queries_first") or {}
+    new_first = new_data.get("queries_first") or {}
+    cold_flagged: list[str] = []
+    if old_first and new_first:
+        for name in sorted(set(old_first) & set(new_first)):
+            o, n = old_first[name], new_first[name]
+            if not o or o <= 0 or n is None:
+                continue
+            ratio = n / o
+            q_host = host
+            if windowed and old_pos and new_pos and name in old_pos and name in new_pos:
+                o_sc = _scale_at(old_samples, old_pos[name])
+                n_sc = _scale_at(new_samples, new_pos[name])
+                if o_sc > 0 and n_sc > 0:
+                    q_host = n_sc / o_sc
+            gated = ratio / q_host if q_host else ratio
+            if gated > threshold:
+                cold_flagged.append(f"{name} ({o:.3f}s → {n:.3f}s cold, {gated:.2f}×)")
+        if cold_flagged:
+            print("\nCOLD-PATH (rep-1) regressions beyond threshold:")
+            for line in cold_flagged:
+                print(f"  {line}")
+        else:
+            print(
+                f"\nCold-path (rep-1) gate: no regression > {threshold}× over "
+                f"{len(set(old_first) & set(new_first))} queries."
+            )
+
     shared = [n for n in new if n in old]
     tot_o = sum(old[n] for n in shared)
     tot_n = sum(new[n] for n in shared)
@@ -262,6 +295,9 @@ def main() -> int:
     if regressions:
         kind = "normalized" if host else "raw"
         print(f"REGRESSIONS ({kind} > {threshold}×): {regressions}")
+        rc = 1
+    if cold_flagged:
+        print(f"COLD-PATH REGRESSIONS (> {threshold}×): {len(cold_flagged)} (listed above)")
         rc = 1
     if trust_failures and not allow_contended:
         print(

@@ -39,7 +39,9 @@ def main() -> None:
     names = sys.argv[2:]
     spark = get_spark("profile", master=f"local[{CPUS}]")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r12")
+    outdir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    )
     os.makedirs(outdir, exist_ok=True)
 
     # warmup
@@ -57,16 +59,24 @@ def main() -> None:
             f.write(plan)
         spark.sparkContext.setJobDescription(f"profile:{name}")
         best = float("inf")
-        for _ in range(3):
+        first = None
+        for rep in range(3):
             start = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            elapsed = time.perf_counter() - start
+            if rep == 0:
+                first = elapsed
+            best = min(best, elapsed)
         release_pinned()
         n_ex = len(re.findall(r"\bExchange\b", plan))
         n_py = len(
             re.findall(r"BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas|FlatMapGroupsInPandas", plan)
         )
-        print(f"{name}\t{best:.3f}s\texchanges={n_ex}\tpython_nodes={n_py}", flush=True)
+        print(
+            f"{name}\t{best:.3f}s\tfirst={first:.3f}s\texchanges={n_ex}\t"
+            f"python_nodes={n_py}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
